@@ -1,0 +1,63 @@
+"""Local replica of the driver's t2 correctness gate: run a catalog query on
+Spark and its oracle SQL on DuckDB over the same parquet tables, then compare
+order-insensitively with columns sorted by name."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pandas as pd
+
+from traffic_accidents_airflow_kafka_spark.sources.tables import TESTDATA_TABLES
+
+
+def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for name in TESTDATA_TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
+            )
+    return con
+
+
+def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
+    out = df.reindex(sorted(df.columns), axis=1)
+    # Normalize cell values to comparable primitives.
+    for c in out.columns:
+        col = out[c]
+        if col.dtype == object:
+            out[c] = col.map(lambda v: tuple(v) if isinstance(v, (list, tuple)) else v)
+    if len(out):
+        out = out.sort_values(by=list(out.columns), kind="mergesort").reset_index(drop=True)
+    return out
+
+
+def _cell_equal(a, b, rel_tol=1e-9, abs_tol=1e-9) -> bool:
+    if pd.isna(a) and pd.isna(b):
+        return True
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            return math.isclose(float(a), float(b), rel_tol=rel_tol, abs_tol=abs_tol)
+        except (TypeError, ValueError):
+            return False
+    if isinstance(a, tuple) and isinstance(b, tuple):
+        return len(a) == len(b) and all(_cell_equal(x, y) for x, y in zip(a, b))
+    return a == b
+
+
+def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str):
+    s, o = canonicalize(spark_pdf), canonicalize(oracle_pdf)
+    assert list(s.columns) == list(o.columns), (
+        f"{name}: column mismatch spark={list(s.columns)} oracle={list(o.columns)}"
+    )
+    assert len(s) == len(o), f"{name}: row count spark={len(s)} oracle={len(o)}"
+    for i in range(len(s)):
+        for c in s.columns:
+            a, b = s.at[i, c], o.at[i, c]
+            assert _cell_equal(a, b), (
+                f"{name}: value mismatch row {i} col {c}: spark={a!r} oracle={b!r}"
+            )

@@ -1,0 +1,48 @@
+"""Parquet table access for the driver's synthetic test tables.
+
+Parquet is the engine's native storage (columnar, predicate-pushdown,
+partition-prunable); the reference used PostgreSQL tables + CSV
+intermediates (SURVEY.md §2.1 S1-S7). Reads stay lazy: column pruning and
+filter pushdown reach the scan via Catalyst, so callers should never
+pre-collect or cache here.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension-sized tables: always eligible for broadcast joins. At 100 TB the
+# fact tables (lineitem/orders/events/documents) grow with SF; these do not.
+SMALL_DIM_TABLES = frozenset({"region", "nation", "customer", "supplier", "part"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one synthetic table as a lazy DataFrame."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register each table as a temp view (for spark.sql entry points)."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
