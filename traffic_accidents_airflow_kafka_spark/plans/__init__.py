@@ -1,3 +1,13 @@
-from .analytics import QUERY_REGISTRY, QuerySpec, oracle_sql, queries
+"""Declared-query catalog.
 
-__all__ = ["QUERY_REGISTRY", "QuerySpec", "oracle_sql", "queries"]
+Importing this package imports every plan module, which registers its
+queries into :data:`registry.QUERY_REGISTRY` as a side effect. The driver
+contract (``__spark_entry__.py``) and the bench both read the registry
+through the accessors re-exported here.
+"""
+
+from __future__ import annotations
+
+from .registry import QUERY_REGISTRY, QuerySpec, oracle_sql, queries, register  # noqa: F401
+from . import analytics  # noqa: F401, E402
+from . import topics  # noqa: F401, E402

@@ -1,78 +1,44 @@
-"""The declared-query catalog: every operator class from SURVEY.md §2,
-expressed on the driver's synthetic tables, each paired with a DuckDB
-oracle SQL string (the t2 correctness gate).
+"""Dashboard aggregate queries (SURVEY.md §2.4 A9 + A6).
 
-Numeric-parity rules (so value hashes match the oracle bit-for-bit):
+Reference analogue: the Power BI dashboard's sum-by-group measures
+(``Dashboard/dashProyecto02.pdf`` p.1 — injuries by year, by weather x
+lighting, by cause, by trafficway type, damage bands, accidents by time)
+re-expressed on the driver's synthetic tables: ``orders`` / ``lineitem`` are
+the fact analogs, ``events`` the temporal stream, small tables the dims.
 
-- Money/quantity sums: cast to DECIMAL(18,2) *before* SUM (exact decimal
-  arithmetic in both engines), then cast the total to DOUBLE. Float sums are
-  order-dependent; decimal sums are not.
-- Averages: exact decimal SUM cast to double, divided by COUNT (identical
-  doubles → identical quotient) — never engine AVG over floats.
-- Inherently-float stats (stddev, corr, percentile): ROUND(x, 4) on both
-  sides.
-- Every computed column aliased identically in Spark and SQL (the driver
-  sorts columns by name before hashing).
-
-Scale notes are attached per query: what shuffles, what broadcasts, and why
-the plan survives 100 TB.
+Every query here is a grouped aggregation whose plan at 100 TB is: parquet
+scan with pushed filter + pruned columns → map-side partial hash aggregate →
+shuffle carrying only |groups| rows → final aggregate. No joins (those live
+in ``topics.py``), no UDFs, no driver-side loops.
 """
 
 from __future__ import annotations
-
-from collections.abc import Callable
-from dataclasses import dataclass
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..sources.tables import load_table
+from .registry import (  # noqa: F401  (re-exported for backwards compat)
+    QUERY_REGISTRY,
+    QuerySpec,
+    dec_sum,
+    oracle_sql,
+    queries,
+    register,
+)
 
-QueryFn = Callable[[SparkSession, str], DataFrame]
-
-
-@dataclass(frozen=True)
-class QuerySpec:
-    name: str
-    fn: QueryFn
-    oracle: str | None  # DuckDB SQL; None → driver runs rows-only check
-    doc: str = ""
-
-
-QUERY_REGISTRY: dict[str, QuerySpec] = {}
+_dec_sum = dec_sum  # historic alias
 
 
-def register(name: str, oracle: str | None, doc: str = ""):
-    def deco(fn: QueryFn) -> QueryFn:
-        QUERY_REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc)
-        return fn
-
-    return deco
-
-
-def queries() -> dict[str, QueryFn]:
-    return {name: spec.fn for name, spec in QUERY_REGISTRY.items()}
-
-
-def oracle_sql() -> dict[str, str]:
-    return {
-        name: spec.oracle
-        for name, spec in QUERY_REGISTRY.items()
-        if spec.oracle is not None
-    }
-
-
-def _dec_sum(col: str | F.Column, alias: str) -> F.Column:
-    """Exact decimal SUM surfaced as DOUBLE (see module docstring)."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast("decimal(18,2)")).cast("double").alias(alias)
+def _dec(c: str) -> F.Column:
+    return F.col(c).cast("decimal(18,2)")
 
 
 # ---------------------------------------------------------------------------
 # A9/A1-style grouped aggregation — the flagship query.
-# Reference analogue: the dashboard sum-by-group measures
-# (dags/etl_crash_traffic.py fact table measures; Dashboard/dashProyecto02.pdf
-# p.1 charts), re-expressed as a TPC-H-Q1-shaped pricing summary.
+# Reference analogue: dashboard sum-by-group measures
+# (dags/etl_crash_traffic.py fact measures; Dashboard/dashProyecto02.pdf p.1),
+# re-expressed as a TPC-H-Q1-shaped pricing summary.
 # ---------------------------------------------------------------------------
 
 
@@ -101,19 +67,169 @@ def _dec_sum(col: str | F.Column, alias: str) -> F.Column:
 )
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _dec_sum("l_quantity", "sum_qty"),
-            _dec_sum("l_extendedprice", "sum_base_price"),
-            F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
+            dec_sum("l_quantity", "sum_qty"),
+            dec_sum("l_extendedprice", "sum_base_price"),
+            F.sum(_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount")))
             .cast("double")
             .alias("sum_disc_price"),
-            (F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
-            (F.sum(dec("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "totals_by_year",
+    oracle="""
+    SELECT
+      CAST(year(o_orderdate) AS INT) AS order_year,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
+      COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_total
+    FROM orders
+    GROUP BY 1
+    """,
+    doc="Dashboard 'Suma de total_lesiones por año' analog "
+    "(Dashboard/dashProyecto02.pdf p.1; SURVEY §2.4 A9): yearly totals over "
+    "the orders fact. Scale: |groups| = |years| ≈ 7, trivial shuffle.",
+)
+def totals_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(
+            dec_sum("o_totalprice", "sum_total"),
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(_dec("o_totalprice")).cast("double") / F.count(F.lit(1))).alias("avg_total"),
+        )
+        .orderBy("order_year")
+    )
+
+
+@register(
+    "damage_bands",
+    oracle="""
+    SELECT
+      CASE WHEN o_totalprice < 1000 THEN 'under_1k'
+           WHEN o_totalprice < 10000 THEN '1k_to_10k'
+           ELSE 'over_10k' END AS damage_band,
+      COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+    FROM orders
+    GROUP BY 1
+    """,
+    doc="Dashboard damage-band chart analog ('$500 OR LESS' / 'OVER $1,500' "
+    "bands; SURVEY §2.4 A9 + F7 CASE banding). Scale: banding is a "
+    "whole-stage-codegen CASE expression evaluated at scan time; 3 groups.",
+)
+def damage_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    band = (
+        F.when(F.col("o_totalprice") < 1000, "under_1k")
+        .when(F.col("o_totalprice") < 10000, "1k_to_10k")
+        .otherwise("over_10k")
+        .alias("damage_band")
+    )
+    return (
+        orders.groupBy(band)
+        .agg(F.count(F.lit(1)).alias("n_orders"), dec_sum("o_totalprice", "sum_total"))
+        .orderBy("damage_band")
+    )
+
+
+@register(
+    "measures_by_priority",
+    oracle="""
+    SELECT
+      o_orderpriority,
+      COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="Dashboard 'injuries by primary contributory cause' analog "
+    "(SURVEY §2.4 A9): one-dimension grouped measures over the orders fact.",
+)
+def measures_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dec_sum("o_totalprice", "sum_total"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "status_priority_matrix",
+    oracle="""
+    SELECT
+      o_orderstatus,
+      o_orderpriority,
+      COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    """,
+    doc="Dashboard 'road defect × severity' two-dimension matrix analog "
+    "(SURVEY §2.4 A9). Scale: |status| × |priority| groups — tiny shuffle.",
+)
+def status_priority_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dec_sum("o_totalprice", "sum_total"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+@register(
+    "events_by_hour_type",
+    oracle="""
+    SELECT
+      CAST(hour(ts) AS INT) AS event_hour,
+      event_type,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Dashboard 'accidents by hour × weather' analog (SURVEY §2.4 A9 + "
+    "F2 date-part extraction) over the events stream table. Scale: 24 × "
+    "|types| groups; hour() is a codegen expression at scan time.",
+)
+def events_by_hour_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.hour("ts").cast("int").alias("event_hour"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), dec_sum("value", "sum_value"))
+        .orderBy("event_hour", "event_type")
+    )
+
+
+@register(
+    "scalar_counts",
+    oracle="""
+    SELECT
+      (SELECT COUNT(*) FROM orders)   AS n_orders,
+      (SELECT COUNT(*) FROM lineitem) AS n_lineitems,
+      (SELECT COUNT(*) FROM events)   AS n_events
+    """,
+    doc="Scalar COUNT(*) gating logic (SURVEY §2.4 A6; reference "
+    "dags/etl_crash_traffic.py:678-685 gates loads on row counts). "
+    "Scale: parquet count() answers from footer metadata — no data scan.",
+)
+def scalar_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_orders = load_table(spark, sf_dir, "orders").count()
+    n_lineitems = load_table(spark, sf_dir, "lineitem").count()
+    n_events = load_table(spark, sf_dir, "events").count()
+    return spark.createDataFrame(
+        [(n_orders, n_lineitems, n_events)], "n_orders long, n_lineitems long, n_events long"
     )

@@ -1,0 +1,70 @@
+"""The declared-query catalog registry (the t2 correctness surface).
+
+Every operator class from SURVEY.md §2 is expressed as a registered query on
+the driver's synthetic tables, each paired with a DuckDB oracle SQL string.
+Plan modules (analytics, topics, operators_core, stats, star, llm) call
+:func:`register` at import time; ``plans/__init__.py`` imports them all so
+the registry is complete after ``import ...plans``.
+
+Numeric-parity rules (so value hashes match the oracle bit-for-bit):
+
+- Money/quantity sums: cast to DECIMAL(18,2) *before* SUM (exact decimal
+  arithmetic in both engines), then cast the total to DOUBLE. Float sums are
+  order-dependent; decimal sums are not.
+- Averages: exact decimal SUM cast to double, divided by COUNT (identical
+  doubles → identical quotient) — never engine AVG over floats.
+- Inherently-float stats (stddev, corr, percentile, cosine): ROUND(x, 4) on
+  both sides.
+- Every computed column aliased identically in Spark and SQL (the driver
+  sorts columns by name before hashing).
+
+Scale notes are attached per query: what shuffles, what broadcasts, and why
+the plan survives 100 TB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # DuckDB SQL; None → driver runs rows-only check
+    doc: str = ""
+
+
+QUERY_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERY_REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: spec.fn for name, spec in QUERY_REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        name: spec.oracle
+        for name, spec in QUERY_REGISTRY.items()
+        if spec.oracle is not None
+    }
+
+
+def dec_sum(col: str | F.Column, alias: str) -> F.Column:
+    """Exact decimal SUM surfaced as DOUBLE (see module docstring)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast("decimal(18,2)")).cast("double").alias(alias)

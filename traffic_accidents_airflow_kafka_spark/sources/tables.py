@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import os
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 TESTDATA_TABLES = (
@@ -32,8 +33,24 @@ SMALL_DIM_TABLES = frozenset({"region", "nation", "customer", "supplier", "part"
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one synthetic table as a lazy DataFrame."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Load one synthetic table as a lazy DataFrame.
+
+    ``events.parquet`` stores ``ts`` as parquet TIMESTAMP(NANOS), which the
+    vectorized reader rejects; we read it as nanos-since-epoch long
+    (``spark.sql.legacy.parquet.nanosAsLong``, runtime-settable) and surface
+    a true ``TimestampType`` truncated to microseconds — Spark's native
+    precision, matching what every downstream date-part function expects.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+        return df
+    return spark.read.parquet(path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
