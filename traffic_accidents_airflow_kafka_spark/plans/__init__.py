@@ -11,3 +11,5 @@ from __future__ import annotations
 from .registry import QUERY_REGISTRY, QuerySpec, oracle_sql, queries, register  # noqa: F401
 from . import analytics  # noqa: F401, E402
 from . import topics  # noqa: F401, E402
+from . import operators_core  # noqa: F401, E402
+from . import stats  # noqa: F401, E402

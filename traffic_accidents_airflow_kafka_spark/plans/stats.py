@@ -1,0 +1,200 @@
+"""EDA statistics queries (SURVEY.md §2.4 A3/A4/A5/A7/A10, §2.2 P8).
+
+The reference's exploratory notebook (`notebooks/002_EDA_csv.ipynb`) drives
+these: value_counts (cell 25), describe() (cell 18), correlation matrix
+(cell 37), null/UNKNOWN audit (cell 20), per-group boxplot stats (cell 49).
+
+Float-parity rule (registry docstring): inherently-float statistics
+(mean, stddev, correlation, interpolated percentiles) are ROUND(x, 4) on
+both engines; counts and mins/maxes stay exact.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.tables import load_table
+from .registry import register
+
+
+@register(
+    "value_counts",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY lang
+    ORDER BY n_docs DESC, lang
+    """,
+    doc="A3+O1 — value_counts: frequency table ordered by count desc "
+    "(002_EDA_csv.ipynb cell 25; ordering idiom :1323). Nulls would form "
+    "their own group natively (dropna=False parity). Scale: |distinct| "
+    "groups; the order-by sorts the aggregate, not the input.",
+)
+def value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.desc("n_docs"), "lang")
+    )
+
+
+@register(
+    "summary_stats",
+    oracle="""
+    SELECT COUNT(value) AS n,
+           ROUND(AVG(value), 4) AS mean_value,
+           ROUND(stddev_samp(value), 4) AS std_value,
+           ROUND(MIN(value), 4) AS min_value,
+           ROUND(CAST(quantile_cont(value, 0.25) AS DOUBLE), 4) AS p25,
+           ROUND(CAST(quantile_cont(value, 0.50) AS DOUBLE), 4) AS p50,
+           ROUND(CAST(quantile_cont(value, 0.75) AS DOUBLE), 4) AS p75,
+           ROUND(MAX(value), 4) AS max_value
+    FROM events
+    """,
+    doc="A4 — describe(): count/mean/std/min/quartiles/max "
+    "(002_EDA_csv.ipynb cell 18; exact quartiles per SURVEY §2.4 — "
+    "percentile(), not percentile_approx, because the oracle interpolates "
+    "exactly). Scale note: exact percentile sorts per group in one pass "
+    "here; at 100 TB swap to percentile_approx with a documented error "
+    "bound — the catalog keeps the exact form because the reference's "
+    "describe() is exact.",
+)
+def summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    pct = F.percentile("value", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return events.agg(
+        F.count("value").alias("n"),
+        F.round(F.avg("value"), 4).alias("mean_value"),
+        F.round(F.stddev_samp("value"), 4).alias("std_value"),
+        F.round(F.min("value"), 4).alias("min_value"),
+        F.round(pct.getItem(0), 4).alias("p25"),
+        F.round(pct.getItem(1), 4).alias("p50"),
+        F.round(pct.getItem(2), 4).alias("p75"),
+        F.round(F.max("value"), 4).alias("max_value"),
+    )
+
+
+#: Numeric lineitem columns for the correlation matrix.
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@register(
+    "corr_matrix",
+    oracle="""
+    SELECT col_a, col_b, ROUND(corr_val, 4) AS pearson_r FROM (
+      SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+             corr(l_quantity, l_extendedprice) AS corr_val FROM lineitem
+      UNION ALL
+      SELECT 'l_quantity', 'l_discount', corr(l_quantity, l_discount) FROM lineitem
+      UNION ALL
+      SELECT 'l_quantity', 'l_tax', corr(l_quantity, l_tax) FROM lineitem
+      UNION ALL
+      SELECT 'l_extendedprice', 'l_discount', corr(l_extendedprice, l_discount) FROM lineitem
+      UNION ALL
+      SELECT 'l_extendedprice', 'l_tax', corr(l_extendedprice, l_tax) FROM lineitem
+      UNION ALL
+      SELECT 'l_discount', 'l_tax', corr(l_discount, l_tax) FROM lineitem
+    )
+    ORDER BY col_a, col_b
+    """,
+    doc="A5 — Pearson correlation matrix over the numeric columns "
+    "(002_EDA_csv.ipynb cell 37), long form (col_a, col_b, r). All "
+    "pairwise corrs computed in ONE aggregate pass over the fact (a single "
+    "scan emitting 6 corr aggregates), then unpivoted driver-side — never "
+    "6 separate scans. ROUND(,4) float-parity rule.",
+)
+def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = [
+        (a, b) for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i + 1 :]
+    ]
+    aggs = [
+        F.round(F.corr(a, b), 4).alias(f"{a}__{b}") for a, b in pairs
+    ]
+    wide = li.agg(*aggs)
+    # Unpivot the single wide row into (col_a, col_b, pearson_r).
+    stack_args = ", ".join(f"'{a}', '{b}', `{a}__{b}`" for a, b in pairs)
+    return (
+        wide.selectExpr(
+            f"stack({len(pairs)}, {stack_args}) AS (col_a, col_b, pearson_r)"
+        ).orderBy("col_a", "col_b")
+    )
+
+
+@register(
+    "null_sentinel_audit",
+    oracle="""
+    SELECT col_name, n_null, n_unknown FROM (
+      SELECT 'text' AS col_name,
+             SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS n_null,
+             SUM(CASE WHEN text = 'UNKNOWN' THEN 1 ELSE 0 END) AS n_unknown
+      FROM documents
+      UNION ALL
+      SELECT 'lang',
+             SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END),
+             SUM(CASE WHEN lang = 'UNKNOWN' THEN 1 ELSE 0 END)
+      FROM documents
+      UNION ALL
+      SELECT 'source',
+             SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END),
+             SUM(CASE WHEN source = 'UNKNOWN' THEN 1 ELSE 0 END)
+      FROM documents
+    )
+    ORDER BY col_name
+    """,
+    doc="A7+P8 — null/sentinel audit: per-column `isnull().sum() + "
+    "(df=='UNKNOWN').sum()` (002_EDA_csv.ipynb cell 20). One aggregate "
+    "pass computing every column's counters simultaneously (sum-of-when "
+    "per column), unpivoted to long form — never N scans for N columns.",
+)
+def null_sentinel_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cols = ("text", "lang", "source")
+    aggs = []
+    for c in cols:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__null")
+        )
+        aggs.append(
+            F.sum(F.when(F.col(c) == "UNKNOWN", 1).otherwise(0)).alias(f"{c}__unk")
+        )
+    wide = docs.agg(*aggs)
+    stack_args = ", ".join(f"'{c}', `{c}__null`, `{c}__unk`" for c in cols)
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS (col_name, n_null, n_unknown)"
+    ).orderBy("col_name")
+
+
+@register(
+    "group_percentiles",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           ROUND(CAST(quantile_cont(value, 0.25) AS DOUBLE), 4) AS p25,
+           ROUND(CAST(quantile_cont(value, 0.50) AS DOUBLE), 4) AS p50,
+           ROUND(CAST(quantile_cont(value, 0.75) AS DOUBLE), 4) AS p75
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="A10 — per-group boxplot distribution: median/IQR of injuries_total "
+    "by weather_condition (002_EDA_csv.ipynb cell 49) → value by "
+    "event_type. Exact interpolated percentiles to match the oracle; at "
+    "100 TB use percentile_approx (documented trade: reference semantics "
+    "are exact, so the catalog form is exact).",
+)
+def group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    pct = F.percentile("value", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(pct.getItem(0), 4).alias("p25"),
+            F.round(pct.getItem(1), 4).alias("p50"),
+            F.round(pct.getItem(2), 4).alias("p75"),
+        )
+        .orderBy("event_type")
+    )
