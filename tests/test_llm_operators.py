@@ -1,0 +1,154 @@
+"""Planted-fixture tests for dedup / similarity / text / multimodal
+operators — real assertions on known duplicates and neighbors (the
+rows-only catalog entries get their semantics pinned here)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from traffic_accidents_airflow_kafka_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+)
+from traffic_accidents_airflow_kafka_spark.operators import text as text_ops
+
+BASE = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+NEAR = "alpha beta gamma delta epsilon zeta eta theta iota lambda"  # 1 word differs
+OTHER = "one two three four five six seven eight nine ten"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact duplicate of 0
+        (2, NEAR),  # near duplicate of 0/1
+        (3, OTHER),  # unrelated
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_keeps_lowest_id(docs):
+    out = {r["doc_id"]: r for r in dedup.exact_dedup(docs, "doc_id", "text").collect()}
+    assert not out[0]["is_duplicate"] and out[0]["keeper_id"] == 0
+    assert out[1]["is_duplicate"] and out[1]["keeper_id"] == 0
+    assert not out[2]["is_duplicate"]
+    assert not out[3]["is_duplicate"]
+
+
+def test_jaccard_finds_planted_near_dup(docs):
+    sh = dedup.word_shingles(docs, "doc_id", "text", n=3)
+    pairs = {(r["d1"], r["d2"]): r["jaccard"] for r in dedup.jaccard_pairs(sh).collect()}
+    assert pairs[(0, 1)] == 1.0  # exact dup → jaccard 1
+    # 8 shingles each, 7 shared → 7/9
+    assert abs(pairs[(0, 2)] - 7 / 9) < 1e-9
+    assert (0, 3) not in pairs  # disjoint docs never pair (inverted index)
+
+
+def test_minhash_lsh_recalls_planted_pairs(docs):
+    sh = dedup.word_shingles(docs, "doc_id", "text", n=3)
+    sigs = dedup.minhash_signatures(sh, "doc_id", num_hashes=8)
+    pairs = {
+        (r["d1"], r["d2"]): r["est_sim"]
+        for r in dedup.lsh_candidate_pairs(sigs, "doc_id", 8, rows_per_band=1).collect()
+    }
+    assert pairs[(0, 1)] == 1.0  # identical docs: all 8 minhashes match
+    assert (0, 2) in pairs and pairs[(0, 2)] > 0  # near-dup collides on ≥1 band
+    assert (0, 3) not in pairs or pairs[(0, 3)] == 0.0
+
+
+def test_simhash_separates_near_from_far(docs):
+    sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash64(docs, "doc_id", "text").collect()}
+    assert sigs[0] == sigs[1]  # identical text → identical signature
+    ham_near = bin(sigs[0] ^ sigs[2]).count("1")
+    ham_far = bin(sigs[0] ^ sigs[3]).count("1")
+    assert ham_near < ham_far  # near-dup closer than unrelated doc
+    pairs = {
+        (r["d1"], r["d2"]): r["hamming"]
+        for r in dedup.simhash_near_pairs(
+            dedup.simhash64(docs, "doc_id", "text"), "doc_id", max_hamming=16
+        ).collect()
+    }
+    assert pairs[(0, 1)] == 0
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    # v0 ≈ v1 (same direction), v2 orthogonal, v3 opposite.
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.1, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_orders_by_similarity(vectors):
+    out = similarity.cosine_topk(vectors, k=3)
+    top = {r["qid"]: r["nid"] for r in out.filter(F.col("rank") == 1).collect()}
+    assert top[0] == 1 and top[1] == 0  # mutual nearest neighbors
+    r = {(x["qid"], x["nid"]): x["cosine"] for x in out.collect()}
+    assert r[(0, 2)] == 0.0 and r[(0, 3)] == -1.0
+
+
+def test_lsh_ann_buckets_separate_directions(vectors):
+    planes = similarity.hyperplane_planes(4, 6, seed=7)
+    bucketed = vectors.select(
+        "vec_id", similarity.lsh_bucket("embedding", planes).alias("b")
+    ).collect()
+    buckets = {r["vec_id"]: r["b"] for r in bucketed}
+    assert buckets[0] == buckets[1]  # same direction → same bucket
+    assert buckets[0] != buckets[3]  # opposite direction → different bucket
+    out = similarity.lsh_ann_topk(vectors, n_planes=6, k=1, dim=4)
+    top = {r["qid"]: r["nid"] for r in out.collect()}
+    assert top.get(0) == 1 and top.get(1) == 0
+
+
+def test_text_ops_values(spark):
+    df = spark.createDataFrame([("the cat the cat runs",)], "text string")
+    row = df.select(
+        text_ops.token_count("text").alias("n"),
+        text_ops.distinct_token_ratio("text").alias("r"),
+        text_ops.predict_lang("text").alias("lang"),
+        text_ops.token_fingerprint("text").alias("fp"),
+    ).collect()[0]
+    assert row["n"] == 5
+    assert abs(row["r"] - 3 / 5) < 1e-9
+    assert row["lang"] == "en"  # 'the' ×2 hits the en stopword list
+    # Reproduce the fold in Python.
+    acc = 0
+    for t in "the cat the cat runs".split(" "):
+        acc = (acc * text_ops.ROLL_MULT + (len(t) * 131 + ord(t[0]))) % text_ops.ROLL_MOD
+    assert row["fp"] == acc
+
+
+def test_multimodal_meta_plumbing(docs):
+    assets = multimodal.documents_as_assets(
+        docs.withColumnRenamed("doc_id", "doc_id")
+    )
+    out = {r["asset_id"]: r for r in multimodal.extract_asset_meta(assets).collect()}
+    assert out[0]["n_bytes"] == len(BASE)
+    import hashlib
+
+    assert out[0]["sha1_prefix"] == hashlib.sha1(BASE.encode()).hexdigest()[:8]
+    w, h = multimodal.fake_decode_meta(BASE.encode())
+    assert (out[0]["width"], out[0]["height"]) == (w, h)
+    # Identical payloads → identical derived metadata.
+    assert out[0]["sha1_prefix"] == out[1]["sha1_prefix"]
+
+
+def test_multimodal_real_decoder_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image_meta(b"\x89PNG")
+
+
+def test_frame_sample_strides(docs):
+    assets = multimodal.documents_as_assets(docs).filter(F.col("asset_id") == 0)
+    frames = multimodal.frame_sample(assets, every_n_bytes=16).collect()
+    payload = BASE.encode()
+    expected = [payload[i : i + 16] for i in range(0, len(payload), 16)]
+    got = [bytes(r["frame"]) for r in sorted(frames, key=lambda r: r["frame_idx"])]
+    assert got == expected

@@ -1,0 +1,261 @@
+"""Deduplication operators for large-scale text corpora.
+
+Four families, all pure DataFrame compositions (no UDFs):
+
+- **Exact** — md5-hash groupBy: ship 32-byte digests through the shuffle,
+  never full document text.
+- **N-gram Jaccard** — inverted-index (shingle → doc) self-join: the
+  MapReduce similarity-join idiom; pairs only materialize for docs that
+  share ≥1 shingle.
+- **MinHash-LSH** — engine-agnostic minhash built from lexicographic minima
+  of seeded md5 strings (md5 is bit-identical across engines, so the whole
+  pipeline is oracle-checkable in SQL), banded for sub-quadratic candidate
+  generation.
+- **SimHash** — 64-bit signatures via md5-hex bit extraction, banded into
+  four 16-bit keys for Hamming-neighbor candidate pairs.
+
+Reference context: the pipeline's only dedup is load-time
+``ON CONFLICT DO NOTHING`` (dags/etl_crash_traffic.py:693-787) — exact-key
+dedup. The near-dup family is the LLM-training-data extension the north
+star calls for, designed against the driver's ``documents`` table.
+
+Scale notes (100 TB):
+- All joins here key on *derived small values* (hashes, shingles, band
+  signatures), never raw text; the widest shuffled row is a shingle string.
+- The Jaccard self-join is quadratic per shingle bucket — guard hot
+  shingles (stop-shingles) with a frequency cap, exactly like skew salting.
+- MinHash banding keeps candidate generation linear in (docs × bands);
+  tune bands/rows for the recall/precision point you need.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def text_hash(col: Column | str) -> Column:
+    """32-hex md5 digest of the text — the exact-dedup key. md5 over other
+    engines' md5 so oracle parity holds bit-for-bit."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(c.cast("binary"))
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep the lowest-id row per distinct text (deterministic keeper).
+
+    Returns the input plus ``keeper_id`` (min id among duplicates) and
+    ``is_duplicate``. Shuffles (hash, id) pairs only — never document text.
+    """
+    h = text_hash(text_col).alias("__th")
+    hashed = df.withColumn("__th", h)
+    keepers = hashed.groupBy("__th").agg(F.min(id_col).alias("keeper_id"))
+    return (
+        hashed.join(keepers, "__th")
+        .withColumn("is_duplicate", F.col(id_col) != F.col("keeper_id"))
+        .drop("__th")
+    )
+
+
+def word_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per document → (id, shingle) rows.
+
+    Pure codegen: split → sequence/transform sliding window →
+    array_distinct → explode. Docs shorter than ``n`` words yield no rows.
+    """
+    words = F.split(F.col(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    )
+    return (
+        df.filter(F.size(words) >= n)
+        .select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
+    )
+
+
+def jaccard_pairs(
+    shingles: DataFrame, id_col: str = "doc_id", max_shingle_freq: int | None = None
+) -> DataFrame:
+    """Exact pairwise Jaccard over a (id, shingle) relation via the
+    inverted-index self-join: pairs exist only where docs co-occur under a
+    shingle.
+
+    ``max_shingle_freq`` drops shingles appearing in more than N docs
+    (stop-shingles) — the skew guard that keeps the per-bucket pair blowup
+    bounded at corpus scale.
+    """
+    sh = shingles
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__f"))
+        sh = sh.join(freq.filter(F.col("__f") <= max_shingle_freq), "shingle").drop("__f")
+
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
+    a = sh.select(F.col(id_col).alias("d1"), "shingle")
+    b = sh.select(F.col(id_col).alias("d2"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({id_col: "d1", "__sz": "__sz1"}), "d1")
+        .join(sizes.withColumnsRenamed({id_col: "d2", "__sz": "__sz2"}), "d2")
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("__sz1") + F.col("__sz2") - F.col("n_common")).cast("double"),
+        )
+        .select("d1", "d2", "n_common", "jaccard")
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, id_col: str = "doc_id", num_hashes: int = 8
+) -> DataFrame:
+    """MinHash signature per doc: for seed *i*, the lexicographic MIN of
+    ``md5(i || '|' || shingle)`` over the doc's shingles.
+
+    A keyed cryptographic hash is a uniform random permutation of the
+    shingle space, so the string minimum is a valid minhash; md5's
+    cross-engine stability makes the signature oracle-checkable. One
+    hash-aggregate pass computes all ``num_hashes`` minima.
+    """
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")).cast("binary"))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    rows_per_band: int = 1,
+) -> DataFrame:
+    """Banded-LSH candidate pairs from minhash signatures.
+
+    Docs collide when any band (``rows_per_band`` consecutive minhashes
+    concatenated) matches. ``rows_per_band=1`` is the high-recall OR-of-k
+    configuration for candidate generation; raise it to tighten precision.
+    Output: (d1, d2, est_sim) where est_sim = matching minhashes / k.
+    """
+    n_bands = num_hashes // rows_per_band
+    band_cols = []
+    for b in range(n_bands):
+        parts = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(F.concat(*parts).alias(f"band{b}"))
+    banded = signatures.select(id_col, *[F.col(f"mh{i}") for i in range(num_hashes)], *band_cols)
+
+    stack_args = ", ".join(f"{b}, band{b}" for b in range(n_bands))
+    long = banded.selectExpr(
+        id_col,
+        *[f"mh{i}" for i in range(num_hashes)],
+        f"stack({n_bands}, {stack_args}) AS (band_idx, band_val)",
+    )
+    left = long.select(
+        F.col(id_col).alias("d1"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(num_hashes)],
+        "band_idx",
+        "band_val",
+    )
+    right = long.select(
+        F.col(id_col).alias("d2"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(num_hashes)],
+        "band_idx",
+        "band_val",
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(num_hashes)
+    )
+    return (
+        left.join(right, ["band_idx", "band_val"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", (matches / float(num_hashes)).alias("est_sim"))
+        .dropDuplicates(["d1", "d2"])
+    )
+
+
+def simhash64(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """64-bit SimHash per document.
+
+    Each token's md5 supplies 64 pseudo-random bits (first 16 hex digits);
+    per bit position the weighted vote sum(+1/-1) over tokens decides the
+    signature bit. Implemented as explode(token × 64 positions) → two-level
+    aggregate — linear in tokens, no UDFs.
+    """
+    token = F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("token")
+    toks = df.select(F.col(id_col), token).withColumn(
+        "h", F.md5(F.col("token").cast("binary"))
+    )
+    pos = F.explode(F.sequence(F.lit(0), F.lit(63))).alias("pos")
+    votes = (
+        toks.select(id_col, "h", pos)
+        # Hex digit at position pos/4; bit (3 - pos%4) of that digit. SQL
+        # expr because column-valued shift amounts aren't exposed in the
+        # PySpark function wrappers.
+        .withColumn(
+            "vote",
+            F.expr(
+                "CAST(shiftright(CAST(conv(substr(h, CAST(pos / 4 AS INT) + 1, 1), 16, 10) AS INT),"
+                " 3 - CAST(pos % 4 AS INT)) & 1 AS INT) * 2 - 1"
+            ),
+        )
+        .groupBy(id_col, "pos")
+        .agg(F.sum("vote").alias("w"))
+    )
+    return votes.groupBy(id_col).agg(
+        F.sum(
+            F.expr(
+                "CASE WHEN w > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(pos AS INT)) "
+                "ELSE CAST(0 AS BIGINT) END"
+            )
+        ).alias("simhash")
+    )
+
+
+def simhash_near_pairs(
+    sigs: DataFrame, id_col: str = "doc_id", max_hamming: int = 8
+) -> DataFrame:
+    """Hamming-neighbor candidate pairs from 64-bit simhashes via the
+    4×16-bit band trick: any pair within Hamming distance 3 must share a
+    band exactly; wider distances are caught probabilistically. Exact
+    Hamming distance computed on candidates with bit_count(xor)."""
+    bands = sigs.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftrightunsigned("simhash", 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "simhash", "band.band_idx", "band.band_val")
+    left = bands.select(
+        F.col(id_col).alias("d1"), F.col("simhash").alias("s1"), "band_idx", "band_val"
+    )
+    right = bands.select(
+        F.col(id_col).alias("d2"), F.col("simhash").alias("s2"), "band_idx", "band_val"
+    )
+    return (
+        left.join(right, ["band_idx", "band_val"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select(
+            "d1", "d2", F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))).alias("hamming")
+        )
+        .dropDuplicates(["d1", "d2"])
+        .filter(F.col("hamming") <= max_hamming)
+    )

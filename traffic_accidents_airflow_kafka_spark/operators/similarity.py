@@ -1,0 +1,137 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths, per the scale ladder:
+
+- **Brute-force cosine top-k** — the exactness baseline. Queries broadcast
+  against the candidate set; all arithmetic is promoted to double with a
+  fixed left-to-right summation order so results are bit-identical to a
+  SQL oracle computing the same fold.
+- **Random-hyperplane LSH** — the scale path: vectors bucket by the sign
+  pattern of ``n_planes`` fixed projections; top-k runs within buckets
+  only. Planes are generated from a seeded NumPy RNG on the driver and
+  shipped as literal arrays (deterministic across runs; no state).
+
+Never an unbucketed all-pairs crossJoin at scale: brute force is O(Q×N)
+and only sane while Q is small; LSH makes the candidate set per query
+O(N / 2^planes) in expectation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def _dot_double(a: Column, b: Column) -> Column:
+    """Σ a_i·b_i with every element cast to double before multiply and a
+    sequential fold — the exact-parity form (matches the SQL oracle's
+    list_sum over doubles, same order, same rounding)."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def vector_norm(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sqrt(_dot_double(c, c))
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    query_ids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    ``query_ids``: DataFrame with the query id column (defaults to all
+    vectors — full all-pairs; only for tiny sets). The query side is
+    broadcast: the big candidate scan never shuffles; ranking is a
+    per-query window over the joined stream.
+    """
+    cand = vectors.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec")
+    ).withColumn("nnorm", vector_norm("nvec"))
+    q = vectors
+    if query_ids is not None:
+        q = vectors.join(query_ids, id_col, "left_semi")
+    q = q.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")).withColumn(
+        "qnorm", vector_norm("qvec")
+    )
+    sim = (
+        cand.crossJoin(F.broadcast(q))
+        .filter(F.col("nid") != F.col("qid"))
+        .withColumn(
+            "cosine",
+            _dot_double(F.col("qvec"), F.col("nvec")) / (F.col("qnorm") * F.col("nnorm")),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "rank", F.round("cosine", 4).alias("cosine"))
+    )
+
+
+def hyperplane_planes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic random hyperplanes (seeded Gaussian)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).astype(float).tolist()
+
+
+def lsh_bucket(vec_col: Column | str, planes: list[list[float]]) -> Column:
+    """Sign-pattern bucket id: bit *i* set iff ``vec · plane_i > 0``.
+
+    The planes arrive as literal arrays, so the whole bucket computation is
+    a codegen expression over the vector column — no UDF, no shuffle.
+    """
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        dot = _dot_double(c, lit_plane)
+        bucket = bucket + F.when(dot > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(0)
+    return bucket
+
+
+def lsh_ann_topk(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    k: int = 3,
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k: bucket by hyperplane signs, rank within bucket.
+
+    Expected candidate set per query shrinks by ~2^n_planes; recall is
+    traded for the vanished crossJoin. At 100 TB add multi-probe (flip one
+    bit) or multiple tables to recover recall — same plan shape, unioned.
+    """
+    planes = hyperplane_planes(dim, n_planes, seed)
+    bucketed = vectors.select(
+        F.col(id_col), F.col(vec_col), lsh_bucket(vec_col, planes).alias("bucket")
+    )
+    a = bucketed.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"), "bucket"
+    ).withColumn("qnorm", vector_norm("qvec"))
+    b = bucketed.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec"), "bucket"
+    ).withColumn("nnorm", vector_norm("nvec"))
+    sim = (
+        a.join(b, "bucket")
+        .filter(F.col("qid") != F.col("nid"))
+        .withColumn(
+            "cosine",
+            _dot_double(F.col("qvec"), F.col("nvec")) / (F.col("qnorm") * F.col("nnorm")),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "rank", F.round("cosine", 4).alias("cosine"), "bucket")
+    )

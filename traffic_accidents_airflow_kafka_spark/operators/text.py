@@ -1,0 +1,103 @@
+"""Text-analysis operators for training-data pipelines.
+
+Token counting, quality scoring, n-gram/stopword language ID, and document
+fingerprinting — all native column expressions (no UDFs; everything stays
+in whole-stage codegen and is oracle-expressible in SQL).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+# Minimal per-language stopword sets for the heuristic language scorer.
+# Real pipelines ship larger lists (still broadcast-small); the mechanism —
+# per-language hit-rate then argmax — is identical.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "es": ("el", "la", "de", "y", "que"),
+    "fr": ("le", "la", "de", "et", "que"),
+    "de": ("der", "die", "das", "und", "zu"),
+}
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization (the BPE-ish regex variant:
+    ``F.split(col, r"\\s+|(?=[.,!?;])")`` — same shape, richer pattern)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def distinct_token_ratio(text: Column | str) -> Column:
+    """|distinct tokens| / |tokens| — low values flag repetitive/spammy
+    docs (a standard quality signal)."""
+    t = tokens(text)
+    return F.size(F.array_distinct(t)) / F.size(t).cast("double")
+
+
+def quality_score(text: Column | str, n_chars: Column | str | None = None) -> Column:
+    """Composite quality in [0,1]: length component (saturating at 64
+    tokens) × diversity component (distinct-token ratio). Deterministic,
+    cheap, and monotone in the signals real filters use (length, lexical
+    diversity)."""
+    tc = token_count(text).cast("double")
+    length_component = F.least(tc / F.lit(64.0), F.lit(1.0))
+    return F.round(length_component * distinct_token_ratio(text), 4)
+
+
+def stopword_hits(text: Column | str, words: tuple[str, ...]) -> Column:
+    """Count of tokens that are in the given stopword list."""
+    return F.size(F.filter(tokens(text), lambda t: t.isin(*words)))
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    """Per-language stopword hit counts."""
+    return {lang: stopword_hits(text, words) for lang, words in LANG_STOPWORDS.items()}
+
+
+def predict_lang(text: Column | str, default: str = "und") -> Column:
+    """Argmax language with deterministic tie-break (dict order wins ties;
+    zero hits everywhere → ``default``)."""
+    scores = lang_scores(text)
+    best_lang = F.lit(default)
+    best_score = F.lit(0)
+    # Iterate in reverse so earlier dict entries win ties (strict >).
+    for lang, score in reversed(list(scores.items())):
+        is_better = score > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, score).otherwise(best_score)
+    return best_lang
+
+
+ROLL_MOD = 2_147_483_647
+ROLL_MULT = 1_000_003
+
+
+def token_fingerprint(text: Column | str) -> Column:
+    """Polynomial rolling hash over tokens:
+    ``acc = (acc * 1000003 + h(token)) mod (2^31 - 1)`` with
+    ``h(token) = len(token) * 131 + ascii(first char)``.
+
+    A fold over a derived int list — engine-agnostic (the SQL oracle
+    computes the identical fold), cheap, and order-sensitive like a real
+    rolling fingerprint. Pair with :func:`content_hash` when a
+    cryptographic digest is wanted instead."""
+    hs = F.transform(
+        tokens(text),
+        lambda t: (F.length(t) * 131 + F.ascii(F.substring(t, 1, 1))).cast("long"),
+    )
+    return F.aggregate(
+        hs,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * ROLL_MULT + x) % ROLL_MOD,
+    )
+
+
+def content_hash(text: Column | str) -> Column:
+    """md5 content digest (cross-engine stable)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(c.cast("binary"))

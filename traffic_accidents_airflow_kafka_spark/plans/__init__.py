@@ -13,3 +13,4 @@ from . import analytics  # noqa: F401, E402
 from . import topics  # noqa: F401, E402
 from . import operators_core  # noqa: F401, E402
 from . import stats  # noqa: F401, E402
+from . import llm  # noqa: F401, E402

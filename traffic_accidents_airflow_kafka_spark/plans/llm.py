@@ -1,0 +1,388 @@
+"""LLM-training-data pipeline queries over ``documents`` / ``embeddings``.
+
+The north-star extension family (BASELINE.json; SURVEY.md §7 step 8):
+deduplication (exact, MinHash-LSH, n-gram Jaccard, SimHash), similarity
+search (brute-force cosine top-k + hyperplane-LSH ANN), text analysis
+(tokens, quality, language ID, fingerprints), and multimodal plumbing.
+
+Oracle strategy: everything built on md5 / exact folds / double-precision
+cosine has a full DuckDB oracle (md5 and sequential double arithmetic are
+bit-identical across engines). SimHash banding and hyperplane LSH stay
+rows-only (bit-twiddling/seeded-plane parity in SQL isn't worth the
+oracle complexity) — their semantics are pinned by unit tests with
+planted fixtures instead (tests/test_llm_operators.py).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import dedup, multimodal, similarity, text as text_ops
+from ..sources.tables import load_table
+from .registry import register
+
+_NUM_HASHES = 8
+
+_SHINGLE_CTE = """
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(w) - 2),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+        FROM words WHERE len(w) >= 3
+      )
+    )
+"""
+
+
+@register(
+    "dedup_exact_stats",
+    oracle="""
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5(text)) AS n_distinct_texts,
+           COUNT(*) - COUNT(DISTINCT md5(text)) AS n_duplicate_docs
+    FROM documents
+    """,
+    doc="Exact dedup, corpus stats: hash-groupBy over md5(text) "
+    "(operators/dedup.py:text_hash). Scale: 32-byte digests shuffle, "
+    "never document bodies; count-distinct is a two-phase partial "
+    "aggregate.",
+)
+def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = dedup.text_hash("text")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(h).alias("n_distinct_texts"),
+        (F.count(F.lit(1)) - F.countDistinct(h)).alias("n_duplicate_docs"),
+    )
+
+
+@register(
+    "dedup_exact_keep",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text))
+                THEN TRUE ELSE FALSE END AS is_duplicate
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="Exact dedup, keeper assignment: lowest doc_id per distinct text "
+    "survives (deterministic — the distributed analog of the reference's "
+    "ON CONFLICT DO NOTHING first-writer-wins, "
+    "dags/etl_crash_traffic.py:693-787). Scale: groupBy-min + hash join "
+    "on digest, both shuffle only (digest, id) pairs.",
+)
+def dedup_exact_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        dedup.exact_dedup(docs, "doc_id", "text")
+        .select("doc_id", "is_duplicate")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=_SHINGLE_CTE
+    + """,
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.d1, i.d2, i.n_common,
+           ROUND(i.n_common / CAST(s1.sz + s2.sz - i.n_common AS DOUBLE), 4) AS jaccard
+    FROM inter i
+    JOIN sizes s1 ON i.d1 = s1.doc_id
+    JOIN sizes s2 ON i.d2 = s2.doc_id
+    ORDER BY jaccard DESC, d1, d2
+    LIMIT 50
+    """,
+    doc="N-gram Jaccard near-dup: word 3-gram shingles → inverted-index "
+    "self-join → exact Jaccard; top-50 pairs (operators/dedup.py:"
+    "word_shingles/jaccard_pairs). Scale: pairs only materialize for docs "
+    "sharing a shingle; hot-shingle frequency cap (max_shingle_freq) is "
+    "the skew guard at corpus scale — disabled here for oracle exactness.",
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.word_shingles(docs, "doc_id", "text", n=3)
+    pairs = dedup.jaccard_pairs(sh, "doc_id")
+    return (
+        pairs.select("d1", "d2", "n_common", F.round("jaccard", 4).alias("jaccard"))
+        .orderBy(F.desc("jaccard"), "d1", "d2")
+        .limit(50)
+    )
+
+
+def _minhash_oracle() -> str:
+    mh_aggs = ",\n        ".join(
+        f"min(md5('{i}|' || shingle)) AS mh{i}" for i in range(_NUM_HASHES)
+    )
+    band_union = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band_idx, mh{i} AS band_val FROM sig"
+        for i in range(_NUM_HASHES)
+    )
+    match_sum = " + ".join(
+        f"CASE WHEN s1.mh{i} = s2.mh{i} THEN 1 ELSE 0 END" for i in range(_NUM_HASHES)
+    )
+    return (
+        _SHINGLE_CTE
+        + f""",
+    sig AS (
+      SELECT doc_id, {mh_aggs}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {band_union}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a
+      JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+                   AND a.doc_id < b.doc_id
+    )
+    SELECT c.d1, c.d2,
+           CAST(({match_sum}) AS DOUBLE) / {_NUM_HASHES} AS est_sim
+    FROM cand c
+    JOIN sig s1 ON c.d1 = s1.doc_id
+    JOIN sig s2 ON c.d2 = s2.doc_id
+    ORDER BY est_sim DESC, d1, d2
+    LIMIT 200
+    """
+    )
+
+
+@register(
+    "minhash_lsh_pairs",
+    oracle=_minhash_oracle(),
+    doc="MinHash-LSH near-dup candidates: 8 md5-seeded minhashes per doc "
+    "(lexicographic string minima — a keyed crypto hash is a uniform "
+    "permutation of shingle space, and md5 is engine-stable, so the whole "
+    "LSH pipeline oracle-checks), banded at r=1 (high-recall OR-of-8 "
+    "candidate generation), est_sim = matching minhashes / 8 "
+    "(operators/dedup.py:minhash_signatures/lsh_candidate_pairs). Scale: "
+    "signatures are one hash-aggregate over shingles; candidate join keys "
+    "on 32-char band values — linear in docs × bands, never all-pairs.",
+)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.word_shingles(docs, "doc_id", "text", n=3)
+    sigs = dedup.minhash_signatures(sh, "doc_id", _NUM_HASHES)
+    pairs = dedup.lsh_candidate_pairs(sigs, "doc_id", _NUM_HASHES, rows_per_band=1)
+    return pairs.orderBy(F.desc("est_sim"), "d1", "d2").limit(200)
+
+
+@register(
+    "simhash_near_pairs",
+    oracle=None,
+    min_rows=0,  # random word-salad corpus may legitimately have no Hamming-close pairs
+    doc="SimHash near-dup: 64-bit signatures (md5-bit majority votes), "
+    "4×16-bit band join, exact Hamming via bit_count(xor) "
+    "(operators/dedup.py:simhash64/simhash_near_pairs). Rows-only: "
+    "hex-digit bit extraction parity in SQL isn't worth the oracle; "
+    "semantics pinned by planted-fixture unit tests. Scale: linear "
+    "explode(tokens × 64) then two-level aggregate; candidates via band "
+    "equality only.",
+)
+def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.simhash64(docs, "doc_id", "text")
+    return (
+        dedup.simhash_near_pairs(sigs, "doc_id", max_hamming=8)
+        .orderBy("hamming", "d1", "d2")
+        .limit(500)
+    )
+
+
+def _topk_oracle() -> str:
+    return """
+    WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+    sims AS (
+      SELECT q.qid, e.vec_id AS nid,
+             list_sum(list_transform(generate_series(1, len(q.qvec)),
+                      i -> CAST(q.qvec[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+             / ( sqrt(list_sum(list_transform(generate_series(1, len(q.qvec)),
+                      i -> CAST(q.qvec[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE))))
+               * sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),
+                      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) )
+             AS cosine
+      FROM q JOIN embeddings e ON e.vec_id <> q.qid
+    )
+    SELECT qid, nid, rank, ROUND(cosine, 4) AS cosine FROM (
+      SELECT qid, nid, cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS INT) AS rank
+      FROM sims
+    )
+    WHERE rank <= 3
+    ORDER BY qid, rank
+    """
+
+
+@register(
+    "embedding_topk",
+    oracle=_topk_oracle(),
+    doc="Brute-force cosine top-k (the ANN exactness baseline): 10 query "
+    "vectors broadcast against all candidates; double-promoted sequential "
+    "dot products are bit-identical to the SQL fold, so ranking "
+    "oracle-checks (operators/similarity.py:cosine_topk). Scale: O(Q×N) — "
+    "sane only for small Q; the LSH entry is the scale path.",
+)
+def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = emb.select("vec_id").filter(F.col("vec_id") < 10)
+    return similarity.cosine_topk(emb, qids, "vec_id", "embedding", k=3).orderBy(
+        "qid", "rank"
+    )
+
+
+@register(
+    "embedding_lsh_ann",
+    oracle=None,
+    doc="Hyperplane-LSH approximate top-k: 6 seeded Gaussian planes → "
+    "64 sign-pattern buckets → within-bucket cosine ranking "
+    "(operators/similarity.py:lsh_ann_topk). Rows-only (seeded planes in "
+    "SQL would just re-implement the same code); recall vs the "
+    "embedding_topk baseline is asserted in unit tests. Scale: candidate "
+    "set per query shrinks ~2^planes; multi-probe re-unions recover "
+    "recall without changing plan shape.",
+)
+def embedding_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_ann_topk(emb, "vec_id", "embedding", n_planes=6, k=3).orderBy(
+        "qid", "rank"
+    )
+
+
+@register(
+    "text_quality_stats",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(len(string_split(text, ' '))), 4) AS avg_tokens,
+           ROUND(AVG(len(list_distinct(string_split(text, ' ')))
+                     / CAST(len(string_split(text, ' ')) AS DOUBLE)), 4) AS avg_distinct_ratio,
+           ROUND(AVG(LEAST(len(string_split(text, ' ')) / 64.0, 1.0)
+                     * (len(list_distinct(string_split(text, ' ')))
+                        / CAST(len(string_split(text, ' ')) AS DOUBLE))), 4) AS avg_quality
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="Text quality scoring per language: token counts, distinct-token "
+    "ratio, composite quality (length × diversity) "
+    "(operators/text.py:token_count/quality_score). Scale: pure codegen "
+    "string ops; |langs| groups.",
+)
+def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = text_ops.token_count("text").cast("double")
+    ratio = text_ops.distinct_token_ratio("text")
+    quality = F.least(toks / 64.0, F.lit(1.0)) * ratio
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(toks), 4).alias("avg_tokens"),
+            F.round(F.avg(ratio), 4).alias("avg_distinct_ratio"),
+            F.round(F.avg(quality), 4).alias("avg_quality"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "lang_id_confusion",
+    oracle="""
+    WITH scored AS (
+      SELECT lang,
+             len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and','to'))) AS s_en,
+             len(list_filter(string_split(text,' '), t -> t IN ('el','la','de','y','que'))) AS s_es,
+             len(list_filter(string_split(text,' '), t -> t IN ('le','la','de','et','que'))) AS s_fr,
+             len(list_filter(string_split(text,' '), t -> t IN ('der','die','das','und','zu'))) AS s_de
+      FROM documents
+    ),
+    pred AS (
+      SELECT lang,
+             CASE
+               WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de AND s_en > 0 THEN 'en'
+               WHEN s_es >= s_fr AND s_es >= s_de AND s_es > 0 THEN 'es'
+               WHEN s_fr >= s_de AND s_fr > 0 THEN 'fr'
+               WHEN s_de > 0 THEN 'de'
+               ELSE 'und'
+             END AS predicted
+      FROM scored
+    )
+    SELECT lang, predicted, COUNT(*) AS n_docs
+    FROM pred GROUP BY lang, predicted
+    ORDER BY lang, predicted
+    """,
+    doc="Heuristic language ID: per-language stopword hit counts, argmax "
+    "with first-wins tie-break, reported as a (labeled lang × predicted) "
+    "confusion table (operators/text.py:predict_lang). Scale: codegen "
+    "list_filter over tokens; broadcast-small stopword vocabularies.",
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", text_ops.predict_lang("text").alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "predicted")
+    )
+
+
+@register(
+    "doc_fingerprints",
+    oracle=f"""
+    SELECT doc_id,
+           md5(text) AS fp_md5,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(text, ' '),
+                              t -> CAST(len(t) * 131 + ascii(substr(t, 1, 1)) AS BIGINT))),
+             (a, b) -> (a * {text_ops.ROLL_MULT} + b) % {text_ops.ROLL_MOD}
+           ) AS fp_roll
+    FROM documents
+    ORDER BY doc_id
+    LIMIT 100
+    """,
+    doc="Document fingerprinting: md5 content digest + order-sensitive "
+    "polynomial rolling hash over tokens — identical folds in both "
+    "engines (operators/text.py:token_fingerprint/content_hash). Scale: "
+    "per-row codegen expressions, no shuffle at all.",
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            text_ops.content_hash("text").alias("fp_md5"),
+            text_ops.token_fingerprint("text").alias("fp_roll"),
+        )
+        .orderBy("doc_id")
+        .limit(100)
+    )
+
+
+@register(
+    "multimodal_meta",
+    oracle=None,
+    doc="Multimodal plumbing: documents' text bytes as opaque binary "
+    "payloads → Arrow-batched mapInPandas metadata extraction (n_bytes, "
+    "sha1 prefix, fake-decoded dimensions) "
+    "(operators/multimodal.py:extract_asset_meta; decode stubbed per the "
+    "container constraint, deterministic fake stands in). Scale: "
+    "column-pruned payload reads, whole-batch Arrow transfer, one Python "
+    "worker per partition.",
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    assets = multimodal.documents_as_assets(docs)
+    return multimodal.extract_asset_meta(assets).orderBy("asset_id").limit(100)

@@ -39,14 +39,21 @@ class QuerySpec:
     fn: QueryFn
     oracle: str | None  # DuckDB SQL; None → driver runs rows-only check
     doc: str = ""
+    #: Minimum row count the local rows-only gate asserts (oracle-less
+    #: queries only; oracle queries are value-hash-checked instead).
+    #: 0 is allowed only where emptiness is a legitimate outcome
+    #: (e.g. near-dup candidates on a corpus with no near-dups).
+    min_rows: int = 1
 
 
 QUERY_REGISTRY: dict[str, QuerySpec] = {}
 
 
-def register(name: str, oracle: str | None, doc: str = ""):
+def register(name: str, oracle: str | None, doc: str = "", min_rows: int = 1):
     def deco(fn: QueryFn) -> QueryFn:
-        QUERY_REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc)
+        QUERY_REGISTRY[name] = QuerySpec(
+            name=name, fn=fn, oracle=oracle, doc=doc, min_rows=min_rows
+        )
         return fn
 
     return deco
