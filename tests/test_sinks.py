@@ -1,0 +1,67 @@
+"""Write-path tests (S4-S7, S12): roundtrips, upsert anti-join semantics,
+idempotent skip, bucketed-table shuffle elimination."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from traffic_accidents_airflow_kafka_spark.sources import sinks
+
+
+def test_parquet_roundtrip(spark, tmp_path):
+    df = spark.range(10).withColumn("v", F.col("id") * 2)
+    path = str(tmp_path / "t")
+    sinks.write_parquet(df, path)
+    back = spark.read.parquet(path)
+    assert back.count() == 10
+    assert dict(back.dtypes) == {"id": "bigint", "v": "bigint"}
+
+
+def test_csv_roundtrip_with_header(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, name string")
+    path = str(tmp_path / "c")
+    sinks.write_csv(df, path)
+    back = spark.read.option("header", "true").csv(path)
+    assert {r["name"] for r in back.collect()} == {"a", "b"}
+
+
+def test_upsert_append_inserts_only_novel_keys(spark, tmp_path):
+    path = str(tmp_path / "u")
+    first = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    assert sinks.upsert_append(first, path, "id", spark) == 2
+    # Second batch overlaps on id=2; only id=3 is novel (ON CONFLICT DO NOTHING).
+    second = spark.createDataFrame([(2, "B"), (3, "c")], "id int, v string")
+    assert sinks.upsert_append(second, path, "id", spark) == 1
+    rows = {r["id"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert rows == {1: "a", 2: "b", 3: "c"}  # first writer wins, like the reference
+
+
+def test_memoized_write_skips_existing(spark, tmp_path):
+    path = str(tmp_path / "m")
+    df1 = spark.range(5)
+    assert sinks.memoized_write(df1, path) is True
+    df2 = spark.range(99)
+    assert sinks.memoized_write(df2, path) is False  # skipped: data exists
+    assert spark.read.parquet(path).count() == 5
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    left = spark.range(1000).withColumn("k", F.col("id") % 50).select(
+        F.col("k").cast("long").alias("k"), F.col("id").alias("lv")
+    )
+    right = spark.range(1000).withColumn("k", F.col("id") % 50).select(
+        F.col("k").cast("long").alias("k"), F.col("id").alias("rv")
+    )
+    sinks.save_bucketed(left, "bl", "k", num_buckets=8)
+    sinks.save_bucketed(right, "br", "k", num_buckets=8)
+    # Disable broadcast so the join would otherwise shuffle both sides.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("bl").join(spark.table("br"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS bl")
+        spark.sql("DROP TABLE IF EXISTS br")

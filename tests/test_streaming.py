@@ -1,0 +1,77 @@
+"""Streaming-surface tests: the availableNow file-backed stream must equal
+the batch computation; Kafka payload/config contracts checked broker-free."""
+
+from __future__ import annotations
+
+import json
+
+import pyspark.sql.functions as F
+from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+from traffic_accidents_airflow_kafka_spark.sources.tables import load_table
+from traffic_accidents_airflow_kafka_spark.streaming import core as streaming
+
+
+def test_stream_window_counts_equal_batch(spark, sf_dir):
+    events = streaming.stream_events(spark, sf_dir)
+    out = streaming.run_available_now(
+        streaming.windowed_event_counts(events, "1 hour", "2 hours"), spark
+    )
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in out.collect()
+    }
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in batch.collect()
+    }
+    assert got == want
+
+
+def test_kafka_source_options_contract():
+    opts = streaming.kafka_source_options()
+    # kafka/consumer.py:17-24 — all 7 topics, earliest offsets.
+    assert set(opts["subscribe"].split(",")) == set(streaming.TOPICS)
+    assert len(streaming.TOPICS) == 7
+    assert opts["startingOffsets"] == "earliest"
+    assert opts["kafka.bootstrap.servers"] == "localhost:9092"
+
+
+def test_row_per_message_payload(spark):
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "id int, v string")
+    msgs = streaming.to_kafka_payload(df, key_col="id").collect()
+    assert sorted(m["key"] for m in msgs) == ["1", "2"]
+    decoded = sorted(json.loads(m["value"])["v"] for m in msgs)
+    assert decoded == ["x", "y"]
+
+
+def test_array_envelope_payload(spark):
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "id int, v string")
+    [msg] = streaming.to_kafka_array_envelope(df).collect()
+    payload = json.loads(msg["value"])
+    # kafka/consumer.py:33 — one message, a JSON array of row dicts.
+    assert sorted(payload, key=lambda d: d["id"]) == [
+        {"id": 1, "v": "x"},
+        {"id": 2, "v": "y"},
+    ]
+
+
+def test_parse_kafka_messages_roundtrip(spark):
+    schema = StructType(
+        [StructField("id", IntegerType()), StructField("v", StringType())]
+    )
+    raw = spark.createDataFrame(
+        [("t1", '{"id": 7, "v": "z"}')], "topic string, value string"
+    ).withColumn("value", F.col("value").cast("binary"))
+    out = streaming.parse_kafka_messages(raw, schema).collect()
+    assert out[0]["topic"] == "t1" and out[0]["id"] == 7 and out[0]["v"] == "z"

@@ -14,3 +14,5 @@ from . import topics  # noqa: F401, E402
 from . import operators_core  # noqa: F401, E402
 from . import stats  # noqa: F401, E402
 from . import llm  # noqa: F401, E402
+from . import star  # noqa: F401, E402
+from . import streaming_plans  # noqa: F401, E402

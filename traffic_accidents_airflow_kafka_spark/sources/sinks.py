@@ -1,0 +1,121 @@
+"""Write path (SURVEY.md §2.1 S4-S7, S12).
+
+The reference's sinks are CSV files and row-at-a-time / executemany
+Postgres inserts with ``ON CONFLICT DO NOTHING``
+(dags/etl_crash_traffic.py:222-223, 492-494, 641-654, 693-787). Spark-native
+equivalents:
+
+- Parquet is the engine default (columnar, splittable, statistics for
+  pushdown); CSV kept for reference-format parity.
+- Upsert/insert-if-absent (S6) = left-anti against existing keys, then
+  append — the idiom the reference itself uses as a pre-filter (:619-621).
+  Single-writer assumption documented (same as the DAG's
+  ``max_active_runs=1``).
+- ``save_bucketed`` is the 100 TB lever for the catalog's one big-big join
+  (lineitem ⨝ orders on orderkey): co-bucketing both sides by the join key
+  removes the shuffle entirely.
+- ``memoized_write`` (S12) = idempotent skip-if-exists, replacing the
+  reference's os.path.exists guards (:170-173, 369-372).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """S5 — batch write. ``partition_by`` low-cardinality columns only
+    (each value becomes a directory; date/region-style keys, never ids)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S4 — reference-format CSV sink (header on, like to_csv)."""
+    df.write.mode(mode).option("header", "true").csv(path)
+
+
+def save_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    num_buckets: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """S7 + co-location — saveAsTable bucketed+sorted by the join key.
+
+    Two tables bucketed identically on their join key join with ZERO
+    shuffle (SortMergeJoin reads co-located buckets). At 100 TB this is
+    how the lineitem ⨝ orders class of joins drops its dominant exchange:
+    pay the bucketing once at write, save it on every join after.
+    """
+    (
+        df.write.mode(mode)
+        .bucketBy(num_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def upsert_append(
+    new_rows: DataFrame, path: str, key: str, spark: SparkSession
+) -> int:
+    """S6 — insert-if-absent: anti-join the incoming batch against keys
+    already at ``path``, append only the novel rows. Returns rows written.
+
+    Matches ``INSERT … ON CONFLICT (id) DO NOTHING`` under the single-writer
+    assumption (reference ``max_active_runs=1``); for transactional
+    multi-writer upserts use a table format with MERGE (Delta/Iceberg).
+    The anti-join probe reads only the key column (column pruning), so the
+    existing-data scan stays narrow at scale.
+    """
+    if _path_has_data(path):
+        existing_keys = spark.read.parquet(path).select(key)
+        novel = new_rows.join(existing_keys, key, "left_anti")
+    else:
+        novel = new_rows
+    # Count once, write what was counted (avoid double computation).
+    novel = novel.persist()
+    try:
+        n = novel.count()
+        if n:
+            novel.write.mode("append").parquet(path)
+    finally:
+        novel.unpersist()
+    return n
+
+
+def memoized_write(
+    df: DataFrame, path: str, fmt: str = "parquet"
+) -> bool:
+    """S12 — idempotent skip: write only if ``path`` holds no data yet.
+    Returns True when a write happened. (The reference's
+    ``os.path.exists`` guard, made format-aware.)"""
+    if _path_has_data(path):
+        return False
+    if fmt == "parquet":
+        df.write.mode("overwrite").parquet(path)
+    elif fmt == "csv":
+        df.write.mode("overwrite").option("header", "true").csv(path)
+    else:
+        raise ValueError(f"unsupported format: {fmt}")
+    return True
+
+
+def _path_has_data(path: str) -> bool:
+    if not os.path.exists(path):
+        return False
+    return any(
+        not name.startswith(("_", "."))
+        for name in os.listdir(path)
+    )

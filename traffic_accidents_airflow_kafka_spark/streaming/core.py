@@ -1,0 +1,173 @@
+"""Structured Streaming surface (SURVEY.md §2.1 S10/S11, §2.8).
+
+Two layers:
+
+1. **Reference parity** — the Kafka dashboard path: 7 result topics, JSON
+   payloads, earliest offsets, consume-until-every-topic-seen
+   (`kafka/consumer.py:6-36`). No broker ships in this container, so the
+   Kafka read/write *configurations* and payload transforms are plain
+   functions over DataFrames — unit-tested against their contracts; the
+   `format("kafka")` wiring is one `.format()` call away on a real
+   cluster.
+2. **Event-mode extension** (flagged in SURVEY §2.8: a north-star
+   addition, not reference behavior) — treat events as a stream:
+   file-backed `readStream` + watermark + tumbling windows +
+   `trigger(availableNow=True)`, which is also exactly how a backfill
+   replays history at scale (bounded state via watermark; checkpointed
+   progress; same code as the live stream).
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: The 7 result topics (kafka/consumer.py:6-14).
+TOPICS = (
+    "transit_signals_by_state",
+    "signals_vs_lesions",
+    "weather_light_surface",
+    "accidents_by_time",
+    "lesions_by_county",
+    "hospitals_schools_vs_lesions",
+    "crossings_vs_lesions",
+)
+
+#: Streaming-read schema for events.parquet. ``ts`` arrives as
+#: TIMESTAMP(NANOS) which the vectorized reader maps to long under
+#: ``spark.sql.legacy.parquet.nanosAsLong`` (set in
+#: ``sources.tables.load_table``); the stream surfaces a true timestamp
+#: truncated to micros, same as the batch path.
+EVENTS_STREAM_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-backed events stream (S10 substitute source; the Kafka variant
+    swaps the source format only — downstream plan identical)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+
+
+def windowed_event_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling-window counts with a watermark bounding state.
+
+    The watermark is what makes this run forever at scale: state for
+    windows older than max(event time) − watermark is evicted; late rows
+    beyond it are dropped (counted upstream if needed). 24×|types| live
+    groups regardless of stream length.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_available_now(result: DataFrame, spark: SparkSession) -> DataFrame:
+    """Execute a streaming plan to completion over the data available now
+    (the consumer-termination contract, kafka/consumer.py:30-36: consume
+    until everything pending is seen, then stop) and return the result as
+    a batch DataFrame (memory sink, complete mode)."""
+    name = f"avnow_{uuid.uuid4().hex[:12]}"
+    checkpoint = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Kafka wiring (S10/S11) — configuration + payload contracts, broker-free.
+# ---------------------------------------------------------------------------
+
+
+def kafka_source_options(
+    bootstrap_servers: str = "localhost:9092",
+    topics: tuple[str, ...] = TOPICS,
+    starting_offsets: str = "earliest",
+) -> dict[str, str]:
+    """S10 — the consumer's subscription config (kafka/consumer.py:17-24:
+    all 7 topics, earliest; Spark checkpoints replace consumer-group
+    offset commits)."""
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": ",".join(topics),
+        "startingOffsets": starting_offsets,
+    }
+
+
+def kafka_sink_options(
+    topic: str, bootstrap_servers: str = "localhost:9092"
+) -> dict[str, str]:
+    """S11 — per-topic producer config (the producer the reference never
+    shipped; SURVEY load-bearing fact #1)."""
+    return {"kafka.bootstrap.servers": bootstrap_servers, "topic": topic}
+
+
+def to_kafka_payload(df: DataFrame, key_col: str | None = None) -> DataFrame:
+    """Row-per-message payload (idiomatic default, SURVEY §2.8): every row
+    → one JSON message in a ``value`` column (+ optional ``key``)."""
+    cols = [F.to_json(F.struct(*df.columns)).alias("value")]
+    if key_col is not None:
+        cols.insert(0, F.col(key_col).cast("string").alias("key"))
+    return df.select(*cols)
+
+
+def to_kafka_array_envelope(df: DataFrame) -> DataFrame:
+    """Array-envelope parity mode: the whole result set as ONE JSON-array
+    message (`kafka/consumer.py:33` expects a list of dicts per message).
+    Capped implicitly by driver memory — documented as parity-only; use
+    row-per-message for real streams (SURVEY §7 hard parts)."""
+    return df.agg(
+        F.to_json(F.collect_list(F.struct(*df.columns))).alias("value")
+    )
+
+
+def parse_kafka_messages(raw: DataFrame, schema) -> DataFrame:
+    """Consumer-side decode (F15): Kafka's binary ``value`` → typed columns
+    (kafka/consumer.py:23 `json.loads`)."""
+    return raw.select(
+        F.col("topic"),
+        F.from_json(F.col("value").cast("string"), schema).alias("payload"),
+    ).select("topic", "payload.*")
