@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column
 from pyspark.sql.types import MapType, StringType
@@ -88,8 +89,18 @@ TRAFFIC_SIGNAL_CLASSES = (
     "traffic_lights",
 )
 
-#: Known crossing classes (dags/etl_crash_traffic.py:391-395).
-CROSSING_CLASSES = ("marked", "uncontrolled", "unknown", "unmarked", "zebra")
+#: Known crossing classes (dags/etl_crash_traffic.py:389-391 —
+#: uncontrolled/marked/unmarked/zebra/pelican/puffin/toucan; 'unknown'
+#: reaches the same value via the fallback).
+CROSSING_CLASSES = (
+    "uncontrolled",
+    "marked",
+    "unmarked",
+    "zebra",
+    "pelican",
+    "puffin",
+    "toucan",
+)
 
 
 def map_traffic_signal(col: Column | str) -> Column:
@@ -147,18 +158,41 @@ def empty_to_null(col: Column | str) -> Column:
 
 
 def parse_tags(col: Column | str) -> Column:
-    """F11 — parse the OSM `tags` cell (a *stringified Python dict*, single
-    quotes: ``"{'highway': 'traffic_signals'}"``) into
-    ``map<string,string>``.
+    """F11 — parse a stringified-dict cell (single quotes:
+    ``"{'highway': 'traffic_signals'}"``) into ``map<string,string>`` —
+    the NATIVE fast path (translate quotes + ``from_json``; codegen,
+    zero Python).
 
-    The reference round-trips through ``ast.literal_eval``
-    (dags/etl_crash_traffic.py:427); we normalize quotes then ``from_json``.
-    Quote normalization is a plain translate — values in the OSM extract
-    never embed quotes (verified across the committed bbox CSVs); if a
-    future source does, swap in the pandas_udf escape hatch per SURVEY §2.7.
+    Caveat: values that embed quote characters (≈0.0006% of the
+    reference's OSM extract, e.g. ``'opening_hours': '"during Parade
+    hours"'``) break the quote translation and parse to null. When exact
+    parity with ``ast.literal_eval`` (dags/etl_crash_traffic.py:427)
+    matters, use :func:`parse_tags_exact` — the documented pandas_udf
+    escape hatch (SURVEY §2.7).
     """
     jsonish = F.translate(_c(col), "'", '"')
     return F.from_json(jsonish, MapType(StringType(), StringType()))
+
+
+@F.pandas_udf(MapType(StringType(), StringType()))
+def parse_tags_exact(tags: pd.Series) -> pd.Series:
+    """F11 exact path — ``ast.literal_eval`` per cell, Arrow-batched
+    (SURVEY §2.7: the one sanctioned pandas_udf — stringified-Python-dict
+    quote edge cases are not expressible natively). Malformed cells → {}
+    like the reference's ``isinstance`` guard
+    (dags/etl_crash_traffic.py:427)."""
+    import ast
+
+    def parse(v):
+        if not isinstance(v, str):
+            return {}
+        try:
+            d = ast.literal_eval(v)
+        except (ValueError, SyntaxError):
+            return {}
+        return {str(k): str(x) for k, x in d.items()} if isinstance(d, dict) else {}
+
+    return tags.map(parse)
 
 
 def map_key(col: Column | str, key: str) -> Column:
