@@ -15,6 +15,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from traffic_accidents_airflow_kafka_spark import plans
 from traffic_accidents_airflow_kafka_spark.plans import analytics
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
@@ -26,10 +27,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return analytics.queries()
+    """One entry per implemented operator from SURVEY.md §2 (importing
+    ``plans`` registers every module's queries)."""
+    return plans.queries()
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every SQL-expressible query."""
-    return analytics.oracle_sql()
+    return plans.oracle_sql()

@@ -1,11 +1,15 @@
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from traffic_accidents_airflow_kafka_spark.session import get_spark
 
-SF_DIR = "/root/testdata/sf0.001"
-SF_DIR_MED = "/root/testdata/sf0.01"
+#: Default local gate runs at sf0.001 for speed; the driver judges at
+#: sf0.01 — set SPARK_GRAFT_TEST_SF=/root/testdata/sf0.01 (or run
+#: scripts/verify_oracle.py) before shipping query changes.
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="session")

@@ -32,7 +32,19 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
         if col.dtype == object:
             out[c] = col.map(lambda v: tuple(v) if isinstance(v, (list, tuple)) else v)
     if len(out):
-        out = out.sort_values(by=list(out.columns), kind="mergesort").reset_index(drop=True)
+        # Sort on rounded float keys so sub-tolerance engine differences
+        # can't reorder rows relative to the isclose comparison (a raw
+        # float sort could interleave rows differently per engine).
+        sort_keys = []
+        for c in out.columns:
+            if pd.api.types.is_float_dtype(out[c]):
+                key = f"__sort_{c}"
+                out[key] = out[c].round(6)
+                sort_keys.append(key)
+            else:
+                sort_keys.append(c)
+        out = out.sort_values(by=sort_keys, kind="mergesort").reset_index(drop=True)
+        out = out[[c for c in out.columns if not c.startswith("__sort_")]]
     return out
 
 

@@ -5,15 +5,23 @@ re-expressed Spark-first.
 Layout
 ------
 - ``session``    : SparkSession factory (AQE, UTC, tuned shuffle partitions).
-- ``schemas``    : explicit StructTypes for every table (SURVEY.md §1.3).
-- ``sources``    : parquet/CSV/JDBC/Kafka readers and writers.
-- ``functions``  : scalar-expression library (cleaning, datetime, geo binning,
-                   map parsing, text analysis, similarity math).
-- ``operators``  : relational + LLM-data-pipeline operators (dedup, ANN,
-                   stats, pivot, upsert, star-schema, multimodal).
-- ``plans``      : end-to-end declarative pipelines and the query catalog that
-                   backs ``__spark_entry__.queries()``.
-- ``streaming``  : Structured Streaming jobs (event-mode windows, Kafka IO).
+- ``schemas``    : explicit StructTypes (accidents/OSM/bbox summary,
+                   SURVEY.md §1.3).
+- ``sources``    : parquet table access (``tables``) and the write path
+                   (``sinks``: parquet/CSV, upsert-append, bucketed tables,
+                   memoized writes).
+- ``functions``  : scalar-expression library F1-F15 (timestamp parse, date
+                   parts, enum normalization, map parsing, binning, labels,
+                   JSON, severity rank).
+- ``operators``  : dedup (exact/Jaccard/MinHash-LSH/SimHash), similarity
+                   search (cosine top-k, hyperplane LSH), text analysis,
+                   multimodal plumbing, star-schema builders.
+- ``pipeline``   : the domain dataflow (CSV ingest → OSM enrichment →
+                   merge), golden-file-tested against the reference output.
+- ``plans``      : the registered query catalog backing
+                   ``__spark_entry__.queries()`` / ``oracle_sql()``.
+- ``streaming``  : Structured Streaming surface (file/Kafka sources, window
+                   aggregates, availableNow runner, payload contracts).
 
 Everything is built on the public PySpark DataFrame/SQL API; no RDD code and
 no row-at-a-time Python UDFs in hot paths.

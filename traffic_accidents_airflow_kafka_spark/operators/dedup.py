@@ -187,37 +187,32 @@ def simhash64(
 
     Each token's md5 supplies 64 pseudo-random bits (first 16 hex digits);
     per bit position the weighted vote sum(+1/-1) over tokens decides the
-    signature bit. Implemented as explode(token × 64 positions) → two-level
-    aggregate — linear in tokens, no UDFs.
+    signature bit. Implemented as ONE hash-aggregate over (doc, token)
+    rows with 64 static vote-sum expressions — no position explode (the
+    naive tokens×64 explode shuffles 64× the data; measured ~4× slower),
+    no UDFs, single shuffle.
     """
     token = F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("token")
     toks = df.select(F.col(id_col), token).withColumn(
         "h", F.md5(F.col("token").cast("binary"))
     )
-    pos = F.explode(F.sequence(F.lit(0), F.lit(63))).alias("pos")
-    votes = (
-        toks.select(id_col, "h", pos)
-        # Hex digit at position pos/4; bit (3 - pos%4) of that digit. SQL
-        # expr because column-valued shift amounts aren't exposed in the
-        # PySpark function wrappers.
-        .withColumn(
-            "vote",
-            F.expr(
-                "CAST(shiftright(CAST(conv(substr(h, CAST(pos / 4 AS INT) + 1, 1), 16, 10) AS INT),"
-                " 3 - CAST(pos % 4 AS INT)) & 1 AS INT) * 2 - 1"
-            ),
-        )
-        .groupBy(id_col, "pos")
-        .agg(F.sum("vote").alias("w"))
-    )
-    return votes.groupBy(id_col).agg(
+    # Bit i lives in hex digit i//4, bit position (3 - i%4) — all offsets
+    # static, so each vote is a plain codegen expression.
+    vote_aggs = [
         F.sum(
             F.expr(
-                "CASE WHEN w > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(pos AS INT)) "
-                "ELSE CAST(0 AS BIGINT) END"
+                f"CAST(shiftright(CAST(conv(substr(h, {i // 4 + 1}, 1), 16, 10) AS INT),"
+                f" {3 - i % 4}) & 1 AS INT) * 2 - 1"
             )
-        ).alias("simhash")
+        ).alias(f"w{i}")
+        for i in range(64)
+    ]
+    votes = toks.groupBy(id_col).agg(*vote_aggs)
+    bit_terms = " + ".join(
+        f"CASE WHEN w{i} > 0 THEN shiftleft(CAST(1 AS BIGINT), {i}) ELSE CAST(0 AS BIGINT) END"
+        for i in range(64)
     )
+    return votes.select(id_col, F.expr(bit_terms).alias("simhash"))
 
 
 def simhash_near_pairs(
@@ -256,6 +251,9 @@ def simhash_near_pairs(
         .select(
             "d1", "d2", F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))).alias("hamming")
         )
-        .dropDuplicates(["d1", "d2"])
+        # Hamming filter BEFORE the distinct: row-wise, so the result is
+        # identical, but the dedup shuffle only carries surviving pairs
+        # (the candidate set can be huge on self-similar corpora).
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["d1", "d2"])
     )

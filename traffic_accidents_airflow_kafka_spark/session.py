@@ -17,6 +17,7 @@ correctness-first local runs but scale-out safe:
 from __future__ import annotations
 
 import os
+import warnings
 
 from pyspark.sql import SparkSession
 
@@ -46,6 +47,17 @@ def get_spark(
         master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cores}]")
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 8)
+
+    # getOrCreate() silently reuses an existing session, ignoring master /
+    # memory (static confs). Surface that instead of hiding it.
+    active = SparkSession.getActiveSession()
+    if active is not None and active.sparkContext.master != master:
+        warnings.warn(
+            f"get_spark(master={master!r}) is reusing the existing session "
+            f"(master={active.sparkContext.master!r}); static configs from "
+            "this call are ignored",
+            stacklevel=2,
+        )
 
     builder = (
         SparkSession.builder.appName(app_name)
