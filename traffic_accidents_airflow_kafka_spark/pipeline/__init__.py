@@ -6,4 +6,4 @@ infrastructure summary) → merge (grid-binned broadcast join + incremental
 anti-filter) → star (dimensions + fact, operators/star.py).
 """
 
-from . import ingest, merge, osm  # noqa: F401
+from . import ingest, merge, osm, overpass, star_domain  # noqa: F401

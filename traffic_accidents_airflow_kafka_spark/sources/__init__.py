@@ -1,3 +1,4 @@
-from .tables import TESTDATA_TABLES, load_table, load_tables, register_views
+"""Sources and sinks: parquet table access (``tables``), the write path
+(``sinks``), and the optional JDBC interop connector (``jdbc``)."""
 
-__all__ = ["TESTDATA_TABLES", "load_table", "load_tables", "register_views"]
+from . import jdbc, sinks, tables  # noqa: F401
