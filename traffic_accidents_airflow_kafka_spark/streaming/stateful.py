@@ -1,0 +1,133 @@
+"""Custom stateful streaming operator: user sessionization
+(SURVEY.md §2.8 — the ``applyInPandasWithState`` extension path for
+semantics the built-in windowed aggregates can't express).
+
+A session = a user's consecutive events separated by gaps smaller than the
+timeout. Unlike tumbling/sliding windows (fixed boundaries), session
+boundaries depend on the data itself, so the operator keeps per-key state
+across micro-batches:
+
+- **State** per user: current session start, last event time, event count,
+  value sum.
+- **Emission**: a session row is emitted when the gap closes it (a later
+  event arrives beyond the timeout) or when the watermark passes
+  ``last_ts + timeout`` (state timeout → the session can never be
+  extended; safe to finalize and evict).
+
+Scale: state is partitioned by user across executors (the groupBy key);
+the watermark bounds state size — users silent past the timeout are
+evicted every batch. This is the standard production shape for
+sessionization at 100 TB/day event volumes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", IntegerType()),
+        StructField("sum_value", DoubleType()),
+        StructField("closed_by", StringType()),  # 'gap' | 'timeout'
+    ]
+)
+
+#: (session_start_epoch_us, last_ts_epoch_us, n_events, sum_value)
+STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n", IntegerType()),
+        StructField("total", DoubleType()),
+    ]
+)
+
+_US = 1_000_000
+
+
+def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Group a (user_id, ts, value) stream into gap-delimited sessions.
+
+    Works on both a streaming DataFrame (true incremental state across
+    micro-batches, event-time timeout driven by the watermark — set one
+    upstream) and a batch DataFrame in tests via the same grouped-map
+    contract.
+    """
+    gap_us = gap_seconds * _US
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            start_us, last_us, n, total = state.get
+            state.remove()
+            yield _session_row(user_id, start_us, last_us, n, total, "timeout")
+            return
+
+        rows = pd.concat(list(pdfs))
+        rows = rows.sort_values("ts")
+        ts_us = (rows["ts"].astype("int64") // 1000).tolist()  # ns → µs
+        values = rows["value"].tolist()
+
+        if state.exists:
+            start_us, last_us, n, total = state.get
+        else:
+            start_us, last_us, n, total = ts_us[0], ts_us[0] - 1, 0, 0.0
+
+        out = []
+        for t, v in zip(ts_us, values):
+            if n > 0 and t - last_us > gap_us:
+                out.append((start_us, last_us, n, total, "gap"))
+                start_us, n, total = t, 0, 0.0
+            last_us = max(last_us, t)
+            n += 1
+            total += float(v)
+        state.update((start_us, last_us, n, total))
+        # Event-time timeout: finalize when the watermark passes the gap.
+        state.setTimeoutTimestamp(last_us // 1000 + gap_seconds * 1000)
+        for s in out:
+            yield _session_row(user_id, *s)
+
+    def _session_row(user_id, start_us, last_us, n, total, closed_by):
+        return pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "session_start": [pd.Timestamp(start_us, unit="us")],
+                "session_end": [pd.Timestamp(last_us, unit="us")],
+                "n_events": [n],
+                "sum_value": [total],
+                "closed_by": [closed_by],
+            }
+        )
+
+    return (
+        events.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
