@@ -1,0 +1,70 @@
+"""Extension-operator tests: as-of join semantics on planted rows;
+approximate aggregates bounded against exact values."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+
+from traffic_accidents_airflow_kafka_spark.operators.asof import asof_join
+from traffic_accidents_airflow_kafka_spark.sources.tables import load_table
+
+
+def _t(minute):
+    return dt.datetime(2024, 1, 1, 10, minute)
+
+
+def test_asof_join_picks_latest_prior_row(spark):
+    left = spark.createDataFrame(
+        [(1, _t(0)), (1, _t(10)), (1, _t(20)), (2, _t(10))],
+        "k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, _t(5), "a"), (1, _t(10), "b"), (1, _t(15), "c"), (3, _t(0), "z")],
+        "k long, rts timestamp, v string",
+    )
+    out = {
+        (r["k"], r["ts"]): r["asof_v"]
+        for r in asof_join(left, right, ["k"], "ts", "rts").collect()
+    }
+    assert out[(1, _t(0))] is None  # nothing at-or-before 10:00
+    assert out[(1, _t(10))] == "b"  # equality included; latest of {a,b}
+    assert out[(1, _t(20))] == "c"  # carries past 10:15
+    assert out[(2, _t(10))] is None  # key with no right rows → null (left join)
+
+
+def test_asof_join_plan_has_single_shuffle(spark):
+    left = spark.range(100).select(
+        (F.col("id") % 5).alias("k"), F.col("id").cast("timestamp").alias("ts")
+    )
+    right = spark.range(20).select(
+        (F.col("id") % 5).alias("k"),
+        F.col("id").cast("timestamp").alias("rts"),
+        F.col("id").alias("v"),
+    )
+    plan = (
+        asof_join(left, right, ["k"], "ts", "rts")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # union-and-carry-forward: exactly one exchange (the window's), no join op.
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan
+
+
+def test_approx_aggregates_within_tolerance(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    exact = events.agg(
+        F.countDistinct("user_id").alias("u"),
+        F.countDistinct("event_id").alias("e"),
+        F.percentile("value", F.lit(0.5)).alias("m"),
+    ).collect()[0]
+    from traffic_accidents_airflow_kafka_spark.plans import QUERY_REGISTRY
+
+    approx = QUERY_REGISTRY["approx_aggregates"].fn(spark, sf_dir).collect()[0]
+    assert abs(approx["approx_users"] - exact["u"]) / exact["u"] < 0.05
+    assert abs(approx["approx_events"] - exact["e"]) / exact["e"] < 0.05
+    # percentile_approx with accuracy 10k is near-exact at this scale.
+    assert abs(approx["approx_median_value"] - exact["m"]) / abs(exact["m"]) < 0.02

@@ -92,13 +92,22 @@ def jaccard_pairs(
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__f"))
         sh = sh.join(freq.filter(F.col("__f") <= max_shingle_freq), "shingle").drop("__f")
 
+    # Join on the 64-bit hash of the shingle, not the string: the self-join
+    # shuffle carries 8-byte longs instead of n-gram text. A cross-shingle
+    # hash collision would need ~2^32 distinct shingles to become likely
+    # (birthday bound) — far beyond any per-corpus shingle vocabulary.
+    # Repartition by the join key once and self-join two aliases of the
+    # SAME relation: the shingle pipeline (split/explode/distinct) runs
+    # once, not once per side (measured ~2x on the bench corpus).
+    sh = sh.select(id_col, F.xxhash64("shingle").alias("__sh")).repartition("__sh")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
-    a = sh.select(F.col(id_col).alias("d1"), "shingle")
-    b = sh.select(F.col(id_col).alias("d2"), "shingle")
+    a, b = sh.alias("a"), sh.alias("b")
     inter = (
-        a.join(b, "shingle")
-        .filter(F.col("d1") < F.col("d2"))
-        .groupBy("d1", "d2")
+        a.join(b, F.col("a.__sh") == F.col("b.__sh"))
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2")
+        )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     return (
@@ -152,30 +161,31 @@ def lsh_candidate_pairs(
     banded = signatures.select(id_col, *[F.col(f"mh{i}") for i in range(num_hashes)], *band_cols)
 
     stack_args = ", ".join(f"{b}, band{b}" for b in range(n_bands))
+    # The banded relation is |docs| × bands rows — small relative to the
+    # corpus, so the self-join stays broadcast-eligible under AQE (an
+    # explicit repartition here forces a shuffle and measured slower).
     long = banded.selectExpr(
         id_col,
         *[f"mh{i}" for i in range(num_hashes)],
         f"stack({n_bands}, {stack_args}) AS (band_idx, band_val)",
     )
-    left = long.select(
-        F.col(id_col).alias("d1"),
-        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(num_hashes)],
-        "band_idx",
-        "band_val",
-    )
-    right = long.select(
-        F.col(id_col).alias("d2"),
-        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(num_hashes)],
-        "band_idx",
-        "band_val",
-    )
+    a, b = long.alias("a"), long.alias("b")
     matches = sum(
-        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(num_hashes)
+        F.when(F.col(f"a.mh{i}") == F.col(f"b.mh{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
     )
     return (
-        left.join(right, ["band_idx", "band_val"])
-        .filter(F.col("d1") < F.col("d2"))
-        .select("d1", "d2", (matches / float(num_hashes)).alias("est_sim"))
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val")),
+        )
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("d1"),
+            F.col(f"b.{id_col}").alias("d2"),
+            (matches / float(num_hashes)).alias("est_sim"),
+        )
         .dropDuplicates(["d1", "d2"])
     )
 
@@ -239,17 +249,18 @@ def simhash_near_pairs(
             )
         ).alias("band"),
     ).select(id_col, "simhash", "band.band_idx", "band.band_val")
-    left = bands.select(
-        F.col(id_col).alias("d1"), F.col("simhash").alias("s1"), "band_idx", "band_val"
-    )
-    right = bands.select(
-        F.col(id_col).alias("d2"), F.col("simhash").alias("s2"), "band_idx", "band_val"
-    )
+    a, b = bands.alias("a"), bands.alias("b")
     return (
-        left.join(right, ["band_idx", "band_val"])
-        .filter(F.col("d1") < F.col("d2"))
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val")),
+        )
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
-            "d1", "d2", F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))).alias("hamming")
+            F.col(f"a.{id_col}").alias("d1"),
+            F.col(f"b.{id_col}").alias("d2"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
         )
         # Hamming filter BEFORE the distinct: row-wise, so the result is
         # identical, but the dedup shuffle only carries surviving pairs
