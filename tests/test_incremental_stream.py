@@ -1,0 +1,63 @@
+"""Incremental streaming semantics: checkpoint continuity across
+availableNow runs, and watermark-driven late-data dropping — the two
+behaviors that make the windowed plan safe to run forever (SURVEY §2.8)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+
+from traffic_accidents_airflow_kafka_spark.streaming import core as streaming
+
+
+def _run(spark, src, checkpoint, out_dir):
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .parquet(src)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    q = (
+        stream.writeStream.format("parquet")  # file sink: checkpoint-recoverable
+        .outputMode("append")  # append: windows emit once, when the watermark closes them
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return {r["ws"]: r["n"] for r in spark.read.parquet(out_dir).collect()}
+
+
+def test_checkpoint_continuity_and_late_data_drop(spark, tmp_path):
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+
+    def write(rows):
+        spark.createDataFrame(
+            rows, "user_id long, ts timestamp, value double"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    # Batch 1: three events 10:xx, one 13:xx (advances the watermark to 12:00).
+    out_dir = str(tmp_path / "out")
+    write([(1, t0, 1.0), (1, t0.replace(minute=30), 1.0), (2, t0.replace(minute=59), 1.0),
+           (1, t0.replace(hour=13), 1.0)])
+    out1 = _run(spark, src, ckpt, out_dir)
+    # Watermark (13:00 - 1h = 12:00) closed the 10:00 window → emitted once.
+    assert out1[t0] == 3
+
+    # Batch 2 through the SAME checkpoint: one valid 13:30 event, one event
+    # for the already-closed 10:00 window (late beyond the watermark), and
+    # a 15:00 event advancing the watermark past 13:xx.
+    write([(3, t0.replace(hour=13, minute=30), 1.0), (9, t0.replace(minute=45), 1.0),
+           (1, t0.replace(hour=15), 1.0)])
+    out2 = _run(spark, src, ckpt, out_dir)
+    # Only NEW files processed (checkpoint continuity): the 13:00 window
+    # closes with both its events counted; the 10:00 straggler is DROPPED
+    # — the closed window is never re-emitted with a bumped count.
+    assert out2.get(t0.replace(hour=13)) == 2
+    assert out2[t0] == 3  # still the batch-1 emission, not 4

@@ -65,3 +65,31 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS bl")
         spark.sql("DROP TABLE IF EXISTS br")
+
+
+def test_scan_projection_and_casts(spark, sf_dir):
+    from traffic_accidents_airflow_kafka_spark.sources.tables import scan
+
+    df = scan(
+        spark, sf_dir, "lineitem",
+        columns=["l_orderkey", "l_quantity"],
+        casts={"l_quantity": "decimal(10,2)"},
+    )
+    assert dict(df.dtypes) == {"l_orderkey": "bigint", "l_quantity": "decimal(10,2)"}
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # Pruning reached the scan: only the two requested columns are read.
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    from traffic_accidents_airflow_kafka_spark.sources import sinks
+    from traffic_accidents_airflow_kafka_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "pe")
+    sinks.write_parquet(events, path, partition_by=["event_type"])
+    back = spark.read.parquet(path).filter(F.col("event_type") == "click")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    # Partition pruning: the filter becomes a PartitionFilter, not a scan filter.
+    assert "PartitionFilters: [isnotnull(event_type" in plan
+    assert back.count() == events.filter(F.col("event_type") == "click").count()

@@ -53,6 +53,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def scan(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    columns: list[str] | None = None,
+    casts: dict[str, str] | None = None,
+) -> DataFrame:
+    """S3 — projection + casts at the scan surface (the reference's
+    hand-written column-pruned, cast-typed SQL extract,
+    dags/etl_crash_traffic.py:266-290). Catalyst pushes the pruning into
+    the parquet reader; casts run in the scan's codegen stage."""
+    df = load_table(spark, sf_dir, name)
+    if columns is not None:
+        df = df.select(*columns)
+    for col, dtype in (casts or {}).items():
+        df = df.withColumn(col, F.col(col).cast(dtype))
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}
 
