@@ -1,0 +1,78 @@
+"""Salted-join equivalence, two-phase aggregation equivalence, and the
+vectorized cosine path agreeing with the exact fold."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from traffic_accidents_airflow_kafka_spark.operators import similarity, skew
+from traffic_accidents_airflow_kafka_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # 90% of fact rows share one hot key.
+    fact = spark.range(1000).select(
+        F.when(F.col("id") < 900, 7).otherwise(F.col("id") % 10).alias("k"),
+        F.col("id").alias("v"),
+    )
+    dim = spark.createDataFrame([(i, f"name_{i}") for i in range(10)], "k long, name string")
+    return fact, dim
+
+
+def test_salted_join_matches_plain_join(spark, skewed):
+    fact, dim = skewed
+    plain = fact.join(dim, "k").groupBy("name").agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+    salted = (
+        skew.salted_join(fact, dim, "k", salt_buckets=8)
+        .groupBy("name")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salt_actually_spreads_hot_key(spark, skewed):
+    fact, _ = skewed
+    spread = (
+        skew.with_salt(fact, "k", 8)
+        .filter(F.col("k") == 7)
+        .groupBy("__salt")
+        .count()
+        .collect()
+    )
+    assert len(spread) == 8  # the 900 hot rows occupy all salt buckets
+    assert max(r["count"] for r in spread) < 900
+
+
+def test_two_phase_agg_matches_single_phase(spark, skewed):
+    fact, _ = skewed
+    direct = {
+        (r["k"],): (r["n"], r["s"])
+        for r in fact.groupBy("k").agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")).collect()
+    }
+    two = {
+        (r["k"],): (r["n"], r["s"])
+        for r in skew.two_phase_agg(
+            fact, ["k"], {"n": F.count(F.lit(1)), "s": F.sum("v")}, salt_buckets=8
+        ).collect()
+    }
+    assert direct == two
+
+
+def test_vectorized_cosine_matches_fold(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = emb.select("vec_id").filter(F.col("vec_id") < 5)
+    exact = {
+        (r["qid"], r["rank"]): (r["nid"], r["cosine"])
+        for r in similarity.cosine_topk(emb, qids, k=3).collect()
+    }
+    vec = {
+        (r["qid"], r["rank"]): (r["nid"], r["cosine"])
+        for r in similarity.cosine_topk_vectorized(emb, qids, k=3).collect()
+    }
+    assert set(exact) == set(vec)
+    for key, (nid, cos) in exact.items():
+        vnid, vcos = vec[key]
+        assert vnid == nid  # same neighbor ranking
+        assert abs(vcos - cos) < 1e-6

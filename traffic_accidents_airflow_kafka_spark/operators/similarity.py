@@ -75,6 +75,86 @@ def cosine_topk(
     )
 
 
+def cosine_topk_vectorized(
+    vectors: DataFrame,
+    query_ids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+) -> DataFrame:
+    """Arrow-vectorized variant of :func:`cosine_topk`: queries collect to
+    the driver (small by contract), broadcast as a NumPy matrix, and each
+    partition computes a whole candidates×queries matmul via
+    ``mapInPandas`` — the 10-100× batch-over-scalar path when the fold
+    expression becomes the bottleneck at higher dimensionality.
+
+    Same ranking as the exact fold (float64 matmul); last-digit rounding
+    may differ from the sequential fold, so the oracle-checked entry stays
+    on :func:`cosine_topk` and this one is bounded against it in tests.
+    """
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    q = vectors
+    if query_ids is not None:
+        q = vectors.join(query_ids, id_col, "left_semi")
+    q_rows = q.select(id_col, vec_col).collect()
+    q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
+    q_norm = np.linalg.norm(q_mat, axis=1)
+
+    out_schema = StructType(
+        [
+            StructField("qid", LongType()),
+            StructField("nid", LongType()),
+            StructField("cosine", DoubleType()),
+            StructField("part_rank", IntegerType()),
+        ]
+    )
+
+    def batches(it):
+        for pdf in it:
+            c_mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            c_norm = np.linalg.norm(c_mat, axis=1)
+            sims = (c_mat @ q_mat.T) / np.outer(c_norm, q_norm)  # candidates × queries
+            frames = []
+            for j, qid in enumerate(q_ids):
+                col = sims[:, j]
+                mask = c_ids != qid
+                ids, vals = c_ids[mask], col[mask]
+                top = np.argsort(-vals, kind="stable")[: k]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "qid": qid,
+                            "nid": ids[top],
+                            "cosine": vals[top],
+                            "part_rank": np.arange(1, len(top) + 1, dtype=np.int32),
+                        }
+                    )
+                )
+            yield pd.concat(frames) if frames else pd.DataFrame(
+                columns=["qid", "nid", "cosine", "part_rank"]
+            )
+
+    # Per-partition top-k then a global re-rank over the k×partitions
+    # survivors — the classic distributed top-k reduction.
+    partial = vectors.select(id_col, vec_col).mapInPandas(batches, out_schema)
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "rank", F.round("cosine", 4).alias("cosine"))
+    )
+
+
 def hyperplane_planes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
     """Deterministic random hyperplanes (seeded Gaussian)."""
     rng = np.random.default_rng(seed)
