@@ -76,3 +76,19 @@ def test_vectorized_cosine_matches_fold(spark, sf_dir):
         vnid, vcos = vec[key]
         assert vnid == nid  # same neighbor ranking
         assert abs(vcos - cos) < 1e-6
+
+
+def test_ivf_ann_recall_vs_exact(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact_top1 = {
+        r["qid"]: r["nid"]
+        for r in similarity.cosine_topk(emb, k=1).collect()
+    }
+    ivf = similarity.ivf_ann_topk(emb, n_centroids=8, n_probe=3, k=1)
+    ivf_top1 = {r["qid"]: r["nid"] for r in ivf.collect()}
+    # Probing 3/8 cells must recover a solid share of true nearest
+    # neighbors (recall is the tunable; the structure is what we assert).
+    hits = sum(1 for q, n in exact_top1.items() if ivf_top1.get(q) == n)
+    assert hits / len(exact_top1) > 0.5
+    # Every query produced a candidate (probe cells are never empty here).
+    assert set(ivf_top1) == set(exact_top1)

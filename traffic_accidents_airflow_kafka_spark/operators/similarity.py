@@ -176,6 +176,88 @@ def lsh_bucket(vec_col: Column | str, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def ivf_ann_topk(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    k: int = 3,
+    seed: int = 7,
+    query_ids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: the coarse-quantizer scale
+    path (the alternative to hyperplane LSH).
+
+    Build: k-means (pyspark.ml, seeded) clusters the corpus into
+    ``n_centroids`` cells; every vector is assigned to its nearest cell —
+    the inverted file. Search: each query probes its ``n_probe`` nearest
+    cells and ranks only those cells' members — candidate set shrinks to
+    ~n_probe/n_centroids of the corpus. At 100 TB the centroids are
+    trained on a sample, assignment is one broadcast-centroid pass, and
+    the per-cell search partitions by cell id.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    ml_df = vectors.select(
+        F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col)).alias("features")
+    )
+    # Train the coarse quantizer on a deterministic sample with few
+    # iterations — IVF needs roughly-balanced cells, not converged
+    # clusters, and at corpus scale training always runs on a sample.
+    train = ml_df.filter(F.col(id_col) % 4 == 0)
+    model = KMeans(k=n_centroids, seed=seed, maxIter=5, featuresCol="features").fit(train)
+    assigned = model.transform(ml_df).select(
+        id_col, vec_col, F.col("prediction").alias("cell")
+    )
+
+    # Query → its n_probe nearest centroid cells (centroids are tiny:
+    # computed driver-side, shipped as literals).
+    centroids = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+
+    def dist2(cent: list[float]) -> Column:
+        lit_c = F.array(*[F.lit(x) for x in cent])
+        diff = F.zip_with(F.col(vec_col), lit_c, lambda a, b: a.cast("double") - b)
+        return F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x * x)
+
+    cell_dists = F.array(
+        *[F.struct(dist2(c).alias("d"), F.lit(i).alias("cell")) for i, c in centroids]
+    )
+    q_side = vectors
+    if query_ids is not None:
+        q_side = vectors.join(query_ids, id_col, "left_semi")
+    probes = q_side.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qvec"),
+        F.explode(
+            F.slice(F.array_sort(cell_dists), 1, n_probe)
+        ).alias("probe"),
+    ).select("qid", "qvec", F.col("probe.cell").alias("cell"))
+    # Interpreted-HOF cost scales with |probes| x |cell members|; bound the
+    # query set (query_ids) for latency-sensitive paths.
+    probes = probes.withColumn("qnorm", vector_norm("qvec"))
+
+    cand = assigned.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec"), "cell"
+    ).withColumn("nnorm", vector_norm("nvec"))
+
+    sim = (
+        probes.join(cand, "cell")
+        .filter(F.col("qid") != F.col("nid"))
+        .withColumn(
+            "cosine",
+            _dot_double(F.col("qvec"), F.col("nvec")) / (F.col("qnorm") * F.col("nnorm")),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "rank", F.round("cosine", 4).alias("cosine"), "cell")
+    )
+
+
 def lsh_ann_topk(
     vectors: DataFrame,
     id_col: str = "vec_id",

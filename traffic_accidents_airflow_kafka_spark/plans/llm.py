@@ -261,6 +261,83 @@ def embedding_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_ivf_ann",
+    oracle=None,
+    doc="IVF approximate top-k (the coarse-quantizer alternative to "
+    "hyperplane LSH): seeded k-means cells as the inverted file, queries "
+    "probe their 2 nearest of 16 cells, ranking only cell members "
+    "for a bounded query set (operators/similarity.py:ivf_ann_topk). "
+    "Rows-only (k-means cell "
+    "assignments are engine-specific); recall vs the exact baseline is "
+    "asserted in unit tests. Scale: candidate set ~n_probe/n_centroids "
+    "of the corpus; centroids train on a sample and broadcast.",
+)
+def embedding_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = emb.select("vec_id").filter(F.col("vec_id") < 100)
+    return similarity.ivf_ann_topk(
+        emb, "vec_id", "embedding", n_centroids=16, n_probe=2, k=3, query_ids=qids
+    ).orderBy("qid", "rank")
+
+
+@register(
+    "corpus_prep",
+    oracle="""
+    WITH dedup AS (
+      SELECT doc_id, lang, text,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_distinct(string_split(text, ' ')))
+               / CAST(len(string_split(text, ' ')) AS DOUBLE) AS distinct_ratio,
+             MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper_id
+      FROM documents
+    ),
+    kept AS (
+      SELECT *,
+             LEAST(n_tokens / 64.0, 1.0) * distinct_ratio AS quality
+      FROM dedup
+      WHERE doc_id = keeper_id
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs_kept,
+           SUM(CASE WHEN quality >= 0.5 AND n_tokens >= 16 THEN 1 ELSE 0 END)
+             AS n_high_quality,
+           ROUND(AVG(quality), 4) AS avg_quality,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM kept
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="The composite training-data-prep flagship: exact dedup (keep "
+    "lowest-id copy) → quality scoring (length × lexical diversity) → "
+    "per-language corpus accounting with a high-quality cut — the "
+    "dedup+filter+count pipeline every LLM data run starts with, as ONE "
+    "declarative plan (dedup hash-join + window, codegen scoring, tiny "
+    "final rollup). Scale: text never shuffles twice — the keeper "
+    "window keys on md5 digests.",
+)
+def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    deduped = dedup.exact_dedup(docs, "doc_id", "text").filter(~F.col("is_duplicate"))
+    toks = text_ops.token_count("text")
+    quality = F.least(toks / 64.0, F.lit(1.0)) * text_ops.distinct_token_ratio("text")
+    scored = deduped.select(
+        "lang", toks.alias("n_tokens"), quality.alias("quality")
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum(
+                F.when((F.col("quality") >= 0.5) & (F.col("n_tokens") >= 16), 1).otherwise(0)
+            ).alias("n_high_quality"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
     "text_quality_stats",
     oracle="""
     SELECT lang,
