@@ -75,3 +75,32 @@ def test_parse_kafka_messages_roundtrip(spark):
     ).withColumn("value", F.col("value").cast("binary"))
     out = streaming.parse_kafka_messages(raw, schema).collect()
     assert out[0]["topic"] == "t1" and out[0]["id"] == 7 and out[0]["v"] == "z"
+
+
+def test_publisher_consumer_roundtrip(spark):
+    """S11→S10 round-trip: a topic's published payload, decoded with the
+    consumer path, reproduces the original query result exactly."""
+    from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
+
+    from traffic_accidents_airflow_kafka_spark.plans import QUERY_REGISTRY
+    from traffic_accidents_airflow_kafka_spark.streaming import publisher
+
+    sf = "/root/testdata/sf0.001"
+    original = QUERY_REGISTRY["transit_signals_by_state"].fn(spark, sf)
+    payload = publisher.publish_plan(spark, sf)["transit_signals_by_state"]
+    # Simulate the broker hop: value bytes + topic metadata.
+    wire = payload.select(
+        F.lit("transit_signals_by_state").alias("topic"),
+        F.col("value").cast("binary").alias("value"),
+    )
+    schema = StructType(
+        [
+            StructField("state_name", StringType()),
+            StructField("n_orders", LongType()),
+            StructField("sum_total", DoubleType()),
+        ]
+    )
+    decoded = streaming.parse_kafka_messages(wire, schema).drop("topic")
+    got = sorted(map(tuple, decoded.collect()))
+    want = sorted(map(tuple, original.collect()))
+    assert got == want
