@@ -41,6 +41,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     a true ``TimestampType`` truncated to microseconds — Spark's native
     precision, matching what every downstream date-part function expects.
     """
+    # Date-part extraction (hour/year/dayname) is session-timezone
+    # dependent; the DuckDB oracle computes on naive timestamps. Pin UTC
+    # here so catalog queries are correct even under a session this
+    # engine's factory didn't build (runtime-settable conf).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
