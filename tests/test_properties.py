@@ -1,0 +1,84 @@
+"""Property-based tests (Hypothesis): engine expressions vs their Python
+ground truth over randomized inputs, evaluated in ONE Spark job per
+property (batch the examples into a DataFrame — per-example Spark jobs
+would be prohibitively slow)."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from traffic_accidents_airflow_kafka_spark.functions import scalar as fn
+from traffic_accidents_airflow_kafka_spark.operators import text as text_ops
+
+FLOATS = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(FLOATS, min_size=1, max_size=50))
+def test_floor_bin_matches_python_floor_division(spark, xs):
+    df = spark.createDataFrame([(i, float(x)) for i, x in enumerate(xs)], "i int, x double")
+    got = {
+        r["i"]: r["b"]
+        for r in df.select("i", fn.floor_bin("x", 0.5).alias("b")).collect()
+    }
+    for i, x in enumerate(xs):
+        want = (x // 0.5) * 0.5
+        assert math.isclose(got[i], want, rel_tol=1e-12, abs_tol=1e-12), (x, got[i], want)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from([-89.5, -45.0, 0.0, 35.5, 71.0]),
+            st.sampled_from([-179.5, -120.0, 0.0, 80.5, 179.0]),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_bbox_label_roundtrip_property(spark, coords):
+    df = spark.createDataFrame(
+        [(i, la, ln) for i, (la, ln) in enumerate(coords)], "i int, lat double, lng double"
+    )
+    label = fn.bbox_label("lat", "lng")
+    plat, plng = fn.bbox_label_parse(label)
+    rows = df.select("i", label.alias("s"), plat.alias("la"), plng.alias("ln")).collect()
+    for r in rows:
+        i = r["i"]
+        assert r["s"] == f"bbox_{coords[i][0]}_{coords[i][1]}"
+        assert r["la"] == coords[i][0] and r["ln"] == coords[i][1]
+
+
+TOKENS = st.text(alphabet=st.sampled_from("abcdefg"), min_size=1, max_size=8)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(TOKENS, min_size=1, max_size=30))
+def test_token_fingerprint_matches_python_fold(spark, tokens):
+    text = " ".join(tokens)
+    df = spark.createDataFrame([(text,)], "text string")
+    got = df.select(text_ops.token_fingerprint("text").alias("fp")).collect()[0]["fp"]
+    acc = 0
+    for t in tokens:
+        acc = (acc * text_ops.ROLL_MULT + (len(t) * 131 + ord(t[0]))) % text_ops.ROLL_MOD
+    assert got == acc
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(TOKENS, min_size=3, max_size=30))
+def test_shingle_count_property(spark, tokens):
+    # |distinct 3-gram shingles| computed by the operator equals Python's.
+    from traffic_accidents_airflow_kafka_spark.operators import dedup
+
+    text = " ".join(tokens)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = dedup.word_shingles(df, "doc_id", "text", 3).count()
+    want = len({" ".join(tokens[i : i + 3]) for i in range(len(tokens) - 2)})
+    assert got == want

@@ -207,7 +207,13 @@ def ivf_ann_topk(
     # iterations — IVF needs roughly-balanced cells, not converged
     # clusters, and at corpus scale training always runs on a sample.
     train = ml_df.filter(F.col(id_col) % 4 == 0)
-    model = KMeans(k=n_centroids, seed=seed, maxIter=5, featuresCol="features").fit(train)
+    model = KMeans(
+        k=n_centroids,
+        seed=seed,
+        maxIter=5,
+        initMode="random",  # k-means|| init costs extra passes; IVF cells
+        featuresCol="features",  # need balance, not optimal clustering
+    ).fit(train)
     assigned = model.transform(ml_df).select(
         id_col, vec_col, F.col("prediction").alias("cell")
     )

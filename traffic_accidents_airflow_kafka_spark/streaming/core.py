@@ -19,6 +19,7 @@ Two layers:
 
 from __future__ import annotations
 
+import os
 import tempfile
 import uuid
 
@@ -104,7 +105,11 @@ def run_available_now(result: DataFrame, spark: SparkSession) -> DataFrame:
     until everything pending is seen, then stop) and return the result as
     a batch DataFrame (memory sink, complete mode)."""
     name = f"avnow_{uuid.uuid4().hex[:12]}"
-    checkpoint = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    # Checkpoint on tmpfs when available: availableNow pays checkpoint
+    # fsyncs on every micro-batch, and this checkpoint is as ephemeral as
+    # the returned result. Durable streams pass their own location.
+    ckpt_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    checkpoint = tempfile.mkdtemp(prefix=f"ckpt_{name}_", dir=ckpt_base)
     q = (
         result.writeStream.format("memory")
         .queryName(name)
