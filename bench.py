@@ -17,11 +17,6 @@ import time
 from traffic_accidents_airflow_kafka_spark.plans import QUERY_REGISTRY
 from traffic_accidents_airflow_kafka_spark.session import get_spark
 
-#: Streaming queries pay a fixed availableNow/checkpoint setup per run;
-#: they are benched single-run (still reported) so the warmup double-run
-#: doesn't double their wall-clock share.
-SINGLE_RUN = {"stream_window_counts"}
-
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -32,8 +27,10 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, spec in QUERY_REGISTRY.items():
-        if name not in SINGLE_RUN:
-            spec.fn(spark, sf_dir).collect()  # warmup: codegen + broadcasts
+        # Warmup absorbs one-time costs (codegen, broadcast build, the
+        # streaming subsystem's first-query init) so every entry reports
+        # steady state on equal terms.
+        spec.fn(spark, sf_dir).collect()
         start = time.perf_counter()
         spec.fn(spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - start, 4)

@@ -31,7 +31,10 @@ def test_query_matches_oracle(spark, sf_dir, duck, name):
 
 @pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
 def test_rows_only_query_runs(spark, sf_dir, name):
+    # The driver's smoke gate requires rows > 0; deeper semantics for each
+    # rows-only query live in its dedicated test (planted-duplicate
+    # fixtures, ANN recall, sketch error bounds, multimodal plumbing).
     spec = QUERY_REGISTRY[name]
     df = spec.fn(spark, sf_dir)
-    assert df.count() >= 0
+    assert df.count() > 0, f"{name} returned no rows"
     assert len(df.schema.fields) > 0

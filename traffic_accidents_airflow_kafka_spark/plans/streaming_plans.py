@@ -33,10 +33,13 @@ from .registry import register
     "contract of kafka/consumer.py:30-36 — then compared against the "
     "batch equivalent (tumbling window ≡ date_trunc group). Scale: "
     "watermark bounds state to live windows; availableNow is also the "
-    "backfill path (same code, bounded replay).",
+    "backfill path (same code, bounded replay); state partitions sized "
+    "to live-window cardinality, not the batch shuffle default.",
 )
 def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = streaming.stream_events(spark, sf_dir)
     windowed = streaming.windowed_event_counts(events, "1 hour", "2 hours")
-    result = streaming.run_available_now(windowed, spark)
+    # ~|hours in stream| × |event types| live groups — single digits of
+    # thousands; 8 state stores ample (each costs setup + fsync per batch).
+    result = streaming.run_available_now(windowed, spark, state_partitions=8)
     return result.orderBy("window_start", "event_type")

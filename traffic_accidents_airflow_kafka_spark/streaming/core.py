@@ -99,26 +99,43 @@ def windowed_event_counts(
     )
 
 
-def run_available_now(result: DataFrame, spark: SparkSession) -> DataFrame:
+def run_available_now(
+    result: DataFrame, spark: SparkSession, state_partitions: int | None = None
+) -> DataFrame:
     """Execute a streaming plan to completion over the data available now
     (the consumer-termination contract, kafka/consumer.py:30-36: consume
     until everything pending is seen, then stop) and return the result as
-    a batch DataFrame (memory sink, complete mode)."""
+    a batch DataFrame (memory sink, complete mode).
+
+    ``state_partitions`` sizes the stateful-operator shuffle (= number of
+    state stores, each paying provider setup + checkpoint fsync per
+    micro-batch). A streaming agg's partition count should track live-key
+    cardinality × throughput, NOT the batch shuffle default — it is
+    pinned into the checkpoint at first start, so it's a per-query
+    decision, not a session one. None keeps the session setting.
+    """
     name = f"avnow_{uuid.uuid4().hex[:12]}"
     # Checkpoint on tmpfs when available: availableNow pays checkpoint
     # fsyncs on every micro-batch, and this checkpoint is as ephemeral as
     # the returned result. Durable streams pass their own location.
     ckpt_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
     checkpoint = tempfile.mkdtemp(prefix=f"ckpt_{name}_", dir=ckpt_base)
-    q = (
-        result.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)
 
 
