@@ -104,3 +104,67 @@ def test_publisher_consumer_roundtrip(spark):
     got = sorted(map(tuple, decoded.collect()))
     want = sorted(map(tuple, original.collect()))
     assert got == want
+
+
+def test_dedup_stream_drops_redeliveries(spark, tmp_path):
+    """Streaming dedup (dropDuplicatesWithinWatermark): redelivered event
+    ids across micro-batches collapse to one copy; state is evicted past
+    the watermark."""
+    import datetime as dt
+
+    src = str(tmp_path / "dd_src")
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+
+    def write(rows):
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, value double"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    # Original events + an in-batch duplicate of id 1.
+    write([(1, t0, 1.0), (1, t0, 1.0), (2, t0.replace(minute=5), 2.0)])
+    # A second file (second micro-batch under maxFilesPerTrigger=1)
+    # redelivers id 2 and adds a novel id 3.
+    write([(2, t0.replace(minute=5), 2.0), (3, t0.replace(minute=9), 3.0)])
+
+    events = (
+        spark.readStream.schema("event_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    deduped = streaming.dedup_stream(events, ["event_id"], "ts", "2 hours")
+    out = streaming.run_foreach_batch_collect(deduped, spark)
+    ids = sorted(r["event_id"] for r in out)
+    assert ids == [1, 2, 3]
+
+
+def test_foreach_batch_streaming_upsert(spark, tmp_path):
+    """foreachBatch + key-based upsert_append = effectively-exactly-once
+    streaming into a batch parquet sink: replaying the whole source
+    through a fresh checkpoint writes no duplicate keys."""
+    import datetime as dt
+
+    from traffic_accidents_airflow_kafka_spark.sources.sinks import upsert_append
+
+    src = str(tmp_path / "fb_src")
+    sink = str(tmp_path / "fb_sink")
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+    rows = [(i, t0.replace(minute=i), float(i)) for i in range(1, 6)]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, value double"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        events = spark.readStream.schema(
+            "event_id long, ts timestamp, value double"
+        ).parquet(src)
+        streaming.run_foreach_batch(
+            events,
+            spark,
+            lambda batch, _id: upsert_append(batch, sink, "event_id", spark),
+        )
+
+    run_once()
+    run_once()  # fresh checkpoint → at-least-once redelivery of everything
+    got = spark.read.parquet(sink)
+    assert got.count() == 5  # idempotent sink absorbed the replay
+    assert sorted(r["event_id"] for r in got.select("event_id").collect()) == [1, 2, 3, 4, 5]

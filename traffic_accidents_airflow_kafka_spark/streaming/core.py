@@ -139,6 +139,64 @@ def run_available_now(
     return spark.table(name)
 
 
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup — the streaming twin of the batch dedup
+    family (operators/dedup.py): drop redelivered events by key across
+    micro-batches.
+
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until the
+    watermark passes the first-seen event time, so state is bounded by
+    (key cardinality within the watermark horizon), not stream length —
+    the correct semantics for at-least-once sources like Kafka, where
+    redeliveries arrive close to the original. Plain streaming
+    ``dropDuplicates`` would keep every key forever.
+    """
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def run_foreach_batch(
+    result: DataFrame,
+    spark: SparkSession,
+    batch_fn,
+    output_mode: str = "append",
+) -> None:
+    """Execute a streaming plan to completion (availableNow), delivering
+    each micro-batch to ``batch_fn(batch_df, batch_id)`` — the
+    foreachBatch bridge that reuses BATCH sinks (upsert_append, JDBC,
+    bucketed writers) from a stream.
+
+    Spark guarantees at-least-once delivery per batch id; pairing it with
+    an idempotent batch sink (key-based upsert, overwrite-by-partition)
+    yields effectively-exactly-once end to end — the standard production
+    recipe for streaming into systems without native streaming writers.
+    """
+    name = f"feb_{uuid.uuid4().hex[:12]}"
+    ckpt_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    checkpoint = tempfile.mkdtemp(prefix=f"ckpt_{name}_", dir=ckpt_base)
+    q = (
+        result.writeStream.foreachBatch(batch_fn)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def run_foreach_batch_collect(result: DataFrame, spark: SparkSession) -> list:
+    """Drain an APPEND-mode streaming plan (dedup, map-only transforms —
+    shapes the complete-mode memory sink can't serve) to driver-side rows
+    via foreachBatch. Bounded replays / tests only: collects every batch."""
+    rows: list = []
+    run_foreach_batch(result, spark, lambda batch, _id: rows.extend(batch.collect()))
+    return rows
+
+
 # ---------------------------------------------------------------------------
 # Kafka wiring (S10/S11) — configuration + payload contracts, broker-free.
 # ---------------------------------------------------------------------------
