@@ -152,3 +152,40 @@ def test_negative_coord_floor_binning(spark, accidents_csv):
     # Python parity: -80.3 // 0.5 * 0.5 == -80.5 (never truncation to -80.0).
     assert r2["lat_bin"] == -80.5
     assert r2["bbox_label"] == "bbox_-80.5_35.0"
+
+
+def test_run_pipeline_end_to_end_and_idempotent(spark, accidents_csv, tmp_path):
+    """The DAG-equivalent job: ingest → OSM summary → merge → star, twice
+    through the same out_dir — the second run must be a no-op (memoized
+    stages skip, upserts insert zero)."""
+    from traffic_accidents_airflow_kafka_spark.pipeline.job import run_pipeline
+
+    # One OSM raw file for the bbox id=1 lands in (filename carries the
+    # label, matching the reference's per-file loop).
+    osm_dir = tmp_path / "osm"
+    osm_dir.mkdir()
+    (osm_dir / "bbox_35.0_-81.0_osm.csv").write_text(
+        "bbox_label,category,latitude,longitude,tags\n"
+        '35.0_-81.0,traffic_signals,35.1,-80.9,"{\'highway\': \'traffic_signals\'}"\n'
+        '35.0_-81.0,school,35.2,-80.8,"{\'amenity\': \'school\'}"\n'
+    )
+    geocode = spark.createDataFrame(
+        [("bbox_35.0_-81.0", "Gastonia", "Gaston County", "North Carolina", "28054")],
+        "bbox_label string, city string, county string, state string, postcode string",
+    )
+    out = str(tmp_path / "warehouse")
+
+    r1 = run_pipeline(spark, accidents_csv, str(osm_dir / "bbox_*_osm.csv"), geocode, out)
+    assert r1["ingest_wrote"] and r1["summary_wrote"]
+    assert r1["ingest_rows"] == 2 and r1["ingest_parse_failures"] == 1
+    assert r1["summary_rows"] == 1
+    assert r1["final_new_rows"] == 1 and r1["final_rows"] == 1  # id=2 outside bbox
+    assert r1["fact_new_rows"] == 1 and r1["fact_rows"] == 1
+    assert all(v == 0 for v in r1["fk_violations"].values())
+    assert r1["dim_weather_rows"] == 1 and r1["dim_date_rows"] == 1
+
+    r2 = run_pipeline(spark, accidents_csv, str(osm_dir / "bbox_*_osm.csv"), geocode, out)
+    assert not r2["ingest_wrote"] and not r2["summary_wrote"]  # memoized skip
+    assert r2["final_new_rows"] == 0 and r2["fact_new_rows"] == 0  # upsert no-op
+    assert r2["final_rows"] == 1 and r2["fact_rows"] == 1
+    assert all(v == 0 for v in r2["fk_violations"].values())
