@@ -35,3 +35,43 @@ def test_plan_has_no_scale_killers(spark, sf_dir, name):
         assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan, (
             f"{name} has an unsanctioned Python stage"
         )
+
+
+#: Dim-join queries that MUST plan broadcast hash joins (SURVEY §2.3
+#: J1/J3): name → minimum BroadcastHashJoin count (one per dim side).
+BROADCAST_REQUIRED = {
+    "transit_signals_by_state": 2,
+    "signals_vs_lesions": 1,
+    "lesions_by_county": 3,
+    "hospitals_schools_vs_lesions": 1,
+    "binned_label_join": 1,
+    "star_fact_rollup": 3,
+}
+
+
+@pytest.mark.parametrize("name", sorted(BROADCAST_REQUIRED))
+def test_dim_joins_stay_broadcast(spark, sf_dir, name):
+    """A dim join silently degrading to sort-merge shuffles the fact side
+    — the single worst scale regression a join can take."""
+    df = QUERY_REGISTRY[name].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    got = plan.count("BroadcastHashJoin")
+    assert got >= BROADCAST_REQUIRED[name], (
+        f"{name}: {got} BroadcastHashJoin, need {BROADCAST_REQUIRED[name]}"
+    )
+
+
+def test_flagship_scan_prunes_and_pushes(spark, sf_dir):
+    """The shipdate filter and the 6-column projection must reach the
+    parquet scan — a scan reading all 16 lineitem columns for a 6-column
+    aggregate is reading 100 TB to use 40."""
+    df = QUERY_REGISTRY["pricing_summary"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "l_shipdate" in scan.split("PushedFilters")[-1]
+    read_cols = scan.split("FileScan parquet [")[1].split("]")[0]
+    cols = {c.split("#")[0] for c in read_cols.split(",")}
+    assert cols == {
+        "l_quantity", "l_extendedprice", "l_discount",
+        "l_returnflag", "l_linestatus", "l_shipdate",
+    }, f"scan reads {sorted(cols)}"
