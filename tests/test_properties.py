@@ -82,3 +82,53 @@ def test_shingle_count_property(spark, tokens):
     got = dedup.word_shingles(df, "doc_id", "text", 3).count()
     want = len({" ".join(tokens[i : i + 3]) for i in range(len(tokens) - 2)})
     assert got == want
+
+
+CLASSES_WITH_NOISE = st.sampled_from(
+    [
+        "signal", " SIGNAL ", "Traffic_Lights", "zebra", "marked;unmarked",
+        "pelican", "bogus", "", "ramp_meter", "LEVEL_crossing", "puffin;zebra",
+    ]
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(CLASSES_WITH_NOISE, min_size=1, max_size=20))
+def test_enum_maps_match_reference_semantics(spark, values):
+    # Python ground truth = the reference mappers' str.strip().lower()
+    # membership rules (dags/etl_crash_traffic.py:383-395).
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(values)], "i int, v string")
+    got = {
+        r["i"]: (r["ts"], r["cr"])
+        for r in df.select(
+            "i",
+            fn.map_traffic_signal("v").alias("ts"),
+            fn.map_crossing("v").alias("cr"),
+        ).collect()
+    }
+    for i, v in enumerate(values):
+        n = v.strip().lower()
+        want_ts = n if n in fn.TRAFFIC_SIGNAL_CLASSES else "unknown"
+        if ";" in n:
+            want_cr = "combinations"
+        elif n in fn.CROSSING_CLASSES:
+            want_cr = n
+        else:
+            want_cr = "unknown"
+        assert got[i] == (want_ts, want_cr), (v, got[i])
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from(fn.SEVERITY_ORDER + ("nonsense", "", "fatal")),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_severity_rank_total_order(spark, values):
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(values)], "i int, v string")
+    got = {r["i"]: r["r"] for r in df.select("i", fn.severity_rank("v").alias("r")).collect()}
+    for i, v in enumerate(values):
+        want = fn.SEVERITY_ORDER.index(v) if v in fn.SEVERITY_ORDER else None
+        assert got[i] == want, (v, got[i], want)  # case-sensitive, unknown → null
