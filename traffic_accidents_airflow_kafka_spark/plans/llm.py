@@ -179,17 +179,56 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy(F.desc("est_sim"), "d1", "d2").limit(200)
 
 
+_SIMHASH_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t FROM documents
+    ),
+    h AS (SELECT doc_id, md5(t) AS hx FROM toks),
+    bits AS (
+      SELECT doc_id, i,
+             ((instr('0123456789abcdef', substr(hx, (i // 4) + 1, 1)) - 1)
+              >> (3 - (i % 4))) & 1 AS b
+      FROM h, generate_series(0, 63) AS g(i)
+    ),
+    votes AS (SELECT doc_id, i, SUM(b * 2 - 1) AS w FROM bits GROUP BY 1, 2),
+    sig AS (
+      SELECT doc_id,
+             SUM(CASE WHEN w > 0 THEN
+                   CASE WHEN i = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+                        ELSE (CAST(1 AS BIGINT) << i) END
+                 ELSE 0 END) AS simhash
+      FROM votes GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, simhash, i AS band_idx, (simhash >> (16 * i)) & 65535 AS band_val
+      FROM sig, generate_series(0, 3) AS gb(i)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.simhash AS s1, b.simhash AS s2
+      FROM bands a
+      JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+                   AND a.doc_id < b.doc_id
+    )
+    SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(s1, s2)) <= 8
+    ORDER BY hamming, d1, d2
+    LIMIT 500
+    """
+
+
 @register(
     "simhash_near_pairs",
-    oracle=None,
+    oracle=_SIMHASH_ORACLE,
     min_rows=0,  # random word-salad corpus may legitimately have no Hamming-close pairs
     doc="SimHash near-dup: 64-bit signatures (md5-bit majority votes), "
     "4×16-bit band join, exact Hamming via bit_count(xor) "
-    "(operators/dedup.py:simhash64/simhash_near_pairs). Rows-only: "
-    "hex-digit bit extraction parity in SQL isn't worth the oracle; "
-    "semantics pinned by planted-fixture unit tests. Scale: linear "
-    "explode(tokens × 64) then two-level aggregate; candidates via band "
-    "equality only.",
+    "(operators/dedup.py:simhash64/simhash_near_pairs). Fully "
+    "oracle-checked: md5 is engine-stable and the bit votes / band "
+    "slices are integer arithmetic in both engines (digit-wise hex "
+    "parse on the DuckDB side; bit 63 spelled as min-long since 1<<63 "
+    "overflows signed). Scale: single-pass vote aggregate; candidates "
+    "via band equality, each pair emitted once.",
 )
 def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
