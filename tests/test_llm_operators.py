@@ -133,11 +133,11 @@ def test_multimodal_meta_plumbing(docs):
     assert out[0]["n_bytes"] == len(BASE)
     import hashlib
 
-    assert out[0]["sha1_prefix"] == hashlib.sha1(BASE.encode()).hexdigest()[:8]
+    assert out[0]["sha256_prefix"] == hashlib.sha256(BASE.encode()).hexdigest()[:8]
     w, h = multimodal.fake_decode_meta(BASE.encode())
     assert (out[0]["width"], out[0]["height"]) == (w, h)
     # Identical payloads → identical derived metadata.
-    assert out[0]["sha1_prefix"] == out[1]["sha1_prefix"]
+    assert out[0]["sha256_prefix"] == out[1]["sha256_prefix"]
 
 
 def test_multimodal_real_decoder_is_stubbed():

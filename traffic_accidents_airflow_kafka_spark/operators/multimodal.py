@@ -8,6 +8,8 @@ The Spark-side contract for image/audio/video at 100 TB:
 - Decode / feature-extract / resize / frame-sample run as Arrow-batched
   ``mapInPandas`` stages: one Python worker per partition, whole column
   batches across the JVM↔Python boundary, never row-at-a-time.
+- Content hashing uses SHA-256 (stable across engines and available in
+  DuckDB), so even this Python stage's output is oracle-checkable.
 - Partition sizing: payloads dominate row width — size
   ``spark.sql.files.maxPartitionBytes`` so a partition of payloads fits
   executor memory, and repartition by a content-hash prefix for even
@@ -52,7 +54,7 @@ META_SCHEMA = StructType(
         StructField("asset_id", LongType(), False),
         StructField("mime", StringType(), True),
         StructField("n_bytes", IntegerType(), True),
-        StructField("sha1_prefix", StringType(), True),
+        StructField("sha256_prefix", StringType(), True),
         StructField("width", IntegerType(), True),
         StructField("height", IntegerType(), True),
     ]
@@ -72,7 +74,7 @@ def decode_image_meta(payload: bytes) -> tuple[int, int]:
 def fake_decode_meta(payload: bytes) -> tuple[int, int]:
     """Deterministic stand-in for a decoder: derives a fake (width, height)
     from the payload bytes so tests assert real values end-to-end."""
-    h = hashlib.sha1(payload).digest()
+    h = hashlib.sha256(payload).digest()
     return 16 + h[0] % 640, 16 + h[1] % 480
 
 
@@ -93,8 +95,8 @@ def extract_asset_meta(assets: DataFrame, decode=fake_decode_meta) -> DataFrame:
                     "asset_id": pdf["asset_id"],
                     "mime": pdf["mime"],
                     "n_bytes": [len(p) if p is not None else None for p in payloads],
-                    "sha1_prefix": [
-                        hashlib.sha1(p).hexdigest()[:8] if p is not None else None
+                    "sha256_prefix": [
+                        hashlib.sha256(p).hexdigest()[:8] if p is not None else None
                         for p in payloads
                     ],
                     "width": [d[0] for d in dims],

@@ -281,16 +281,71 @@ def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_oracle(n_planes: int = 6, dim: int = 64, seed: int = 7, k: int = 3) -> str:
+    """The hyperplane-LSH pipeline in DuckDB: the SAME seeded planes the
+    Spark operator uses, inlined as list literals (repr round-trips
+    doubles exactly), with sequential-fold dot products so bucket signs
+    and cosine ranks are bit-identical across engines."""
+    planes = similarity.hyperplane_planes(dim, n_planes, seed)
+
+    def dot(vec: str, lits: list[float]) -> str:
+        lit = "[" + ", ".join(repr(float(x)) for x in lits) + "]"
+        return (
+            f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            f"list_transform(generate_series(1, {dim}), "
+            f"j -> CAST({vec}[j] AS DOUBLE) * ({lit})[j])), (a, b) -> a + b)"
+        )
+
+    bucket = " + ".join(
+        f"(CASE WHEN {dot('embedding', p)} > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    vnorm = (
+        "sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {dim}), "
+        "j -> CAST(embedding[j] AS DOUBLE) * CAST(embedding[j] AS DOUBLE))), "
+        "(a, b) -> a + b))"
+    )
+    pair_dot = (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {dim}), "
+        f"j -> CAST(a.embedding[j] AS DOUBLE) * CAST(b.embedding[j] AS DOUBLE))), "
+        f"(a, b) -> a + b)"
+    )
+    return f"""
+    WITH bkt AS (
+      SELECT vec_id, embedding,
+             CAST({bucket} AS BIGINT) AS bucket,
+             {vnorm} AS nrm
+      FROM embeddings
+    ),
+    sims AS (
+      SELECT a.vec_id AS qid, b.vec_id AS nid, a.bucket,
+             {pair_dot} / (a.nrm * b.nrm) AS cosine
+      FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    )
+    SELECT qid, nid, rank, ROUND(cosine, 4) AS cosine, bucket FROM (
+      SELECT qid, nid, cosine, bucket,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS INT) AS rank
+      FROM sims
+    )
+    WHERE rank <= {k}
+    ORDER BY qid, rank
+    """
+
+
 @register(
     "embedding_lsh_ann",
-    oracle=None,
+    oracle=_lsh_oracle(),
     doc="Hyperplane-LSH approximate top-k: 6 seeded Gaussian planes → "
     "64 sign-pattern buckets → within-bucket cosine ranking "
-    "(operators/similarity.py:lsh_ann_topk). Rows-only (seeded planes in "
-    "SQL would just re-implement the same code); recall vs the "
-    "embedding_topk baseline is asserted in unit tests. Scale: candidate "
-    "set per query shrinks ~2^planes; multi-probe re-unions recover "
-    "recall without changing plan shape.",
+    "(operators/similarity.py:lsh_ann_topk). Fully oracle-checked: the "
+    "seeded planes inline as SQL literals and both engines compute the "
+    "same sequential double folds, so bucket signs and ranks match "
+    "bit-for-bit; recall vs the embedding_topk baseline is additionally "
+    "asserted in unit tests. Scale: candidate set per query shrinks "
+    "~2^planes; multi-probe re-unions recover recall without changing "
+    "plan shape.",
 )
 def embedding_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -489,14 +544,36 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_meta",
-    oracle=None,
+    oracle="""
+    WITH h AS (
+      SELECT doc_id AS asset_id,
+             'text/plain' AS mime,
+             CAST(strlen(text) AS INT) AS n_bytes,
+             sha256(text) AS hx
+      FROM documents
+    )
+    SELECT asset_id, mime, n_bytes,
+           substr(hx, 1, 8) AS sha256_prefix,
+           CAST(16 + ((instr('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+                      + instr('0123456789abcdef', substr(hx, 2, 1)) - 1) % 640
+                AS INT) AS width,
+           CAST(16 + ((instr('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16
+                      + instr('0123456789abcdef', substr(hx, 4, 1)) - 1) % 480
+                AS INT) AS height
+    FROM h
+    ORDER BY asset_id
+    LIMIT 100
+    """,
     doc="Multimodal plumbing: documents' text bytes as opaque binary "
     "payloads → Arrow-batched mapInPandas metadata extraction (n_bytes, "
-    "sha1 prefix, fake-decoded dimensions) "
+    "sha256 prefix, fake-decoded dimensions) "
     "(operators/multimodal.py:extract_asset_meta; decode stubbed per the "
-    "container constraint, deterministic fake stands in). Scale: "
-    "column-pruned payload reads, whole-batch Arrow transfer, one Python "
-    "worker per partition.",
+    "container constraint, deterministic fake stands in). Fully "
+    "oracle-checked — the hash is SHA-256 precisely because it is "
+    "engine-stable, so even this Python stage's output SQL-parities "
+    "(digest bytes parsed digit-wise in DuckDB). Scale: column-pruned "
+    "payload reads, whole-batch Arrow transfer, one Python worker per "
+    "partition.",
 )
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

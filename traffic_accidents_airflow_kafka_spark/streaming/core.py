@@ -20,6 +20,7 @@ Two layers:
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -136,6 +137,8 @@ def run_available_now(
     finally:
         if state_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        # The memory-sink result outlives the checkpoint; reclaim the tmpfs.
+        shutil.rmtree(checkpoint, ignore_errors=True)
     return spark.table(name)
 
 
@@ -178,14 +181,17 @@ def run_foreach_batch(
     name = f"feb_{uuid.uuid4().hex[:12]}"
     ckpt_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
     checkpoint = tempfile.mkdtemp(prefix=f"ckpt_{name}_", dir=ckpt_base)
-    q = (
-        result.writeStream.foreachBatch(batch_fn)
-        .outputMode(output_mode)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    try:
+        q = (
+            result.writeStream.foreachBatch(batch_fn)
+            .outputMode(output_mode)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(checkpoint, ignore_errors=True)
 
 
 def run_foreach_batch_collect(result: DataFrame, spark: SparkSession) -> list:
