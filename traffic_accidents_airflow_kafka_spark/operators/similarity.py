@@ -281,6 +281,46 @@ def ivf_ann_topk(
     )
 
 
+def cosine_near_dup_pairs(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+    n_planes: int = 6,
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs — the fifth dedup family: all
+    same-bucket pairs with cosine ≥ ``threshold``, shaped like the text
+    near-dup outputs (d1, d2, similarity).
+
+    Same LSH bucketing as :func:`lsh_ann_topk` (candidate generation is
+    what makes this linear-ish instead of all-pairs); within buckets the
+    exact double-fold cosine decides. High-similarity pairs land in the
+    same bucket with probability (1 - θ/π)^planes, so at a dedup-grade
+    threshold the recall loss is small and multi-probe recovers the rest.
+    """
+    planes = hyperplane_planes(dim, n_planes, seed)
+    bucketed = vectors.select(
+        F.col(id_col), F.col(vec_col), lsh_bucket(vec_col, planes).alias("bucket")
+    ).withColumn("nrm", vector_norm(vec_col))
+    a = bucketed.select(
+        F.col(id_col).alias("d1"), F.col(vec_col).alias("v1"), "bucket",
+        F.col("nrm").alias("n1"),
+    )
+    b = bucketed.select(
+        F.col(id_col).alias("d2"), F.col(vec_col).alias("v2"), "bucket",
+        F.col("nrm").alias("n2"),
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("d1") < F.col("d2"))
+        .withColumn("cosine", _dot_double(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")))
+        .filter(F.col("cosine") >= threshold)
+        .select("d1", "d2", F.round("cosine", 4).alias("cosine"))
+    )
+
+
 def lsh_ann_topk(
     vectors: DataFrame,
     id_col: str = "vec_id",

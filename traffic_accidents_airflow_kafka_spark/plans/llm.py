@@ -374,6 +374,76 @@ def embedding_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("qid", "rank")
 
 
+def _cosine_neardup_oracle(
+    threshold: float = 0.3, n_planes: int = 6, dim: int = 64, seed: int = 7
+) -> str:
+    """Same plane-literal / sequential-fold construction as _lsh_oracle,
+    final shape = near-dup pairs above the cosine threshold."""
+    planes = similarity.hyperplane_planes(dim, n_planes, seed)
+
+    def dot(vec: str, lits: list[float]) -> str:
+        lit = "[" + ", ".join(repr(float(x)) for x in lits) + "]"
+        return (
+            f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            f"list_transform(generate_series(1, {dim}), "
+            f"j -> CAST({vec}[j] AS DOUBLE) * ({lit})[j])), (a, b) -> a + b)"
+        )
+
+    bucket = " + ".join(
+        f"(CASE WHEN {dot('embedding', p)} > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    vnorm = (
+        "sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {dim}), "
+        "j -> CAST(embedding[j] AS DOUBLE) * CAST(embedding[j] AS DOUBLE))), "
+        "(a, b) -> a + b))"
+    )
+    pair_dot = (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {dim}), "
+        f"j -> CAST(a.embedding[j] AS DOUBLE) * CAST(b.embedding[j] AS DOUBLE))), "
+        f"(a, b) -> a + b)"
+    )
+    return f"""
+    WITH bkt AS (
+      SELECT vec_id, embedding,
+             CAST({bucket} AS BIGINT) AS bucket,
+             {vnorm} AS nrm
+      FROM embeddings
+    )
+    SELECT d1, d2, ROUND(cosine, 4) AS cosine FROM (
+      SELECT a.vec_id AS d1, b.vec_id AS d2,
+             {pair_dot} / (a.nrm * b.nrm) AS cosine
+      FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    WHERE cosine >= {threshold}
+    ORDER BY d1, d2
+    """
+
+
+@register(
+    "embedding_neardup_pairs",
+    oracle=_cosine_neardup_oracle(),
+    min_rows=0,  # a corpus may genuinely have no near-dup embeddings
+    doc="Embedding-cosine near-dup — the fifth dedup family: same-LSH-"
+    "bucket pairs with exact double-fold cosine >= threshold "
+    "(operators/similarity.py:cosine_near_dup_pairs). The driver's "
+    "synthetic embeddings have no planted near-dups (max pairwise cosine "
+    "~0.5), so the threshold sits at the distribution's high tail to "
+    "exercise the operator; at dedup-grade thresholds high-sim pairs "
+    "share buckets w.p. (1-θ/π)^planes. Fully oracle-checked via the "
+    "plane-literal SQL construction. Scale: candidate pairs per bucket, "
+    "never all-pairs; the threshold filter runs before any shuffle of "
+    "pair rows.",
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.3
+    ).orderBy("d1", "d2")
+
+
 @register(
     "corpus_prep",
     oracle="""
