@@ -132,3 +132,23 @@ def test_severity_rank_total_order(spark, values):
     for i, v in enumerate(values):
         want = fn.SEVERITY_ORDER.index(v) if v in fn.SEVERITY_ORDER else None
         assert got[i] == want, (v, got[i], want)  # case-sensitive, unknown → null
+
+
+TEXTY = st.text(
+    alphabet=st.sampled_from("abZ9 ,.!#'-\t"), min_size=0, max_size=60
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(TEXTY, min_size=1, max_size=20))
+def test_bpe_ish_tokens_match_python_re(spark, texts):
+    import re
+
+    pat = re.compile(text_ops.BPE_ISH_PATTERN)
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i int, t string")
+    got = {
+        r["i"]: r["toks"]
+        for r in df.select("i", text_ops.bpe_ish_tokens("t").alias("toks")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == pat.findall(t), (t, got[i])

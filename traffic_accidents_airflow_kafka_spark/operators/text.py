@@ -22,10 +22,30 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 
 
 def tokens(text: Column | str) -> Column:
-    """Whitespace tokenization (the BPE-ish regex variant:
-    ``F.split(col, r"\\s+|(?=[.,!?;])")`` — same shape, richer pattern)."""
+    """Whitespace tokenization — the cheap default every quality signal
+    builds on. See :func:`bpe_ish_tokens` for the pretokenizer variant."""
     c = F.col(text) if isinstance(text, str) else text
     return F.split(c, " ")
+
+
+#: BPE-style pretokenizer pattern: letter runs | single digits |
+#: punctuation runs. Deliberately RE2-compatible (no lookahead, no
+#: unicode property classes) so Java (Spark) and RE2 (DuckDB) agree
+#: match-for-match — the GPT-2 pattern's lookaheads don't port.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+"
+
+
+def bpe_ish_tokens(text: Column | str) -> Column:
+    """Pretokenizer-shaped tokenization (letters / digits / punctuation
+    split apart, digit runs broken up like modern BPE vocabularies do).
+    Counting these approximates LLM token counts far better than
+    whitespace words — the number every corpus-accounting rollup wants."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0)
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    return F.size(bpe_ish_tokens(text))
 
 
 def token_count(text: Column | str) -> Column:

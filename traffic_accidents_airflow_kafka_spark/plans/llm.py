@@ -539,6 +539,44 @@ def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "token_accounting",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '{text_ops.BPE_ISH_PATTERN}', 0)))
+                AS BIGINT) AS bpe_ish_tokens,
+           ROUND(SUM(len(regexp_extract_all(text, '{text_ops.BPE_ISH_PATTERN}', 0)))
+                 / CAST(SUM(len(string_split(text, ' '))) AS DOUBLE), 4)
+             AS tokens_per_word
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="Corpus token accounting: whitespace words vs BPE-ish pretokens "
+    "(letter runs / single digits / punct runs — an RE2-compatible "
+    "pattern so Spark's Java regex and DuckDB's RE2 agree match-for-"
+    "match; operators/text.py:bpe_ish_tokens). tokens_per_word is the "
+    "fertility estimate data budgets are priced in. Scale: pure codegen "
+    "regex per row, |langs| groups shuffle.",
+)
+def token_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ws = text_ops.token_count("text").cast("long")
+    bp = text_ops.bpe_ish_token_count("text").cast("long")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(ws).alias("ws_tokens"),
+            F.sum(bp).alias("bpe_ish_tokens"),
+            F.round(F.sum(bp) / F.sum(ws).cast("double"), 4).alias("tokens_per_word"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
     "lang_id_confusion",
     oracle="""
     WITH scored AS (
