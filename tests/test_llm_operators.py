@@ -152,3 +152,25 @@ def test_frame_sample_strides(docs):
     expected = [payload[i : i + 16] for i in range(0, len(payload), 16)]
     got = [bytes(r["frame"]) for r in sorted(frames, key=lambda r: r["frame_idx"])]
     assert got == expected
+
+
+def test_multimodal_embed_then_ann_composite(docs):
+    """The multimodal pipeline end to end: opaque payloads → Arrow-batched
+    feature extraction → the SAME similarity operator the embeddings table
+    uses — decode→embed→ANN composes with no glue. Identical payloads must
+    embed identically and rank each other cosine=1 nearest."""
+    assets = multimodal.documents_as_assets(docs)
+    emb = multimodal.embed_assets(assets, dim=16)
+    rows = {r["asset_id"]: r["embedding"] for r in emb.collect()}
+    assert rows[0] == rows[1]  # identical text → identical embedding
+    assert all(len(v) == 16 and all(-1.0 <= x < 1.0 for x in v) for v in rows.values())
+
+    from traffic_accidents_airflow_kafka_spark.operators import similarity
+
+    top1 = {
+        r["qid"]: (r["nid"], r["cosine"])
+        for r in similarity.cosine_topk(emb, id_col="asset_id", vec_col="embedding", k=1).collect()
+    }
+    # Doc 0 and its duplicate are each other's exact nearest neighbor.
+    assert top1[0][0] == 1 and top1[1][0] == 0
+    assert top1[0][1] == 1.0

@@ -10,7 +10,7 @@ from traffic_accidents_airflow_kafka_spark.plans import QUERY_REGISTRY
 
 #: Queries allowed a BroadcastNestedLoopJoin: the brute-force cosine
 #: baselines genuinely crossJoin a deliberately-tiny broadcast query set.
-CROSS_JOIN_OK = {"embedding_topk"}
+CROSS_JOIN_OK = {"embedding_topk", "multimodal_embed_ann"}
 
 #: Streaming entries build a streaming plan — skipped here (their shape is
 #: asserted in the streaming tests).
@@ -18,7 +18,7 @@ STREAMING = {"stream_window_counts"}
 
 #: Queries allowed Arrow-batched Python stages (mapInPandas/pandas_udf):
 #: the documented escape hatches, never row-at-a-time BatchEvalPython.
-ARROW_OK = {"multimodal_meta"}
+ARROW_OK = {"multimodal_meta", "multimodal_embed_ann"}
 
 
 @pytest.mark.parametrize("name", sorted(set(QUERY_REGISTRY) - STREAMING))

@@ -117,6 +117,53 @@ def documents_as_assets(documents: DataFrame) -> DataFrame:
     )
 
 
+def fake_embed(payload: bytes, dim: int = 64) -> list[float]:
+    """Deterministic feature-extraction stand-in: counter-mode SHA-256
+    over the payload expands to ``dim`` floats in [-1, 1). A real encoder
+    (CLIP, audio embedder…) swaps in here with the same signature.
+
+    The counter is appended as ASCII (``payload + b"0"``, ``+ b"1"`` …)
+    and every byte maps to an exact dyadic float (b/128 - 1), so the
+    whole embedding is reproducible in SQL for oracle checks."""
+    out: list[float] = []
+    counter = 0
+    while len(out) < dim:
+        h = hashlib.sha256(payload + str(counter).encode()).digest()
+        out.extend(b / 128.0 - 1.0 for b in h)
+        counter += 1
+    return out[:dim]
+
+
+def embed_assets(assets: DataFrame, dim: int = 64, embed=fake_embed) -> DataFrame:
+    """Feature extraction: payload → embedding column, Arrow-batched.
+
+    The output shape (id, array<float>) is exactly what the similarity
+    operators consume — decode → embed → ANN composes into the standard
+    multimodal dedup/retrieval pipeline with no glue."""
+    from pyspark.sql.types import ArrayType, FloatType
+
+    out_schema = StructType(
+        [
+            StructField("asset_id", LongType(), False),
+            StructField("embedding", ArrayType(FloatType()), True),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "embedding": [
+                        embed(p, dim) if p is not None else None
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return assets.mapInPandas(batches, out_schema)
+
+
 def frame_sample(assets: DataFrame, every_n_bytes: int = 32) -> DataFrame:
     """'Frame sampling' plumbing demo: slice the payload at a fixed byte
     stride (the video-frame analog), emitting (asset_id, frame_idx,

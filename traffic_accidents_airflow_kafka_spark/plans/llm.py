@@ -445,6 +445,68 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_embed_ann",
+    oracle="""
+    WITH hx AS (
+      SELECT doc_id AS asset_id,
+             sha256(text || '0') AS h0,
+             sha256(text || '1') AS h1
+      FROM documents
+    ),
+    emb AS (
+      SELECT asset_id,
+             list_transform(generate_series(1, 64), j ->
+               ((instr('0123456789abcdef',
+                       substr(CASE WHEN j <= 32 THEN h0 ELSE h1 END,
+                              2 * (CASE WHEN j <= 32 THEN j ELSE j - 32 END) - 1, 1)) - 1) * 16
+                + instr('0123456789abcdef',
+                        substr(CASE WHEN j <= 32 THEN h0 ELSE h1 END,
+                               2 * (CASE WHEN j <= 32 THEN j ELSE j - 32 END), 1)) - 1)
+               / 128.0 - 1.0
+             ) AS embedding
+      FROM hx
+    ),
+    q AS (SELECT asset_id AS qid, embedding AS qvec FROM emb WHERE asset_id < 10),
+    sims AS (
+      SELECT q.qid, e.asset_id AS nid,
+             list_sum(list_transform(generate_series(1, 64),
+                      i -> CAST(q.qvec[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+             / ( sqrt(list_sum(list_transform(generate_series(1, 64),
+                      i -> CAST(q.qvec[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE))))
+               * sqrt(list_sum(list_transform(generate_series(1, 64),
+                      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) )
+             AS cosine
+      FROM q JOIN emb e ON e.asset_id <> q.qid
+    )
+    SELECT qid, nid, rank, ROUND(cosine, 4) AS cosine FROM (
+      SELECT qid, nid, cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS INT) AS rank
+      FROM sims
+    )
+    WHERE rank <= 3
+    ORDER BY qid, rank
+    """,
+    doc="The multimodal composite flagship: opaque binary payloads → "
+    "Arrow-batched feature extraction (counter-mode sha256 stand-in for "
+    "a real encoder, operators/multimodal.py:embed_assets) → the same "
+    "exact cosine top-k the embeddings table uses — decode→embed→ANN "
+    "with no glue. Fully oracle-checked: ASCII counter suffix + exact "
+    "dyadic byte→float mapping reproduce the embeddings in SQL, so even "
+    "the Python feature stage hash-matches. Scale: embedding is one "
+    "Arrow pass over pruned payloads; search is the bounded-Q broadcast "
+    "pattern (LSH/IVF are the unbounded-Q paths).",
+)
+def multimodal_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    assets = multimodal.documents_as_assets(docs)
+    emb = multimodal.embed_assets(assets, dim=64)
+    qids = emb.select("asset_id").filter(F.col("asset_id") < 10)
+    return similarity.cosine_topk(emb, qids, "asset_id", "embedding", k=3).orderBy(
+        "qid", "rank"
+    )
+
+
+@register(
     "corpus_prep",
     oracle="""
     WITH dedup AS (
