@@ -8,7 +8,6 @@ import datetime as dt
 
 import pyspark.sql.functions as F
 
-from traffic_accidents_airflow_kafka_spark.streaming import core as streaming
 
 
 def _run(spark, src, checkpoint, out_dir):

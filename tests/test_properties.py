@@ -7,7 +7,6 @@ from __future__ import annotations
 
 import math
 
-import pyspark.sql.functions as F
 from hypothesis import given, settings
 from hypothesis import strategies as st
 

@@ -7,7 +7,6 @@ import datetime as dt
 import tempfile
 import uuid
 
-import pyspark.sql.functions as F
 import pytest
 
 from traffic_accidents_airflow_kafka_spark.streaming import stateful

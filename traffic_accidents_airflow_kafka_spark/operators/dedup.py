@@ -31,7 +31,7 @@ Scale notes (100 TB):
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 
 
 def text_hash(col: Column | str) -> Column:

@@ -9,7 +9,6 @@ windowed plan serves the live stream and the backfill.
 
 from __future__ import annotations
 
-import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..streaming import core as streaming
