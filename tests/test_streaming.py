@@ -168,3 +168,56 @@ def test_foreach_batch_streaming_upsert(spark, tmp_path):
     got = spark.read.parquet(sink)
     assert got.count() == 5  # idempotent sink absorbed the replay
     assert sorted(r["event_id"] for r in got.select("event_id").collect()) == [1, 2, 3, 4, 5]
+
+
+def test_streaming_publish_roundtrip_equals_batch(spark, sf_dir):
+    """The streaming S11 path end to end: a LIVE windowed aggregation,
+    payload-encoded per micro-batch inside foreachBatch (exactly where the
+    kafka write would attach), decoded with the consumer path — must equal
+    the batch computation. Streaming/batch unification across the whole
+    publish pipeline, not just the aggregate."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    events = streaming.stream_events(spark, sf_dir)
+    windowed = streaming.windowed_event_counts(events, "1 hour", "2 hours")
+
+    wire_rows = []
+    streaming.run_foreach_batch(
+        windowed,
+        spark,
+        lambda batch, _id: wire_rows.extend(
+            streaming.to_kafka_payload(batch).collect()
+        ),
+        output_mode="complete",
+    )
+    wire = spark.createDataFrame(
+        [("t", r["value"].encode()) for r in wire_rows], "topic string, value binary"
+    )
+    schema = StructType(
+        [
+            StructField("window_start", TimestampType()),
+            StructField("event_type", StringType()),
+            StructField("n_events", LongType()),
+            StructField("sum_value", DoubleType()),
+        ]
+    )
+    decoded = streaming.parse_kafka_messages(wire, schema).drop("topic")
+    got = sorted(map(tuple, decoded.collect()))
+
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("window_start"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want
