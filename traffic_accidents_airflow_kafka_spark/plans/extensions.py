@@ -111,3 +111,81 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", 0.5, 10_000).alias("approx_median_value"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@register(
+    "skew_salted_join",
+    oracle="""
+    WITH dim AS (
+      SELECT event_type, ROUND(AVG(value), 4) AS type_avg FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           MIN(d.type_avg) AS type_avg
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+    doc="Salted skew join (operators/skew.py:salted_join): events' "
+    "event_type has a handful of values, so EVERY key is hot — the "
+    "worst case for a shuffle join, where each key lands on one task. "
+    "Salting spreads each key over 8 sub-keys (dim replicated 8×), so "
+    "the hot keys parallelize; the salt column never escapes the "
+    "operator, which is why a plain-SQL oracle checks it. Scale: this "
+    "is the plan-level fix when hot keys are KNOWN; AQE skew-split "
+    "covers the unknown ones.",
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    events = load_table(spark, sf_dir, "events")
+    dim = events.groupBy("event_type").agg(F.round(F.avg("value"), 4).alias("type_avg"))
+    joined = salted_join(events, dim, "event_type", salt_buckets=8)
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum("value", "sum_value"),
+            F.min("type_avg").alias("type_avg"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "skew_two_phase_totals",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Two-phase skew aggregation (operators/skew.py:two_phase_agg): "
+    "partial aggregate on (key, salt) spreads a hot group over 8 tasks, "
+    "final aggregate merges on key — identical results for algebraic "
+    "aggregates (sums of sums, sums of counts), which the plain GROUP BY "
+    "oracle certifies. Scale: the groupBy analog of the salted join; "
+    "Spark's own partial aggregation handles ordinary skew, this handles "
+    "the pathological single-key-dominates case.",
+)
+def skew_two_phase_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import two_phase_agg
+
+    events = load_table(spark, sf_dir, "events")
+    out = two_phase_agg(
+        events,
+        ["event_type"],
+        {
+            "n_events": F.count(F.lit(1)),
+            "sum_value": F.sum(F.col("value").cast("decimal(18,2)")),
+        },
+        salt_buckets=8,
+    )
+    return out.select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("sum_value").cast("double").alias("sum_value"),
+    ).orderBy("event_type")
