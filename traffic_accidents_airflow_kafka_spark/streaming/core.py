@@ -71,7 +71,10 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    # Integer division: a double `/ 1000` rounds the ns count (int64 at
+    # ~1e18 exceeds double precision) and can land 1 us off the true
+    # truncation — visible the moment a query emits full-precision ts.
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def windowed_event_counts(
@@ -101,7 +104,10 @@ def windowed_event_counts(
 
 
 def run_available_now(
-    result: DataFrame, spark: SparkSession, state_partitions: int | None = None
+    result: DataFrame,
+    spark: SparkSession,
+    state_partitions: int | None = None,
+    output_mode: str = "complete",
 ) -> DataFrame:
     """Execute a streaming plan to completion over the data available now
     (the consumer-termination contract, kafka/consumer.py:30-36: consume
@@ -128,7 +134,7 @@ def run_available_now(
         q = (
             result.writeStream.format("memory")
             .queryName(name)
-            .outputMode("complete")
+            .outputMode(output_mode)
             .option("checkpointLocation", checkpoint)
             .trigger(availableNow=True)
             .start()
