@@ -92,3 +92,17 @@ def test_ivf_ann_recall_vs_exact(spark, sf_dir):
     assert hits / len(exact_top1) > 0.5
     # Every query produced a candidate (probe cells are never empty here).
     assert set(ivf_top1) == set(exact_top1)
+
+
+def test_ivf_handles_empty_and_tiny_corpora(spark):
+    """A 100 TB pipeline's first backfill starts empty — ANN build must
+    not crash on empty or smaller-than-k corpora."""
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert similarity.ivf_ann_topk(empty, n_centroids=4, n_probe=2, k=1).count() == 0
+
+    tiny = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in (1, 3, 5)],  # no id divisible by 4
+        "vec_id long, embedding array<float>",
+    )
+    out = similarity.ivf_ann_topk(tiny, n_centroids=8, n_probe=8, k=1).collect()
+    assert {r["qid"] for r in out} == {1, 3, 5}  # clamped centroids, all served

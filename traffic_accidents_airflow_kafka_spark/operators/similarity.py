@@ -218,7 +218,23 @@ def ivf_ann_topk(
         # on purpose: IVF needs roughly-balanced cells, not converged
         # clusters.
         sample = vectors.filter(F.col(id_col) % 4 == 0).select(vec_col).collect()
+        if not sample:
+            # Modulus missed every id (tiny/sparse corpus): fall back to a
+            # deterministic prefix so training still has input.
+            sample = (
+                vectors.orderBy(id_col)
+                .select(vec_col)
+                .limit(max(4 * n_centroids, 64))
+                .collect()
+            )
+        if not sample:
+            # Empty corpus (first backfill run): empty result, stable
+            # schema — don't crash the pipeline.
+            return vectors.sparkSession.createDataFrame(
+                [], "qid long, nid long, rank int, cosine double, cell int"
+            )
         X = np.array([r[vec_col] for r in sample], dtype=np.float64)
+        n_centroids = min(n_centroids, len(X))
         rng = np.random.default_rng(seed)
         cent = X[rng.choice(len(X), size=n_centroids, replace=False)].copy()
         for _ in range(5):
