@@ -174,3 +174,30 @@ def test_multimodal_embed_then_ann_composite(docs):
     # Doc 0 and its duplicate are each other's exact nearest neighbor.
     assert top1[0][0] == 1 and top1[1][0] == 0
     assert top1[0][1] == 1.0
+
+
+def test_pii_redaction_semantics(spark):
+    """Planted-PII fixtures pin the scrub: typed placeholders, email-
+    before-phone ordering, counts per class."""
+    rows = [
+        (1, "contact bob@example.com or +1 (555) 123-4567 via https://x.io/a?b=1"),
+        (2, "no pii here"),
+        (3, "mails a@b.co c@d.org and 555-123-4567"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    counts = text_ops.pii_counts("text")
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            counts["emails"].alias("e"),
+            counts["urls"].alias("u"),
+            counts["phones"].alias("p"),
+            text_ops.redact_pii("text").alias("red"),
+        ).collect()
+    }
+    assert (out[1]["e"], out[1]["u"], out[1]["p"]) == (1, 1, 1)
+    assert out[1]["red"] == "contact <EMAIL> or <PHONE> via <URL>"
+    assert out[2]["red"] == "no pii here"
+    assert (out[3]["e"], out[3]["p"]) == (2, 1)
+    assert out[3]["red"] == "mails <EMAIL> <EMAIL> and <PHONE>"

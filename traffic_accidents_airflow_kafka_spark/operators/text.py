@@ -97,6 +97,34 @@ ROLL_MOD = 2_147_483_647
 ROLL_MULT = 1_000_003
 
 
+#: PII patterns, deliberately RE2-compatible (no lookarounds) so Spark's
+#: Java regex and DuckDB's RE2 agree match-for-match. Redaction order
+#: matters: emails first (their user part can look like a phone), then
+#: URLs, then phones.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_URL = r"https?://[^ ]+"
+PII_PHONE = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
+
+
+def pii_counts(text: Column | str) -> dict[str, Column]:
+    """Occurrences of each PII class — the audit side of scrubbing."""
+    c = F.col(text) if isinstance(text, str) else text
+    return {
+        "emails": F.regexp_count(c, F.lit(PII_EMAIL)),
+        "urls": F.regexp_count(c, F.lit(PII_URL)),
+        "phones": F.regexp_count(c, F.lit(PII_PHONE)),
+    }
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace emails/URLs/phones with typed placeholders — the standard
+    pre-training scrub, as one codegen expression chain (no UDF)."""
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.regexp_replace(c, PII_EMAIL, "<EMAIL>")
+    c = F.regexp_replace(c, PII_URL, "<URL>")
+    return F.regexp_replace(c, PII_PHONE, "<PHONE>")
+
+
 def token_fingerprint(text: Column | str) -> Column:
     """Polynomial rolling hash over tokens:
     ``acc = (acc * 1000003 + h(token)) mod (2^31 - 1)`` with

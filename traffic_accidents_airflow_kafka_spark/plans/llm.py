@@ -680,6 +680,51 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pii_scrub_stats",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(text, '{text_ops.PII_EMAIL}'))) AS BIGINT) AS n_emails,
+           CAST(SUM(len(regexp_extract_all(text, '{text_ops.PII_URL}'))) AS BIGINT) AS n_urls,
+           CAST(SUM(len(regexp_extract_all(text, '{text_ops.PII_PHONE}'))) AS BIGINT) AS n_phones,
+           CAST(SUM(CASE WHEN regexp_replace(regexp_replace(regexp_replace(text,
+                    '{text_ops.PII_EMAIL}', '<EMAIL>', 'g'),
+                    '{text_ops.PII_URL}', '<URL>', 'g'),
+                    '{text_ops.PII_PHONE}', '<PHONE>', 'g') <> text
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_redacted
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="PII scrub audit — the standard pre-training redaction pass "
+    "(operators/text.py:pii_counts/redact_pii): per-language email/URL/"
+    "phone occurrence counts and how many docs change under redaction. "
+    "Patterns are RE2-compatible so the SQL oracle matches match-for-"
+    "match; redaction semantics (order, placeholders) are pinned by "
+    "planted-fixture unit tests — the synthetic corpus itself carries "
+    "no PII, which the all-zero counts certify. Scale: pure codegen "
+    "regex per row; |langs| groups shuffle.",
+)
+def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = text_ops.pii_counts("text")
+    redacted = text_ops.redact_pii("text")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(counts["emails"]).cast("bigint").alias("n_emails"),
+            F.sum(counts["urls"]).cast("bigint").alias("n_urls"),
+            F.sum(counts["phones"]).cast("bigint").alias("n_phones"),
+            F.sum(F.when(redacted != F.col("text"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_docs_redacted"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
     "doc_fingerprints",
     oracle=f"""
     SELECT doc_id,
