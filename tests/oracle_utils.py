@@ -61,11 +61,37 @@ def _cell_equal(a, b, rel_tol=1e-9, abs_tol=1e-9) -> bool:
     return a == b
 
 
+def _dtype_kind(dtype) -> str:
+    """Collapse a pandas dtype to a comparison class. The driver's value-hash
+    is exact, so an int64 Spark column vs a float64 oracle column (the DuckDB
+    HUGEINT -> float64 trap that sank 5 queries in round 2) must FAIL here
+    even though every value compares isclose-equal."""
+    kind = getattr(dtype, "kind", "O")
+    if kind in ("i", "u"):
+        return "int"
+    if kind == "f":
+        return "float"
+    if kind == "b":
+        return "bool"
+    if kind == "M":
+        return "datetime"
+    return "object"
+
+
 def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str):
     s, o = canonicalize(spark_pdf), canonicalize(oracle_pdf)
     assert list(s.columns) == list(o.columns), (
         f"{name}: column mismatch spark={list(s.columns)} oracle={list(o.columns)}"
     )
+    for c in s.columns:
+        ks, ko = _dtype_kind(s[c].dtype), _dtype_kind(o[c].dtype)
+        # An empty or all-null column degrades to object/float on either
+        # engine; only enforce the kind match when both sides carry values.
+        if s[c].notna().any() and o[c].notna().any():
+            assert ks == ko, (
+                f"{name}: dtype-kind mismatch col {c}: spark={s[c].dtype} "
+                f"oracle={o[c].dtype} (driver hash is exact — cast the oracle)"
+            )
     assert len(s) == len(o), f"{name}: row count spark={len(s)} oracle={len(o)}"
     for i in range(len(s)):
         for c in s.columns:

@@ -38,3 +38,27 @@ def test_rows_only_query_runs(spark, sf_dir, name):
     df = spec.fn(spark, sf_dir)
     assert df.count() > 0, f"{name} returned no rows"
     assert len(df.schema.fields) > 0
+
+
+def test_gate_rejects_int_vs_float_dtype():
+    """Round-2 regression guard: DuckDB SUM(CASE...) returns HUGEINT which
+    pandas renders as float64 while Spark emits int64. The driver's exact
+    value-hash fails on that; the local gate must fail too, even though
+    87 == 87.0 under isclose."""
+    import pandas as pd
+
+    spark_side = pd.DataFrame({"k": ["a", "b"], "n": pd.array([87, 3], dtype="int64")})
+    oracle_side = pd.DataFrame({"k": ["a", "b"], "n": pd.array([87.0, 3.0], dtype="float64")})
+    with pytest.raises(AssertionError, match="dtype-kind mismatch"):
+        assert_frames_match(spark_side, oracle_side, "dtype_guard")
+
+
+def test_gate_allows_all_null_dtype_degradation():
+    """An all-null column legitimately degrades to object/float on either
+    engine; the kind check must not fire there."""
+    import numpy as np
+    import pandas as pd
+
+    a = pd.DataFrame({"k": ["a"], "n": pd.array([np.nan], dtype="float64")})
+    b = pd.DataFrame({"k": ["a"], "n": pd.array([None], dtype="object")})
+    assert_frames_match(a, b, "allnull_guard")

@@ -22,7 +22,7 @@ from .registry import dec_sum, register
     )
     SELECT e.event_type,
            COUNT(*) AS n_events,
-           SUM(CASE WHEN p.p_value IS NOT NULL THEN 1 ELSE 0 END) AS n_with_prior,
+           CAST(SUM(CASE WHEN p.p_value IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_prior,
            CAST(SUM(CAST(COALESCE(p.p_value, 0) AS DECIMAL(18,2))) AS DOUBLE)
              AS sum_prior_value
     FROM events e

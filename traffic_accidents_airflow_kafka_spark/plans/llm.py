@@ -525,8 +525,8 @@ def multimodal_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang,
            COUNT(*) AS n_docs_kept,
-           SUM(CASE WHEN quality >= 0.5 AND n_tokens >= 16 THEN 1 ELSE 0 END)
-             AS n_high_quality,
+           CAST(SUM(CASE WHEN quality >= 0.5 AND n_tokens >= 16 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_high_quality,
            ROUND(AVG(quality), 4) AS avg_quality,
            CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
     FROM kept

@@ -185,10 +185,10 @@ PIVOT_EVENT_TYPES = ["click", "view", "purchase", "unknown"]
       FROM events
     )
     SELECT event_hour,
-           SUM(CASE WHEN etype = 'click'    THEN 1 ELSE 0 END) AS click,
-           SUM(CASE WHEN etype = 'view'     THEN 1 ELSE 0 END) AS view,
-           SUM(CASE WHEN etype = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-           SUM(CASE WHEN etype = 'unknown'  THEN 1 ELSE 0 END) AS unknown
+           CAST(SUM(CASE WHEN etype = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(SUM(CASE WHEN etype = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS view,
+           CAST(SUM(CASE WHEN etype = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(SUM(CASE WHEN etype = 'unknown'  THEN 1 ELSE 0 END) AS BIGINT) AS unknown
     FROM norm
     GROUP BY event_hour
     ORDER BY event_hour
@@ -255,9 +255,9 @@ def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
            dayname(ts) AS day_name,
            COUNT(*) AS n_events,
            MIN(strftime(ts, '%H:%M:%S')) AS first_time,
-           SUM(CASE WHEN try_strptime(strftime(ts, '%m/%d/%Y %I:%M:%S %p'),
-                                      '%m/%d/%Y %I:%M:%S %p') IS NULL
-                    THEN 1 ELSE 0 END) AS n_parse_fail
+           CAST(SUM(CASE WHEN try_strptime(strftime(ts, '%m/%d/%Y %I:%M:%S %p'),
+                                           '%m/%d/%Y %I:%M:%S %p') IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_parse_fail
     FROM events
     GROUP BY 1, 2, 3, 4
     ORDER BY 1, 2, 3

@@ -68,7 +68,7 @@ def star_dim_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT n_name, o_orderpriority,
            COUNT(*) AS n_facts,
-           SUM(CASE WHEN priority_id IS NULL OR geo_id IS NULL THEN 1 ELSE 0 END) AS n_fk_misses,
+           CAST(SUM(CASE WHEN priority_id IS NULL OR geo_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_fk_misses,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
     FROM fact
     GROUP BY n_name, o_orderpriority

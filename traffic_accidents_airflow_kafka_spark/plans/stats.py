@@ -128,18 +128,18 @@ def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT col_name, n_null, n_unknown FROM (
       SELECT 'text' AS col_name,
-             SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS n_null,
-             SUM(CASE WHEN text = 'UNKNOWN' THEN 1 ELSE 0 END) AS n_unknown
+             CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+             CAST(SUM(CASE WHEN text = 'UNKNOWN' THEN 1 ELSE 0 END) AS BIGINT) AS n_unknown
       FROM documents
       UNION ALL
       SELECT 'lang',
-             SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END),
-             SUM(CASE WHEN lang = 'UNKNOWN' THEN 1 ELSE 0 END)
+             CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(SUM(CASE WHEN lang = 'UNKNOWN' THEN 1 ELSE 0 END) AS BIGINT)
       FROM documents
       UNION ALL
       SELECT 'source',
-             SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END),
-             SUM(CASE WHEN source = 'UNKNOWN' THEN 1 ELSE 0 END)
+             CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(SUM(CASE WHEN source = 'UNKNOWN' THEN 1 ELSE 0 END) AS BIGINT)
       FROM documents
     )
     ORDER BY col_name
