@@ -40,6 +40,28 @@ def test_rows_only_query_runs(spark, sf_dir, name):
     assert len(df.schema.fields) > 0
 
 
+def test_judged_window_holds_every_tier0_query():
+    """The driver's correctness gate judges only the first JUDGED_WINDOW
+    entries of queries() (round 2: 55 registered, exactly 50 judged, the
+    5 extension queries silently unchecked). Tiering must keep every
+    tier-0 query inside the window and sort tier-0 strictly first."""
+    from traffic_accidents_airflow_kafka_spark.plans import registry
+
+    ordered = list(registry.queries())
+    tiers = [registry.QUERY_REGISTRY[n].tier for n in ordered]
+    n_judged = sum(1 for t in tiers if t == 0)
+    assert n_judged <= registry.JUDGED_WINDOW, (
+        f"{n_judged} tier-0 queries > judged window {registry.JUDGED_WINDOW}; "
+        "demote operator-redundant queries to tier=1"
+    )
+    assert tiers == sorted(tiers), "tier-0 queries must precede tier-1"
+    # Every demoted query must still carry an oracle or min_rows so the
+    # local gate covers what the driver no longer sees.
+    for name in ordered[registry.JUDGED_WINDOW:]:
+        spec = registry.QUERY_REGISTRY[name]
+        assert spec.oracle is not None or spec.min_rows > 0
+
+
 def test_gate_rejects_int_vs_float_dtype():
     """Round-2 regression guard: DuckDB SUM(CASE...) returns HUGEINT which
     pandas renders as float64 while Spark emits int64. The driver's exact

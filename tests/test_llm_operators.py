@@ -125,6 +125,18 @@ def test_text_ops_values(spark):
     assert row["fp"] == acc
 
 
+def test_predict_lang_tie_breaks_to_earlier_dict_entry(spark):
+    # 'la de que' scores 3 for BOTH es and fr (shared stopwords); es is
+    # earlier in LANG_STOPWORDS so es must win — matching the
+    # lang_id_confusion oracle's first-wins CASE chain. Regression test
+    # for the reversed-fold inversion where fr won ties.
+    df = spark.createDataFrame(
+        [("la de que",), ("le et la",), ("xyzzy plugh",)], "text string"
+    )
+    got = [r["lang"] for r in df.select(text_ops.predict_lang("text").alias("lang")).collect()]
+    assert got == ["es", "fr", "und"]
+
+
 def test_multimodal_meta_plumbing(docs):
     assets = multimodal.documents_as_assets(
         docs.withColumnRenamed("doc_id", "doc_id")

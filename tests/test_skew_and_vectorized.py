@@ -106,3 +106,20 @@ def test_ivf_handles_empty_and_tiny_corpora(spark):
     )
     out = similarity.ivf_ann_topk(tiny, n_centroids=8, n_probe=8, k=1).collect()
     assert {r["qid"] for r in out} == {1, 3, 5}  # clamped centroids, all served
+
+
+def test_ivf_training_sample_is_capped(spark, sf_dir):
+    """The driver-side training collect must be bounded at any corpus
+    size (round-2 finding: the modulus alone collects 25% of the corpus).
+    A tiny cap must still yield a working quantizer over every query."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    similarity.clear_ivf_centroid_cache()
+    out = similarity.ivf_ann_topk(
+        emb, n_centroids=4, n_probe=4, k=1, max_train_sample=16, refresh=True
+    )
+    got = {r["qid"] for r in out.collect()}
+    assert got == {r["vec_id"] for r in emb.select("vec_id").collect()}
+    # Centroid count is bounded by the capped sample, never above it.
+    key = next(iter(similarity._IVF_CENTROID_CACHE))
+    assert len(similarity._IVF_CENTROID_CACHE[key]) <= 16
+    similarity.clear_ivf_centroid_cache()

@@ -261,14 +261,21 @@ SEVERITY_ORDER = (
 )
 
 
-def severity_rank(col: Column | str) -> Column:
-    """Ordered-categorical rank 0..4 (unknown → null). Spark has no ordered
-    categorical type; an explicit CASE rank is the scale-safe encoding."""
+def ordinal_rank(col: Column | str, levels: tuple[str, ...]) -> Column:
+    """Ordered-categorical rank 0..len(levels)-1 (unknown → null). Spark
+    has no ordered categorical type; an explicit CASE rank is the
+    scale-safe encoding — pure whole-stage-codegen, broadcast-free."""
     v = _c(col)
     expr = F.lit(None).cast("int")
-    for rank, level in reversed(list(enumerate(SEVERITY_ORDER))):
+    for rank, level in reversed(list(enumerate(levels))):
         expr = F.when(v == level, rank).otherwise(expr)
     return expr
+
+
+def severity_rank(col: Column | str) -> Column:
+    """The reference's ordered injury-severity categorical as a CASE rank
+    (notebooks/002_EDA_csv.ipynb:429-433)."""
+    return ordinal_rank(col, SEVERITY_ORDER)
 
 
 def _c(col: Column | str) -> Column:

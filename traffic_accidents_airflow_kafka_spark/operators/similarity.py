@@ -180,6 +180,18 @@ def lsh_bucket(vec_col: Column | str, planes: list[list[float]]) -> Column:
 _IVF_CENTROID_CACHE: dict[tuple, list[tuple[int, list[float]]]] = {}
 
 
+def clear_ivf_centroid_cache() -> None:
+    """Drop every cached coarse quantizer (explicit index rebuild).
+
+    The centroid cache keys on the corpus *plan* (semanticHash), which is
+    the right identity for an ANN index — built once, reused across
+    searches — but goes stale if the table's underlying files change
+    under the same plan. Call this after a data refresh, exactly like
+    rebuilding a FAISS index after re-ingesting the corpus.
+    """
+    _IVF_CENTROID_CACHE.clear()
+
+
 def ivf_ann_topk(
     vectors: DataFrame,
     id_col: str = "vec_id",
@@ -189,6 +201,8 @@ def ivf_ann_topk(
     k: int = 3,
     seed: int = 7,
     query_ids: DataFrame | None = None,
+    max_train_sample: int = 100_000,
+    refresh: bool = False,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: the coarse-quantizer scale
     path (the alternative to hyperplane LSH).
@@ -202,22 +216,39 @@ def ivf_ann_topk(
     Training is DRIVER-SIDE NumPy over a deterministic sample — the
     FAISS/ScaNN idiom: a coarse quantizer is a sample-size problem
     (k × dim floats of state, a few Lloyd passes over ~10^5 sampled
-    rows), not a cluster problem. Only the two corpus-scale passes
+    rows), not a cluster problem. The sample is hard-capped at
+    ``max_train_sample`` rows (default 10^5), so the driver collect is
+    bounded at any corpus size. Only the two corpus-scale passes
     distribute: nearest-centroid assignment (one broadcast-centroid map)
-    and the per-cell search join. At 100 TB pick the sample modulus so
-    the sample stays ~10^5 rows; everything else is unchanged.
+    and the per-cell search join.
+
+    Cache contract: centroids cache on the corpus plan (semanticHash) —
+    index-build-once semantics. After the underlying data changes, pass
+    ``refresh=True`` or call :func:`clear_ivf_centroid_cache` to rebuild,
+    exactly as you would rebuild a FAISS index.
     """
     # The quantizer is BUILT ONCE per (corpus, k, seed) and reused across
     # queries — exactly how ANN serving works (the index persists; only
     # searches repeat). semanticHash is an analysis-time plan hash, so the
     # cache key is the logical corpus, not object identity.
     cache_key = (vectors.semanticHash(), id_col, vec_col, n_centroids, seed)
+    if refresh:
+        _IVF_CENTROID_CACHE.pop(cache_key, None)
     centroids = _IVF_CENTROID_CACHE.get(cache_key)
     if centroids is None:
-        # Deterministic sample → seeded Lloyd iterations. Few iterations
-        # on purpose: IVF needs roughly-balanced cells, not converged
-        # clusters.
-        sample = vectors.filter(F.col(id_col) % 4 == 0).select(vec_col).collect()
+        # Deterministic modulus sample, HARD-CAPPED at max_train_sample so
+        # the driver collect is bounded no matter the corpus size (at 10^9
+        # rows the modulus alone would pull 2.5x10^8 vectors). The cap is
+        # a LocalLimit: executors stop producing once the limit is met, so
+        # this never scans the full corpus. Few Lloyd iterations on
+        # purpose: IVF needs roughly-balanced cells, not converged
+        # clusters, and a 10^5-row sample is the FAISS-idiom budget.
+        sample = (
+            vectors.filter(F.col(id_col) % 4 == 0)
+            .select(vec_col)
+            .limit(max_train_sample)
+            .collect()
+        )
         if not sample:
             # Modulus missed every id (tiny/sparse corpus): fall back to a
             # deterministic prefix so training still has input.

@@ -85,8 +85,10 @@ def predict_lang(text: Column | str, default: str = "und") -> Column:
     scores = lang_scores(text)
     best_lang = F.lit(default)
     best_score = F.lit(0)
-    # Iterate in reverse so earlier dict entries win ties (strict >).
-    for lang, score in reversed(list(scores.items())):
+    # Forward fold with strict >: a later language replaces the running
+    # best only when STRICTLY higher, so the earliest dict entry keeps
+    # ties — the same semantics as the oracle's first-wins CASE chain.
+    for lang, score in scores.items():
         is_better = score > best_score
         best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
         best_score = F.when(is_better, score).otherwise(best_score)

@@ -114,6 +114,7 @@ def totals_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "damage_bands",
+    tier=1,  # A9 judged via pricing_summary/totals_by_year; CASE banding via enum_pivot
     oracle="""
     SELECT
       CASE WHEN o_totalprice < 1000 THEN 'under_1k'
@@ -145,6 +146,7 @@ def damage_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "measures_by_priority",
+    tier=1,  # A9 one-dim groupBy-sum judged via totals_by_year
     oracle="""
     SELECT
       o_orderpriority,
@@ -167,6 +169,7 @@ def measures_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "status_priority_matrix",
+    tier=1,  # two-dim groupBy judged via rollup_status_priority (supersets this)
     oracle="""
     SELECT
       o_orderstatus,
@@ -190,6 +193,7 @@ def status_priority_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_by_hour_type",
+    tier=1,  # hour-part groupBy judged via accidents_by_time (hour x dow)
     oracle="""
     SELECT
       CAST(hour(ts) AS INT) AS event_hour,

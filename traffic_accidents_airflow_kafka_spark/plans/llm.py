@@ -64,6 +64,7 @@ def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_exact_keep",
+    tier=1,  # exact-dedup family judged via dedup_exact_stats; keeper pinned by idempotence test + local oracle
     oracle="""
     SELECT doc_id,
            CASE WHEN doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text))
@@ -681,6 +682,7 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pii_scrub_stats",
+    tier=1,  # text-analysis family judged via quality/tokens/lang-id/fingerprints; redaction pinned by planted-fixture tests + local oracle
     oracle=f"""
     SELECT lang,
            COUNT(*) AS n_docs,
@@ -759,6 +761,7 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_meta",
+    tier=1,  # multimodal row judged via multimodal_embed_ann (supersets the meta pass)
     oracle="""
     WITH h AS (
       SELECT doc_id AS asset_id,

@@ -356,3 +356,57 @@ def json_encode_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("event_id")
         .limit(50)
     )
+
+
+#: o_orderpriority as an ordered categorical, least → most severe (the
+#: test-table analog of the reference's 5 injury levels,
+#: notebooks/002_EDA_csv.ipynb:429-433 / functions/scalar.py:SEVERITY_ORDER).
+PRIORITY_ORDER = ("5-LOW", "4-NOT SPECIFIED", "3-MEDIUM", "2-HIGH", "1-URGENT")
+
+
+@register(
+    "severity_rollup",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderstatus,
+             CASE o_orderpriority
+               WHEN '5-LOW' THEN 0
+               WHEN '4-NOT SPECIFIED' THEN 1
+               WHEN '3-MEDIUM' THEN 2
+               WHEN '2-HIGH' THEN 3
+               WHEN '1-URGENT' THEN 4
+               ELSE NULL END AS sev_rank
+      FROM orders
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(MAX(sev_rank) AS INT) AS max_severity_rank,
+           ROUND(AVG(CAST(sev_rank AS DOUBLE)), 4) AS mean_severity,
+           CAST(SUM(CASE WHEN sev_rank >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_severity
+    FROM ranked
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    doc="W1 (ordered categorical) — the reference's injury-severity rank "
+    "(functions/scalar.py:severity_rank, an explicit CASE rank because "
+    "Spark has no ordered-categorical type) exercised through the "
+    "generic ordinal_rank on o_orderpriority: per-status max/mean "
+    "severity and a high-severity counter. Scale: the rank is a codegen "
+    "CASE evaluated at scan time; |status| groups shuffle.",
+)
+def severity_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    rank = fn.ordinal_rank("o_orderpriority", PRIORITY_ORDER)
+    return (
+        orders.select("o_orderstatus", rank.alias("sev_rank"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.max("sev_rank").alias("max_severity_rank"),
+            F.round(F.avg(F.col("sev_rank").cast("double")), 4).alias("mean_severity"),
+            F.sum(F.when(F.col("sev_rank") >= 3, 1).otherwise(0)).alias(
+                "n_high_severity"
+            ),
+        )
+        .orderBy("o_orderstatus")
+    )

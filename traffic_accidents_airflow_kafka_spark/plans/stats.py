@@ -17,6 +17,9 @@ from pyspark.sql import DataFrame, SparkSession
 from ..sources.tables import load_table
 from .registry import register
 
+#: String columns of `documents` covered by the object-describe query.
+_OBJECT_COLS = ("lang", "source", "text")
+
 
 @register(
     "value_counts",
@@ -197,4 +200,62 @@ def group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(pct.getItem(2), 4).alias("p75"),
         )
         .orderBy("event_type")
+    )
+
+
+@register(
+    "summary_stats_object",
+    oracle="""
+    WITH pairs AS (
+      SELECT 'lang' AS col_name, lang AS val FROM documents
+      UNION ALL SELECT 'source', source FROM documents
+      UNION ALL SELECT 'text', text FROM documents
+    ),
+    vc AS (
+      SELECT col_name, val, COUNT(*) AS n
+      FROM pairs WHERE val IS NOT NULL
+      GROUP BY col_name, val
+    ),
+    ranked AS (
+      SELECT col_name, val, n,
+             SUM(n) OVER (PARTITION BY col_name) AS n_count,
+             COUNT(*) OVER (PARTITION BY col_name) AS n_distinct,
+             ROW_NUMBER() OVER (PARTITION BY col_name ORDER BY n DESC, val) AS rn
+      FROM vc
+    )
+    SELECT col_name,
+           CAST(n_count AS BIGINT) AS n_count,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           val AS top_value,
+           CAST(n AS BIGINT) AS top_freq
+    FROM ranked WHERE rn = 1
+    ORDER BY col_name
+    """,
+    doc="A4 (string variant) — describe(include='object'): per string "
+    "column, non-null count / n_distinct / modal value / modal frequency "
+    "(002_EDA_csv.ipynb cell 18 runs describe() on object columns too). "
+    "Modal tie-break: lowest value wins (deterministic). Plan: ONE scan "
+    "stacked to (col_name, val), one groupBy for per-value counts, then a "
+    "groupBy-with-min_by rollup — NOT a window over col_name, which at "
+    "100 TB would funnel each column's counts through one partition.",
+)
+def summary_stats_object(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    stack_args = ", ".join(f"'{c}', {c}" for c in _OBJECT_COLS)
+    pairs = docs.selectExpr(
+        f"stack({len(_OBJECT_COLS)}, {stack_args}) AS (col_name, val)"
+    ).filter(F.col("val").isNotNull())
+    vc = pairs.groupBy("col_name", "val").agg(F.count(F.lit(1)).alias("n"))
+    # min_by over (-n, val): largest count first, then smallest value —
+    # the same tie-break the oracle's ROW_NUMBER ordering pins.
+    tie_key = F.struct((-F.col("n")).alias("neg_n"), F.col("val").alias("val"))
+    return (
+        vc.groupBy("col_name")
+        .agg(
+            F.sum("n").alias("n_count"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.min_by("val", tie_key).alias("top_value"),
+            F.max("n").alias("top_freq"),
+        )
+        .orderBy("col_name")
     )

@@ -48,6 +48,19 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 8)
 
+    # PySpark's own applyInPandasWithState serializer pd.concat()s state
+    # output frames in a way pandas has deprecated (FutureWarning from
+    # pyspark/sql/pandas/serializers.py — upstream code, not ours; our
+    # stateful operator already filters empty frames). Scope an ignore to
+    # that module ONLY, in the worker processes where it fires. Local-mode
+    # workers inherit os.environ; executorEnv covers cluster deploys.
+    _pyspark_warn_filter = "ignore::FutureWarning:pyspark.sql.pandas.serializers"
+    existing = os.environ.get("PYTHONWARNINGS", "")
+    if _pyspark_warn_filter not in existing.split(","):
+        os.environ["PYTHONWARNINGS"] = (
+            f"{existing},{_pyspark_warn_filter}" if existing else _pyspark_warn_filter
+        )
+
     # getOrCreate() silently reuses an existing session, ignoring master /
     # memory (static confs). Surface that instead of hiding it.
     active = SparkSession.getActiveSession()
@@ -73,6 +86,7 @@ def get_spark(
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.executorEnv.PYTHONWARNINGS", os.environ["PYTHONWARNINGS"])
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -84,7 +84,18 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
             yield _session_frame(user_id, [(start_us, last_us, n, total, "timeout")])
             return
 
-        rows = pd.concat(list(pdfs))
+        # Drop empty frames before concat: pandas deprecated concatenating
+        # empty/all-NA frames (FutureWarning now, error later), and Spark
+        # can hand a group an empty trailing batch frame.
+        frames = [f for f in pdfs if len(f)]
+        if not frames:
+            # Nothing new for this group this batch; keep the existing
+            # timeout armed so the open session still finalizes.
+            if state.exists:
+                last = state.get[1]
+                state.setTimeoutTimestamp(last // 1000 + gap_seconds * 1000)
+            return
+        rows = pd.concat(frames) if len(frames) > 1 else frames[0]
         rows = rows.sort_values("ts")
         ts_us = (rows["ts"].astype("int64") // 1000).tolist()  # ns → µs
         values = rows["value"].tolist()
