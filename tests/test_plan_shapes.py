@@ -18,7 +18,10 @@ STREAMING = {"stream_window_counts"}
 
 #: Queries allowed Arrow-batched Python stages (mapInPandas/pandas_udf):
 #: the documented escape hatches, never row-at-a-time BatchEvalPython.
-ARROW_OK = {"multimodal_meta", "multimodal_embed_ann"}
+#: embedding_ivf_ann: vectorized cell assignment + per-cell matmul search
+#: (higher-order-function folds are interpreted, not codegen — the Arrow
+#: matmul is the scale path for |corpus| × n_centroids arithmetic).
+ARROW_OK = {"multimodal_meta", "multimodal_embed_ann", "embedding_ivf_ann"}
 
 
 @pytest.mark.parametrize("name", sorted(set(QUERY_REGISTRY) - STREAMING))

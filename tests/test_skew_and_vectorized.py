@@ -94,6 +94,29 @@ def test_ivf_ann_recall_vs_exact(spark, sf_dir):
     assert set(ivf_top1) == set(exact_top1)
 
 
+def test_ivf_vectorized_matches_exact_fold_path(spark, sf_dir):
+    """The Arrow matmul path and the exact HOF-fold path share centroids,
+    probing, and tie-breaks — same neighbors, cosines within float
+    re-association tolerance."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = similarity.ivf_ann_topk(emb, n_centroids=8, n_probe=3, k=2)
+    hof = similarity.ivf_ann_topk(
+        emb, n_centroids=8, n_probe=3, k=2, vectorized=False
+    )
+    vec_rows = {(r["qid"], r["rank"]): r for r in vec.collect()}
+    hof_rows = {(r["qid"], r["rank"]): r for r in hof.collect()}
+    assert set(vec_rows) == set(hof_rows)
+    agree = sum(
+        1
+        for key, r in vec_rows.items()
+        if r["nid"] == hof_rows[key]["nid"]
+        and abs(r["cosine"] - hof_rows[key]["cosine"]) < 1e-3
+        and r["cell"] == hof_rows[key]["cell"]
+    )
+    # Identical modulo rounding-induced rank swaps on near-equal cosines.
+    assert agree / len(vec_rows) > 0.95
+
+
 def test_ivf_handles_empty_and_tiny_corpora(spark):
     """A 100 TB pipeline's first backfill starts empty — ANN build must
     not crash on empty or smaller-than-k corpora."""

@@ -192,6 +192,128 @@ def clear_ivf_centroid_cache() -> None:
     _IVF_CENTROID_CACHE.clear()
 
 
+def _cell_assignments(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cent_mat: np.ndarray,
+    n_probe: int = 1,
+) -> DataFrame:
+    """Arrow-vectorized nearest-cell assignment: one ``mapInPandas`` stage
+    computing a whole-batch ``X @ C.T`` instead of an interpreted
+    higher-order-function fold per (row, centroid).
+
+    ``n_probe=1`` → the inverted-file assignment (argmin cell per vector);
+    ``n_probe>1`` → the query-side probe expansion (top-``n_probe`` cells
+    per vector, one output row each). Ties break to the lowest cell id on
+    both paths (np.argmin / stable argsort), matching the exact path's
+    ``array_sort((dist, cell))`` ordering.
+    """
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    base = df.select(id_col, vec_col)
+    out_schema = StructType(
+        list(base.schema.fields) + [StructField("cell", IntegerType())]
+    )
+    nb = min(n_probe, len(cent_mat))
+    cent_t = cent_mat.T.copy()
+    # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2; drop the per-row constant —
+    # it never changes the argmin/ordering over cells.
+    cent_sq = (cent_mat**2).sum(axis=1)
+
+    def fn(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            score = cent_sq - 2.0 * (X @ cent_t)
+            if nb == 1:
+                out = pdf[[id_col, vec_col]].copy()
+                out["cell"] = np.argmin(score, axis=1).astype(np.int32)
+                yield out
+            else:
+                order = np.argsort(score, axis=1, kind="stable")[:, :nb]
+                rep = pdf[[id_col, vec_col]].iloc[
+                    np.repeat(np.arange(len(pdf)), nb)
+                ]
+                rep = rep.copy()
+                rep["cell"] = order.reshape(-1).astype(np.int32)
+                yield rep
+
+    return base.mapInPandas(fn, out_schema)
+
+
+def _cell_search_vectorized(
+    probes: DataFrame,
+    cand: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+) -> DataFrame:
+    """Cogrouped per-cell search: for each cell, ONE queries×members cosine
+    matmul with per-query top-k — the IVF compute shape (|cell| work per
+    probe, never an exploded pair stream of interpreted folds). The shuffle
+    is keyed on cell; Lloyd's roughly-balanced cells keep it even, and a
+    pathologically hot cell is exactly what AQE skew-split handles.
+    """
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("qid", LongType()),
+            StructField("nid", LongType()),
+            StructField("cosine", DoubleType()),
+            StructField("cell", IntegerType()),
+        ]
+    )
+    empty = pd.DataFrame({"qid": [], "nid": [], "cosine": [], "cell": []})
+
+    def fn(key, qpdf, npdf):
+        if not len(qpdf) or not len(npdf):
+            return empty
+        (cell,) = key
+        Q = np.array(qpdf[vec_col].tolist(), dtype=np.float64)
+        N = np.array(npdf[vec_col].tolist(), dtype=np.float64)
+        qids = qpdf[id_col].to_numpy(dtype=np.int64)
+        nids = npdf[id_col].to_numpy(dtype=np.int64)
+        sims = (Q @ N.T) / np.outer(
+            np.linalg.norm(Q, axis=1), np.linalg.norm(N, axis=1)
+        )
+        frames = []
+        for i, qid in enumerate(qids):
+            mask = nids != qid
+            ids, vals = nids[mask], sims[i][mask]
+            if not len(ids):
+                continue
+            # Deterministic per-cell top-k: cosine desc, nid asc.
+            order = np.lexsort((ids, -vals))[:k]
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "qid": qid,
+                        "nid": ids[order],
+                        "cosine": vals[order],
+                        "cell": int(cell),
+                    }
+                )
+            )
+        return pd.concat(frames) if frames else empty
+
+    return (
+        probes.groupBy("cell")
+        .cogroup(cand.groupBy("cell"))
+        .applyInPandas(fn, out_schema)
+    )
+
+
 def ivf_ann_topk(
     vectors: DataFrame,
     id_col: str = "vec_id",
@@ -203,6 +325,7 @@ def ivf_ann_topk(
     query_ids: DataFrame | None = None,
     max_train_sample: int = 100_000,
     refresh: bool = False,
+    vectorized: bool = True,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: the coarse-quantizer scale
     path (the alternative to hyperplane LSH).
@@ -278,6 +401,29 @@ def ivf_ann_topk(
         centroids = [(i, [float(x) for x in c]) for i, c in enumerate(cent)]
         _IVF_CENTROID_CACHE[cache_key] = centroids
 
+    q_side = vectors
+    if query_ids is not None:
+        q_side = vectors.join(query_ids, id_col, "left_semi")
+
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    if vectorized:
+        # The scale path: Arrow-batched assignment + per-cell matmul
+        # search. Higher-order-function folds are interpreted (not
+        # codegen), so at |corpus| × n_centroids they dominate runtime;
+        # the matmul form does the same arithmetic 10-100× faster and
+        # never materializes an exploded pair stream.
+        cent_mat = np.array([c for _, c in centroids], dtype=np.float64)
+        assigned = _cell_assignments(vectors, id_col, vec_col, cent_mat, 1)
+        probes = _cell_assignments(q_side, id_col, vec_col, cent_mat, n_probe)
+        sim = _cell_search_vectorized(probes, assigned, id_col, vec_col, k)
+        return (
+            sim.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                "qid", "nid", "rank", F.round("cosine", 4).alias("cosine"), "cell"
+            )
+        )
+
     def dist2(cent: list[float]) -> Column:
         lit_c = F.array(*[F.lit(x) for x in cent])
         diff = F.zip_with(F.col(vec_col), lit_c, lambda a, b: a.cast("double") - b)
@@ -294,9 +440,6 @@ def ivf_ann_topk(
         F.col(vec_col),
         F.array_sort(cell_dists).getItem(0).getField("cell").alias("cell"),
     )
-    q_side = vectors
-    if query_ids is not None:
-        q_side = vectors.join(query_ids, id_col, "left_semi")
     probes = q_side.select(
         F.col(id_col).alias("qid"),
         F.col(vec_col).alias("qvec"),
@@ -320,7 +463,6 @@ def ivf_ann_topk(
             _dot_double(F.col("qvec"), F.col("nvec")) / (F.col("qnorm") * F.col("nnorm")),
         )
     )
-    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
     return (
         sim.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
