@@ -45,36 +45,56 @@ TOPICS = (
     "crossings_vs_lesions",
 )
 
-#: Streaming-read schema for events.parquet. ``ts`` arrives as
-#: TIMESTAMP(NANOS) which the vectorized reader maps to long under
-#: ``spark.sql.legacy.parquet.nanosAsLong`` (set in
-#: ``sources.tables.load_table``); the stream surfaces a true timestamp
-#: truncated to micros, same as the batch path.
-EVENTS_STREAM_SCHEMA = StructType(
-    [
+def _events_stream_schema(spark: SparkSession, sf_dir: str) -> StructType:
+    """Streaming-read schema for events.parquet, derived from the file.
+
+    readStream requires an explicit schema, but the generator's ``ts``
+    physical type has varied across environments (TIMESTAMP(NANOS) → long
+    under ``nanosAsLong``; TIMESTAMP(MICROS) → native timestamp_ntz).
+    Hard-coding either silently corrupts the other by 1000× — so sniff the
+    batch reader's resolved schema (footer-only, no data scan) and declare
+    the same ``ts`` type for the stream.
+    """
+    path = os.path.join(sf_dir, "events.parquet")
+    ts_type = spark.read.parquet(path).schema["ts"].dataType
+    fields = [
         StructField("event_id", LongType()),
-        StructField("ts", LongType()),
+        StructField("ts", ts_type),
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
         StructField("value", DoubleType()),
         StructField("props", StringType()),
     ]
-)
+    return StructType(fields)
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-backed events stream (S10 substitute source; the Kafka variant
-    swaps the source format only — downstream plan identical)."""
+    swaps the source format only — downstream plan identical).
+
+    Surfaces ``ts`` as session-zone TimestampType (UTC is pinned by
+    ``sources.tables.load_table``) whatever the file stores — long nanos,
+    timestamp_ntz micros, or a plain timestamp — so every downstream
+    consumer (windows, watermarks, unix_micros) sees one type.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = _events_stream_schema(spark, sf_dir)
     raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    # Integer division: a double `/ 1000` rounds the ns count (int64 at
-    # ~1e18 exceeds double precision) and can land 1 us off the true
-    # truncation — visible the moment a query emits full-precision ts.
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = dict(raw.dtypes)["ts"]
+    if ts_type == "bigint":
+        # Nanos-since-epoch long. Integer division: a double `/ 1000`
+        # rounds the ns count (int64 at ~1e18 exceeds double precision)
+        # and can land 1 us off the true truncation.
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type == "timestamp_ntz":
+        # Naive micros; reinterpret in UTC (identity under the pinned tz).
+        return raw.withColumn("ts", F.to_utc_timestamp(F.col("ts"), "UTC"))
+    return raw
 
 
 def windowed_event_counts(

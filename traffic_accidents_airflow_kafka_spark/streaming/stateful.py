@@ -26,6 +26,7 @@ from collections.abc import Iterator
 from typing import Any
 
 import pandas as pd
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
@@ -35,14 +36,19 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
-    TimestampType,
 )
 
-SESSION_SCHEMA = StructType(
+#: The Python-side exchange schema: epoch-µs LONGS, not timestamps.
+#: Timestamps never cross the Arrow boundary in either direction — the
+#: state serializer's timestamp rescaling is version-sensitive (observed:
+#: µs-count values labeled datetime64[ns] in the grouped frames, 1000×
+#: off), while int64 µs is unambiguous on every pyspark/pyarrow combo.
+#: ``sessionize`` converts JVM-side with unix_micros / timestamp_micros.
+_SESSION_US_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),
-        StructField("session_start", TimestampType()),
-        StructField("session_end", TimestampType()),
+        StructField("start_us", LongType()),
+        StructField("end_us", LongType()),
         StructField("n_events", IntegerType()),
         StructField("sum_value", DoubleType()),
         StructField("closed_by", StringType()),  # 'gap' | 'timeout'
@@ -96,8 +102,8 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
                 state.setTimeoutTimestamp(last // 1000 + gap_seconds * 1000)
             return
         rows = pd.concat(frames) if len(frames) > 1 else frames[0]
-        rows = rows.sort_values("ts")
-        ts_us = (rows["ts"].astype("int64") // 1000).tolist()  # ns → µs
+        rows = rows.sort_values("ts_us")
+        ts_us = rows["ts_us"].tolist()  # already epoch µs (JVM unix_micros)
         values = rows["value"].tolist()
 
         if state.exists:
@@ -127,22 +133,35 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
         return pd.DataFrame(
             {
                 "user_id": user_id,
-                "session_start": [pd.Timestamp(s[0], unit="us") for s in sessions],
-                "session_end": [pd.Timestamp(s[1], unit="us") for s in sessions],
+                "start_us": [s[0] for s in sessions],
+                "end_us": [s[1] for s in sessions],
                 "n_events": [s[2] for s in sessions],
                 "sum_value": [s[3] for s in sessions],
                 "closed_by": [s[4] for s in sessions],
             }
         )
 
+    # The watermarked event-time column ('ts') stays in the grouped input
+    # so the stateful operator tracks the watermark; the UDF itself reads
+    # only the long µs twin.
     return (
-        events.select("user_id", "ts", "value")
+        events.select(
+            "user_id", "ts", F.unix_micros("ts").alias("ts_us"), "value"
+        )
         .groupBy("user_id")
         .applyInPandasWithState(
             fn,
-            outputStructType=SESSION_SCHEMA,
+            outputStructType=_SESSION_US_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+        .select(
+            "user_id",
+            F.timestamp_micros("start_us").alias("session_start"),
+            F.timestamp_micros("end_us").alias("session_end"),
+            "n_events",
+            "sum_value",
+            "closed_by",
         )
     )
