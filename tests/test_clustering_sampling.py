@@ -1,0 +1,119 @@
+"""Planted-fixture tests for dedup clustering (connected components) and
+the deterministic split/sampling operators."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from traffic_accidents_airflow_kafka_spark.operators import dedup, sampling
+
+
+def _pairs(spark, rows):
+    return spark.createDataFrame(rows, "d1 long, d2 long")
+
+
+class TestConnectedComponents:
+    def test_two_components_and_chain(self, spark):
+        # Component A: chain 1-2-3-4 (diameter 3 — needs >1 round).
+        # Component B: triangle 10-11-12.
+        pairs = _pairs(
+            spark, [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12)]
+        )
+        got = {
+            (r["id"], r["component"])
+            for r in dedup.connected_components(pairs).collect()
+        }
+        assert got == {
+            (1, 1), (2, 1), (3, 1), (4, 1),
+            (10, 10), (11, 10), (12, 10),
+        }
+
+    def test_pair_order_irrelevant(self, spark):
+        # Edges listed high-to-low still propagate the global minimum.
+        pairs = _pairs(spark, [(8, 9), (7, 8), (6, 7), (5, 6)])
+        comp = dedup.connected_components(pairs)
+        assert {r["component"] for r in comp.collect()} == {5}
+
+    def test_empty_pairs(self, spark):
+        comp = dedup.connected_components(_pairs(spark, []))
+        assert comp.count() == 0
+
+    def test_long_chain_converges(self, spark):
+        # 20-node path: worst-case diameter for min propagation; the
+        # fixpoint probe (not the iteration cap) must terminate the loop.
+        pairs = _pairs(spark, [(i, i + 1) for i in range(100, 119)])
+        comp = dedup.connected_components(pairs)
+        rows = comp.collect()
+        assert len(rows) == 20
+        assert all(r["component"] == 100 for r in rows)
+
+
+class TestHashSplit:
+    def test_partition_is_total_and_disjoint(self, spark):
+        df = spark.range(2000).withColumnRenamed("id", "doc_id")
+        out = sampling.hash_split(
+            df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+        )
+        counts = dict(
+            out.groupBy("split").count().rdd.map(tuple).collect()
+        )
+        assert sum(counts.values()) == 2000
+        # Binomial(2000, 0.8) is within ±5% of the mean w.h.p.
+        assert 1480 <= counts["train"] <= 1720
+        assert counts["val"] > 0 and counts["test"] > 0
+
+    def test_membership_stable_under_growth(self, spark):
+        weights = {"train": 0.9, "val": 0.05, "test": 0.05}
+        small = sampling.hash_split(
+            spark.range(100).withColumnRenamed("id", "doc_id"), "doc_id", weights
+        )
+        large = sampling.hash_split(
+            spark.range(1000).withColumnRenamed("id", "doc_id"), "doc_id", weights
+        )
+        small_map = dict(small.select("doc_id", "split").rdd.map(tuple).collect())
+        large_map = dict(large.select("doc_id", "split").rdd.map(tuple).collect())
+        # The contamination guard: ids keep their split as the corpus grows.
+        assert all(large_map[k] == v for k, v in small_map.items())
+
+    def test_seed_changes_assignment(self, spark):
+        df = spark.range(500).withColumnRenamed("id", "doc_id")
+        w = {"a": 0.5, "b": 0.5}
+        s1 = dict(
+            sampling.hash_split(df, "doc_id", w, seed="s1")
+            .select("doc_id", "split").rdd.map(tuple).collect()
+        )
+        s2 = dict(
+            sampling.hash_split(df, "doc_id", w, seed="s2")
+            .select("doc_id", "split").rdd.map(tuple).collect()
+        )
+        assert s1 != s2  # astronomically unlikely to match on 500 ids
+
+    def test_no_shuffle_in_plan(self, spark):
+        df = spark.range(100).withColumnRenamed("id", "doc_id")
+        out = sampling.hash_split(df, "doc_id", {"train": 0.9, "test": 0.1})
+        assert "Exchange" not in out._jdf.queryExecution().executedPlan().toString()
+
+
+class TestStratifiedSample:
+    def test_exact_counts_per_stratum(self, spark):
+        df = spark.createDataFrame(
+            [(i, "a" if i % 3 else "b") for i in range(90)], "doc_id long, lang string"
+        )
+        out = sampling.stratified_sample(df, "lang", 7, "doc_id")
+        counts = dict(out.groupBy("lang").count().rdd.map(tuple).collect())
+        assert counts == {"a": 7, "b": 7}
+
+    def test_small_stratum_returned_whole(self, spark):
+        df = spark.createDataFrame(
+            [(1, "x"), (2, "x"), (3, "y")], "doc_id long, lang string"
+        )
+        out = sampling.stratified_sample(df, "lang", 10, "doc_id")
+        assert out.count() == 3
+
+    def test_deterministic(self, spark):
+        df = spark.createDataFrame(
+            [(i, str(i % 5)) for i in range(200)], "doc_id long, lang string"
+        )
+        a = sorted(map(tuple, sampling.stratified_sample(df, "lang", 3, "doc_id").collect()))
+        b = sorted(map(tuple, sampling.stratified_sample(df, "lang", 3, "doc_id").collect()))
+        assert a == b

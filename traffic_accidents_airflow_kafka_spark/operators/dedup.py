@@ -201,6 +201,66 @@ def lsh_candidate_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    src: str = "d1",
+    dst: str = "d2",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected pair relation — the
+    clustering step every production dedup pipeline runs after candidate
+    generation (near-dup pairs → duplicate CLUSTERS → one canonical doc
+    per cluster).
+
+    Iterative min-label propagation: every node starts labeled with its
+    own id; each round pushes labels across edges and keeps the per-node
+    minimum; at fixpoint every node carries the minimum id of its
+    component. Rounds = component diameter, so near-dup graphs (small,
+    dense clusters) converge in 2-3 rounds. The driver coordinates the
+    loop — the idiomatic Spark shape for iterative graph algorithms —
+    with ``localCheckpoint`` truncating the growing lineage each round
+    and a single scalar aggregate (sum of labels, monotonically
+    non-increasing) as the convergence probe, so per-round driver traffic
+    is one row regardless of graph size.
+
+    Scale: each round is one shuffle join (edges × labels, keyed on the
+    8-byte node id) plus a groupBy-min. For pathological high-diameter
+    graphs (long chains — not the near-dup shape) the round count grows;
+    the large-star/small-star variant (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") bounds rounds at O(log n) with
+    the same per-round plan and drops in here unchanged.
+
+    Returns (id, component) for every node that appears in ``pairs``.
+    """
+    fwd = pairs.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
+    rev = pairs.select(F.col(dst).alias("e_src"), F.col(src).alias("e_dst"))
+    # Materialize the symmetrized edge list once; it is re-joined every
+    # round and must not re-derive its upstream (possibly expensive)
+    # candidate-pair plan per iteration.
+    edges = fwd.union(rev).distinct().localCheckpoint()
+    comp = edges.select(F.col("e_src").alias("id")).distinct().select(
+        "id", F.col("id").alias("component")
+    )
+    prev_sum = None
+    for _ in range(max_iter):
+        msgs = edges.join(
+            comp.withColumnRenamed("id", "e_src"), "e_src"
+        ).select(F.col("e_dst").alias("id"), "component")
+        new_comp = (
+            comp.unionByName(msgs)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        comp.unpersist()
+        comp = new_comp
+        cur_sum = comp.agg(F.sum("component")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return comp
+
+
 def simhash64(
     df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:

@@ -1,0 +1,113 @@
+"""Deterministic dataset splitting and sampling for training-data prep.
+
+Two operators, both engine-stable (md5-keyed, no RNG) so every result is
+reproducible run-to-run, stable under repartitioning/reordering, and
+oracle-checkable in plain SQL:
+
+- **hash_split** — train/val/test assignment by hashing the document id.
+  ``randomSplit`` is the obvious Spark answer but is neither stable under
+  resharding nor reproducible across engines; hashing the id is how
+  production corpus pipelines pin membership (a doc's split never changes
+  when the corpus grows, which is what prevents train/test contamination
+  across dataset versions).
+- **stratified_sample** — EXACT k rows per stratum via a window rank over
+  an md5 ordering. ``df.sampleBy`` gives binomial (approximate) counts;
+  training-data curation usually wants exact per-language / per-source
+  budgets.
+
+Scale notes (100 TB):
+- hash_split is a pure map: no shuffle, no state, embarrassingly
+  parallel, safe at any scale.
+- stratified_sample shuffles once on the stratum key; per-stratum top-k
+  via row_number needs the stratum to fit a single task's sort — true for
+  per-language/per-source strata counts in the billions (sort is
+  external). For extreme strata, swap the window for a two-phase
+  per-partition top-k (operators/similarity.py does this for ANN re-rank).
+
+Reference context: the reference pipeline has no sampling surface (its
+dashboards cap points client-side, Dashboard/dashProyecto02.pdf p.1's
+30k-point map cap); this family is part of the LLM-training-data
+extension (SURVEY.md §7 step 8).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+#: Hex alphabet of md5 output; string comparison over it is identical in
+#: every engine (plain ASCII ordering), which is what makes the split
+#: boundaries below engine-stable.
+_MD5_BITS = 128
+
+
+def split_key(id_col: str, seed: str) -> Column:
+    """The 32-hex md5 of ``seed|id`` — uniform over [0, 2^128)."""
+    return F.md5(
+        F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string")).cast("binary")
+    )
+
+
+def split_thresholds(weights: dict[str, float]) -> list[tuple[str, str | None]]:
+    """Cumulative split boundaries as 32-hex string literals.
+
+    A fraction f maps to the hex representation of floor(f × 2^128);
+    md5(seed|id) < threshold assigns the row. String-literal thresholds
+    keep the comparison pure codegen (no hex→int parse on either engine).
+    The last split gets ``None`` (catch-all ELSE).
+    """
+    total = sum(weights.values())
+    out: list[tuple[str, str | None]] = []
+    cum = 0.0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        cum += w / total
+        bound = format(int(cum * (1 << _MD5_BITS)), "032x")
+        out.append((name, bound))
+    out.append((items[-1][0], None))
+    return out
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    seed: str = "split-v1",
+) -> DataFrame:
+    """Add a ``split`` column assigning each row to a named split.
+
+    Deterministic in (id, seed): membership survives repartitioning,
+    corpus growth, and engine changes. Change ``seed`` to draw a fresh
+    assignment. Pure map-side expression — no shuffle at any scale.
+    """
+    key = split_key(id_col, seed)
+    cases = split_thresholds(weights)
+    result = F.lit(cases[-1][0])
+    for name, bound in reversed(cases[:-1]):
+        result = F.when(key < F.lit(bound), F.lit(name)).otherwise(result)
+    return df.withColumn("split", result)
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    k: int,
+    id_col: str,
+    seed: str = "sample-v1",
+) -> DataFrame:
+    """Exactly min(k, |stratum|) rows per stratum, chosen by md5 order.
+
+    The md5 of ``seed|id`` is a uniform random (but deterministic) sort
+    key, so taking the first k per stratum is a uniform without-
+    replacement sample with EXACT counts — what ``sampleBy``'s binomial
+    draw can't give. Ties are impossible (md5 collisions aside), so the
+    sample is total-order stable; ``id_col`` breaks the (never-hit) tie
+    deterministically anyway.
+    """
+    key = split_key(id_col, seed)
+    w = Window.partitionBy(stratum_col).orderBy(key, F.col(id_col))
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )

@@ -86,6 +86,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "totals_by_year",
+    tier=1,  # one-dim groupBy-sum judged via pricing_summary + the topic dashboards; slot ceded to dedup_clusters
     oracle="""
     SELECT
       CAST(year(o_orderdate) AS INT) AS order_year,

@@ -18,7 +18,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators import dedup, multimodal, similarity, text as text_ops
+from ..operators import dedup, multimodal, sampling, similarity, text as text_ops
 from ..sources.tables import load_table
 from .registry import register
 
@@ -797,3 +797,163 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     assets = multimodal.documents_as_assets(docs)
     return multimodal.extract_asset_meta(assets).orderBy("asset_id").limit(100)
+
+
+# ---------------------------------------------------------------------------
+# Dedup clustering + dataset splitting/sampling (training-data curation).
+# ---------------------------------------------------------------------------
+
+
+def _cluster_oracle() -> str:
+    # The recursive min-label reachability mirrors the Spark loop exactly:
+    # a component's minimum id reaches every member (the r.c < e.dst prune
+    # only blocks labels that could never be the minimum at that node).
+    return (
+        _SHINGLE_CTE.replace("WITH words", "WITH RECURSIVE words")
+        + """,
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    jpairs AS (
+      SELECT i.d1, i.d2
+      FROM inter i
+      JOIN sizes s1 ON i.d1 = s1.doc_id
+      JOIN sizes s2 ON i.d2 = s2.doc_id
+      WHERE i.n_common / CAST(s1.sz + s2.sz - i.n_common AS DOUBLE) >= 0.5
+    ),
+    edges AS (
+      SELECT d1 AS src, d2 AS dst FROM jpairs
+      UNION
+      SELECT d2 AS src, d1 AS dst FROM jpairs
+    ),
+    reach(id, c) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.c FROM reach r JOIN edges e ON r.id = e.src
+      WHERE r.c < e.dst
+    ),
+    comp AS (SELECT id, MIN(c) AS cluster_id FROM reach GROUP BY id),
+    csz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY 1)
+    SELECT comp.id AS doc_id, comp.cluster_id, csz.cluster_size,
+           comp.id = comp.cluster_id AS is_canonical
+    FROM comp JOIN csz USING (cluster_id)
+    ORDER BY cluster_id, doc_id
+    """
+    )
+
+
+@register(
+    "dedup_clusters",
+    oracle=_cluster_oracle(),
+    min_rows=0,  # a corpus with no near-dup pairs legitimately clusters nothing
+    doc="Dedup CLUSTERING — the step after candidate pairs that every "
+    "production dedup run needs: near-dup pairs (word-3-gram Jaccard "
+    ">= 0.5) -> connected components -> per-doc cluster id, cluster "
+    "size, canonical flag (lowest id survives, the distributed analog "
+    "of the reference's first-writer-wins ON CONFLICT DO NOTHING, "
+    "dags/etl_crash_traffic.py:693-787). Spark side is iterative "
+    "min-label propagation (operators/dedup.py:connected_components): "
+    "driver-coordinated loop, one shuffle join + groupBy-min per round, "
+    "localCheckpoint lineage truncation, scalar-sum convergence probe; "
+    "rounds = component diameter (2-3 for near-dup cliques; "
+    "large-star/small-star is the documented O(log n) upgrade). The "
+    "oracle replays it as a recursive min-label CTE — a genuinely "
+    "iterative algorithm, still SQL-checkable.",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.word_shingles(docs, "doc_id", "text", n=3)
+    pairs = dedup.jaccard_pairs(sh, "doc_id").filter(F.col("jaccard") >= 0.5)
+    comp = dedup.connected_components(pairs, "d1", "d2")
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        comp.join(F.broadcast(sizes), "component")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("component").alias("cluster_id"),
+            "cluster_size",
+            (F.col("id") == F.col("component")).alias("is_canonical"),
+        )
+        .orderBy("cluster_id", "doc_id")
+    )
+
+
+def _split_oracle() -> str:
+    bounds = sampling.split_thresholds({"train": 0.9, "val": 0.05, "test": 0.05})
+    (t_name, t1), (v_name, t2), (rest_name, _) = bounds
+    key = "md5('split-v1|' || CAST(doc_id AS VARCHAR))"
+    return f"""
+    WITH assigned AS (
+      SELECT lang, text,
+             CASE WHEN {key} < '{t1}' THEN '{t_name}'
+                  WHEN {key} < '{t2}' THEN '{v_name}'
+                  ELSE '{rest_name}' END AS split
+      FROM documents
+    )
+    SELECT split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           COUNT(DISTINCT lang) AS n_langs
+    FROM assigned
+    GROUP BY split
+    ORDER BY split
+    """
+
+
+@register(
+    "dataset_split_stats",
+    tier=1,  # extended training-data surface; split hashing shares the judged md5 machinery
+    oracle=_split_oracle(),
+    doc="Deterministic train/val/test split (90/5/5) by md5(seed|doc_id) "
+    "against precomputed 2^128-scaled hex boundaries "
+    "(operators/sampling.py:hash_split) — reproducible across engines "
+    "and dataset versions, unlike randomSplit; membership never changes "
+    "as the corpus grows (the contamination guard). Scale: pure map-side "
+    "CASE, no shuffle; the rollup is |splits| groups.",
+)
+def dataset_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = sampling.hash_split(
+        docs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}, seed="split-v1"
+    )
+    toks = text_ops.token_count("text")
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(toks).cast("bigint").alias("total_tokens"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .orderBy("split")
+    )
+
+
+@register(
+    "stratified_sample",
+    tier=1,  # extended training-data surface; window top-k judged via group_percentiles/star_dim_date windows
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, lang, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5('sample-v1|' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT doc_id, lang, source FROM ranked WHERE rk <= 10
+    ORDER BY lang, doc_id
+    """,
+    doc="Exact stratified sampling: 10 docs per language, chosen by "
+    "deterministic md5 order (operators/sampling.py:stratified_sample) — "
+    "exact per-stratum budgets that sampleBy's binomial draw can't "
+    "guarantee, reproducible run-to-run. Scale: one shuffle on the "
+    "stratum key; external sort per stratum; two-phase per-partition "
+    "top-k is the documented upgrade for billion-row strata.",
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    samp = sampling.stratified_sample(docs, "lang", 10, "doc_id", seed="sample-v1")
+    return samp.select("doc_id", "lang", "source").orderBy("lang", "doc_id")
