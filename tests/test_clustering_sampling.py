@@ -117,3 +117,44 @@ class TestStratifiedSample:
         a = sorted(map(tuple, sampling.stratified_sample(df, "lang", 3, "doc_id").collect()))
         b = sorted(map(tuple, sampling.stratified_sample(df, "lang", 3, "doc_id").collect()))
         assert a == b
+
+
+class TestTokenShards:
+    def test_budget_overflow_bounded_by_one_doc(self, spark):
+        df = spark.createDataFrame(
+            [(i, "x", 10 + (i % 7)) for i in range(100)],
+            "doc_id long, lang string, n_tokens int",
+        )
+        out = sampling.token_shards(df, "doc_id", "n_tokens", 50, "lang")
+        per_shard = (
+            out.groupBy("shard_id")
+            .agg(F.sum("n_tokens").alias("t"), F.max("n_tokens").alias("mx"))
+            .collect()
+        )
+        # A shard opens while under budget, so it exceeds 50 by at most
+        # its last doc's tokens.
+        assert all(r["t"] <= 50 + r["mx"] for r in per_shard)
+
+    def test_shards_are_contiguous_id_ranges(self, spark):
+        df = spark.createDataFrame(
+            [(i, "a" if i < 50 else "b", 9) for i in range(100)],
+            "doc_id long, lang string, n_tokens int",
+        )
+        out = sampling.token_shards(df, "doc_id", "n_tokens", 45, "lang")
+        rows = out.select("lang", "doc_id", "shard_id").collect()
+        by_lang = {}
+        for r in rows:
+            by_lang.setdefault(r["lang"], []).append((r["doc_id"], r["shard_id"]))
+        for pairs in by_lang.values():
+            pairs.sort()
+            shard_seq = [s for _, s in pairs]
+            assert shard_seq == sorted(shard_seq)  # monotone along doc order
+
+    def test_total_tokens_preserved(self, spark):
+        df = spark.createDataFrame(
+            [(i, "x", i % 13 + 1) for i in range(200)],
+            "doc_id long, lang string, n_tokens int",
+        )
+        out = sampling.token_shards(df, "doc_id", "n_tokens", 64, "lang")
+        total = out.agg(F.sum("n_tokens")).first()[0]
+        assert total == sum(i % 13 + 1 for i in range(200))

@@ -88,6 +88,38 @@ def hash_split(
     return df.withColumn("split", result)
 
 
+def token_shards(
+    df: DataFrame,
+    order_col: str,
+    token_col: str,
+    budget: int,
+    partition_col: str | None = None,
+) -> DataFrame:
+    """Assign each row to a ~``budget``-token shard — the manifest step
+    that turns a curated corpus into bounded work units for a training
+    run (one shard ≈ one data file / one loader task).
+
+    Sequential cumulative packing: rows ordered by ``order_col`` within
+    ``partition_col``; a row lands in shard ``floor(tokens_before /
+    budget)``, so shards fill to the budget and can overflow by at most
+    one document (the standard corpus-sharding approximation of bin
+    packing — exact first-fit is inherently sequential and buys little
+    for near-uniform doc lengths).
+
+    Scale: the window partitions by ``partition_col`` (e.g. language), so
+    the cumulative sum is per-partition external sort, not a global
+    total order. For a single giant stream, the two-phase cumsum
+    (per-partition partials, broadcast running offsets) replaces the
+    window with map-side arithmetic — same output, no single-task sort.
+    """
+    part = F.col(partition_col) if partition_col is not None else F.lit(0)
+    w = Window.partitionBy(part).orderBy(F.col(order_col))
+    cum_before = F.sum(token_col).over(w) - F.col(token_col)
+    return df.withColumn(
+        "shard_id", F.floor(cum_before / F.lit(budget)).cast("bigint")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     stratum_col: str,

@@ -957,3 +957,56 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     samp = sampling.stratified_sample(docs, "lang", 10, "doc_id", seed="sample-v1")
     return samp.select("doc_id", "lang", "source").orderBy("lang", "doc_id")
+
+
+@register(
+    "token_shard_manifest",
+    tier=1,  # extended training-data surface; window-cumsum machinery judged via star_dim_date/group_percentiles
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    sharded AS (
+      SELECT lang, doc_id, n_tokens,
+             CAST(FLOOR((SUM(n_tokens) OVER (
+                 PARTITION BY lang ORDER BY doc_id
+                 ROWS UNBOUNDED PRECEDING) - n_tokens) / 512.0) AS BIGINT)
+               AS shard_id
+      FROM toks
+    )
+    SELECT lang, shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM sharded
+    GROUP BY lang, shard_id
+    ORDER BY lang, shard_id
+    """,
+    doc="Token-budget shard manifest: docs packed into ~512-token shards "
+    "per language by cumulative-sum chunking "
+    "(operators/sampling.py:token_shards) — the manifest that turns a "
+    "curated corpus into bounded loader work units. Scale: the window "
+    "partitions by language (per-partition external sort, no global "
+    "total order); two-phase cumsum is the documented upgrade for one "
+    "giant stream.",
+)
+def token_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", text_ops.token_count("text").alias("n_tokens")
+    )
+    sharded = sampling.token_shards(
+        toks, "doc_id", "n_tokens", budget=512, partition_col="lang"
+    )
+    return (
+        sharded.groupBy("lang", "shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("shard_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("lang", "shard_id")
+    )
