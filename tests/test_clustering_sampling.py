@@ -158,3 +158,69 @@ class TestTokenShards:
         out = sampling.token_shards(df, "doc_id", "n_tokens", 64, "lang")
         total = out.agg(F.sum("n_tokens")).first()[0]
         assert total == sum(i % 13 + 1 for i in range(200))
+
+
+class TestGroupCentroids:
+    def test_planted_centroids(self, spark):
+        from traffic_accidents_airflow_kafka_spark.operators import similarity
+
+        df = spark.createDataFrame(
+            [
+                ("a", [1.0, 2.0]),
+                ("a", [3.0, 4.0]),
+                ("b", [10.0, 0.0]),
+            ],
+            "g string, vec array<double>",
+        )
+        rows = {
+            (r["g"], r["pos"]): r["centroid"]
+            for r in similarity.group_centroids(df, "g", "vec").collect()
+        }
+        assert rows == {
+            ("a", 1): 2.0, ("a", 2): 3.0,
+            ("b", 1): 10.0, ("b", 2): 0.0,
+        }
+
+
+class TestComponentsVsUnionFind:
+    def test_seeded_random_graph_matches_union_find(self, spark):
+        import random
+
+        rng = random.Random(42)
+        nodes = list(range(60))
+        edges = [
+            (rng.choice(nodes), rng.choice(nodes)) for _ in range(45)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+
+        for a, b in edges:
+            union(a, b)
+        # Min-id per component, only for nodes that appear in an edge.
+        expected = {}
+        edge_nodes = {n for e in edges for n in e}
+        for n in edge_nodes:
+            root = find(n)
+            expected[n] = min(
+                m for m in edge_nodes if find(m) == root
+            )
+
+        pairs = spark.createDataFrame(edges, "d1 long, d2 long")
+        got = {
+            r["id"]: r["component"]
+            for r in dedup.connected_components(pairs).collect()
+        }
+        assert got == expected

@@ -549,3 +549,28 @@ def lsh_ann_topk(
         .filter(F.col("rank") <= k)
         .select("qid", "nid", "rank", F.round("cosine", 4).alias("cosine"), "bucket")
     )
+
+
+def group_centroids(
+    df: DataFrame, group_col: str, vec_col: str
+) -> DataFrame:
+    """Per-group vector centroid in LONG form: (group, pos, centroid)
+    rows, pos 1-based — elementwise mean of the group's embeddings.
+
+    The vector-aggregation shape (class centroids for analysis, IVF
+    warm starts, prototype-based labeling) expressed scale-first:
+    ``posexplode`` turns each vector into (group, pos, value) rows, so
+    the aggregate is an ordinary two-phase hash aggregate over
+    |groups| x dim cells — partials combine map-side, no group ever
+    needs its vectors materialized together (``collect_list`` + fold
+    per group would, and dies on a billion-row group). Reassemble with
+    ``array_agg`` sorted by pos if a wide array is needed downstream.
+    """
+    exploded = df.select(
+        F.col(group_col),
+        F.posexplode(F.col(vec_col)).alias("pos", "v"),
+    )
+    return (
+        exploded.groupBy(group_col, (F.col("pos") + 1).alias("pos"))
+        .agg(F.avg(F.col("v").cast("double")).alias("centroid"))
+    )

@@ -1010,3 +1010,29 @@ def token_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "shard_id")
     )
+
+
+@register(
+    "embedding_centroids",
+    tier=1,  # extended surface; vector-agg shape shares the judged hash-agg machinery
+    oracle="""
+    SELECT label, s.i AS pos,
+           ROUND(AVG(CAST(embedding[s.i] AS DOUBLE)), 4) AS centroid
+    FROM embeddings, generate_series(1, 64) AS s(i)
+    GROUP BY label, s.i
+    ORDER BY label, pos
+    """,
+    doc="Per-label embedding centroids (class prototypes) in long form: "
+    "posexplode -> two-phase hash aggregate over |labels| x dim cells "
+    "(operators/similarity.py:group_centroids) — no group ever "
+    "materializes its vectors together, so a billion-row label is fine. "
+    "Inherently-float mean, so ROUND(4) on both sides per the registry "
+    "parity rules. Scale: the shuffle carries (label, pos, partial "
+    "sum/count) — fixed cardinality regardless of corpus size.",
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.group_centroids(emb, "label", "embedding")
+    return cents.select(
+        "label", "pos", F.round("centroid", 4).alias("centroid")
+    ).orderBy("label", "pos")
