@@ -224,3 +224,28 @@ class TestComponentsVsUnionFind:
             for r in dedup.connected_components(pairs).collect()
         }
         assert got == expected
+
+
+class TestGlobalCumsum:
+    def test_matches_naive_window(self, spark):
+        from pyspark.sql import Window
+
+        df = spark.createDataFrame(
+            [(i * 7 % 1000, (i % 17) + 1) for i in range(1000)],
+            "k long, v long",
+        )
+        two_phase = sampling.global_cumsum(df, "k", "v", out_col="c")
+        w = Window.orderBy("k")
+        naive = df.withColumn("c", F.sum("v").over(w) - F.col("v"))
+        assert sorted(map(tuple, two_phase.select("k", "v", "c").collect())) == \
+            sorted(map(tuple, naive.select("k", "v", "c").collect()))
+
+    def test_no_global_single_partition_sort(self, spark):
+        df = spark.range(1000).withColumn("v", F.lit(1))
+        plan = (
+            sampling.global_cumsum(df, "id", "v")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # The data-path window partitions by __pid; only the tiny offsets
+        # relation may use an unpartitioned window.
+        assert "windowspecdefinition(__pid" in plan

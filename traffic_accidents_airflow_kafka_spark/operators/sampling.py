@@ -88,6 +88,49 @@ def hash_split(
     return df.withColumn("split", result)
 
 
+def global_cumsum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "cum_before",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """EXCLUSIVE prefix sum over a total order — without the single-task
+    global sort a ``Window.orderBy`` with no partition key degenerates to.
+
+    Two-phase: range-partition on the order column (so partition i holds
+    a contiguous key range below partition i+1), cumsum within each
+    partition, then add each partition's broadcast offset (the sum of all
+    earlier partitions). The offset relation is |partitions| rows — the
+    only single-task step operates on that, never on the data. Identical
+    output to the naive global window for any unique ``order_col``.
+
+    This is the classic parallel scan (Blelloch) in DataFrame form; the
+    shuffle is the same range exchange a global sort would need, but the
+    sort and the running sum stay per-partition.
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n, F.col(order_col))
+    with_pid = ranged.withColumn("__pid", F.spark_partition_id())
+    w = Window.partitionBy("__pid").orderBy(F.col(order_col))
+    local = with_pid.withColumn(
+        "__local_cum", F.sum(value_col).over(w) - F.col(value_col)
+    )
+    totals = with_pid.groupBy("__pid").agg(F.sum(value_col).alias("__ptotal"))
+    # |partitions| rows: the running offset is a tiny single-task window,
+    # then broadcast back. (Catalyst reuses the range exchange for both
+    # branches via ReuseExchange, so the data shuffles once.)
+    wo = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "__offset", F.coalesce(F.sum("__ptotal").over(wo), F.lit(0))
+    ).select("__pid", "__offset")
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, F.col("__local_cum") + F.col("__offset"))
+        .drop("__pid", "__local_cum")
+    )
+
+
 def token_shards(
     df: DataFrame,
     order_col: str,
@@ -106,14 +149,19 @@ def token_shards(
     packing — exact first-fit is inherently sequential and buys little
     for near-uniform doc lengths).
 
-    Scale: the window partitions by ``partition_col`` (e.g. language), so
-    the cumulative sum is per-partition external sort, not a global
-    total order. For a single giant stream, the two-phase cumsum
-    (per-partition partials, broadcast running offsets) replaces the
-    window with map-side arithmetic — same output, no single-task sort.
+    Scale: with ``partition_col`` (e.g. language) the window partitions
+    by it — per-stratum external sort, no global total order. Without
+    one, the naive global window would funnel the whole corpus through a
+    single task, so the global path routes through :func:`global_cumsum`
+    (range partition + per-partition scan + broadcast offsets) instead —
+    same output, fully parallel.
     """
-    part = F.col(partition_col) if partition_col is not None else F.lit(0)
-    w = Window.partitionBy(part).orderBy(F.col(order_col))
+    if partition_col is None:
+        cum = global_cumsum(df, order_col, token_col, out_col="__cb")
+        return cum.withColumn(
+            "shard_id", F.floor(F.col("__cb") / F.lit(budget)).cast("bigint")
+        ).drop("__cb")
+    w = Window.partitionBy(F.col(partition_col)).orderBy(F.col(order_col))
     cum_before = F.sum(token_col).over(w) - F.col(token_col)
     return df.withColumn(
         "shard_id", F.floor(cum_before / F.lit(budget)).cast("bigint")

@@ -1036,3 +1036,52 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cents.select(
         "label", "pos", F.round("centroid", 4).alias("centroid")
     ).orderBy("label", "pos")
+
+
+@register(
+    "token_shards_global",
+    tier=1,  # extended surface; the per-stratum variant is the broader-judged twin
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    sharded AS (
+      SELECT doc_id, n_tokens,
+             CAST(FLOOR((SUM(n_tokens) OVER (
+                 ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens)
+                 / 2048.0) AS BIGINT) AS shard_id
+      FROM toks
+    )
+    SELECT shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM sharded
+    GROUP BY shard_id
+    ORDER BY shard_id
+    """,
+    doc="Whole-corpus shard manifest over ONE total order (no stratum "
+    "key): exercises the two-phase parallel prefix sum "
+    "(operators/sampling.py:global_cumsum — range partition, "
+    "per-partition scan, broadcast offsets; Blelloch scan in DataFrame "
+    "form). The oracle is the naive global-window cumsum, which the "
+    "two-phase plan must equal exactly. Scale: the naive window is a "
+    "single-task sort at 100 TB; this plan's only single-task step is "
+    "the |partitions|-row offset window.",
+)
+def token_shards_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", text_ops.token_count("text").alias("n_tokens"))
+    sharded = sampling.token_shards(toks, "doc_id", "n_tokens", budget=2048)
+    return (
+        sharded.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("shard_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("shard_id")
+    )
