@@ -25,6 +25,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
@@ -102,32 +103,74 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
                 state.setTimeoutTimestamp(last // 1000 + gap_seconds * 1000)
             return
         rows = pd.concat(frames) if len(frames) > 1 else frames[0]
-        rows = rows.sort_values("ts_us")
-        ts_us = rows["ts_us"].tolist()  # already epoch µs (JVM unix_micros)
-        values = rows["value"].tolist()
+        ts = rows["ts_us"].to_numpy(dtype="int64")  # epoch µs (JVM unix_micros)
+        vals = rows["value"].to_numpy(dtype="float64")
+        order = np.argsort(ts, kind="stable")
+        ts, vals = ts[order], vals[order]
 
-        if state.exists:
-            start_us, last_us, n, total = state.get
+        # Vectorized replay of the sequential scan (numpy, no per-event
+        # Python loop). At bench scale (~300 events/group) this is cost
+        # parity — the streaming machinery dominates, not Python — but a
+        # backfill handing one group a multi-million-event history pays
+        # per-event interpreter cost in the loop and O(1) numpy calls
+        # here. The scan's running `last = max(last, t)` is a prefix-max
+        # seeded with the carried state's last event time, so a session
+        # break at event i is exactly ``ts[i] - cummax[i-1] > gap`` —
+        # late events (ts below the running max) can never open a
+        # session, same as the loop.
+        carried = state.exists
+        if carried:
+            start_us, last_us, n0, tot0 = state.get
+            seed = last_us
         else:
-            start_us, last_us, n, total = ts_us[0], ts_us[0] - 1, 0, 0.0
+            start_us, last_us, n0, tot0 = int(ts[0]), int(ts[0]) - 1, 0, 0.0
+            seed = ts[0]
+        cummax = np.maximum.accumulate(np.concatenate(([seed], ts)))
+        breaks = (ts - cummax[:-1]) > gap_us  # event i starts a new session
 
-        out = []
-        for t, v in zip(ts_us, values):
-            if n > 0 and t - last_us > gap_us:
-                out.append((start_us, last_us, n, total, "gap"))
-                start_us, n, total = t, 0, 0.0
-            last_us = max(last_us, t)
-            n += 1
-            total += float(v)
-        state.update((start_us, last_us, n, total))
+        inner = np.nonzero(breaks[1:])[0] + 1
+        seg_starts = np.concatenate(([0], inner))
+        seg_ends = np.concatenate((inner - 1, [len(ts) - 1]))
+        seg_n = (seg_ends - seg_starts + 1).astype("int64")
+        seg_tot = np.add.reduceat(vals, seg_starts)
+        seg_start_ts = ts[seg_starts].copy()
+        seg_end_ts = cummax[1:][seg_ends]  # prefix max through segment end
+
+        carried_closed = bool(carried and breaks[0])
+        if carried and not carried_closed:
+            # The first batch segment extends the carried open session.
+            seg_start_ts[0] = start_us
+            seg_n[0] += n0
+            seg_tot[0] += tot0
+
+        state.update(
+            (
+                int(seg_start_ts[-1]),
+                int(seg_end_ts[-1]),
+                int(seg_n[-1]),
+                float(seg_tot[-1]),
+            )
+        )
         # Event-time timeout: finalize when the watermark passes the gap.
-        state.setTimeoutTimestamp(last_us // 1000 + gap_seconds * 1000)
-        if out:
+        state.setTimeoutTimestamp(int(seg_end_ts[-1]) // 1000 + gap_seconds * 1000)
+
+        n_emit = len(seg_starts) - 1
+        if carried_closed or n_emit:
             # ONE frame per group call, not one per session: a long-history
             # user can close thousands of sessions in a single backfill
             # batch, and per-session single-row frames dominate runtime
             # (measured ~8× on the bench replay).
-            yield _session_frame(user_id, out)
+            head = ([start_us], [last_us], [n0], [tot0]) if carried_closed else ([], [], [], [])
+            yield pd.DataFrame(
+                {
+                    "user_id": user_id,
+                    "start_us": np.concatenate((head[0], seg_start_ts[:n_emit])).astype("int64"),
+                    "end_us": np.concatenate((head[1], seg_end_ts[:n_emit])).astype("int64"),
+                    "n_events": np.concatenate((head[2], seg_n[:n_emit])).astype("int32"),
+                    "sum_value": np.concatenate((head[3], seg_tot[:n_emit])),
+                    "closed_by": "gap",
+                }
+            )
 
     def _session_frame(user_id, sessions):
         return pd.DataFrame(
