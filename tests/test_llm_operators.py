@@ -213,3 +213,23 @@ def test_pii_redaction_semantics(spark):
     assert out[2]["red"] == "no pii here"
     assert (out[3]["e"], out[3]["p"]) == (2, 1)
     assert out[3]["red"] == "mails <EMAIL> <EMAIL> and <PHONE>"
+
+
+def test_resize_images_plumbing(spark):
+    from traffic_accidents_airflow_kafka_spark.operators import multimodal
+
+    assets = spark.createDataFrame(
+        [(1, "image/png", b"abc"), (2, "image/png", None), (3, "image/png", b"")],
+        multimodal.ASSET_SCHEMA,
+    )
+    out = multimodal.resize_images(assets, target_w=4, target_h=2).collect()
+    got = {r["asset_id"]: r for r in out}
+    assert set(got) == {1, 3}  # null payloads dropped
+    assert all(r["width"] == 4 and r["height"] == 2 for r in out)
+    assert got[1]["payload"] == b"abcabcab"  # tiled to 4*2 bytes
+    assert got[3]["payload"] == b"\x00" * 8  # empty payload zero-filled
+    # A custom decoder hook slots in unchanged.
+    out2 = multimodal.resize_images(
+        assets, 2, 2, resize=lambda p, w, h: bytes([len(p)] * (w * h))
+    ).collect()
+    assert {r["asset_id"]: r["payload"] for r in out2}[1] == bytes([3, 3, 3, 3])
