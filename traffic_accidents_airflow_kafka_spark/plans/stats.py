@@ -259,3 +259,52 @@ def summary_stats_object(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("col_name")
     )
+
+
+@register(
+    "ntile_price_bands",
+    tier=1,  # window family judged via star_dim_date/group_percentiles; this adds NTILE
+    oracle="""
+    WITH banded AS (
+      SELECT o_orderpriority,
+             NTILE(4) OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS quartile,
+             o_totalprice
+      FROM orders
+    )
+    SELECT o_orderpriority, quartile,
+           COUNT(*) AS n_orders,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS band_min,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS band_max
+    FROM banded
+    GROUP BY o_orderpriority, quartile
+    ORDER BY o_orderpriority, quartile
+    """,
+    doc="Quantile binning via NTILE(4): equal-count price bands per "
+    "order priority (the data-balancing primitive: cap/floor detection, "
+    "per-band sampling budgets). Deterministic under ties via the "
+    "orderkey tie-break — NTILE semantics (remainder rows land in the "
+    "leading buckets) agree across engines. Scale: one shuffle on the "
+    "partition key; per-group external sort; same two-phase "
+    "WindowGroupLimit upgrade path as the sampler if bands ever need "
+    "only their edges.",
+)
+def ntile_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    banded = orders.select(
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        "o_totalprice",
+    )
+    return (
+        banded.groupBy("o_orderpriority", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").cast("double").alias("band_min"),
+            F.max("o_totalprice").cast("double").alias("band_max"),
+        )
+        .orderBy("o_orderpriority", "quartile")
+    )
