@@ -7,13 +7,16 @@ Each query is run twice: the first run absorbs codegen/broadcast warmup,
 the SECOND run is timed (plan + execution to a driver-side collect of the
 small aggregate result) — steady-state numbers, per query.
 
-Noise caveat (measured, round 3): queries late in the 57-query shared
-session can read up to ~2-3x their isolated time from accumulated JVM/GC
-session pressure (e.g. rollup_status_priority: 2.7 s in-catalog vs 0.7-1.0 s
+Noise caveat (measured, round 3): queries late in the shared session can
+read up to ~2-3x their isolated time from accumulated JVM/GC session
+pressure (e.g. rollup_status_priority: 2.7 s in-catalog vs 0.7-1.0 s
 isolated; pricing_summary read 2.0 s in round 2's catalog run vs 1.2-1.3 s
-isolated in rounds 1 and 3 with identical plans). Cross-round comparisons
-of individual queries should re-measure in isolation before being treated
-as plan regressions; the catalog total amortizes the noise.
+isolated in rounds 1 and 3 with identical plans), and ambient host load
+moves the catalog total by ~±20% between back-to-back runs (38.2 s vs
+53.7 s observed same-day with identical code; ~40 s on a quiet machine).
+Cross-round comparisons of individual queries should re-measure in
+isolation before being treated as plan regressions; the catalog total
+amortizes per-query noise but not host load.
 """
 
 from __future__ import annotations

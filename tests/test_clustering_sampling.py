@@ -249,3 +249,34 @@ class TestGlobalCumsum:
         # The data-path window partitions by __pid; only the tiny offsets
         # relation may use an unpartitioned window.
         assert "windowspecdefinition(__pid" in plan
+
+
+class TestSplitThresholds:
+    def test_boundaries_are_monotone_hex_and_proportional(self):
+        from hypothesis import given, strategies as st
+
+        @given(
+            st.lists(
+                st.floats(min_value=0.01, max_value=10.0, allow_nan=False),
+                min_size=2,
+                max_size=6,
+            )
+        )
+        def check(ws):
+            weights = {f"s{i}": w for i, w in enumerate(ws)}
+            bounds = sampling.split_thresholds(weights)
+            assert [n for n, _ in bounds] == list(weights)
+            hexes = [b for _, b in bounds[:-1]]
+            assert bounds[-1][1] is None
+            assert all(len(h) == 32 for h in hexes)
+            assert hexes == sorted(hexes)  # cumulative → monotone
+            # Fractional position of each boundary matches the cumulative
+            # weight to float precision.
+            total = sum(ws)
+            cum = 0.0
+            for h, w in zip(hexes, ws):
+                cum += w / total
+                frac = int(h, 16) / (1 << 128)
+                assert abs(frac - cum) < 1e-12
+
+        check()
