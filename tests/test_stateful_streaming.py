@@ -77,3 +77,54 @@ def test_sessionize_batch_contract(spark):
         # Guard: the operator is a streaming operator; batch invocation
         # raises (documents the contract rather than silently degrading).
         stateful.sessionize(stream_like, gap_seconds=1800).collect()
+
+
+def test_state_carries_across_availablenow_runs(spark, tmp_path_factory):
+    """Two availableNow runs over ONE checkpoint: run 2 must restore run
+    1's open-session state and close it when the new events' gap demands
+    — the restart contract a production stream relies on."""
+    base = tmp_path_factory.mktemp("carryover")
+    src, ckpt = str(base / "events"), str(base / "ckpt")
+
+    def run(name):
+        # foreachBatch, not the memory sink: only the former supports
+        # resuming from an existing checkpoint (the restart under test).
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp, value double")
+            .parquet(src)
+            .withWatermark("ts", "10 minutes")
+        )
+        rows = []
+        q = (
+            stateful.sessionize(stream, gap_seconds=1800)
+            .writeStream.foreachBatch(
+                lambda batch, _id: rows.extend(batch.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return rows
+
+    batch1 = spark.createDataFrame(
+        [(7, _ts(0), 1.0), (7, _ts(5), 2.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    batch1.coalesce(1).write.mode("append").parquet(src)
+    out1 = run(f"carry1_{uuid.uuid4().hex[:8]}")
+    assert out1 == []  # session still open — nothing closed yet
+
+    # 55 minutes after the last event: the gap closes the CARRIED session.
+    batch2 = spark.createDataFrame(
+        [(7, dt.datetime(2024, 1, 1, 11, 0, 0), 4.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    batch2.coalesce(1).write.mode("append").parquet(src)
+    out2 = run(f"carry2_{uuid.uuid4().hex[:8]}")
+    assert len(out2) == 1
+    r = out2[0]
+    assert r["closed_by"] == "gap"
+    assert r["n_events"] == 2 and r["sum_value"] == 3.0
+    assert r["session_start"] == _ts(0) and r["session_end"] == _ts(5)
