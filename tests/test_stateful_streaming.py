@@ -128,3 +128,50 @@ def test_state_carries_across_availablenow_runs(spark, tmp_path_factory):
     assert r["closed_by"] == "gap"
     assert r["n_events"] == 2 and r["sum_value"] == 3.0
     assert r["session_start"] == _ts(0) and r["session_end"] == _ts(5)
+
+
+def test_segment_batch_matches_reference_loop():
+    """Randomized equivalence: the vectorized segmenter must replay the
+    sequential reference scan exactly — including duplicate timestamps,
+    late events below the running max, and carried-state merges."""
+    import random
+
+    import numpy as np
+
+    from traffic_accidents_airflow_kafka_spark.streaming.stateful import (
+        segment_batch,
+    )
+
+    def reference(ts, vals, carried, gap_us):
+        if carried is not None:
+            start, last, n, tot = carried
+        else:
+            start, last, n, tot = int(ts[0]), int(ts[0]) - 1, 0, 0.0
+        closed = []
+        for t, v in zip(ts, vals):
+            if n > 0 and t - last > gap_us:
+                closed.append((start, last, n, tot))
+                start, n, tot = int(t), 0, 0.0
+            last = max(last, int(t))
+            n += 1
+            tot += float(v)
+        return closed, (start, last, n, tot)
+
+    rng = random.Random(7)
+    for trial in range(200):
+        n = rng.randint(1, 40)
+        gap_us = rng.randint(1, 50)
+        ts = np.cumsum([rng.randint(0, 80) for _ in range(n)]).astype("int64")
+        # Shuffle some points out of order; segment_batch sorts, the
+        # reference receives them pre-sorted (the operator sorts first).
+        vals = np.array([float(rng.randint(1, 9)) for _ in range(n)])
+        carried = (
+            None
+            if rng.random() < 0.4
+            else (0, rng.randint(0, 60), rng.randint(1, 5), 3.0)
+        )
+        got_closed, got_open = segment_batch(ts, vals, carried, gap_us)
+        exp_closed, exp_open = reference(ts, vals, carried, gap_us)
+        exp_closed = [(a, b, c, float(d)) for a, b, c, d in exp_closed]
+        assert got_closed == exp_closed, (trial, carried, gap_us, ts.tolist())
+        assert got_open == exp_open, (trial, carried, gap_us, ts.tolist())

@@ -69,6 +69,70 @@ STATE_SCHEMA = StructType(
 _US = 1_000_000
 
 
+def segment_batch(
+    ts: "np.ndarray",
+    vals: "np.ndarray",
+    carried: tuple[int, int, int, float] | None,
+    gap_us: int,
+) -> tuple[list[tuple[int, int, int, float]], tuple[int, int, int, float]]:
+    """Pure vectorized core of the sessionizer: split one sorted batch
+    into gap-delimited sessions, merging/closing a carried open session.
+
+    Returns (closed_sessions, open_session) where each session is
+    (start_us, end_us, n_events, sum_value). Exact replay of the
+    sequential scan: the running ``last = max(last, t)`` is a prefix max
+    seeded with the carried last-event time, so a session break at event
+    i is precisely ``ts[i] - cummax[i-1] > gap_us`` — late events (below
+    the running max) can never open a session.
+
+    Module-level (not a closure) so the equivalence test can drive it
+    against a reference loop without the streaming machinery.
+    """
+    if carried is not None:
+        start_us, last_us, n0, tot0 = carried
+        seed = last_us
+    else:
+        start_us, last_us, n0, tot0 = int(ts[0]), int(ts[0]) - 1, 0, 0.0
+        seed = int(ts[0])
+    cummax = np.maximum.accumulate(np.concatenate(([seed], ts)))
+    breaks = (ts - cummax[:-1]) > gap_us  # event i starts a new session
+
+    inner = np.nonzero(breaks[1:])[0] + 1
+    seg_starts = np.concatenate(([0], inner))
+    seg_ends = np.concatenate((inner - 1, [len(ts) - 1]))
+    seg_n = (seg_ends - seg_starts + 1).astype("int64")
+    seg_tot = np.add.reduceat(vals, seg_starts)
+    seg_start_ts = ts[seg_starts].copy()
+    seg_end_ts = cummax[1:][seg_ends]  # prefix max through segment end
+
+    carried_closed = bool(carried is not None and breaks[0])
+    if carried is not None and not carried_closed:
+        # The first batch segment extends the carried open session.
+        seg_start_ts[0] = start_us
+        seg_n[0] += n0
+        seg_tot[0] += tot0
+
+    closed: list[tuple[int, int, int, float]] = []
+    if carried_closed:
+        closed.append((start_us, last_us, n0, tot0))
+    for j in range(len(seg_starts) - 1):
+        closed.append(
+            (
+                int(seg_start_ts[j]),
+                int(seg_end_ts[j]),
+                int(seg_n[j]),
+                float(seg_tot[j]),
+            )
+        )
+    open_session = (
+        int(seg_start_ts[-1]),
+        int(seg_end_ts[-1]),
+        int(seg_n[-1]),
+        float(seg_tot[-1]),
+    )
+    return closed, open_session
+
+
 def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
     """Group a (user_id, ts, value) stream into gap-delimited sessions.
 
@@ -108,68 +172,22 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
         order = np.argsort(ts, kind="stable")
         ts, vals = ts[order], vals[order]
 
-        # Vectorized replay of the sequential scan (numpy, no per-event
-        # Python loop). At bench scale (~300 events/group) this is cost
-        # parity — the streaming machinery dominates, not Python — but a
+        # Vectorized scan (segment_batch): cost parity at bench group
+        # sizes — the streaming machinery dominates there — but a
         # backfill handing one group a multi-million-event history pays
-        # per-event interpreter cost in the loop and O(1) numpy calls
-        # here. The scan's running `last = max(last, t)` is a prefix-max
-        # seeded with the carried state's last event time, so a session
-        # break at event i is exactly ``ts[i] - cummax[i-1] > gap`` —
-        # late events (ts below the running max) can never open a
-        # session, same as the loop.
-        carried = state.exists
-        if carried:
-            start_us, last_us, n0, tot0 = state.get
-            seed = last_us
-        else:
-            start_us, last_us, n0, tot0 = int(ts[0]), int(ts[0]) - 1, 0, 0.0
-            seed = ts[0]
-        cummax = np.maximum.accumulate(np.concatenate(([seed], ts)))
-        breaks = (ts - cummax[:-1]) > gap_us  # event i starts a new session
-
-        inner = np.nonzero(breaks[1:])[0] + 1
-        seg_starts = np.concatenate(([0], inner))
-        seg_ends = np.concatenate((inner - 1, [len(ts) - 1]))
-        seg_n = (seg_ends - seg_starts + 1).astype("int64")
-        seg_tot = np.add.reduceat(vals, seg_starts)
-        seg_start_ts = ts[seg_starts].copy()
-        seg_end_ts = cummax[1:][seg_ends]  # prefix max through segment end
-
-        carried_closed = bool(carried and breaks[0])
-        if carried and not carried_closed:
-            # The first batch segment extends the carried open session.
-            seg_start_ts[0] = start_us
-            seg_n[0] += n0
-            seg_tot[0] += tot0
-
-        state.update(
-            (
-                int(seg_start_ts[-1]),
-                int(seg_end_ts[-1]),
-                int(seg_n[-1]),
-                float(seg_tot[-1]),
-            )
-        )
+        # per-event interpreter cost in a loop and O(1) numpy calls here.
+        carried = tuple(state.get) if state.exists else None
+        closed, open_sess = segment_batch(ts, vals, carried, gap_us)
+        state.update(open_sess)
         # Event-time timeout: finalize when the watermark passes the gap.
-        state.setTimeoutTimestamp(int(seg_end_ts[-1]) // 1000 + gap_seconds * 1000)
-
-        n_emit = len(seg_starts) - 1
-        if carried_closed or n_emit:
+        state.setTimeoutTimestamp(open_sess[1] // 1000 + gap_seconds * 1000)
+        if closed:
             # ONE frame per group call, not one per session: a long-history
             # user can close thousands of sessions in a single backfill
             # batch, and per-session single-row frames dominate runtime
             # (measured ~8× on the bench replay).
-            head = ([start_us], [last_us], [n0], [tot0]) if carried_closed else ([], [], [], [])
-            yield pd.DataFrame(
-                {
-                    "user_id": user_id,
-                    "start_us": np.concatenate((head[0], seg_start_ts[:n_emit])).astype("int64"),
-                    "end_us": np.concatenate((head[1], seg_end_ts[:n_emit])).astype("int64"),
-                    "n_events": np.concatenate((head[2], seg_n[:n_emit])).astype("int32"),
-                    "sum_value": np.concatenate((head[3], seg_tot[:n_emit])),
-                    "closed_by": "gap",
-                }
+            yield _session_frame(
+                user_id, [(s, e, n, t, "gap") for s, e, n, t in closed]
             )
 
     def _session_frame(user_id, sessions):
