@@ -157,3 +157,52 @@ def stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("sum_value", 4).alias("sum_value"),
         "closed_by",
     ).orderBy("user_id", "session_start")
+
+
+@register(
+    "stream_dedup_unique_counts",
+    tier=1,  # extended streaming surface; windowed/stateful machinery judged via tier-0 twins
+    oracle="""
+    WITH k AS (
+      SELECT DISTINCT user_id, event_type,
+             to_timestamp(CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800)
+               AT TIME ZONE 'UTC' AS bucket
+      FROM events
+    )
+    SELECT event_type, COUNT(*) AS n_unique
+    FROM k
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Streaming exact dedup on the judged-able surface: "
+    "dropDuplicatesWithinWatermark on (user_id, event_type, 30-min "
+    "bucket) collapses redeliveries/repeat activity keys as they "
+    "stream (streaming/core.py:dedup_stream), then a batch-side count "
+    "per type over the drained result. The availableNow replay is a "
+    "single micro-batch, so state sees every duplicate before any "
+    "eviction and the result equals exact DISTINCT — the oracle. On a "
+    "live stream the within-watermark contract bounds state by (keys "
+    "within horizon), the correct semantics for at-least-once sources. "
+    "Scale: state keyed on small tuples, watermark-evicted.",
+)
+def stream_dedup_unique_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = streaming.stream_events(spark, sf_dir)
+    keyed = events.select(
+        "user_id",
+        "event_type",
+        F.timestamp_seconds(
+            (F.unix_timestamp("ts") / 1800).cast("bigint") * 1800
+        ).alias("bucket"),
+        "ts",
+    )
+    deduped = streaming.dedup_stream(
+        keyed, ["user_id", "event_type", "bucket"], ts_col="ts", watermark="2 hours"
+    ).select("user_id", "event_type", "bucket")
+    drained = streaming.run_available_now(
+        deduped, spark, state_partitions=8, output_mode="append"
+    )
+    return (
+        drained.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+        .orderBy("event_type")
+    )
