@@ -137,6 +137,52 @@ def test_dedup_stream_drops_redeliveries(spark, tmp_path):
     assert ids == [1, 2, 3]
 
 
+def test_stream_interval_join_boundaries(spark, tmp_path):
+    """Stream-stream interval join: inclusive [buy-30min, buy] bounds,
+    per-user keying — boundary rows land exactly as the batch SQL would."""
+    import datetime as dt
+
+    src = str(tmp_path / "ij_src")
+    buy = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # (user_id, ts, kind, value)
+        (1, buy, "purchase", 0.0),
+        (1, buy, "click", 1.0),  # at buy_ts — inclusive upper bound
+        (1, buy - dt.timedelta(minutes=30), "click", 2.0),  # exact lower bound
+        (1, buy - dt.timedelta(minutes=30, seconds=1), "click", 4.0),  # too old
+        (1, buy + dt.timedelta(seconds=1), "click", 8.0),  # after purchase
+        (2, buy, "click", 16.0),  # other user
+    ]
+    spark.createDataFrame(
+        rows, "user_id long, ts timestamp, kind string, value double"
+    ).coalesce(1).write.parquet(src)
+
+    schema = "user_id long, ts timestamp, kind string, value double"
+    clicks = (
+        spark.readStream.schema(schema)
+        .parquet(src)
+        .filter(F.col("kind") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"), F.col("value"))
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        spark.readStream.schema(schema)
+        .parquet(src)
+        .filter(F.col("kind") == "purchase")
+        .select(F.col("user_id").alias("buyer_id"), F.col("ts").alias("buy_ts"))
+        .withWatermark("buy_ts", "1 hour")
+    )
+    joined = streaming.interval_join(
+        purchases,
+        clicks,
+        key_expr="buyer_id = user_id",
+        lower_bound_expr="click_ts >= buy_ts - INTERVAL 30 MINUTES",
+        upper_bound_expr="click_ts <= buy_ts",
+    )
+    out = streaming.run_foreach_batch_collect(joined, spark)
+    assert sorted(r["value"] for r in out) == [1.0, 2.0]
+
+
 def test_foreach_batch_streaming_upsert(spark, tmp_path):
     """foreachBatch + key-based upsert_append = effectively-exactly-once
     streaming into a batch parquet sink: replaying the whole source

@@ -160,6 +160,75 @@ def stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_interval_join",
+    tier=1,  # extended streaming surface; windowed/stateful machinery judged via tier-0 twins
+    oracle="""
+    WITH c AS (
+      SELECT user_id, ts AS click_ts, value FROM events WHERE event_type = 'click'
+    ), p AS (
+      SELECT user_id, ts AS buy_ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT CAST(hour(buy_ts) AS INT) AS buy_hour,
+           COUNT(*) AS n_attributed,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_click_value
+    FROM p JOIN c ON p.user_id = c.user_id
+                  AND c.click_ts >= p.buy_ts - INTERVAL 30 MINUTE
+                  AND c.click_ts <= p.buy_ts
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="§2.8 stream-stream interval join (streaming/core.py:"
+    "interval_join): click->purchase attribution — purchases joined to "
+    "same-user clicks in the preceding 30 minutes, both sides watermarked "
+    "2h, drained availableNow in append mode, then rolled up per purchase "
+    "hour in batch. The time bounds are load-bearing at scale: they give "
+    "Spark a finite state horizon (watermark + 30 min) per side, so join "
+    "state is evicted as the watermark advances instead of buffering both "
+    "streams forever. The oracle replays the identical interval join as "
+    "batch SQL — streaming/batch unification again. Scale: state keyed by "
+    "user_id; the hot path is the stream-stream state-store lookup, no "
+    "shuffle beyond the join keys.",
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clicks = (
+        streaming.stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("ts").alias("click_ts"),
+            F.col("value").alias("click_value"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        streaming.stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("buyer_id"), F.col("ts").alias("buy_ts"))
+        .withWatermark("buy_ts", "2 hours")
+    )
+    joined = streaming.interval_join(
+        purchases,
+        clicks,
+        key_expr="buyer_id = user_id",
+        lower_bound_expr="click_ts >= buy_ts - INTERVAL 30 MINUTES",
+        upper_bound_expr="click_ts <= buy_ts",
+    )
+    drained = streaming.run_available_now(
+        joined, spark, state_partitions=8, output_mode="append"
+    )
+    return (
+        drained.groupBy(F.hour("buy_ts").cast("int").alias("buy_hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_attributed"),
+            F.sum(F.col("click_value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_click_value"),
+        )
+        .orderBy("buy_hour")
+    )
+
+
+@register(
     "stream_dedup_unique_counts",
     tier=1,  # extended streaming surface; windowed/stateful machinery judged via tier-0 twins
     oracle="""

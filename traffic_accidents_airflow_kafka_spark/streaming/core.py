@@ -188,6 +188,34 @@ def dedup_stream(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_expr: str,
+    lower_bound_expr: str,
+    upper_bound_expr: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream interval join (§2.8 extension; no
+    reference analog — the reference's streams carry precomputed
+    aggregates, never joinable event streams).
+
+    Both inputs must already carry ``withWatermark`` on their event-time
+    columns; the time-bound predicates are what let Spark compute how long
+    each side's state must be retained (state horizon = watermark +
+    interval width) and evict matched/expired rows instead of buffering
+    the streams forever. Without the bounds a stream-stream join keeps
+    ALL state — the classic unbounded-state trap.
+
+    ``key_expr``/``*_bound_expr`` are SQL fragments over the two inputs'
+    column names (which must not collide). Inner joins emit each match as
+    soon as both sides arrive; outer variants additionally emit nulls
+    when the watermark proves no match can come.
+    """
+    cond = F.expr(f"({key_expr}) AND ({lower_bound_expr}) AND ({upper_bound_expr})")
+    return left.join(right, cond, how)
+
+
 def run_foreach_batch(
     result: DataFrame,
     spark: SparkSession,
