@@ -85,7 +85,13 @@ def get_spark(
         # Local-mode niceties; harmless on a cluster.
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Local mode runs all 32 executor threads inside the driver JVM, so
+        # the driver heap IS the executor heap: 8g showed late-session GC
+        # inflation on long catalog runs (ngram_jaccard_pairs read 7.4 s
+        # in-catalog vs 3.0 s isolated; 24g normalized it to 3.2 s and cut
+        # the 66-query total ~10%). 16g is the local default; cluster
+        # deploys size the driver via spark-submit as usual.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.executorEnv.PYTHONWARNINGS", os.environ["PYTHONWARNINGS"])
     )
     if extra_conf:
