@@ -68,3 +68,54 @@ def test_approx_aggregates_within_tolerance(spark, sf_dir):
     assert abs(approx["approx_events"] - exact["e"]) / exact["e"] < 0.05
     # percentile_approx with accuracy 10k is near-exact at this scale.
     assert abs(approx["approx_median_value"] - exact["m"]) / abs(exact["m"]) < 0.02
+
+
+def test_banded_range_join_containment_semantics(spark):
+    """Half-open [lo, hi) containment, overlapping intervals, negative
+    values, and exactly one output row per (point, interval) pair."""
+    from traffic_accidents_airflow_kafka_spark.operators.rangejoin import (
+        banded_range_join,
+    )
+
+    points = spark.createDataFrame(
+        [(-7.5,), (0.0,), (5.0,), (9.999,), (10.0,), (25.0,)], "p double"
+    )
+    intervals = spark.createDataFrame(
+        [
+            ("neg", -10.0, 0.0),   # negative band arithmetic
+            ("a", 0.0, 10.0),      # [0, 10): contains 0.0, 5.0, 9.999 — NOT 10.0
+            ("b", 5.0, 30.0),      # overlaps a: 5.0/9.999 match both
+        ],
+        "name string, lo double, hi double",
+    )
+    out = banded_range_join(points, intervals, "p", "lo", "hi", band_width=4.0)
+    got = sorted((r["p"], r["name"]) for r in out.collect())
+    assert got == [
+        (-7.5, "neg"),
+        (0.0, "a"),       # lo inclusive
+        (5.0, "a"),
+        (5.0, "b"),       # overlap → two matches, once each
+        (9.999, "a"),
+        (9.999, "b"),
+        (10.0, "b"),      # hi exclusive for interval a
+        (25.0, "b"),
+    ]
+
+
+def test_banded_range_join_avoids_nested_loop_plan(spark):
+    """The band rewrite must plan as a hash/sort-merge equi-join, never
+    the BroadcastNestedLoopJoin Spark picks for a raw theta join."""
+    from traffic_accidents_airflow_kafka_spark.operators.rangejoin import (
+        banded_range_join,
+    )
+
+    points = spark.range(1000).select((F.col("id") / 3.0).alias("p"))
+    intervals = spark.range(50).select(
+        F.col("id").alias("iv"),
+        (F.col("id") * 7.0).alias("lo"),
+        (F.col("id") * 7.0 + 20.0).alias("hi"),
+    )
+    out = banded_range_join(points, intervals, "p", "lo", "hi", band_width=10.0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan

@@ -154,6 +154,57 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "range_band_join",
+    tier=1,  # extended join surface; equi-join machinery judged via tier-0 joins
+    oracle="""
+    WITH bands AS (
+      SELECT n_nationkey AS band_id,
+             n_nationkey * 37.5 AS lo,
+             n_nationkey * 37.5 + 100.0 AS hi
+      FROM nation
+    )
+    SELECT band_id,
+           COUNT(*) AS n_points,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_points_value
+    FROM bands b JOIN events e
+      ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY band_id
+    ORDER BY band_id
+    """,
+    doc="Banded range join (operators/rangejoin.py): point-in-interval "
+    "containment (events.value against overlapping value bands derived "
+    "from nation) rewritten as an equi-join on fixed-width band ids — "
+    "interval exploded across overlapped bands, point in exactly one "
+    "band, exact predicate re-applied after the join. The oracle is the "
+    "direct theta-join SQL. Scale: this is the rewrite that turns "
+    "Spark's BroadcastNestedLoopJoin (quadratic when neither side "
+    "broadcasts) into an AQE-manageable hash join; interval side grows "
+    "by width/band_width + 1 copies, point side not at all.",
+)
+def range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rangejoin import banded_range_join
+
+    events = load_table(spark, sf_dir, "events")
+    nation = load_table(spark, sf_dir, "nation")
+    bands = nation.select(
+        F.col("n_nationkey").alias("band_id"),
+        (F.col("n_nationkey") * 37.5).alias("lo"),
+        (F.col("n_nationkey") * 37.5 + 100.0).alias("hi"),
+    )
+    joined = banded_range_join(
+        events.select("value"), bands, "value", "lo", "hi", band_width=50.0
+    )
+    return (
+        joined.groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            dec_sum("value", "sum_points_value"),
+        )
+        .orderBy("band_id")
+    )
+
+
+@register(
     "skew_two_phase_totals",
     oracle="""
     SELECT event_type,
