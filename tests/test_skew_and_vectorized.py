@@ -146,3 +146,31 @@ def test_ivf_training_sample_is_capped(spark, sf_dir):
     key = next(iter(similarity._IVF_CENTROID_CACHE))
     assert len(similarity._IVF_CENTROID_CACHE[key]) <= 16
     similarity.clear_ivf_centroid_cache()
+
+
+def test_multiprobe_lsh_recall_at_least_single_probe(spark, sf_dir):
+    """Probing the 6 Hamming-1 buckets on top of the home bucket can only
+    ADD candidates, so top-1 recall vs the exact baseline must be >= the
+    single-probe operator's — and queries that single-probe LSH leaves
+    without candidates (lone vector in its bucket) get answers."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = emb.select("vec_id").filter(F.col("vec_id") < 100)
+    exact_top1 = {
+        r["qid"]: r["nid"]
+        for r in similarity.cosine_topk(emb, qids, k=1).collect()
+    }
+    single = {
+        r["qid"]: r["nid"]
+        for r in similarity.lsh_ann_topk(emb, n_planes=6, k=1).collect()
+        if r["qid"] < 100
+    }
+    multi = {
+        r["qid"]: r["nid"]
+        for r in similarity.lsh_ann_topk_multiprobe(
+            emb, query_ids=qids, n_planes=6, k=1
+        ).collect()
+    }
+    hits_single = sum(1 for q, n in exact_top1.items() if single.get(q) == n)
+    hits_multi = sum(1 for q, n in exact_top1.items() if multi.get(q) == n)
+    assert hits_multi >= hits_single
+    assert set(multi) >= set(single)  # multiprobe never loses a query

@@ -551,6 +551,80 @@ def lsh_ann_topk(
     )
 
 
+def lsh_ann_topk_multiprobe(
+    vectors: DataFrame,
+    query_ids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    k: int = 3,
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """Multi-probe hyperplane LSH top-k: each query searches its own
+    bucket PLUS every bucket at Hamming distance 1 (one sign bit
+    flipped) — ``n_planes + 1`` probes per query.
+
+    The standard recall fix for sign LSH (Lv et al., "Multi-Probe LSH",
+    VLDB'07 — perturb the hash instead of adding hash tables): a true
+    neighbor that lands one hyperplane away is recovered at the cost of
+    probing, not of duplicating the whole index. Candidate volume grows
+    ~(n_planes+1)×, still ~2^planes below the crossJoin.
+
+    Plan shape: the probe expansion is an ``explode`` of ``n_planes+1``
+    literal XORs on the QUERY side only — the corpus side stays one row
+    per vector, bucketed once, and the join remains a plain equi-join on
+    the bucket id. Probe buckets of one query are distinct, so a
+    (query, neighbor) pair joins at most once — no dedup pass. With a
+    bounded query set the exploded side broadcasts.
+    """
+    planes = hyperplane_planes(dim, n_planes, seed)
+    bucketed = vectors.select(
+        F.col(id_col), F.col(vec_col), lsh_bucket(vec_col, planes).alias("bucket")
+    )
+    q = bucketed
+    if query_ids is not None:
+        q = q.join(F.broadcast(query_ids.select(id_col)), id_col)
+    probes = (
+        q.select(
+            F.col(id_col).alias("qid"),
+            F.col(vec_col).alias("qvec"),
+            F.col("bucket").alias("home_bucket"),
+        )
+        .withColumn("qnorm", vector_norm("qvec"))
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.array(
+                    F.col("home_bucket"),
+                    *[
+                        F.col("home_bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
+                        for i in range(n_planes)
+                    ],
+                )
+            ),
+        )
+        .drop("home_bucket")
+    )
+    b = bucketed.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec"), "bucket"
+    ).withColumn("nnorm", vector_norm("nvec"))
+    sim = (
+        probes.join(b, "bucket")
+        .filter(F.col("qid") != F.col("nid"))
+        .withColumn(
+            "cosine",
+            _dot_double(F.col("qvec"), F.col("nvec")) / (F.col("qnorm") * F.col("nnorm")),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "rank", F.round("cosine", 4).alias("cosine"))
+    )
+
+
 def group_centroids(
     df: DataFrame, group_col: str, vec_col: str
 ) -> DataFrame:

@@ -355,6 +355,92 @@ def embedding_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_multiprobe_oracle(
+    n_planes: int = 6, dim: int = 64, seed: int = 7, k: int = 3, max_qid: int = 100
+) -> str:
+    """Multi-probe variant of _lsh_oracle: the query side unions its home
+    bucket with the n_planes Hamming-1 buckets (explicit xor list — the
+    same literal probe set the Spark operator explodes)."""
+    planes = similarity.hyperplane_planes(dim, n_planes, seed)
+
+    def dot(vec: str, lits: list[float]) -> str:
+        lit = "[" + ", ".join(repr(float(x)) for x in lits) + "]"
+        return (
+            f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            f"list_transform(generate_series(1, {dim}), "
+            f"j -> CAST({vec}[j] AS DOUBLE) * ({lit})[j])), (a, b) -> a + b)"
+        )
+
+    bucket = " + ".join(
+        f"(CASE WHEN {dot('embedding', p)} > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    vnorm = (
+        "sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {dim}), "
+        "j -> CAST(embedding[j] AS DOUBLE) * CAST(embedding[j] AS DOUBLE))), "
+        "(a, b) -> a + b))"
+    )
+    probe_list = ", ".join(f"xor(qbucket, {1 << i})" for i in range(n_planes))
+    pair_dot = (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {dim}), "
+        f"j -> CAST(p.qvec[j] AS DOUBLE) * CAST(n.embedding[j] AS DOUBLE))), "
+        f"(a, b) -> a + b)"
+    )
+    return f"""
+    WITH bkt AS (
+      SELECT vec_id, embedding,
+             CAST({bucket} AS BIGINT) AS bucket,
+             {vnorm} AS nrm
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS qid, embedding AS qvec, nrm AS qnorm, bucket AS qbucket
+      FROM bkt WHERE vec_id < {max_qid}
+    ),
+    probes AS (
+      SELECT qid, qvec, qnorm,
+             unnest(list_prepend(qbucket, [{probe_list}])) AS bucket
+      FROM q
+    ),
+    sims AS (
+      SELECT p.qid, n.vec_id AS nid,
+             {pair_dot} / (p.qnorm * n.nrm) AS cosine
+      FROM probes p JOIN bkt n ON n.bucket = p.bucket AND n.vec_id <> p.qid
+    )
+    SELECT qid, nid, rank, ROUND(cosine, 4) AS cosine FROM (
+      SELECT qid, nid, cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS INT) AS rank
+      FROM sims
+    )
+    WHERE rank <= {k}
+    ORDER BY qid, rank
+    """
+
+
+@register(
+    "embedding_lsh_multiprobe",
+    tier=1,  # extended ANN surface; single-probe LSH machinery judged via embedding_lsh_ann
+    oracle=_lsh_multiprobe_oracle(),
+    doc="Multi-probe hyperplane LSH (operators/similarity.py:"
+    "lsh_ann_topk_multiprobe): bounded query set probes its home bucket "
+    "plus the 6 Hamming-1 buckets (one sign flipped), recovering "
+    "neighbors that landed one hyperplane away — the recall fix that "
+    "costs probes, not extra hash tables (Lv et al., VLDB'07). Fully "
+    "oracle-checked: the probe set inlines as explicit xor literals in "
+    "SQL, same seeded planes, same sequential double folds. Scale: probe "
+    "explode is query-side only (~7x a bounded Q), the corpus buckets "
+    "once and the join stays an equi-join on bucket id.",
+)
+def embedding_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = emb.select("vec_id").filter(F.col("vec_id") < 100)
+    return similarity.lsh_ann_topk_multiprobe(
+        emb, query_ids=qids, n_planes=6, k=3
+    ).orderBy("qid", "rank")
+
+
 @register(
     "embedding_ivf_ann",
     oracle=None,
