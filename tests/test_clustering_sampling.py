@@ -280,3 +280,42 @@ class TestSplitThresholds:
                 assert abs(frac - cum) < 1e-12
 
         check()
+
+
+class TestWeightedSample:
+    def test_deterministic_and_exact_k(self, spark):
+        df = spark.range(500).select(
+            F.col("id"), (F.col("id") % 7 + 1).cast("double").alias("w")
+        )
+        a = sorted(r["id"] for r in sampling.weighted_sample(df, 50, "id", "w").collect())
+        b = sorted(r["id"] for r in sampling.weighted_sample(df, 50, "id", "w").collect())
+        assert a == b and len(a) == 50
+
+    def test_heavy_weights_dominate(self, spark):
+        """A-ES inclusion probability rises with weight: rows weighted
+        100x should take the overwhelming share of a small sample."""
+        df = spark.range(1000).select(
+            F.col("id"),
+            F.when(F.col("id") < 100, 100.0).otherwise(1.0).alias("w"),
+        )
+        samp = sampling.weighted_sample(df, 50, "id", "w").collect()
+        n_heavy = sum(1 for r in samp if r["id"] < 100)
+        # Heavy rows are 10% of the population but carry ~92% of the mass.
+        assert n_heavy > 35
+
+    def test_nonpositive_weights_excluded(self, spark):
+        df = spark.range(100).select(
+            F.col("id"),
+            F.when(F.col("id") < 90, F.lit(0.0))
+            .otherwise(F.lit(1.0))
+            .alias("w"),
+        )
+        samp = sampling.weighted_sample(df, 50, "id", "w").collect()
+        assert len(samp) == 10  # only the 10 positive-weight rows qualify
+        assert all(r["id"] >= 90 for r in samp)
+
+    def test_seed_changes_sample(self, spark):
+        df = spark.range(2000).select(F.col("id"), F.lit(1.0).alias("w"))
+        a = {r["id"] for r in sampling.weighted_sample(df, 20, "id", "w", seed="s1").collect()}
+        b = {r["id"] for r in sampling.weighted_sample(df, 20, "id", "w", seed="s2").collect()}
+        assert a != b

@@ -191,3 +191,57 @@ def stratified_sample(
         .filter(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+#: 2^52 — the first 13 md5 hex digits parse to a 52-bit integer, which a
+#: double represents EXACTLY; dividing by the power of two is also exact,
+#: so the uniform below is bit-identical on every engine.
+_U52 = float(1 << 52)
+
+
+def hash_uniform(id_col: str, seed: str) -> Column:
+    """Deterministic uniform in [0, 1): the first 52 bits of
+    ``md5(seed|id)`` scaled by 2^-52. Exact on every engine — the parse
+    is integer arithmetic and the scale is a power of two — unlike
+    ``rand()``, which is engine- and partitioning-dependent."""
+    return (
+        F.conv(F.substring(split_key(id_col, seed), 1, 13), 16, 10)
+        .cast("long")
+        .cast("double")
+        / F.lit(_U52)
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    id_col: str,
+    weight_col: str | Column,
+    seed: str = "wsample-v1",
+) -> DataFrame:
+    """Weight-proportional sample of ``k`` rows WITHOUT replacement
+    (Efraimidis–Spirakis A-ES): each row draws key ``u^(1/w)`` with a
+    deterministic uniform ``u``; the k largest keys are the sample.
+    Ordering by ``u^(1/w)`` is equivalent to ordering by ``ln(u)/w``
+    (monotone transform; ``ln(u) < 0``), which is the numerically safer
+    form computed here as ``__wkey``.
+
+    The curation use-case: sample a training subset where a document's
+    inclusion probability is proportional to its quality/length weight,
+    reproducibly (same seed ⇒ same sample, regardless of partitioning,
+    row order, or engine — the md5 uniform is exact everywhere, and the
+    single ``ln`` is the only float op in the key).
+
+    Rows with ``weight <= 0`` or null are excluded (zero mass). Scale:
+    the key is a pure map; top-k runs as per-partition top-k merged on
+    the driver (TakeOrdered) — no global sort, no shuffle of the data.
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    w = w.cast("double")
+    key = F.log(hash_uniform(id_col, seed)) / w
+    return (
+        df.filter(w > 0)
+        .withColumn("__wkey", key)
+        .orderBy(F.desc("__wkey"), F.col(id_col))
+        .limit(k)
+    )

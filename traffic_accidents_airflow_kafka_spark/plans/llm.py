@@ -1046,6 +1046,47 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "weighted_sample_topn",
+    tier=1,  # extended training-data surface; md5-uniform machinery judged via dataset_split/stratified twins
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS weight,
+             ln(CAST(list_reduce(
+                  list_transform(generate_series(1, 13),
+                    j -> CAST(instr('0123456789abcdef',
+                           substr(md5('wsample-v1|' || CAST(doc_id AS VARCHAR)), j, 1)
+                         ) - 1 AS BIGINT)),
+                  (a, b) -> a * 16 + b) AS DOUBLE) / 4503599627370496.0)
+               / CAST(len(string_split(text, ' ')) AS DOUBLE) AS wkey
+      FROM documents
+      WHERE len(string_split(text, ' ')) > 0
+    )
+    SELECT doc_id, lang, weight
+    FROM keyed
+    ORDER BY wkey DESC, doc_id
+    LIMIT 100
+    """,
+    doc="Weight-proportional sampling without replacement (operators/"
+    "sampling.py:weighted_sample, the Efraimidis-Spirakis A-ES scheme): "
+    "100 documents drawn with inclusion probability proportional to "
+    "token count, via key ln(u)/w with a DETERMINISTIC uniform — the "
+    "first 52 bits of md5(seed|id) scaled by 2^-52, exact in any engine "
+    "(integer parse + power-of-two scale), so the sample is reproducible "
+    "across runs, partitionings, and engines; ln is the only float op "
+    "in the key. The oracle replays the identical key. Scale: key is a "
+    "pure map; top-k is per-partition TakeOrdered, no global sort.",
+)
+def weighted_sample_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    weight = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    samp = sampling.weighted_sample(
+        docs.withColumn("weight", weight), 100, "doc_id", "weight", seed="wsample-v1"
+    )
+    return samp.select("doc_id", "lang", "weight")
+
+
+@register(
     "token_shard_manifest",
     tier=1,  # extended training-data surface; window-cumsum machinery judged via star_dim_date/group_percentiles
     oracle="""
