@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import math
 
+import pyspark.sql.functions as F
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -151,3 +152,46 @@ def test_bpe_ish_tokens_match_python_re(spark, texts):
     }
     for i, t in enumerate(texts):
         assert got[i] == pat.findall(t), (t, got[i])
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False, width=32),
+        min_size=1,
+        max_size=25,
+    ),
+    st.lists(
+        st.tuples(
+            st.floats(min_value=-100, max_value=100, allow_nan=False, width=32),
+            st.floats(min_value=0, max_value=50, allow_nan=False, width=32),
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    st.sampled_from([0.5, 3.0, 17.0, 64.0]),
+)
+def test_banded_range_join_equals_naive_theta_join(spark, points, intervals, width):
+    """The band rewrite is a pure plan transformation: for ANY points,
+    intervals (lo = a, hi = a + span >= lo), and band width, its output
+    must equal the naive crossJoin + containment filter row-for-row."""
+    from traffic_accidents_airflow_kafka_spark.operators.rangejoin import (
+        banded_range_join,
+    )
+
+    p = spark.createDataFrame([(float(x),) for x in points], "p double")
+    iv = spark.createDataFrame(
+        [(i, float(lo), float(lo) + float(span)) for i, (lo, span) in enumerate(intervals)],
+        "iv long, lo double, hi double",
+    )
+    got = sorted(
+        (r["p"], r["iv"])
+        for r in banded_range_join(p, iv, "p", "lo", "hi", band_width=width).collect()
+    )
+    want = sorted(
+        (r["p"], r["iv"])
+        for r in p.crossJoin(iv)
+        .filter((F.col("p") >= F.col("lo")) & (F.col("p") < F.col("hi")))
+        .collect()
+    )
+    assert got == want
