@@ -205,6 +205,99 @@ def range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "topk_with_ties",
+    tier=1,  # extended §2.5 surface (SURVEY lists top-k-with-ties as absent from the reference)
+    oracle="""
+    WITH counts AS (
+      SELECT c.c_nationkey, o.o_custkey AS custkey, COUNT(*) AS n_orders
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT c_nationkey, custkey, n_orders,
+             CAST(RANK() OVER (
+               PARTITION BY c_nationkey ORDER BY n_orders DESC
+             ) AS INT) AS rnk
+      FROM counts
+    )
+    SELECT c_nationkey, custkey, n_orders, rnk
+    FROM ranked WHERE rnk <= 3
+    ORDER BY c_nationkey, rnk, custkey
+    """,
+    doc="Top-k WITH ties (SURVEY §2.5 'not present' gap): top-3 customers "
+    "per nation by order count via RANK() — equal counts share a rank and "
+    "ALL tied rows survive, unlike row_number's arbitrary cut. At small "
+    "per-group counts ties are common, so this is the honest leaderboard "
+    "semantics. Scale: rank is a per-partition window after one shuffle "
+    "on the group key; the fact-side join broadcasts the customer dim.",
+)
+def topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    counts = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy("c_nationkey", F.col("o_custkey").alias("custkey"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("n_orders"))
+    return (
+        counts.withColumn("rnk", F.rank().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("c_nationkey", "rnk", "custkey")
+    )
+
+
+@register(
+    "set_ops_audit",
+    tier=1,  # extended §2.5 surface (SURVEY lists intersect/except as absent from the reference)
+    oracle="""
+    WITH hi AS (
+      SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    ),
+    recent AS (
+      SELECT DISTINCT o_custkey AS c_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+    ),
+    i AS (SELECT c_custkey FROM hi INTERSECT SELECT c_custkey FROM recent),
+    e AS (SELECT c_custkey FROM hi EXCEPT SELECT c_custkey FROM recent)
+    SELECT 'except' AS op, COUNT(*) AS n_customers FROM e
+    UNION ALL
+    SELECT 'intersect' AS op, COUNT(*) AS n_customers FROM i
+    ORDER BY op
+    """,
+    doc="INTERSECT / EXCEPT set ops (SURVEY §2.5 'not present' gap): "
+    "high-balance customers split into those who did (intersect) and did "
+    "not (except) order in 1998. Spark's intersect/subtract carry SQL's "
+    "DISTINCT set semantics — both compile to aggregate + left-semi/"
+    "anti join under Catalyst, so the scale story is the same as the "
+    "judged anti-join: one shuffle on the key, AQE-sizable.",
+)
+def set_ops_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    hi = customer.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    recent = (
+        orders.filter(
+            F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp")
+        )
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    i = hi.intersect(recent).agg(F.count(F.lit(1)).alias("n_customers")).select(
+        F.lit("intersect").alias("op"), "n_customers"
+    )
+    e = hi.subtract(recent).agg(F.count(F.lit(1)).alias("n_customers")).select(
+        F.lit("except").alias("op"), "n_customers"
+    )
+    return e.unionByName(i).orderBy("op")
+
+
+@register(
     "skew_two_phase_totals",
     oracle="""
     SELECT event_type,
