@@ -175,3 +175,42 @@ def test_segment_batch_matches_reference_loop():
         exp_closed = [(a, b, c, float(d)) for a, b, c, d in exp_closed]
         assert got_closed == exp_closed, (trial, carried, gap_us, ts.tolist())
         assert got_open == exp_open, (trial, carried, gap_us, ts.tolist())
+
+
+def test_native_session_window_merges_touching_windows(spark, tmp_path_factory):
+    """Gap-boundary semantics pinned: an event at EXACTLY last+gap
+    EXTENDS the session — F.session_window merges touching windows, the
+    same strict-> split rule as the custom sessionizer (so both
+    sessionizers share one gap contract). Sessions emit only once the
+    watermark passes their window end — a far-future sentinel event
+    advances it."""
+    import pyspark.sql.functions as F
+
+    from traffic_accidents_airflow_kafka_spark.streaming import core as streaming
+
+    rows = [
+        (1, _ts(0), 1.0),
+        (1, _ts(30), 2.0),  # exactly 1800 s later -> native: NEW session
+        (99, dt.datetime(2024, 1, 3, 0, 0, 0), 0.0),  # watermark sentinel
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    path = str(tmp_path_factory.mktemp("native_sess") / "events")
+    df.coalesce(1).write.parquet(path)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .parquet(path)
+        .withWatermark("ts", "10 minutes")
+    )
+    sessions = (
+        stream.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("s"), F.col("w.end").alias("e"), "n_events")
+    )
+    out = streaming.run_available_now(sessions, spark, output_mode="append")
+    got = sorted(
+        (r["s"], r["e"], r["n_events"])
+        for r in out.filter(F.col("user_id") == 1).collect()
+    )
+    # ONE merged session: [10:00, 10:30+gap), both events inside.
+    assert got == [(_ts(0), dt.datetime(2024, 1, 1, 11, 0), 2)]

@@ -160,6 +160,77 @@ def stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_native_sessions",
+    tier=1,  # extended streaming surface; custom sessionization judged via stream_sessions
+    oracle="""
+    WITH marks AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 1800 SECOND
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ),
+    sess AS (
+      SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marks
+    ),
+    agg AS (
+      SELECT user_id, sid,
+             MIN(ts) AS session_start,
+             MAX(ts) + INTERVAL 1800 SECOND AS session_end,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM sess GROUP BY 1, 2
+    ),
+    mx AS (SELECT MAX(ts) AS m FROM events)
+    SELECT user_id, session_start, session_end, n_events, sum_value
+    FROM agg, mx
+    WHERE epoch_ms(session_end) < epoch_ms(m) - 7200000
+    ORDER BY user_id, session_start
+    """,
+    doc="Built-in session windows (F.session_window, the native "
+    "counterpart to stream_sessions' applyInPandasWithState): per-user "
+    "gap-based sessions with a 30-min gap, 2h watermark, availableNow, "
+    "append mode. Gap semantics match the custom op — TOUCHING windows "
+    "merge (an event at exactly last+gap extends the session; splits "
+    "need gap > 30min; pinned by test_native_session_window_merges_"
+    "touching_windows) — but emission differs, replayed in the oracle: "
+    "sessions emit ONLY when the final ms-truncated watermark passes the "
+    "window end (last_ts + gap); there is no early gap-close emission, "
+    "and session_end is the window end (last_ts + gap), not last_ts. "
+    "Scale: state merges/evicts "
+    "JVM-side with no Python boundary — prefer this whenever plain "
+    "per-session aggregates suffice; the custom op exists for semantics "
+    "beyond it (emission labels, early closes, custom state).",
+)
+def stream_native_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = streaming.stream_events(spark, sf_dir)
+    sessions = (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(
+            F.session_window("ts", "30 minutes").alias("w"),
+            F.col("user_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    out = streaming.run_available_now(
+        sessions, spark, state_partitions=8, output_mode="append"
+    )
+    return out.orderBy("user_id", "session_start")
+
+
+@register(
     "stream_interval_join",
     tier=1,  # extended streaming surface; windowed/stateful machinery judged via tier-0 twins
     oracle="""
