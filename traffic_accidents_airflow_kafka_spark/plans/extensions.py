@@ -297,6 +297,68 @@ def set_ops_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.unionByName(i).orderBy("op")
 
 
+def _zorder_oracle() -> str:
+    from ..operators.layout import z_value_sql
+
+    qv = "CAST(LEAST(GREATEST(FLOOR((value - 0.0) / 500.0 * 65535.0), 0), 65535) AS BIGINT)"
+    qu = "CAST(LEAST(GREATEST(FLOOR((CAST(user_id AS DOUBLE) - 0.0) / 150.0 * 65535.0), 0), 65535) AS BIGINT)"
+    z = z_value_sql("qv", "qu", bits=16)
+    return f"""
+    WITH q AS (
+      SELECT value, user_id, {qv} AS qv, {qu} AS qu FROM events
+    ),
+    zed AS (
+      SELECT value, user_id, CAST({z} AS BIGINT) >> 26 AS z_bucket FROM q
+    )
+    SELECT z_bucket,
+           COUNT(*) AS n_rows,
+           MIN(value) AS min_value, MAX(value) AS max_value,
+           MIN(user_id) AS min_user, MAX(user_id) AS max_user
+    FROM zed
+    GROUP BY z_bucket
+    ORDER BY z_bucket
+    """
+
+
+@register(
+    "zorder_locality",
+    tier=1,  # extended layout surface; pure bit-arithmetic expressions, no reference analog
+    oracle=_zorder_oracle(),
+    doc="Z-order (Morton) layout audit (operators/layout.py): events "
+    "quantized on (value, user_id), bit-interleaved into a Morton code, "
+    "bucketed by the top 6 Z bits — per bucket the min-max extents of "
+    "BOTH dimensions stay narrow, which is exactly the property that "
+    "makes file-level min-max statistics selective on every interleaved "
+    "column after cluster_by_zorder writes. Oracle recomputes the "
+    "identical quantize + interleave in SQL (generated from the same bit "
+    "layout). Scale: the code is pure codegen bit arithmetic; the "
+    "layout step itself is one range exchange — the same shuffle any "
+    "sorted write pays.",
+)
+def zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.layout import quantize, z_value
+
+    events = load_table(spark, sf_dir, "events")
+    qv = quantize("value", 0.0, 500.0, bits=16)
+    qu = quantize(F.col("user_id").cast("double"), 0.0, 150.0, bits=16)
+    zed = events.select(
+        "value",
+        "user_id",
+        F.shiftright(z_value(qv, qu, bits=16), 26).alias("z_bucket"),
+    )
+    return (
+        zed.groupBy("z_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.min("user_id").alias("min_user"),
+            F.max("user_id").alias("max_user"),
+        )
+        .orderBy("z_bucket")
+    )
+
+
 @register(
     "skew_two_phase_totals",
     oracle="""
