@@ -49,6 +49,10 @@ BROADCAST_REQUIRED = {
     "hospitals_schools_vs_lesions": 1,
     "binned_label_join": 1,
     "star_fact_rollup": 3,
+    # bands explode to |intervals| × (width/band + 1) rows — still dim-sized
+    "range_band_join": 1,
+    # customer dim side of the per-nation leaderboard
+    "topk_with_ties": 1,
 }
 
 
