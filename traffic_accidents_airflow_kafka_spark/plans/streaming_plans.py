@@ -300,6 +300,90 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_interval_join_outer",
+    tier=1,  # extended streaming surface; inner interval join is the judged-able twin
+    oracle="""
+    WITH c AS (
+      SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click'
+    ), p AS (
+      SELECT user_id, ts AS buy_ts FROM events WHERE event_type = 'purchase'
+    ), m0 AS (SELECT MAX(ts) AS m FROM events),
+    matched AS (
+      SELECT p.user_id, p.buy_ts, c.click_ts
+      FROM p JOIN c ON p.user_id = c.user_id
+        AND c.click_ts >= p.buy_ts - INTERVAL 30 MINUTE
+        AND c.click_ts <= p.buy_ts
+    ),
+    unmatched AS (
+      SELECT p.user_id, p.buy_ts, CAST(NULL AS TIMESTAMP) AS click_ts
+      FROM p, m0
+      WHERE NOT EXISTS (
+        SELECT 1 FROM c WHERE c.user_id = p.user_id
+          AND c.click_ts >= p.buy_ts - INTERVAL 30 MINUTE
+          AND c.click_ts <= p.buy_ts
+      )
+      AND epoch_ms(p.buy_ts) + 1800000 < epoch_ms(m) - 7200000
+    ),
+    unioned AS (
+      SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+    )
+    SELECT CAST(hour(buy_ts) AS INT) AS buy_hour,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN click_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_attributed
+    FROM unioned
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="LEFT-OUTER stream-stream interval join: purchases with no "
+    "attributable click emit a null row — but only once the join can "
+    "PROVE no match is coming, which is a watermark statement, not a "
+    "batch LEFT JOIN: a null row for purchase P surfaces when the final "
+    "ms-truncated watermark (max event time - 2h) passes P's time plus "
+    "the 30-min interval width (state must outlive the row by the span "
+    "in which a matching click could still arrive; measured and replayed "
+    "in the oracle's unmatched-emission predicate). Purchases younger "
+    "than that horizon stay in state unemitted — correct streaming "
+    "semantics, NOT missing data. Scale: same bounded state horizon as "
+    "the inner join plus the outer-null bookkeeping.",
+)
+def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clicks = (
+        streaming.stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        streaming.stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("buyer_id"), F.col("ts").alias("buy_ts"))
+        .withWatermark("buy_ts", "2 hours")
+    )
+    joined = streaming.interval_join(
+        purchases,
+        clicks,
+        key_expr="buyer_id = user_id",
+        lower_bound_expr="click_ts >= buy_ts - INTERVAL 30 MINUTES",
+        upper_bound_expr="click_ts <= buy_ts",
+        how="left_outer",
+    )
+    drained = streaming.run_available_now(
+        joined, spark, state_partitions=8, output_mode="append"
+    )
+    return (
+        drained.groupBy(F.hour("buy_ts").cast("int").alias("buy_hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("click_ts").isNotNull(), 1).otherwise(0)).alias(
+                "n_attributed"
+            ),
+        )
+        .orderBy("buy_hour")
+    )
+
+
+@register(
     "stream_dedup_unique_counts",
     tier=1,  # extended streaming surface; windowed/stateful machinery judged via tier-0 twins
     oracle="""
