@@ -319,3 +319,68 @@ class TestWeightedSample:
         a = {r["id"] for r in sampling.weighted_sample(df, 20, "id", "w", seed="s1").collect()}
         b = {r["id"] for r in sampling.weighted_sample(df, 20, "id", "w", seed="s2").collect()}
         assert a != b
+
+
+class TestStarConnectedComponents:
+    def _union_find_labels(self, edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+
+        for a, b in edges:
+            union(a, b)
+        edge_nodes = {n for e in edges for n in e}
+        return {
+            n: min(m for m in edge_nodes if find(m) == find(n)) for n in edge_nodes
+        }
+
+    def test_matches_min_label_and_union_find_on_random_graph(self, spark):
+        import random
+
+        rng = random.Random(7)
+        edges = [(rng.randrange(80), rng.randrange(80)) for _ in range(60)]
+        edges = [(a, b) for a, b in edges if a != b]
+        pairs = spark.createDataFrame(edges, "d1 long, d2 long")
+        want = self._union_find_labels(edges)
+        star = {
+            r["id"]: r["component"]
+            for r in dedup.connected_components_star(pairs).collect()
+        }
+        label = {
+            r["id"]: r["component"]
+            for r in dedup.connected_components(pairs).collect()
+        }
+        assert star == want
+        assert label == want
+
+    def test_long_chain_converges_in_log_rounds(self, spark):
+        """The case the star variant exists for: a 200-node chain has
+        diameter 200 (min-label would need ~200 rounds) but must collapse
+        within the 20-alternation default budget."""
+        edges = [(i, i + 1) for i in range(200)]
+        pairs = spark.createDataFrame(edges, "d1 long, d2 long")
+        got = {
+            r["id"]: r["component"]
+            for r in dedup.connected_components_star(pairs).collect()
+        }
+        assert got == {i: 0 for i in range(201)}
+
+    def test_two_components_and_isolated_pair(self, spark):
+        pairs = spark.createDataFrame(
+            [(5, 3), (3, 9), (20, 21)], "d1 long, d2 long"
+        )
+        got = {
+            r["id"]: r["component"]
+            for r in dedup.connected_components_star(pairs).collect()
+        }
+        assert got == {3: 3, 5: 3, 9: 3, 20: 20, 21: 20}

@@ -276,6 +276,120 @@ def connected_components(
     return comp
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round: every node points its STRICTLY LARGER
+    neighbors at the minimum of its closed neighborhood."""
+    sym = edges.union(
+        edges.select(F.col("e_dst").alias("e_src"), F.col("e_src").alias("e_dst"))
+    )
+    mins = (
+        sym.groupBy("e_src")
+        .agg(F.min("e_dst").alias("mn"))
+        .select("e_src", F.least("mn", "e_src").alias("m"))
+    )
+    return (
+        sym.join(mins, "e_src")
+        .filter(F.col("e_dst") > F.col("e_src"))
+        .select(F.col("e_dst").alias("e_src"), F.col("m").alias("e_dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: orient every edge toward the smaller id,
+    then point each node's smaller-or-equal neighbors (and itself) at
+    the minimum of the neighborhood."""
+    oriented = edges.select(
+        F.greatest("e_src", "e_dst").alias("e_src"),
+        F.least("e_src", "e_dst").alias("e_dst"),
+    )
+    mins = oriented.groupBy("e_src").agg(F.min("e_dst").alias("m"))
+    joined = oriented.join(mins, "e_src")
+    to_min = joined.select(F.col("e_dst").alias("e_src"), F.col("m").alias("e_dst"))
+    self_to_min = joined.select("e_src", F.col("m").alias("e_dst"))
+    return (
+        to_min.union(self_to_min)
+        .filter(F.col("e_src") != F.col("e_dst"))
+        .distinct()
+    )
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    src: str = "d1",
+    dst: str = "d2",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the O(log n)-round alternative to
+    :func:`connected_components` for HIGH-DIAMETER graphs.
+
+    Min-label propagation needs rounds = component diameter: a
+    million-node chain is a million rounds. The star operations instead
+    contract toward each neighborhood's minimum — large-star hangs every
+    larger neighbor off the local minimum, small-star flattens the
+    remaining small edges — roughly halving tree heights per alternation,
+    so a chain collapses in O(log n) alternations. Per round the plan is
+    the same shape as one min-label round (groupBy-min + join on the
+    node id), so the upgrade changes round COUNT, not the shuffle
+    structure. Fixpoint = the edge relation is a star forest (every edge
+    already (node → component min)); detected by an edge-checksum
+    aggregate reaching stability, one scalar row to the driver per round.
+
+    Returns (id, component) for every node in ``pairs`` — identical
+    labels to :func:`connected_components` (component = min id), verified
+    equivalent in tests; ``dedup_clusters_star`` reuses the min-label
+    query's oracle unchanged.
+
+    Near-dup graphs (tiny dense clusters) converge in 1-2 alternations
+    either way; prefer this variant when cluster chains can be long
+    (e.g. transitive URL-canonicalization graphs, co-citation chains).
+    """
+    fwd = pairs.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
+    rev = pairs.select(F.col(dst).alias("e_src"), F.col(src).alias("e_dst"))
+    all_nodes = (
+        fwd.select(F.col("e_src").alias("id"))
+        .union(fwd.select(F.col("e_dst").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    edges = fwd.union(rev).filter(F.col("e_src") != F.col("e_dst")).distinct()
+    edges = edges.localCheckpoint()
+
+    spark = pairs.sparkSession
+    n_edges = edges.count()
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    loop_parts = max(1, min(int(prev_parts), n_edges // 500_000 + 1))
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    try:
+        prev_sig = None
+        for _ in range(max_iter):
+            edges = _small_star(_large_star(edges)).localCheckpoint()
+            # Order-independent edge-set signature: count + XOR of per-edge
+            # hashes (XOR cannot overflow under ANSI arithmetic, unlike SUM).
+            sig = edges.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.bit_xor(F.xxhash64("e_src", "e_dst")).alias("h"),
+            ).first()
+            cur_sig = (sig["n"], sig["h"])
+            if cur_sig == prev_sig:
+                break
+            prev_sig = cur_sig
+        # At fixpoint edges form a star forest: (node -> component min).
+        comp = edges.groupBy(F.col("e_src").alias("id")).agg(
+            F.min("e_dst").alias("component")
+        )
+        # Roots (component minima) carry no outgoing edge — label them
+        # with themselves; nodes already labeled keep their star edge.
+        out = all_nodes.join(comp, "id", "left").select(
+            "id", F.coalesce("component", F.col("id")).alias("component")
+        )
+        return out
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
 def simhash64(
     df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:

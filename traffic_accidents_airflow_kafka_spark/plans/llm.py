@@ -967,6 +967,39 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_clusters_star",
+    tier=1,  # extended clustering surface; min-label CC judged via dedup_clusters
+    oracle=_cluster_oracle(),
+    min_rows=0,
+    doc="Dedup clustering via alternating large-star/small-star rounds "
+    "(operators/dedup.py:connected_components_star; Kiveris et al. "
+    "SoCC'14) — identical output contract to dedup_clusters (same "
+    "candidate pairs, same cluster-id/canonical labels, SAME oracle) but "
+    "O(log n) rounds instead of rounds = component diameter, the variant "
+    "to reach for when duplicate chains run long (URL canonicalization, "
+    "transitive citation chains). Scale: each alternation is groupBy-min "
+    "+ equi-join on node ids — the same per-round shuffle shape as "
+    "min-label propagation; only the round COUNT changes.",
+)
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.word_shingles(docs, "doc_id", "text", n=3)
+    pairs = dedup.jaccard_pairs(sh, "doc_id").filter(F.col("jaccard") >= 0.5)
+    comp = dedup.connected_components_star(pairs, "d1", "d2")
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        comp.join(F.broadcast(sizes), "component")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("component").alias("cluster_id"),
+            "cluster_size",
+            (F.col("id") == F.col("component")).alias("is_canonical"),
+        )
+        .orderBy("cluster_id", "doc_id")
+    )
+
+
 def _split_oracle() -> str:
     bounds = sampling.split_thresholds({"train": 0.9, "val": 0.05, "test": 0.05})
     (t_name, t1), (v_name, t2), (rest_name, _) = bounds
