@@ -119,3 +119,48 @@ def test_banded_range_join_avoids_nested_loop_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Join" in plan
+
+
+def test_scd2_history_collapses_and_closes_versions(spark):
+    """Consecutive duplicate states extend a version; changes open a new
+    one; valid_to chains to the next valid_from; the last version stays
+    open (null); reverting to an earlier state is a NEW version."""
+    from traffic_accidents_airflow_kafka_spark.operators.scd import scd2_history
+
+    rows = [
+        (1, _t(0), "a"),
+        (1, _t(10), "a"),   # unchanged — extends version 1
+        (1, _t(20), "b"),   # change — version 2
+        (1, _t(30), "a"),   # revert — version 3 (history, not a merge)
+        (2, _t(5), "x"),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, state string")
+    out = sorted(
+        (r["k"], r["state"], r["valid_from"], r["valid_to"])
+        for r in scd2_history(df, ["k"], ["state"], "ts").collect()
+    )
+    assert out == [
+        (1, "a", _t(0), _t(20)),
+        (1, "a", _t(30), None),
+        (1, "b", _t(20), _t(30)),
+        (2, "x", _t(5), None),
+    ]
+
+
+def test_scd2_single_shuffle_plan(spark):
+    """Both window passes must share one Exchange on the key — the
+    set-wise promise over per-row upserts."""
+    from traffic_accidents_airflow_kafka_spark.operators.scd import scd2_history
+
+    df = spark.range(1000).select(
+        (F.col("id") % 10).alias("k"),
+        F.col("id").cast("timestamp").alias("ts"),
+        (F.col("id") % 3).cast("string").alias("state"),
+    )
+    plan = (
+        scd2_history(df, ["k"], ["state"], "ts")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1, plan

@@ -1,0 +1,64 @@
+"""Slowly-changing-dimension (SCD type 2) history building.
+
+The reference's star schema (SURVEY.md §1.3) keeps dimensions
+current-state-only: re-running the DAG overwrites attributes, losing
+history. The warehouse-standard fix is SCD2 — one row per (key, version)
+with a validity interval — and at scale it must be built SET-WISE from a
+change log, not row-by-row like `ON CONFLICT` upserts.
+
+:func:`scd2_history` turns an ordered change feed (key, attrs, ts) into
+versioned rows in two window passes over one shuffle on the key:
+
+1. collapse consecutive duplicates — a row opens a new version iff its
+   attribute tuple differs from the key's previous row (lag compare);
+2. close each version with the next version's open time
+   (``valid_to = lead(valid_from)``; null = current version).
+
+Both passes share the (key × ts) sort, so Catalyst plans a single
+Exchange + sort. At 100 TB the change feed is usually already bucketed by
+key — then even that exchange disappears.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def scd2_history(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    attr_cols: Sequence[str],
+    ts_col: str,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Build SCD2 rows from a change feed.
+
+    Returns one row per version: ``key_cols + attr_cols + valid_from +
+    valid_to`` where ``valid_from`` is the first ``ts_col`` the attribute
+    tuple held and ``valid_to`` is the next version's ``valid_from``
+    (null for the open/current version). Consecutive feed rows with an
+    unchanged attribute tuple extend the current version instead of
+    opening a new one. Supply ``tiebreak_cols`` when ``ts_col`` is not
+    unique per key — the order must be total for versions to be
+    deterministic.
+    """
+    keys = list(key_cols)
+    attrs = list(attr_cols)
+    order = [F.col(ts_col), *[F.col(c) for c in tiebreak_cols]]
+    w = Window.partitionBy(*keys).orderBy(*order)
+
+    state = F.struct(*[F.col(c) for c in attrs])
+    changed = (
+        F.lag(state).over(w).isNull() | (state != F.lag(state).over(w))
+    )
+    versions = df.withColumn("__new_version", changed).filter(F.col("__new_version"))
+
+    wv = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        versions.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead("valid_from").over(wv))
+        .select(*keys, *attrs, "valid_from", "valid_to")
+    )

@@ -360,6 +360,68 @@ def zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scd2_user_state_history",
+    tier=1,  # extended warehouse surface; window machinery judged via tier-0 window queries
+    oracle="""
+    WITH daily AS (
+      SELECT user_id,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, date_trunc('day', ts)
+               ORDER BY ts, event_id
+             ) AS rn
+      FROM events
+    ),
+    feed AS (SELECT user_id, day, event_type AS state FROM daily WHERE rn = 1),
+    marked AS (
+      SELECT user_id, day, state,
+             CASE WHEN LAG(state) OVER (PARTITION BY user_id ORDER BY day)
+                       IS DISTINCT FROM state
+                  THEN 1 ELSE 0 END AS chg
+      FROM feed
+    ),
+    vers AS (SELECT user_id, state, day AS valid_from FROM marked WHERE chg = 1)
+    SELECT user_id, state, valid_from,
+           LEAD(valid_from) OVER (
+             PARTITION BY user_id ORDER BY valid_from
+           ) AS valid_to
+    FROM vers
+    ORDER BY user_id, valid_from
+    """,
+    doc="SCD type-2 dimension history (operators/scd.py:scd2_history): "
+    "each user's daily opening event_type becomes a tracked attribute; "
+    "consecutive unchanged days extend the version, changes open a new "
+    "one, and valid_to closes against the next version's valid_from "
+    "(null = current) — the history-preserving upgrade to the "
+    "reference's overwrite-on-rerun dimensions, built set-wise in one "
+    "keyed shuffle (two window passes share the sort) instead of per-row "
+    "ON CONFLICT upserts. Oracle replays the same collapse + interval "
+    "close in SQL.",
+)
+def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.scd import scd2_history
+
+    events = load_table(spark, sf_dir, "events")
+    wd = Window.partitionBy(
+        "user_id", F.date_trunc("day", "ts")
+    ).orderBy("ts", "event_id")
+    feed = (
+        events.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.date_trunc("day", "ts").alias("day"),
+            F.col("event_type").alias("state"),
+        )
+    )
+    return scd2_history(feed, ["user_id"], ["state"], "day").orderBy(
+        "user_id", "valid_from"
+    )
+
+
+@register(
     "skew_two_phase_totals",
     oracle="""
     SELECT event_type,
