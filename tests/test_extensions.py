@@ -164,3 +164,29 @@ def test_scd2_single_shuffle_plan(spark):
         .toString()
     )
     assert plan.count("Exchange") == 1, plan
+
+
+def test_quality_checks_count_planted_violations(spark):
+    from traffic_accidents_airflow_kafka_spark.operators.quality import (
+        duplicate_key_count,
+        violation_counts,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, -1.0), (2, None), (3, -2.0)], "k long, v double"
+    )
+    got = {
+        r["check_name"]: r["n_violations"]
+        for r in violation_counts(
+            df, {"v_negative": F.col("v") < 0, "v_null": F.col("v").isNull()}
+        ).collect()
+    }
+    assert got == {"v_negative": 2, "v_null": 1}
+
+    [dup] = duplicate_key_count(df, ["k"]).collect()
+    assert dup["check_name"] == "unique_k" and dup["n_violations"] == 1
+
+    # A clean frame audits to zeros, not nulls.
+    clean = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    [dup0] = duplicate_key_count(clean, ["k"]).collect()
+    assert dup0["n_violations"] == 0

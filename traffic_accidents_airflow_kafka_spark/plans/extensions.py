@@ -422,6 +422,63 @@ def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "data_quality_audit",
+    tier=1,  # extended ops surface; the aggregate machinery is judged via null_sentinel_audit
+    oracle="""
+    SELECT check_name, n_violations FROM (
+      SELECT 'event_type_unknown' AS check_name,
+             CAST(SUM(CASE WHEN event_type NOT IN
+               ('click','view','purchase','signup','error') THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_violations
+      FROM events
+      UNION ALL
+      SELECT 'ts_null',
+             CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM events
+      UNION ALL
+      SELECT 'user_id_null',
+             CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM events
+      UNION ALL
+      SELECT 'value_negative',
+             CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT)
+      FROM events
+      UNION ALL
+      SELECT 'unique_event_id',
+             CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT)
+      FROM events
+    )
+    ORDER BY check_name
+    """,
+    doc="Declarative data-quality audit (operators/quality.py): the "
+    "DDL-style contracts the reference delegated to Postgres (NOT NULL, "
+    "UNIQUE, enum domains — dags/etl_crash_traffic.py:50-147) evaluated "
+    "lakehouse-style as violation counts — 4 row-level rules in ONE "
+    "aggregate scan plus a keyed-shuffle uniqueness check, output "
+    "O(rules) regardless of violation volume. Scale: the audit adds one "
+    "pass over data already being read; gate/alert on the counts, fetch "
+    "violating rows only on demand.",
+)
+def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality import duplicate_key_count, violation_counts
+
+    events = load_table(spark, sf_dir, "events")
+    row_rules = violation_counts(
+        events,
+        {
+            "event_type_unknown": ~F.col("event_type").isin(
+                "click", "view", "purchase", "signup", "error"
+            ),
+            "ts_null": F.col("ts").isNull(),
+            "user_id_null": F.col("user_id").isNull(),
+            "value_negative": F.col("value") < 0,
+        },
+    )
+    unique_rule = duplicate_key_count(events, ["event_id"])
+    return row_rules.unionByName(unique_rule).orderBy("check_name")
+
+
+@register(
     "skew_two_phase_totals",
     oracle="""
     SELECT event_type,
