@@ -3,6 +3,8 @@ idempotent skip, bucketed-table shuffle elimination."""
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 
 from traffic_accidents_airflow_kafka_spark.sources import sinks
@@ -93,3 +95,21 @@ def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
     # Partition pruning: the filter becomes a PartitionFilter, not a scan filter.
     assert "PartitionFilters: [isnotnull(event_type" in plan
     assert back.count() == events.filter(F.col("event_type") == "click").count()
+
+
+def test_compact_parquet_reduces_files_and_preserves_rows(spark, tmp_path):
+    from traffic_accidents_airflow_kafka_spark.sources.sinks import compact_parquet
+
+    path = str(tmp_path / "frag")
+    # 24 tiny files via per-row partitions.
+    spark.range(240).repartition(24).write.parquet(path)
+    n_before = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    assert n_before == 24
+
+    n_after = compact_parquet(spark, path, target_file_bytes=10 * 1024 * 1024)
+    files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert n_after == len(files) == 1
+    assert sorted(r["id"] for r in spark.read.parquet(path).collect()) == list(range(240))
+
+    # Idempotent: already compact → no rewrite, count reported unchanged.
+    assert compact_parquet(spark, path, target_file_bytes=10 * 1024 * 1024) == 1

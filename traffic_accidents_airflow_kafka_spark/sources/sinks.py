@@ -119,3 +119,52 @@ def _path_has_data(path: str) -> bool:
         not name.startswith(("_", "."))
         for name in os.listdir(path)
     )
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-files maintenance: rewrite a parquet directory into
+    ``ceil(total_bytes / target_file_bytes)`` files. Returns the new file
+    count (0 = nothing to do).
+
+    Streaming sinks and incremental appends accrete files far below the
+    efficient scan size; at 100 TB the resulting open/seek overhead and
+    footer storms dominate scan cost long before data volume does —
+    periodic compaction back to ~128 MB files (the classic HDFS-block
+    target; size to your store's sweet spot) is the standard maintenance
+    job.
+
+    The rewrite goes through a temp directory next to ``path`` and swaps
+    via rename, so a crash leaves either the old or the new layout, never
+    a mix. Local-filesystem sizing/rename (matching this repo's file://
+    deployment); an object-store deployment swaps the os calls for the
+    Hadoop FileSystem API — the plan (read → repartition(n) → write) is
+    identical. Single-writer assumption, same as the reference's
+    max_active_runs=1.
+    """
+    import math
+    import shutil
+
+    sizes = [
+        os.path.getsize(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    ]
+    if not sizes:
+        return 0
+    total = sum(sizes)
+    n_target = max(1, math.ceil(total / target_file_bytes))
+    if n_target >= len(sizes):
+        return len(sizes)  # already at-or-under target granularity
+
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "__compact_tmp"
+    old = path.rstrip("/") + "__compact_old"
+    df.repartition(n_target).write.mode("overwrite").parquet(tmp)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return n_target
