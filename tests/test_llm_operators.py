@@ -233,3 +233,23 @@ def test_resize_images_plumbing(spark):
         assets, 2, 2, resize=lambda p, w, h: bytes([len(p)] * (w * h))
     ).collect()
     assert {r["asset_id"]: r["payload"] for r in out2}[1] == bytes([3, 3, 3, 3])
+
+
+def test_bigram_lm_scores_rank_fluent_above_gibberish(spark):
+    """Documents made of the corpus's dominant bigrams must outscore a
+    document of unique never-repeated bigrams; single-token docs carry no
+    bigrams and are excluded."""
+    common = "the cat sat on the mat"
+    rows = (
+        [(i, common) for i in range(10)]
+        + [(10, "zq xv jk wp mn bt")]  # every bigram unique in the corpus
+        + [(11, "lonely")]             # 1 token -> no bigrams
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    scores = {
+        r["doc_id"]: r["lm_score"]
+        for r in text_ops.bigram_lm_scores(df, "doc_id", "text").collect()
+    }
+    assert 11 not in scores
+    assert scores[0] == scores[9]          # identical docs, identical score
+    assert scores[0] > scores[10]          # fluent >> gibberish

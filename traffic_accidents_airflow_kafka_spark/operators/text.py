@@ -151,3 +151,57 @@ def content_hash(text: Column | str) -> Column:
     """md5 content digest (cross-engine stable)."""
     c = F.col(text) if isinstance(text, str) else text
     return F.md5(c.cast("binary"))
+
+
+def bigram_lm_scores(
+    docs: "DataFrame",
+    id_col: str,
+    text_col: str,
+) -> "DataFrame":
+    """Per-document quality score under a corpus-trained add-one-smoothed
+    bigram language model — the classic LM-filter signal for pre-training
+    corpora (CCNet-style: score each document by how probable its word
+    sequences are under a model of the corpus itself; gibberish and
+    boilerplate land in the tails).
+
+    ``score(doc) = mean over its bigrams of ln((c12 + 1) / (c1 + V))``
+    with corpus-wide bigram counts ``c12``, unigram counts ``c1``, and
+    vocabulary size ``V``. Documents with fewer than 2 tokens carry no
+    bigrams and are excluded.
+
+    Scale shape: two corpus passes build the count relations (ordinary
+    hash aggregates, vocabulary-sized output), then the doc bigrams join
+    those counts keyed on the token strings — shuffles carry tokens and
+    8-byte counts, never documents. V is a single scalar (one
+    driver-side action on a vocabulary-sized aggregate — a number, not
+    data). Returns (id, lang?, n_bigrams, lm_score) with lm_score
+    rounded to 4 places (float sums are engine-order-dependent past
+    ~1e-13; rounding pins the cross-engine contract).
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    bigrams = F.transform(
+        F.slice(toks, 1, n - 1),
+        lambda w, i: F.concat_ws(" ", w, F.element_at(toks, i + F.lit(2))),
+    )
+    pairs = docs.select(
+        F.col(id_col), F.explode(bigrams).alias("bg")
+    ).withColumn("w1", F.split(F.col("bg"), " ").getItem(0))
+
+    c2 = pairs.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    unis = docs.select(F.explode(toks).alias("w1"))
+    c1 = unis.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab_size = c1.count()  # scalar: |vocabulary| — bounded driver traffic
+
+    scored = (
+        pairs.join(c2, "bg")
+        .join(c1, "w1")
+        .withColumn(
+            "logp",
+            F.log((F.col("c12") + 1).cast("double") / (F.col("c1") + F.lit(vocab_size)).cast("double")),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("logp"), 4).alias("lm_score"),
+    )

@@ -1000,6 +1000,75 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "lm_quality_scores",
+    tier=1,  # extended text-analysis surface; token machinery judged via token_accounting
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+    ),
+    pairs AS (
+      SELECT doc_id, lang, bg, string_split(bg, ' ')[1] AS w1 FROM (
+        SELECT doc_id, lang,
+               unnest(list_transform(generate_series(1, len(t) - 1),
+                                     i -> t[i] || ' ' || t[i + 1])) AS bg
+        FROM toks
+      )
+    ),
+    c2 AS (SELECT bg, COUNT(*) AS c12 FROM pairs GROUP BY bg),
+    c1 AS (
+      SELECT w1, COUNT(*) AS c1 FROM (
+        SELECT unnest(t) AS w1 FROM toks
+      ) GROUP BY w1
+    ),
+    v AS (SELECT COUNT(*) AS vocab FROM c1),
+    scored AS (
+      SELECT p.doc_id, p.lang,
+             ln(CAST(c2.c12 + 1 AS DOUBLE) / CAST(c1.c1 + v.vocab AS DOUBLE)) AS logp
+      FROM pairs p JOIN c2 USING (bg) JOIN c1 USING (w1), v
+    ),
+    per_doc AS (
+      SELECT doc_id, lang, COUNT(*) AS n_bigrams,
+             ROUND(AVG(logp), 4) AS lm_score
+      FROM scored GROUP BY doc_id, lang
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(lm_score), 4) AS mean_lm_score,
+           ROUND(MIN(lm_score), 4) AS worst_lm_score,
+           ROUND(MAX(lm_score), 4) AS best_lm_score
+    FROM per_doc
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="Bigram language-model quality scoring (operators/text.py:"
+    "bigram_lm_scores): every document scored by the mean log-probability "
+    "of its bigrams under an add-one-smoothed model trained on the corpus "
+    "itself — the CCNet-style LM filter that puts gibberish and "
+    "boilerplate in the tails; rolled up per language. Oracle replays "
+    "the identical counts, smoothing, and ln in SQL (scores rounded to "
+    "4 — float-sum order is the only engine difference). Scale: count "
+    "relations are vocabulary-sized hash aggregates; the scoring join "
+    "shuffles tokens and counts, never documents; V is one scalar.",
+)
+def lm_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scores = text_ops.bigram_lm_scores(docs, "doc_id", "text")
+    with_lang = scores.join(
+        F.broadcast(docs.select("doc_id", "lang")), "doc_id"
+    )
+    return (
+        with_lang.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("lm_score"), 4).alias("mean_lm_score"),
+            F.round(F.min("lm_score"), 4).alias("worst_lm_score"),
+            F.round(F.max("lm_score"), 4).alias("best_lm_score"),
+        )
+        .orderBy("lang")
+    )
+
+
 def _split_oracle() -> str:
     bounds = sampling.split_thresholds({"train": 0.9, "val": 0.05, "test": 0.05})
     (t_name, t1), (v_name, t2), (rest_name, _) = bounds
