@@ -307,7 +307,11 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click'
     ), p AS (
       SELECT user_id, ts AS buy_ts FROM events WHERE event_type = 'purchase'
-    ), m0 AS (SELECT MAX(ts) AS m FROM events),
+    ), m0 AS (
+      SELECT LEAST((SELECT MAX(ts) FROM events WHERE event_type = 'click'),
+                   (SELECT MAX(ts) FROM events WHERE event_type = 'purchase'))
+               AS m
+    ),
     matched AS (
       SELECT p.user_id, p.buy_ts, c.click_ts
       FROM p JOIN c ON p.user_id = c.user_id
@@ -322,7 +326,7 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND c.click_ts >= p.buy_ts - INTERVAL 30 MINUTE
           AND c.click_ts <= p.buy_ts
       )
-      AND epoch_ms(p.buy_ts) + 1800000 < epoch_ms(m) - 7200000
+      AND epoch_ms(p.buy_ts) < epoch_ms(m) - 7200000
     ),
     unioned AS (
       SELECT * FROM matched UNION ALL SELECT * FROM unmatched
@@ -338,14 +342,17 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="LEFT-OUTER stream-stream interval join: purchases with no "
     "attributable click emit a null row — but only once the join can "
     "PROVE no match is coming, which is a watermark statement, not a "
-    "batch LEFT JOIN: a null row for purchase P surfaces when the final "
-    "ms-truncated watermark (max event time - 2h) passes P's time plus "
-    "the 30-min interval width (state must outlive the row by the span "
-    "in which a matching click could still arrive; measured and replayed "
-    "in the oracle's unmatched-emission predicate). Purchases younger "
-    "than that horizon stay in state unemitted — correct streaming "
-    "semantics, NOT missing data. Scale: same bounded state horizon as "
-    "the inner join plus the outer-null bookkeeping.",
+    "batch LEFT JOIN. Two subtleties, both measured (at sf0.001 AND "
+    "sf0.01) and replayed in the oracle: (1) the join watermark is the "
+    "MIN across both input streams, and each stream's watermark tracks "
+    "the max event time of its FILTERED events (clicks-only / "
+    "purchases-only — the filter sits below withWatermark), not of the "
+    "raw source; (2) a null row for purchase P surfaces when that final "
+    "ms-truncated watermark strictly passes P's own event time (future "
+    "clicks all arrive past the watermark and cannot be <= buy_ts). "
+    "Purchases younger than the horizon stay in state unemitted — "
+    "correct streaming semantics, NOT missing data. Scale: same bounded "
+    "state horizon as the inner join plus the outer-null bookkeeping.",
 )
 def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = (
