@@ -253,3 +253,23 @@ def test_bigram_lm_scores_rank_fluent_above_gibberish(spark):
     assert 11 not in scores
     assert scores[0] == scores[9]          # identical docs, identical score
     assert scores[0] > scores[10]          # fluent >> gibberish
+
+
+def test_normalize_text_collapses_trivial_variants(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "The CAT sat."),
+            (2, "the cat  sat"),
+            (3, "THE, cat; sat!!"),
+            (4, "a different doc"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", text_ops.normalize_text("text").alias("n")
+        ).collect()
+    }
+    assert out[1] == out[2] == out[3] == "the cat sat"
+    assert out[4] == "a different doc"

@@ -205,3 +205,18 @@ def bigram_lm_scores(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.avg("logp"), 4).alias("lm_score"),
     )
+
+
+def normalize_text(text: Column | str) -> Column:
+    """Canonical text form for normalization-robust dedup: lowercase,
+    strip everything but ``[a-z0-9]`` and spaces, collapse whitespace
+    runs, trim. Catches the near-trivial duplicate class byte-exact
+    hashing misses (case flips, punctuation, double spaces) at zero
+    modeling cost — the standard first rung below MinHash on the dedup
+    ladder. Deliberately ASCII-scoped and RE2-compatible so the Spark
+    and DuckDB regex engines agree character-for-character."""
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.lower(c)
+    c = F.regexp_replace(c, "[^a-z0-9 ]", "")
+    c = F.regexp_replace(c, " +", " ")
+    return F.trim(c)

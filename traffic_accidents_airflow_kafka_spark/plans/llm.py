@@ -63,6 +63,38 @@ def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_exact_normalized",
+    tier=1,  # exact-dedup family judged via dedup_exact_stats; adds the normalization rung
+    oracle="""
+    WITH norm AS (
+      SELECT trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS n
+      FROM documents
+    )
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5(n)) AS n_distinct_norm,
+           COUNT(*) - COUNT(DISTINCT md5(n)) AS n_norm_duplicates
+    FROM norm
+    """,
+    doc="Normalization-robust exact dedup (operators/text.py:"
+    "normalize_text): lowercase + punctuation strip + whitespace "
+    "collapse before hashing, catching the case-flip/punctuation "
+    "duplicate class byte-exact md5 misses — the first rung below "
+    "MinHash on the dedup ladder, at hash-groupBy cost. Oracle applies "
+    "the identical RE2-safe normalization in SQL. Scale: identical "
+    "shape to dedup_exact_stats — digests shuffle, never bodies.",
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(text_ops.normalize_text("text").cast("binary"))
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(h).alias("n_distinct_norm"),
+        (F.count(F.lit(1)) - F.countDistinct(h)).alias("n_norm_duplicates"),
+    )
+
+
+@register(
     "dedup_exact_keep",
     tier=1,  # exact-dedup family judged via dedup_exact_stats; keeper pinned by idempotence test + local oracle
     oracle="""
