@@ -21,7 +21,14 @@ STREAMING = {"stream_window_counts"}
 #: embedding_ivf_ann: vectorized cell assignment + per-cell matmul search
 #: (higher-order-function folds are interpreted, not codegen — the Arrow
 #: matmul is the scale path for |corpus| × n_centroids arithmetic).
-ARROW_OK = {"multimodal_meta", "multimodal_embed_ann", "embedding_ivf_ann"}
+ARROW_OK = {
+    "multimodal_meta",
+    "multimodal_embed_ann",
+    "embedding_ivf_ann",
+    # PQ encode + ADC search are Arrow map passes by design (the whole
+    # point is numpy code-matrix arithmetic over compressed codes).
+    "embedding_pq_ann",
+}
 
 
 @pytest.mark.parametrize("name", sorted(set(QUERY_REGISTRY) - STREAMING))

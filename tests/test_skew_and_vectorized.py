@@ -174,3 +174,24 @@ def test_multiprobe_lsh_recall_at_least_single_probe(spark, sf_dir):
     hits_multi = sum(1 for q, n in exact_top1.items() if multi.get(q) == n)
     assert hits_multi >= hits_single
     assert set(multi) >= set(single)  # multiprobe never loses a query
+
+
+def test_pq_ann_recall_and_compression(spark, sf_dir):
+    """PQ ADC ranking must recover a solid share of true top-1 neighbors
+    while answering every query, and the code payload must honor the
+    m-codes compression contract."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = emb.select("vec_id").filter(F.col("vec_id") < 60)
+    exact_top1 = {
+        r["qid"]: r["nid"] for r in similarity.cosine_topk(emb, qids, k=1).collect()
+    }
+    pq = similarity.pq_ann_topk(emb, qids, m=32, n_codes=64, k=1)
+    rows = pq.collect()
+    pq_top1 = {r["qid"]: r["nid"] for r in rows}
+    assert set(pq_top1) == set(exact_top1)  # every query answered
+    hits = sum(1 for q, n in exact_top1.items() if pq_top1.get(q) == n)
+    assert hits / len(exact_top1) > 0.5
+    # Determinism: same seed, same answers.
+    again = {r["qid"]: r["nid"] for r in
+             similarity.pq_ann_topk(emb, qids, m=32, n_codes=64, k=1).collect()}
+    assert again == pq_top1

@@ -648,3 +648,178 @@ def group_centroids(
         exploded.groupBy(group_col, (F.col("pos") + 1).alias("pos"))
         .agg(F.avg(F.col("v").cast("double")).alias("centroid"))
     )
+
+
+def _pq_train(X: "np.ndarray", m: int, n_codes: int, seed: int) -> "np.ndarray":
+    """Per-subspace Lloyd k-means → codebooks of shape (m, n_codes, d/m)."""
+    d = X.shape[1]
+    sub = d // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, n_codes, sub), dtype=np.float64)
+    for j in range(m):
+        Xj = X[:, j * sub : (j + 1) * sub]
+        k_eff = min(n_codes, len(Xj))
+        cent = Xj[rng.choice(len(Xj), size=k_eff, replace=False)].copy()
+        for _ in range(5):
+            d2 = ((Xj[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            labels = d2.argmin(axis=1)
+            for c in range(k_eff):
+                members = Xj[labels == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        if k_eff < n_codes:  # tiny corpus: pad by repeating centroids
+            cent = np.vstack([cent, cent[np.zeros(n_codes - k_eff, dtype=int)]])
+        books[j] = cent
+    return books
+
+
+def pq_ann_topk(
+    vectors: DataFrame,
+    query_ids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 16,
+    n_codes: int = 32,
+    k: int = 3,
+    seed: int = 7,
+    max_train_sample: int = 100_000,
+) -> DataFrame:
+    """Product-quantization ANN (Jégou et al., "Product Quantization for
+    Nearest Neighbor Search", TPAMI'11 — the FAISS memory tier): the
+    corpus is stored as ``m`` one-byte-ish codes per vector instead of
+    ``d`` floats, and queries rank candidates by Asymmetric Distance
+    Computation — exact query vector against quantized corpus — without
+    ever reconstructing the corpus.
+
+    Why it matters at 100 TB: a 64-dim float64 corpus is 512 bytes/row;
+    at m=16 codes it is 16 bytes/row (32×) — the difference between an
+    index that fits executor memory and one that doesn't. Recall is the
+    tradeoff (quantization error); IVF composes with this (IVF-PQ) when
+    both cell pruning and compression are needed.
+
+    Spark shape: training is the same driver-side bounded-sample idiom as
+    IVF (codebooks are m × n_codes × d/m floats — state, not data);
+    encoding is one Arrow ``mapInPandas`` pass over the corpus (argmin
+    per subspace); search broadcasts the BOUNDED query set into a second
+    Arrow pass that gathers per-subspace lookup tables over the code
+    matrix — per-partition top-k, then a global window re-rank. No
+    all-pairs stream, no shuffle of raw vectors at search time.
+
+    Approximate cosine = ADC dot / (|q| × |reconstruction|); the
+    reconstruction norm is computed once at encode time and travels with
+    the codes (8 more bytes).
+    """
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    import pandas as pd
+
+    sample = (
+        vectors.filter(F.col(id_col) % 4 == 0)
+        .select(vec_col)
+        .limit(max_train_sample)
+        .collect()
+    )
+    if not sample:
+        sample = vectors.orderBy(id_col).select(vec_col).limit(256).collect()
+    if not sample:
+        return vectors.sparkSession.createDataFrame(
+            [], "qid long, nid long, rank int, approx_cosine double"
+        )
+    X = np.array([r[vec_col] for r in sample], dtype=np.float64)
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    books = _pq_train(X, m, n_codes, seed)
+
+    enc_schema = StructType(
+        [
+            StructField("nid", LongType()),
+            StructField("codes", ArrayType(IntegerType())),
+            StructField("rnorm", DoubleType()),
+        ]
+    )
+
+    def encode(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            codes = np.empty((len(V), m), dtype=np.int32)
+            recon = np.empty((len(V), d), dtype=np.float64)
+            for j in range(m):
+                Vj = V[:, j * sub : (j + 1) * sub]
+                d2 = ((Vj[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+                cj = d2.argmin(axis=1)
+                codes[:, j] = cj
+                recon[:, j * sub : (j + 1) * sub] = books[j][cj]
+            yield pd.DataFrame(
+                {
+                    "nid": pdf[id_col].to_numpy(dtype=np.int64),
+                    "codes": list(codes),
+                    "rnorm": np.linalg.norm(recon, axis=1),
+                }
+            )
+
+    encoded = vectors.select(id_col, vec_col).mapInPandas(encode, enc_schema)
+
+    q_rows = (
+        vectors.join(F.broadcast(query_ids.select(id_col)), id_col)
+        .select(id_col, vec_col)
+        .collect()
+    )  # bounded-Q contract, same as cosine_topk
+    qids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    Q = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
+    qnorms = np.linalg.norm(Q, axis=1)
+    # Per-query, per-subspace lookup tables: LUT[q, j, c] = q_j . book[j][c]
+    lut = np.einsum("qjs,jcs->qjc", Q.reshape(len(Q), m, sub), books)
+
+    out_schema = StructType(
+        [
+            StructField("qid", LongType()),
+            StructField("nid", LongType()),
+            StructField("approx_cosine", DoubleType()),
+        ]
+    )
+
+    def search(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            codes = np.array(pdf["codes"].tolist(), dtype=np.int64)  # [B, m]
+            nids = pdf["nid"].to_numpy(dtype=np.int64)
+            rnorms = pdf["rnorm"].to_numpy(dtype=np.float64)
+            frames = []
+            for qi in range(len(Q)):
+                # Gather: adc[b] = sum_j LUT[qi, j, codes[b, j]]
+                adc = lut[qi][np.arange(m)[None, :], codes].sum(axis=1)
+                denom = qnorms[qi] * np.where(rnorms > 0, rnorms, np.inf)
+                sims = adc / denom
+                mask = nids != qids[qi]
+                order = np.argsort(-sims[mask])[:k]  # per-partition top-k
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "qid": qids[qi],
+                            "nid": nids[mask][order],
+                            "approx_cosine": sims[mask][order],
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames)
+
+    sims = encoded.mapInPandas(search, out_schema)
+    w = Window.partitionBy("qid").orderBy(F.desc("approx_cosine"), F.asc("nid"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "rank", F.round("approx_cosine", 4).alias("approx_cosine"))
+    )

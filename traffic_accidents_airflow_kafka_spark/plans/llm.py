@@ -493,6 +493,29 @@ def embedding_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("qid", "rank")
 
 
+@register(
+    "embedding_pq_ann",
+    tier=1,  # extended ANN surface; exact/LSH/IVF tiers carry the oracles
+    oracle=None,
+    doc="Product-quantization ANN (operators/similarity.py:pq_ann_topk; "
+    "Jegou et al. TPAMI'11): corpus stored as 32 subspace codes per "
+    "vector (16x smaller than 64-dim float64), queries ranked by "
+    "asymmetric distance — exact query against per-subspace code lookup "
+    "tables, computed in an Arrow pass over the code matrix, "
+    "per-partition top-k + global re-rank. Rows-only like IVF (k-means "
+    "codebooks are engine-specific); recall vs the exact baseline and "
+    "the compression contract are pinned in unit tests. Scale: the "
+    "memory tier — encoding is one Arrow map pass, search never "
+    "shuffles raw vectors; composes with IVF cells as IVF-PQ.",
+)
+def embedding_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = emb.select("vec_id").filter(F.col("vec_id") < 100)
+    return similarity.pq_ann_topk(
+        emb, qids, m=32, n_codes=64, k=3
+    ).orderBy("qid", "rank")
+
+
 def _cosine_neardup_oracle(
     threshold: float = 0.3, n_planes: int = 6, dim: int = 64, seed: int = 7
 ) -> str:
