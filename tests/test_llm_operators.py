@@ -273,3 +273,50 @@ def test_normalize_text_collapses_trivial_variants(spark):
     }
     assert out[1] == out[2] == out[3] == "the cat sat"
     assert out[4] == "a different doc"
+
+
+def test_word_ngrams_short_doc_and_counts(spark):
+    from traffic_accidents_airflow_kafka_spark.operators import decontam
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b"), (3, "x")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r["g"]
+        for r in df.select(
+            "doc_id", decontam.word_ngrams("text", 3).alias("g")
+        ).collect()
+    }
+    assert out[1] == ["a b c", "b c d"]
+    assert out[2] == [] and out[3] == []
+
+
+def test_contamination_flags_planted_overlap(spark):
+    from traffic_accidents_airflow_kafka_spark.operators import decontam
+
+    span = "one two three four five six seven eight"  # exactly one 8-gram
+    train = spark.createDataFrame(
+        [
+            (1, span + " tail tail tail"),       # 4 grams, 1 hit -> below threshold
+            (2, "clean words only nothing shared here at all ok"),
+            (3, "tiny"),                          # < n words
+            (4, span),                            # 1/1 grams hit -> flagged
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "prefix " + span + " suffix")], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in decontam.contamination(
+            train, bench, "doc_id", "text", n=8, flag_threshold=0.5
+        ).collect()
+    }
+    assert rows[4]["n_grams"] == 1 and rows[4]["n_hit"] == 1
+    assert rows[4]["contaminated"] is True
+    assert rows[1]["n_grams"] == 4 and rows[1]["n_hit"] == 1
+    assert rows[1]["contaminated"] is False
+    assert rows[2]["n_hit"] == 0 and rows[2]["contaminated"] is False
+    assert rows[3]["n_grams"] == 0 and rows[3]["overlap"] == 0.0
+    assert rows[3]["contaminated"] is False

@@ -1,0 +1,115 @@
+"""Benchmark decontamination: n-gram overlap between a training corpus
+and a held-out benchmark/eval set.
+
+The GPT-3/PaLM-style contamination check (public methodology: Brown et
+al. 2020 appendix C; Chowdhery et al. 2022 §6): a training document is
+contaminated when a large fraction of its word n-grams also occur in any
+benchmark document. Both sides reduce to n-gram sets; the check is a join
+on n-gram digests — never on document bodies.
+
+Scale shape (100 TB corpus, MB-scale benchmark): the benchmark side is
+tiny by construction (eval suites are thousands of rows), so its distinct
+n-gram digest set broadcasts and the whole check is one map-side
+broadcast semi-join over the corpus — no shuffle of corpus data at all.
+The corpus side streams: explode n-grams per doc, probe the broadcast
+set, re-aggregate per doc (partial aggregates combine map-side since
+doc_id keys are produced clustered by the explode).
+
+Reference context: the reference repo has no eval-set hygiene at all
+(SURVEY.md §2 — its dedup story is pandas ``drop_duplicates``); this is
+part of the beyond-reference training-data surface, same family as
+`operators/dedup.py`.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from .text import tokens
+
+
+def word_ngrams(text: Column | str, n: int) -> Column:
+    """Array of space-joined word ``n``-grams of ``text`` (empty array for
+    docs shorter than ``n`` words).
+
+    Pure higher-order-function expression — stays in codegen, no UDF.
+    ``F.sequence`` would count *down* when the doc is shorter than ``n``
+    (start > stop yields a descending sequence), so the short-doc case is
+    guarded explicitly.
+    """
+    w = tokens(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+    )
+    return F.when(F.size(w) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def benchmark_ngram_digests(
+    bench: DataFrame, text_col: str, n: int
+) -> DataFrame:
+    """Distinct md5 digests of every word ``n``-gram in the benchmark set.
+
+    md5 (not xxhash64) so the digest is reproducible in any engine — the
+    same cross-engine-parity choice as `operators/dedup.py:text_hash`.
+    Output column: ``gram_h``.
+    """
+    return (
+        bench.select(
+            F.explode(word_ngrams(text_col, n)).alias("gram")
+        )
+        .select(F.md5("gram").alias("gram_h"))
+        .distinct()
+    )
+
+
+def contamination(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    flag_threshold: float = 0.2,
+) -> DataFrame:
+    """Per-training-doc contamination report against ``bench``.
+
+    Output: ``id_col``, ``n_grams`` (n-gram instances in the doc),
+    ``n_hit`` (instances also present in the benchmark n-gram set),
+    ``overlap`` (hit fraction, 0.0 for docs shorter than ``n`` words),
+    ``contaminated`` (overlap >= ``flag_threshold``).
+
+    The benchmark digest set is explicitly broadcast: eval suites are
+    always small relative to the corpus, so the probe is map-side and the
+    only aggregation is the per-doc count, which combines partially
+    before any exchange.
+    """
+    digests = F.broadcast(
+        benchmark_ngram_digests(bench, text_col, n).withColumnRenamed(
+            "gram_h", "bench_h"
+        )
+    )
+    exploded = train.select(
+        F.col(id_col),
+        F.explode_outer(word_ngrams(text_col, n)).alias("gram"),
+    ).select(id_col, "gram", F.md5("gram").alias("gram_h"))
+    per_doc = (
+        exploded.join(digests, F.col("gram_h") == F.col("bench_h"), "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("gram").alias("n_grams"),
+            F.count("bench_h").alias("n_hit"),
+        )
+    )
+    overlap = F.when(
+        F.col("n_grams") > 0, F.col("n_hit") / F.col("n_grams")
+    ).otherwise(F.lit(0.0))
+    return per_doc.select(
+        id_col,
+        "n_grams",
+        "n_hit",
+        overlap.alias("overlap"),
+        (overlap >= F.lit(flag_threshold)).alias("contaminated"),
+    )

@@ -18,7 +18,14 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators import dedup, multimodal, sampling, similarity, text as text_ops
+from ..operators import (
+    decontam,
+    dedup,
+    multimodal,
+    sampling,
+    similarity,
+    text as text_ops,
+)
 from ..sources.tables import load_table
 from .registry import register
 
@@ -1373,4 +1380,100 @@ def token_shards_global(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
         .orderBy("shard_id")
+    )
+
+
+def _decontam_oracle(n: int = 8, flag_threshold: float = 0.2) -> str:
+    """Split assignment, n-gram generation, digest join, and the
+    hit-fraction flag all replayed in DuckDB. Per-doc gram counts come
+    back to the doc list via LEFT JOIN + COALESCE so sub-n-word docs
+    keep n_grams = 0, matching Spark's explode_outer."""
+    bounds = sampling.split_thresholds({"train": 0.9, "val": 0.05, "test": 0.05})
+    (t_name, t1), (v_name, t2), _ = bounds
+    key = "md5('split-v1|' || CAST(doc_id AS VARCHAR))"
+    grams = (
+        f"list_transform(range(1, len(w) - {n} + 2), "
+        f"i -> array_to_string(w[i:i+{n - 1}], ' '))"
+    )
+    return f"""
+    WITH assigned AS (
+      SELECT doc_id, source, string_split(text, ' ') AS w,
+             CASE WHEN {key} < '{t1}' THEN '{t_name}'
+                  WHEN {key} < '{t2}' THEN '{v_name}'
+                  ELSE 'test' END AS split
+      FROM documents
+    ),
+    bench_grams AS (
+      SELECT DISTINCT md5(g) AS bench_h FROM (
+        SELECT unnest({grams}) AS g FROM assigned WHERE split = 'test'
+      )
+    ),
+    train_grams AS (
+      SELECT doc_id, unnest({grams}) AS g
+      FROM assigned WHERE split = '{t_name}'
+    ),
+    per_doc AS (
+      SELECT tg.doc_id,
+             COUNT(g) AS n_grams,
+             COUNT(bench_h) AS n_hit
+      FROM train_grams tg
+      LEFT JOIN bench_grams b ON md5(tg.g) = b.bench_h
+      GROUP BY tg.doc_id
+    ),
+    docs AS (
+      SELECT a.doc_id, a.source,
+             COALESCE(p.n_grams, 0) AS n_grams,
+             COALESCE(p.n_hit, 0) AS n_hit
+      FROM assigned a LEFT JOIN per_doc p ON a.doc_id = p.doc_id
+      WHERE a.split = '{t_name}'
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_grams > 0
+                          AND n_hit / CAST(n_grams AS DOUBLE) >= {flag_threshold}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+           CAST(SUM(n_grams) AS BIGINT) AS total_grams,
+           CAST(SUM(n_hit) AS BIGINT) AS total_hits
+    FROM docs
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+@register(
+    "decontamination_report",
+    tier=1,  # extended training-data surface
+    oracle=_decontam_oracle(),
+    doc="Benchmark decontamination (GPT-3 appendix-C idiom): flag training "
+    "docs whose word-8-gram overlap with the held-out eval split exceeds "
+    "a threshold (operators/decontam.py:contamination). The eval side "
+    "reduces to a distinct md5-digest set that is explicitly broadcast — "
+    "eval suites are MB-scale against a 100 TB corpus, so the probe is a "
+    "map-side broadcast semi-join with zero corpus shuffle; per-doc "
+    "re-aggregation combines partially map-side. Rollup keeps exact "
+    "BIGINT gram/hit counts so the cross-engine hash stays stable.",
+)
+def decontamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = sampling.hash_split(
+        docs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}, seed="split-v1"
+    )
+    train = assigned.filter(F.col("split") == "train")
+    bench = assigned.filter(F.col("split") == "test")
+    report = decontam.contamination(
+        train, bench, "doc_id", "text", n=8, flag_threshold=0.2
+    )
+    return (
+        train.select("doc_id", "source")
+        .join(report, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.col("contaminated").cast("int"))
+            .cast("bigint")
+            .alias("n_contaminated"),
+            F.sum("n_grams").cast("bigint").alias("total_grams"),
+            F.sum("n_hit").cast("bigint").alias("total_hits"),
+        )
+        .orderBy("source")
     )
