@@ -320,3 +320,25 @@ def test_contamination_flags_planted_overlap(spark):
     assert rows[2]["n_hit"] == 0 and rows[2]["contaminated"] is False
     assert rows[3]["n_grams"] == 0 and rows[3]["overlap"] == 0.0
     assert rows[3]["contaminated"] is False
+
+
+def test_repetition_stats_flags_planted_repeats(spark):
+    from traffic_accidents_airflow_kafka_spark.operators import quality
+
+    rows = [
+        (1, "spam ham " * 10),                # one bigram dominates
+        (2, "a b c d e f g h i j k l m n"),  # all distinct
+        (3, "p q r s t p q r s t p q r s t"),  # repeated 5-gram spans
+        (4, "x"),                             # no bigrams at all
+    ]
+    df = spark.createDataFrame(
+        [(i, t.strip()) for i, t in rows], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in quality.repetition_stats(df, "doc_id", "text").collect()
+    }
+    assert out[1]["repetitive"] is True and out[1]["top_bigram_frac"] > 0.18
+    assert out[2]["repetitive"] is False and out[2]["dup_fivegram_frac"] == 0.0
+    assert out[3]["dup_fivegram_frac"] > 0.15 and out[3]["repetitive"] is True
+    assert out[4]["bi_total"] == 0 and out[4]["repetitive"] is False

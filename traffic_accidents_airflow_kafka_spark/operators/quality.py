@@ -52,3 +52,103 @@ def duplicate_key_count(df: DataFrame, key_cols: list[str]) -> DataFrame:
     )
     name = "unique_" + "_".join(key_cols)
     return dup.select(F.lit(name).alias("check_name"), F.coalesce("n_violations", F.lit(0)).alias("n_violations"))
+
+
+# ---------------------------------------------------------------------------
+# Repetition-based quality filters (Gopher/MassiveText rule family: Rae et
+# al. 2021 appendix A1.1; reused by RefinedWeb, FineWeb, Dolma). A document
+# is low-quality when one n-gram dominates it (top n-gram coverage) or when
+# a large fraction of its longer n-grams are internal repeats. Per-document
+# aggregates over the doc's own n-gram multiset — no cross-document state.
+#
+# Spark shape: explode n-grams → two-level aggregate keyed by (doc, gram)
+# then (doc). The (doc, gram) key is produced clustered by the explode, so
+# the first aggregation combines almost entirely map-side; the second is
+# |docs| keys. Document bodies never shuffle — only (id, gram-count) rows.
+# This per-doc-distributed shape is deliberate: a higher-order-function
+# version over the in-row token array would be O(len²) per doc and would
+# serialize giant docs into single tasks, exactly what kills web-crawl
+# corpora with MB-scale outlier documents.
+
+from .decontam import word_ngrams
+
+
+def _per_doc_gram_profile(
+    df: DataFrame, id_col: str, text_col: str, n: int, prefix: str
+) -> DataFrame:
+    """Per-doc n-gram profile: ``{prefix}_total`` (instances),
+    ``{prefix}_distinct``, ``{prefix}_top`` (count of the modal gram).
+    Docs shorter than ``n`` words drop out (rejoined by the caller)."""
+    return (
+        df.select(F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias(f"{prefix}_total"),
+            F.count(F.lit(1)).alias(f"{prefix}_distinct"),
+            F.max("cnt").alias(f"{prefix}_top"),
+        )
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_bigram_threshold: float = 0.18,
+    dup_fivegram_threshold: float = 0.15,
+) -> DataFrame:
+    """Per-document repetition metrics + the composite ``repetitive`` flag.
+
+    Output per doc: bigram profile (``bi_total``/``bi_distinct``/``bi_top``),
+    5-gram profile (``five_*``), ``top_bigram_frac`` (tokens covered by the
+    modal bigram / total tokens, the token-denominated Gopher coverage),
+    ``dup_fivegram_frac`` (fraction of 5-gram instances that are repeats),
+    ``repetitive`` (either fraction over its threshold). Short docs get
+    zero-filled profiles and fractions of 0.0.
+    """
+    base = df.select(
+        F.col(id_col), F.size(F.split(F.col(text_col), " ")).alias("n_tokens")
+    )
+    bi = _per_doc_gram_profile(df, id_col, text_col, 2, "bi")
+    five = _per_doc_gram_profile(df, id_col, text_col, 5, "five")
+    joined = (
+        base.join(bi, id_col, "left")
+        .join(five, id_col, "left")
+        .na.fill(
+            0,
+            [
+                "bi_total",
+                "bi_distinct",
+                "bi_top",
+                "five_total",
+                "five_distinct",
+                "five_top",
+            ],
+        )
+    )
+    top_bigram_frac = F.when(
+        F.col("n_tokens") > 0,
+        F.col("bi_top") * 2 / F.col("n_tokens").cast("double"),
+    ).otherwise(F.lit(0.0))
+    dup_fivegram_frac = F.when(
+        F.col("five_total") > 0,
+        (F.col("five_total") - F.col("five_distinct"))
+        / F.col("five_total").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return joined.select(
+        id_col,
+        "n_tokens",
+        "bi_total",
+        "bi_distinct",
+        "bi_top",
+        "five_total",
+        "five_distinct",
+        top_bigram_frac.alias("top_bigram_frac"),
+        dup_fivegram_frac.alias("dup_fivegram_frac"),
+        (
+            (top_bigram_frac > F.lit(top_bigram_threshold))
+            | (dup_fivegram_frac > F.lit(dup_fivegram_threshold))
+        ).alias("repetitive"),
+    )

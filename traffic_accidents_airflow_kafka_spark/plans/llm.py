@@ -22,6 +22,7 @@ from ..operators import (
     decontam,
     dedup,
     multimodal,
+    quality,
     sampling,
     similarity,
     text as text_ops,
@@ -1474,6 +1475,99 @@ def decontamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_contaminated"),
             F.sum("n_grams").cast("bigint").alias("total_grams"),
             F.sum("n_hit").cast("bigint").alias("total_hits"),
+        )
+        .orderBy("source")
+    )
+
+
+def _repetition_oracle(
+    top_bi: float = 0.18, dup_five: float = 0.15
+) -> str:
+    """Both per-doc n-gram profiles, the zero-fill for short docs, and the
+    threshold flags replayed in DuckDB. The rollup keeps exact BIGINT
+    sums (no AVG of doubles) so the value hash is order-independent."""
+
+    def profile(n: int, alias: str) -> str:
+        gram = f"array_to_string(w[i:i+{n - 1}], ' ')"
+        return f"""
+    {alias} AS (
+      SELECT doc_id, SUM(cnt) AS {alias}_total,
+             COUNT(*) AS {alias}_distinct, MAX(cnt) AS {alias}_top
+      FROM (
+        SELECT doc_id, g, COUNT(*) AS cnt FROM (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(w) - {n} + 2), i -> {gram})) AS g
+          FROM words WHERE len(w) >= {n}
+        ) GROUP BY doc_id, g
+      ) GROUP BY doc_id
+    )"""
+
+    return f"""
+    WITH words AS (
+      SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+    ),{profile(2, "bi")},{profile(5, "five")},
+    per_doc AS (
+      SELECT d.doc_id, d.source, len(d.w) AS n_tokens,
+             COALESCE(bi.bi_total, 0) AS bi_total,
+             COALESCE(bi.bi_distinct, 0) AS bi_distinct,
+             COALESCE(bi.bi_top, 0) AS bi_top,
+             COALESCE(five.five_total, 0) AS five_total,
+             COALESCE(five.five_distinct, 0) AS five_distinct
+      FROM words d
+      LEFT JOIN bi ON d.doc_id = bi.doc_id
+      LEFT JOIN five ON d.doc_id = five.doc_id
+    ),
+    flagged AS (
+      SELECT *,
+             CASE WHEN (n_tokens > 0
+                        AND bi_top * 2 / CAST(n_tokens AS DOUBLE) > {top_bi})
+                    OR (five_total > 0
+                        AND (five_total - five_distinct)
+                            / CAST(five_total AS DOUBLE) > {dup_five})
+                  THEN 1 ELSE 0 END AS repetitive
+      FROM per_doc
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(repetitive) AS BIGINT) AS n_repetitive,
+           CAST(SUM(bi_total) AS BIGINT) AS total_bigrams,
+           CAST(SUM(bi_top) AS BIGINT) AS top_bigram_hits,
+           CAST(SUM(five_total) AS BIGINT) AS total_fivegrams,
+           CAST(SUM(five_total - five_distinct) AS BIGINT) AS dup_fivegram_instances
+    FROM flagged
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+@register(
+    "repetition_filter_stats",
+    tier=1,  # extended training-data surface
+    oracle=_repetition_oracle(),
+    doc="Gopher-style repetition quality filters (Rae et al. 2021 A1.1): "
+    "top-bigram coverage and duplicate-5-gram fraction per document, "
+    "rolled up per source (operators/quality.py:repetition_stats). "
+    "Scale: explode → (doc, gram) partial-agg → per-doc agg; only "
+    "(id, count) rows shuffle, never text, and the per-doc-distributed "
+    "shape avoids the O(len^2) in-row HOF trap on MB-scale outlier "
+    "docs. Rollup is exact BIGINT sums for cross-engine hash stability.",
+)
+def repetition_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    rep = quality.repetition_stats(docs, "doc_id", "text")
+    return (
+        docs.select("doc_id", "source")
+        .join(rep, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.col("repetitive").cast("int")).cast("bigint").alias("n_repetitive"),
+            F.sum("bi_total").cast("bigint").alias("total_bigrams"),
+            F.sum("bi_top").cast("bigint").alias("top_bigram_hits"),
+            F.sum("five_total").cast("bigint").alias("total_fivegrams"),
+            F.sum(F.col("five_total") - F.col("five_distinct"))
+            .cast("bigint")
+            .alias("dup_fivegram_instances"),
         )
         .orderBy("source")
     )
