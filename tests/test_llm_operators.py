@@ -342,3 +342,15 @@ def test_repetition_stats_flags_planted_repeats(spark):
     assert out[2]["repetitive"] is False and out[2]["dup_fivegram_frac"] == 0.0
     assert out[3]["dup_fivegram_frac"] > 0.15 and out[3]["repetitive"] is True
     assert out[4]["bi_total"] == 0 and out[4]["repetitive"] is False
+
+
+def test_semantic_dedup_drops_higher_id_of_near_pairs(vectors):
+    flags = {
+        r["vec_id"]: r["sem_dropped"]
+        for r in similarity.semantic_dedup(
+            vectors, "vec_id", "embedding", threshold=0.9, dim=4
+        ).collect()
+    }
+    # v0≈v1 (cosine ~0.995): 1 is the higher id of the pair -> dropped,
+    # 0 kept; orthogonal/opposite vectors survive.
+    assert flags == {0: False, 1: True, 2: False, 3: False}

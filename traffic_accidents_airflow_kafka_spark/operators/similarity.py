@@ -823,3 +823,38 @@ def pq_ann_topk(
         .filter(F.col("rank") <= k)
         .select("qid", "nid", "rank", F.round("approx_cosine", 4).alias("approx_cosine"))
     )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+    n_planes: int = 6,
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (public methodology: Abbas et
+    al. 2023): drop embeddings whose cosine similarity to a lower-id
+    vector exceeds ``threshold``, keeping the lowest id of each near-dup
+    pair. Returns the input ids with a ``sem_dropped`` flag.
+
+    Keeper policy is the greedy pair rule (a vector is dropped iff it is
+    the HIGHER id of at least one near-dup pair), the same keep-one-per-
+    duplicate-group approximation SemDeDup applies inside its k-means
+    clusters. The exact transitive variant is available by feeding
+    :func:`cosine_near_dup_pairs` through
+    `operators/dedup.py:connected_components` — the greedy rule avoids
+    the iterative fixpoint and is what production pipelines run.
+
+    Scale: candidate pairs come LSH-bucketed (never all-pairs); the drop
+    set is distinct ids only — O(dropped) — and joins back as a
+    broadcast-able or shuffle semi-join on the id key.
+    """
+    pairs = cosine_near_dup_pairs(
+        vectors, id_col, vec_col, threshold, n_planes, dim, seed
+    )
+    dropped = pairs.select(F.col("d2").alias(id_col)).distinct()
+    return vectors.select(id_col).join(
+        dropped.withColumn("sem_dropped", F.lit(True)), id_col, "left"
+    ).select(id_col, F.coalesce("sem_dropped", F.lit(False)).alias("sem_dropped"))

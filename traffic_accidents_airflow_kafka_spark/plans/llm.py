@@ -1571,3 +1571,87 @@ def repetition_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def _semantic_dedup_oracle(
+    threshold: float = 0.3, n_planes: int = 6, dim: int = 64, seed: int = 7
+) -> str:
+    """Near-dup pair CTE (same plane-literal construction as
+    _cosine_neardup_oracle) + the greedy drop-higher-id rule + per-label
+    rollup."""
+    planes = similarity.hyperplane_planes(dim, n_planes, seed)
+
+    def dot(vec: str, lits: list[float]) -> str:
+        lit = "[" + ", ".join(repr(float(x)) for x in lits) + "]"
+        return (
+            f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            f"list_transform(generate_series(1, {dim}), "
+            f"j -> CAST({vec}[j] AS DOUBLE) * ({lit})[j])), (a, b) -> a + b)"
+        )
+
+    bucket = " + ".join(
+        f"(CASE WHEN {dot('embedding', p)} > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    vnorm = (
+        "sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {dim}), "
+        "j -> CAST(embedding[j] AS DOUBLE) * CAST(embedding[j] AS DOUBLE))), "
+        "(a, b) -> a + b))"
+    )
+    pair_dot = (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {dim}), "
+        f"j -> CAST(a.embedding[j] AS DOUBLE) * CAST(b.embedding[j] AS DOUBLE))), "
+        f"(a, b) -> a + b)"
+    )
+    return f"""
+    WITH bkt AS (
+      SELECT vec_id, label, embedding,
+             CAST({bucket} AS BIGINT) AS bucket,
+             {vnorm} AS nrm
+      FROM embeddings
+    ),
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE {pair_dot} / (a.nrm * b.nrm) >= {threshold}
+    )
+    SELECT e.label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped,
+           CAST(SUM(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept
+    FROM embeddings e LEFT JOIN dropped d ON e.vec_id = d.vec_id
+    GROUP BY e.label
+    ORDER BY e.label
+    """
+
+
+@register(
+    "semantic_dedup_stats",
+    tier=1,  # extended training-data surface
+    oracle=_semantic_dedup_oracle(),
+    doc="SemDeDup-style semantic dedup (Abbas et al. 2023): drop the "
+    "higher id of every LSH-bucketed cosine near-dup pair, keep per-label "
+    "survival counts (operators/similarity.py:semantic_dedup). The sixth "
+    "dedup family — dedup on meaning, not text; catches paraphrases that "
+    "every n-gram/minhash family misses. Scale: pairs are LSH-bucketed "
+    "(never all-pairs), the drop set is O(dropped) distinct ids, and the "
+    "flag joins back as an id-keyed semi-join.",
+)
+def semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    flags = similarity.semantic_dedup(emb, "vec_id", "embedding", threshold=0.3)
+    return (
+        emb.select("vec_id", "label")
+        .join(flags, "vec_id")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.sum(F.col("sem_dropped").cast("int")).cast("bigint").alias("n_dropped"),
+            F.sum((~F.col("sem_dropped")).cast("int")).cast("bigint").alias("n_kept"),
+        )
+        .orderBy("label")
+    )
