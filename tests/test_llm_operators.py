@@ -354,3 +354,24 @@ def test_semantic_dedup_drops_higher_id_of_near_pairs(vectors):
     # v0≈v1 (cosine ~0.995): 1 is the higher id of the pair -> dropped,
     # 0 kept; orthogonal/opposite vectors survive.
     assert flags == {0: False, 1: True, 2: False, 3: False}
+
+
+def test_temperature_mixture_upweights_low_resource_groups(spark):
+    from traffic_accidents_airflow_kafka_spark.operators import sampling
+
+    per = spark.createDataFrame(
+        [("big", 9_000_000), ("small", 90_000)], "source string, tokens long"
+    )
+    out = {
+        r["source"]: r
+        for r in sampling.temperature_mixture(
+            per, "source", "tokens", budget=1_000_000
+        ).collect()
+    }
+    # Raw share of 'small' is 1%; sqrt temperature lifts it to 1/11.
+    assert abs(out["small"]["mix_share"] - 1 / 11) < 1e-6
+    assert abs(out["big"]["mix_share"] - 10 / 11) < 1e-6
+    # Shares sum to ~1 and budget is conserved up to rounding.
+    assert abs(out["big"]["planned_tokens"] + out["small"]["planned_tokens"] - 1_000_000) <= 1
+    # 'small' repeats (~1.01 epochs), 'big' is subsampled (~0.1 epochs).
+    assert out["small"]["epochs"] > 1.0 > out["big"]["epochs"]

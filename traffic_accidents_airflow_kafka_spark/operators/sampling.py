@@ -245,3 +245,66 @@ def weighted_sample(
         .orderBy(F.desc("__wkey"), F.col(id_col))
         .limit(k)
     )
+
+
+def temperature_mixture(
+    per_group: DataFrame,
+    group_col: str,
+    tokens_col: str,
+    budget: int,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-scaled mixture plan over group token counts — the
+    multilingual/domain-reweighting idiom (public methodology: mBERT /
+    XLM-R exponential smoothing, p_g ∝ tokens_g^α): low-resource groups
+    are upweighted relative to their raw share as α → 0.
+
+    Input: one row per group with an exact token count. Output adds
+    ``mix_share`` (normalized tokens^α, rounded to 6), ``planned_tokens``
+    (share × ``budget``, rounded to BIGINT), and ``epochs`` (planned /
+    available, rounded to 4 — values > 1 mean the group repeats).
+
+    Cross-engine determinism: the normalizing denominator Σ tokens^α is
+    a SEQUENTIAL double fold over the groups in ``group_col`` order
+    (array_sort + aggregate — the same ordered-fold construction the
+    cosine oracles use), not a parallel SUM, so it is bit-identical in
+    any engine that replays the same fold. With the default α = 0.5 the
+    power is computed as sqrt(), which IEEE 754 requires to be correctly
+    rounded — bit-exact everywhere; other α values go through pow() and
+    inherit its last-ulp engine variance.
+
+    Scale: |groups| is sources/languages/domains — tens to thousands —
+    so the fold input is a collect_list over a trivially small relation;
+    the plan broadcasts back onto the corpus for the actual resampling
+    pass (`weighted_sample` / `hash_split` per group).
+    """
+    t = F.col(tokens_col).cast("double")
+    powered = F.sqrt(t) if alpha == 0.5 else F.pow(t, F.lit(alpha))
+    scored = per_group.select(
+        F.col(group_col), F.col(tokens_col), powered.alias("__pw")
+    )
+    denom = scored.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(group_col, "__pw"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["__pw"],
+        ).alias("__denom")
+    )
+    share = F.col("__pw") / F.col("__denom")
+    return (
+        scored.crossJoin(F.broadcast(denom))
+        .select(
+            group_col,
+            tokens_col,
+            F.round(share, 6).alias("mix_share"),
+            F.round(share * F.lit(float(budget)), 0)
+            .cast("bigint")
+            .alias("planned_tokens"),
+        )
+        .withColumn(
+            "epochs",
+            F.round(
+                F.col("planned_tokens") / F.col(tokens_col).cast("double"), 4
+            ),
+        )
+    )

@@ -1655,3 +1655,47 @@ def semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+_MIXTURE_BUDGET = 100_000
+
+@register(
+    "mixture_plan",
+    tier=1,  # extended training-data surface
+    oracle=f"""
+    WITH per_src AS (
+      SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+      FROM documents GROUP BY source
+    ),
+    denom AS (
+      SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list(sqrt(CAST(tokens AS DOUBLE)) ORDER BY source)),
+             (a, b) -> a + b) AS d
+      FROM per_src
+    )
+    SELECT source, tokens,
+           ROUND(sqrt(CAST(tokens AS DOUBLE)) / d, 6) AS mix_share,
+           CAST(ROUND(sqrt(CAST(tokens AS DOUBLE)) / d * {float(_MIXTURE_BUDGET)}, 0)
+                AS BIGINT) AS planned_tokens,
+           ROUND(CAST(ROUND(sqrt(CAST(tokens AS DOUBLE)) / d * {float(_MIXTURE_BUDGET)}, 0)
+                      AS BIGINT) / CAST(tokens AS DOUBLE), 4) AS epochs
+    FROM per_src, denom
+    ORDER BY source
+    """,
+    doc="Temperature-scaled data-mixture plan (mBERT/XLM-R exponential "
+    "smoothing, p_g ∝ tokens^α, α=0.5): per-source token budgets and "
+    "repeat factors for a fixed training budget "
+    "(operators/sampling.py:temperature_mixture). The denominator is a "
+    "sequential ordered double fold (bit-exact cross-engine; α=0.5 rides "
+    "on IEEE-correctly-rounded sqrt). Scale: the fold input is one row "
+    "per source — the plan is O(|sources|) and broadcasts back onto the "
+    "corpus for the resampling pass.",
+)
+def mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.sum(text_ops.token_count("text")).cast("bigint").alias("tokens")
+    )
+    return sampling.temperature_mixture(
+        per_src, "source", "tokens", budget=_MIXTURE_BUDGET
+    ).orderBy("source")
