@@ -375,3 +375,29 @@ def test_temperature_mixture_upweights_low_resource_groups(spark):
     assert abs(out["big"]["planned_tokens"] + out["small"]["planned_tokens"] - 1_000_000) <= 1
     # 'small' repeats (~1.01 epochs), 'big' is subsampled (~0.1 epochs).
     assert out["small"]["epochs"] > 1.0 > out["big"]["epochs"]
+
+
+def test_hashed_linear_score_matches_python_fold(spark):
+    w = text_ops.classifier_weights(16)
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["z"]
+        for r in df.select(
+            "doc_id", text_ops.hashed_linear_score("text", w).alias("z")
+        ).collect()
+    }
+    import hashlib
+
+    def bucket(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 16
+
+    toks = "alpha beta gamma".split(" ")
+    acc = 0.0
+    for t in toks:
+        acc += w[bucket(t)]
+    assert abs(got[1] - acc / 3) < 1e-15
+    # split("", " ") yields [""], a real (hashable) token — not the
+    # zero-token guard path; it scores like any 1-token doc.
+    assert got[2] == w[bucket("")]

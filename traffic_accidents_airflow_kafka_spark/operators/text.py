@@ -220,3 +220,56 @@ def normalize_text(text: Column | str) -> Column:
     c = F.regexp_replace(c, "[^a-z0-9 ]", "")
     c = F.regexp_replace(c, " +", " ")
     return F.trim(c)
+
+
+def classifier_weights(n_buckets: int = 64, seed: str = "qclf-v1") -> list[float]:
+    """Deterministic stand-in weight vector for :func:`hashed_linear_score`
+    — md5-derived uniforms centered on 0, one per feature bucket. A real
+    pipeline trains these offline (fastText / logistic regression) and
+    ships them the same way: as a literal broadcast-small array."""
+    import hashlib
+
+    out = []
+    for i in range(n_buckets):
+        h = hashlib.md5(f"{seed}|{i}".encode()).hexdigest()
+        out.append(int(h[:13], 16) / float(1 << 52) - 0.5)
+    return out
+
+
+def token_bucket(tok: Column, n_buckets: int) -> Column:
+    """Feature-hash a token to [0, n_buckets): first 32 bits of md5,
+    mod n_buckets — the same integer-exact md5 parse the sampling
+    uniforms use, so any engine reproduces the bucket."""
+    return (
+        F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
+        % F.lit(n_buckets)
+    )
+
+
+def hashed_linear_score(
+    text: Column | str, weights: list[float], n_buckets: int | None = None
+) -> Column:
+    """Mean hashed-bag-of-words linear score — the fastText/logistic
+    quality-classifier shape (public methodology: DCLM, FineWeb-Edu:
+    score documents with a cheap linear model, keep the top fraction).
+
+    score = (Σ_t w[h(t)]) / |tokens|, a SEQUENTIAL fold in token order —
+    bit-exact across engines (no parallel float sum). The keep decision
+    thresholds the raw linear score (z > τ ⇔ sigmoid(z) > σ(τ)), so no
+    transcendental function enters the cross-engine contract.
+
+    Scale: pure codegen higher-order function over the token array; the
+    weight vector is a literal (broadcast into the plan), never a join.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    nb = n_buckets if n_buckets is not None else len(weights)
+    w = F.array(*[F.lit(float(x)) for x in weights])
+    toks = tokens(c)
+    fold = F.aggregate(
+        toks,
+        F.lit(0.0),
+        lambda acc, t: acc + F.element_at(w, (token_bucket(t, nb) + 1).cast("int")),
+    )
+    return F.when(F.size(toks) > 0, fold / F.size(toks).cast("double")).otherwise(
+        F.lit(0.0)
+    )

@@ -1699,3 +1699,69 @@ def mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.temperature_mixture(
         per_src, "source", "tokens", budget=_MIXTURE_BUDGET
     ).orderBy("source")
+
+
+def _model_filter_oracle(n_buckets: int = 64) -> str:
+    """The hashed-bag-of-words fold replayed in DuckDB: per-token md5 →
+    32-bit integer parse → bucket → literal-weight lookup, summed as the
+    same sequential fold, thresholded at z > 0 (no transcendentals in
+    the contract)."""
+    w = text_ops.classifier_weights(n_buckets)
+    wlit = "[" + ", ".join(repr(float(x)) for x in w) + "]"
+    bucket = (
+        "list_reduce(list_transform(generate_series(1, 8), "
+        "j -> CAST(instr('0123456789abcdef', substr(md5(t), j, 1)) - 1 AS BIGINT)), "
+        "(a, b) -> a * 16 + b)"
+    )
+    fold = (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(string_split(text, ' '), "
+        f"t -> ({wlit})[CAST(({bucket} % {n_buckets}) + 1 AS INT)])), "
+        f"(a, b) -> a + b)"
+    )
+    return f"""
+    WITH scored AS (
+      SELECT lang,
+             CASE WHEN len(string_split(text, ' ')) > 0
+                  THEN {fold} / CAST(len(string_split(text, ' ')) AS DOUBLE)
+                  ELSE 0.0 END AS z
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN z > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           ROUND(MIN(z), 6) AS min_score,
+           ROUND(MAX(z), 6) AS max_score
+    FROM scored
+    GROUP BY lang
+    ORDER BY lang
+    """
+
+
+@register(
+    "model_filter_stats",
+    tier=1,  # extended training-data surface
+    oracle=_model_filter_oracle(),
+    doc="Model-based quality filtering (DCLM / FineWeb-Edu idiom): score "
+    "every document with a hashed-bag-of-words linear classifier and "
+    "keep score > 0 (operators/text.py:hashed_linear_score). The weight "
+    "vector is a literal broadcast into the plan (trained offline in a "
+    "real pipeline); the score is a sequential in-doc fold, bit-exact "
+    "cross-engine, and the keep decision thresholds the raw linear "
+    "score so no transcendental enters the contract. Scale: pure "
+    "codegen HOF over the token array — no shuffle, no UDF, no join.",
+)
+def model_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    z = text_ops.hashed_linear_score("text", text_ops.classifier_weights())
+    return (
+        docs.select("lang", z.alias("z"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum((F.col("z") > 0).cast("int")).cast("bigint").alias("n_kept"),
+            F.round(F.min("z"), 6).alias("min_score"),
+            F.round(F.max("z"), 6).alias("max_score"),
+        )
+        .orderBy("lang")
+    )
