@@ -195,3 +195,30 @@ def test_pq_ann_recall_and_compression(spark, sf_dir):
     again = {r["qid"]: r["nid"] for r in
              similarity.pq_ann_topk(emb, qids, m=32, n_codes=64, k=1).collect()}
     assert again == pq_top1
+
+
+def test_ivf_pq_recall_and_determinism(spark, sf_dir):
+    """The composed IVF-PQ index answers every query deterministically and
+    residual-PQ ADC over probed cells recovers a solid share of true
+    top-1 neighbors. Residual encoding + generous probes should land in
+    the same ballpark as flat PQ despite searching only a fraction of
+    the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = emb.select("vec_id").filter(F.col("vec_id") < 60)
+    exact_top1 = {
+        r["qid"]: r["nid"] for r in similarity.cosine_topk(emb, qids, k=1).collect()
+    }
+    out = similarity.ivf_pq_ann_topk(
+        emb, qids, n_centroids=8, n_probe=4, m=32, n_codes=64, k=1
+    )
+    got = {r["qid"]: r["nid"] for r in out.collect()}
+    assert set(got) == set(exact_top1)  # n_probe=4 of 8 cells: all answered
+    hits = sum(1 for q, n in exact_top1.items() if got.get(q) == n)
+    assert hits / len(exact_top1) > 0.4
+    again = {
+        r["qid"]: r["nid"]
+        for r in similarity.ivf_pq_ann_topk(
+            emb, qids, n_centroids=8, n_probe=4, m=32, n_codes=64, k=1
+        ).collect()
+    }
+    assert again == got

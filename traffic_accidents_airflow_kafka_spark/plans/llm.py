@@ -1765,3 +1765,26 @@ def model_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "embedding_ivfpq_ann",
+    tier=1,  # extended ANN surface; exact/LSH tiers carry the oracles
+    oracle=None,
+    doc="IVF-PQ composed index (operators/similarity.py:ivf_pq_ann_topk; "
+    "FAISS IndexIVFPQ semantics, Jegou et al. TPAMI'11 §V): coarse "
+    "k-means cells prune candidates to ~n_probe/n_centroids of the "
+    "corpus AND product-quantized RESIDUALS compress them 16-32x, with "
+    "ADC decomposed as q·centroid[cell] + per-subspace lookup sums. "
+    "Rows-only like IVF/PQ (k-means state is engine-specific); recall "
+    "vs the exact baseline is pinned in unit tests. Scale: one fused "
+    "Arrow assign+encode pass, cogrouped per-cell ADC search keyed on "
+    "cell — candidate pruning and memory compression in the same "
+    "index, which is what actually serves at 10^9 vectors.",
+)
+def embedding_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = emb.select("vec_id").filter(F.col("vec_id") < 100)
+    return similarity.ivf_pq_ann_topk(
+        emb, qids, n_centroids=16, n_probe=4, m=32, n_codes=64, k=3
+    ).orderBy("qid", "rank")
