@@ -9,8 +9,10 @@ import pytest
 from traffic_accidents_airflow_kafka_spark.plans import QUERY_REGISTRY
 
 #: Queries allowed a BroadcastNestedLoopJoin: the brute-force cosine
-#: baselines genuinely crossJoin a deliberately-tiny broadcast query set.
-CROSS_JOIN_OK = {"embedding_topk", "multimodal_embed_ann"}
+#: baselines genuinely crossJoin a deliberately-tiny broadcast query set;
+#: mixture_plan crossJoins a ONE-ROW broadcast scalar (the ordered-fold
+#: denominator) onto an O(|sources|) relation.
+CROSS_JOIN_OK = {"embedding_topk", "multimodal_embed_ann", "mixture_plan"}
 
 #: Streaming entries build a streaming plan — skipped here (their shape is
 #: asserted in the streaming tests).
@@ -28,6 +30,8 @@ ARROW_OK = {
     # PQ encode + ADC search are Arrow map passes by design (the whole
     # point is numpy code-matrix arithmetic over compressed codes).
     "embedding_pq_ann",
+    # IVF-PQ: fused Arrow assign+encode pass + cogrouped per-cell ADC.
+    "embedding_ivfpq_ann",
 }
 
 
