@@ -346,13 +346,22 @@ def connected_components_star(
     either way; prefer this variant when cluster chains can be long
     (e.g. transitive URL-canonicalization graphs, co-citation chains).
     """
-    fwd = pairs.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
-    rev = pairs.select(F.col(dst).alias("e_src"), F.col(src).alias("e_dst"))
+    # Materialize the (possibly expensive) upstream candidate-pair plan
+    # ONCE; both the node list and the symmetrized edge list derive from
+    # this checkpoint — two separate checkpoints would re-run the whole
+    # pair pipeline twice (measured ~2x the pre-loop cost on the
+    # Jaccard-pair input).
+    pairs = pairs.select(
+        F.col(src).alias("e_src"), F.col(dst).alias("e_dst")
+    ).localCheckpoint()
+    fwd = pairs
+    rev = pairs.select(
+        F.col("e_dst").alias("e_src"), F.col("e_src").alias("e_dst")
+    )
     all_nodes = (
         fwd.select(F.col("e_src").alias("id"))
         .union(fwd.select(F.col("e_dst").alias("id")))
         .distinct()
-        .localCheckpoint()
     )
     edges = fwd.union(rev).filter(F.col("e_src") != F.col("e_dst")).distinct()
     edges = edges.localCheckpoint()
