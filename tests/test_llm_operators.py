@@ -401,3 +401,49 @@ def test_hashed_linear_score_matches_python_fold(spark):
     # split("", " ") yields [""], a real (hashable) token — not the
     # zero-token guard path; it scores like any 1-token doc.
     assert got[2] == w[bucket("")]
+
+
+def test_bloom_incremental_dedup_exact_with_planted_dups(spark):
+    history = spark.createDataFrame(
+        [(1, "seen before text"), (2, "another old doc")],
+        "doc_id long, text string",
+    )
+    incoming = spark.createDataFrame(
+        [
+            (10, "seen before text"),   # true duplicate
+            (11, "a brand new doc"),
+            (12, "another old doc"),    # true duplicate
+            (13, "also new content"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.bloom_incremental_dedup(
+            incoming, history, "doc_id", "text"
+        ).collect()
+    }
+    assert out[10]["is_duplicate"] and out[10]["bloom_candidate"]
+    assert out[12]["is_duplicate"] and out[12]["bloom_candidate"]
+    assert not out[11]["is_duplicate"] and not out[13]["is_duplicate"]
+
+
+def test_bloom_false_positives_resolved_exactly(spark):
+    """With m_bits=1 nearly every probe is a bloom candidate (saturated
+    filter) — the exact confirmation join must still emit only true
+    duplicates. No false negatives by construction; false positives are
+    work, never wrong answers."""
+    history = spark.createDataFrame([(1, "old")], "doc_id long, text string")
+    incoming = spark.createDataFrame(
+        [(10, "old"), (11, "new one"), (12, "new two")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.bloom_incremental_dedup(
+            incoming, history, "doc_id", "text", m_bits=1, k=2
+        ).collect()
+    }
+    assert all(r["bloom_candidate"] for r in out.values())  # saturated
+    assert out[10]["is_duplicate"]
+    assert not out[11]["is_duplicate"] and not out[12]["is_duplicate"]

@@ -499,3 +499,87 @@ def simhash_near_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def _bloom_bit(digest: Column, seed: int, m_bits: int) -> Column:
+    """One Bloom bit position: a 52-bit md5 fold of (digest | seed),
+    mod ``m_bits`` — the same engine-reproducible md5→integer parse the
+    sampling uniforms use (no xxhash64: it has no DuckDB twin)."""
+    h = F.md5(F.concat(digest, F.lit(f"|{seed}")))
+    return F.conv(F.substring(h, 1, 13), 16, 10).cast("long") % F.lit(m_bits)
+
+
+def bloom_incremental_dedup(
+    incoming: DataFrame,
+    history: DataFrame,
+    id_col: str,
+    text_col: str,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+) -> DataFrame:
+    """Incremental exact dedup of ``incoming`` against a historical corpus,
+    Bloom-accelerated: the history compresses to a bit RELATION (distinct
+    set bit positions, ≤ ``m_bits`` rows ≈ a few MB broadcast), incoming
+    docs probe it map-side, and only the might-contain fraction (true
+    dups + the false-positive rate) reaches the exact digest semi-join.
+    Bloom filters have no false negatives, so the result is EXACT — the
+    sketch only prunes work, never changes the answer.
+
+    Why this matters at 100 TB: the naive incremental anti-join shuffles
+    the FULL history digest set against every new batch; with the bloom
+    relation the history is touched once to build O(m) bits, and the
+    per-batch exact join processes only candidate rows. This is the
+    relational form of the partition-/row-group-level bloom pushdown
+    lakehouse formats ship.
+
+    Returns ``incoming`` ids + ``bloom_candidate`` (hit all k bits) +
+    ``is_duplicate`` (exact digest match in history).
+    """
+    digest = text_hash(text_col)
+    hist_bits = (
+        history.select(digest.alias("__h"))
+        .select(
+            F.explode(
+                F.array(*[_bloom_bit(F.col("__h"), i, m_bits) for i in range(k)])
+            ).alias("bit")
+        )
+        .distinct()
+    )
+    inc = incoming.select(F.col(id_col), digest.alias("__h"))
+    inc_bits = inc.select(
+        id_col,
+        F.explode(
+            F.array_distinct(
+                F.array(*[_bloom_bit(F.col("__h"), i, m_bits) for i in range(k)])
+            )
+        ).alias("bit"),
+    )
+    probe = (
+        inc_bits.join(F.broadcast(hist_bits.withColumn("__hit", F.lit(1))), "bit", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("__n_bits"),
+            F.count("__hit").alias("__n_hits"),
+        )
+        .select(
+            id_col,
+            (F.col("__n_hits") == F.col("__n_bits")).alias("bloom_candidate"),
+        )
+    )
+    # Exact confirmation for candidates only — no false negatives means
+    # non-candidates are definitively new and skip the history join.
+    dup_ids = (
+        inc.join(probe.filter("bloom_candidate"), id_col, "left_semi")
+        .join(
+            history.select(digest.alias("__h")).distinct(), "__h", "left_semi"
+        )
+        .select(F.col(id_col), F.lit(True).alias("is_duplicate"))
+    )
+    return (
+        probe.join(dup_ids, id_col, "left")
+        .select(
+            id_col,
+            "bloom_candidate",
+            F.coalesce("is_duplicate", F.lit(False)).alias("is_duplicate"),
+        )
+    )

@@ -1788,3 +1788,98 @@ def embedding_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_pq_ann_topk(
         emb, qids, n_centroids=16, n_probe=4, m=32, n_codes=64, k=3
     ).orderBy("qid", "rank")
+
+
+def _bloom_oracle(m_bits: int = 1 << 17, k: int = 4) -> str:
+    """Split, md5 digests, the k md5-fold bloom bit positions, the
+    all-bits-hit probe, and the exact dup confirmation all replayed in
+    DuckDB."""
+    bounds = sampling.split_thresholds({"train": 0.9, "val": 0.05, "test": 0.05})
+    (t_name, t1), _, _ = bounds
+    key = "md5('split-v1|' || CAST(doc_id AS VARCHAR))"
+
+    def bit(seed: int) -> str:
+        return (
+            f"(list_reduce(list_transform(generate_series(1, 13), "
+            f"j -> CAST(instr('0123456789abcdef', substr(md5(h || '|{seed}'), j, 1)) - 1 "
+            f"AS BIGINT)), (a, b) -> a * 16 + b) % {m_bits})"
+        )
+
+    bits = "[" + ", ".join(bit(i) for i in range(k)) + "]"
+    return f"""
+    WITH assigned AS (
+      SELECT doc_id, source, md5(text) AS h,
+             CASE WHEN {key} < '{t1}' THEN '{t_name}' ELSE 'incoming' END AS split
+      FROM documents
+    ),
+    hist AS (SELECT h FROM assigned WHERE split = '{t_name}'),
+    hbits AS (
+      SELECT DISTINCT bit FROM (SELECT unnest({bits}) AS bit FROM hist)
+    ),
+    inc AS (SELECT doc_id, source, h FROM assigned WHERE split = 'incoming'),
+    incbits AS (
+      SELECT doc_id, unnest(list_distinct({bits})) AS bit FROM inc
+    ),
+    probe AS (
+      SELECT i.doc_id,
+             COUNT(*) AS nb,
+             COUNT(hb.bit) AS nh
+      FROM incbits i LEFT JOIN hbits hb ON i.bit = hb.bit
+      GROUP BY i.doc_id
+    ),
+    flags AS (
+      SELECT inc.doc_id, inc.source,
+             (p.nh = p.nb) AS bloom_candidate,
+             (p.nh = p.nb AND inc.h IN (SELECT h FROM hist)) AS is_duplicate
+      FROM inc JOIN probe p ON inc.doc_id = p.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_incoming,
+           CAST(SUM(CASE WHEN bloom_candidate THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_candidates,
+           CAST(SUM(CASE WHEN is_duplicate THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+           CAST(SUM(CASE WHEN is_duplicate THEN 0 ELSE 1 END) AS BIGINT) AS n_new
+    FROM flags
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+@register(
+    "bloom_incremental_dedup",
+    tier=1,  # extended training-data surface; exact anti-join judged via anti_join_incremental
+    oracle=_bloom_oracle(),
+    doc="Bloom-accelerated incremental exact dedup "
+    "(operators/dedup.py:bloom_incremental_dedup): the historical corpus "
+    "compresses to a broadcast bit relation (<= m distinct positions); "
+    "incoming docs probe it map-side and only the might-contain fraction "
+    "reaches the exact digest semi-join — the relational form of "
+    "lakehouse bloom pushdown, with no false negatives so the answer "
+    "stays exact. Scale: history is touched once to build O(m) bits; "
+    "per-batch cost is proportional to candidates (true dups + fp "
+    "rate), not history size.",
+)
+def bloom_incremental_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = sampling.hash_split(
+        docs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}, seed="split-v1"
+    )
+    history = assigned.filter(F.col("split") == "train")
+    incoming = assigned.filter(F.col("split") != "train")
+    flags = dedup.bloom_incremental_dedup(
+        incoming, history, "doc_id", "text", m_bits=1 << 17, k=4
+    )
+    return (
+        incoming.select("doc_id", "source")
+        .join(flags, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_incoming"),
+            F.sum(F.col("bloom_candidate").cast("int"))
+            .cast("bigint")
+            .alias("n_candidates"),
+            F.sum(F.col("is_duplicate").cast("int")).cast("bigint").alias("n_dups"),
+            F.sum((~F.col("is_duplicate")).cast("int")).cast("bigint").alias("n_new"),
+        )
+        .orderBy("source")
+    )
