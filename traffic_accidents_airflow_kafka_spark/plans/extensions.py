@@ -95,6 +95,7 @@ def rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_aggregates",
+    tier=1,  # rows-only (HLL/KLL sketches are engine-specific); judged slot ceded to a full-oracle query
     oracle=None,
     doc="Approximate aggregates — the 100 TB substitutes for exact "
     "count-distinct and percentiles: approx_count_distinct (HLL++, fixed "

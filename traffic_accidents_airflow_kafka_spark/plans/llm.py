@@ -483,6 +483,7 @@ def embedding_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_ivf_ann",
+    tier=1,  # rows-only (k-means state is engine-specific); judged slot ceded to a full-oracle query
     oracle=None,
     doc="IVF approximate top-k (the coarse-quantizer alternative to "
     "hyperplane LSH): seeded k-means cells as the inverted file, queries "
@@ -1443,7 +1444,7 @@ def _decontam_oracle(n: int = 8, flag_threshold: float = 0.2) -> str:
 
 @register(
     "decontamination_report",
-    tier=1,  # extended training-data surface
+    # tier 0: full-oracle representative of the decontamination family
     oracle=_decontam_oracle(),
     doc="Benchmark decontamination (GPT-3 appendix-C idiom): flag training "
     "docs whose word-8-gram overlap with the held-out eval split exceeds "
@@ -1631,7 +1632,7 @@ def _semantic_dedup_oracle(
 
 @register(
     "semantic_dedup_stats",
-    tier=1,  # extended training-data surface
+    # tier 0: full-oracle representative of the semantic-dedup family
     oracle=_semantic_dedup_oracle(),
     doc="SemDeDup-style semantic dedup (Abbas et al. 2023): drop the "
     "higher id of every LSH-bucketed cosine near-dup pair, keep per-label "
