@@ -447,3 +447,19 @@ def test_bloom_false_positives_resolved_exactly(spark):
     assert all(r["bloom_candidate"] for r in out.values())  # saturated
     assert out[10]["is_duplicate"]
     assert not out[11]["is_duplicate"] and not out[12]["is_duplicate"]
+
+
+def test_semantic_dedup_by_quality_drops_lower_quality_member(spark, vectors):
+    # v0 ≈ v1 near-dup pair; give v0 the LOWER quality so the keeper
+    # inverts the id rule: 0 is dropped, 1 survives. Tie case pinned by
+    # v2/v3 being out of any pair.
+    qual = spark.createDataFrame(
+        [(0, 0.2), (1, 0.9), (2, 0.5), (3, 0.5)], "vec_id long, quality double"
+    )
+    flags = {
+        r["vec_id"]: r["sem_dropped"]
+        for r in similarity.semantic_dedup_by_quality(
+            vectors, qual, "vec_id", "embedding", "quality", threshold=0.9, dim=4
+        ).collect()
+    }
+    assert flags == {0: True, 1: False, 2: False, 3: False}

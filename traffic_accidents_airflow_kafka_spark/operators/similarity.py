@@ -1049,3 +1049,52 @@ def ivf_pq_ann_topk(
             "cell",
         )
     )
+
+
+def semantic_dedup_by_quality(
+    vectors: DataFrame,
+    quality: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quality_col: str = "quality",
+    threshold: float = 0.3,
+    n_planes: int = 6,
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """Quality-aware SemDeDup keeper: within every cosine near-dup pair
+    drop the LOWER-quality member (ties drop the higher id) — the policy
+    SemDeDup/D4-style pipelines actually want, since near-dup groups
+    should surrender their worst copy, not their newest id.
+
+    ``quality`` carries one score per id (any deterministic signal:
+    length×diversity, a classifier score, LM perplexity). A vector is
+    dropped iff it loses at least one pair comparison — the same greedy
+    pair rule as :func:`semantic_dedup`, with quality as the order.
+
+    Scale: identical to :func:`semantic_dedup` (LSH-bucketed pairs,
+    O(dropped) distinct ids) plus two id-keyed joins of the pair stream
+    against the quality relation — (id, double) rows, never vectors.
+    """
+    pairs = cosine_near_dup_pairs(
+        vectors, id_col, vec_col, threshold, n_planes, dim, seed
+    )
+    q1 = quality.select(
+        F.col(id_col).alias("d1"), F.col(quality_col).alias("__q1")
+    )
+    q2 = quality.select(
+        F.col(id_col).alias("d2"), F.col(quality_col).alias("__q2")
+    )
+    losers = (
+        pairs.join(q1, "d1")
+        .join(q2, "d2")
+        .select(
+            F.when(F.col("__q1") < F.col("__q2"), F.col("d1"))
+            .otherwise(F.col("d2"))
+            .alias(id_col)
+        )
+        .distinct()
+    )
+    return vectors.select(id_col).join(
+        losers.withColumn("sem_dropped", F.lit(True)), id_col, "left"
+    ).select(id_col, F.coalesce("sem_dropped", F.lit(False)).alias("sem_dropped"))

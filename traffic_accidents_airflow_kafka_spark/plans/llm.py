@@ -1884,3 +1884,113 @@ def bloom_incremental_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("source")
     )
+
+
+def _semantic_quality_oracle(
+    threshold: float = 0.3, n_planes: int = 6, dim: int = 64, seed: int = 7
+) -> str:
+    """Near-dup pairs (plane-literal CTE) + the drop-lower-quality rule
+    with the documents-joined quality expression, rolled up per lang."""
+    planes = similarity.hyperplane_planes(dim, n_planes, seed)
+
+    def dot(vec: str, lits: list[float]) -> str:
+        lit = "[" + ", ".join(repr(float(x)) for x in lits) + "]"
+        return (
+            f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            f"list_transform(generate_series(1, {dim}), "
+            f"j -> CAST({vec}[j] AS DOUBLE) * ({lit})[j])), (a, b) -> a + b)"
+        )
+
+    bucket = " + ".join(
+        f"(CASE WHEN {dot('embedding', p)} > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    vnorm = (
+        "sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {dim}), "
+        "j -> CAST(embedding[j] AS DOUBLE) * CAST(embedding[j] AS DOUBLE))), "
+        "(a, b) -> a + b))"
+    )
+    pair_dot = (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {dim}), "
+        f"j -> CAST(a.embedding[j] AS DOUBLE) * CAST(b.embedding[j] AS DOUBLE))), "
+        f"(a, b) -> a + b)"
+    )
+    qual = (
+        "LEAST(len(string_split(text, ' ')) / 64.0, 1.0) * "
+        "(len(list_distinct(string_split(text, ' '))) "
+        "/ CAST(len(string_split(text, ' ')) AS DOUBLE))"
+    )
+    return f"""
+    WITH qual AS (
+      SELECT doc_id AS vec_id, ROUND({qual}, 4) AS q FROM documents
+    ),
+    bkt AS (
+      SELECT vec_id, embedding,
+             CAST({bucket} AS BIGINT) AS bucket,
+             {vnorm} AS nrm
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS d1, b.vec_id AS d2
+      FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE {pair_dot} / (a.nrm * b.nrm) >= {threshold}
+    ),
+    losers AS (
+      SELECT DISTINCT CASE WHEN q1.q < q2.q THEN p.d1 ELSE p.d2 END AS vec_id
+      FROM pairs p
+      JOIN qual q1 ON p.d1 = q1.vec_id
+      JOIN qual q2 ON p.d2 = q2.vec_id
+    )
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped,
+           CAST(SUM(CASE WHEN l.vec_id IS NULL
+                         THEN len(string_split(d.text, ' ')) ELSE 0 END) AS BIGINT)
+             AS kept_tokens
+    FROM documents d
+    LEFT JOIN losers l ON d.doc_id = l.vec_id
+    GROUP BY d.lang
+    ORDER BY d.lang
+    """
+
+
+@register(
+    "semantic_dedup_quality_keep",
+    tier=1,  # extended training-data surface; greedy-id variant judged via semantic_dedup_stats
+    oracle=_semantic_quality_oracle(),
+    doc="Quality-aware SemDeDup keeper (operators/similarity.py:"
+    "semantic_dedup_by_quality): within each embedding near-dup pair "
+    "drop the LOWER-quality member (length×diversity score, ties to "
+    "higher id) and account surviving tokens per language — near-dup "
+    "groups surrender their worst copy, the policy curation pipelines "
+    "actually want. Scale: LSH-bucketed pairs + two id-keyed joins of "
+    "(id, double) quality rows; vectors and text never join the pair "
+    "stream.",
+)
+def semantic_dedup_quality_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qual = docs.select(
+        F.col("doc_id").alias("vec_id"),
+        text_ops.quality_score("text").alias("quality"),
+    )
+    flags = similarity.semantic_dedup_by_quality(
+        emb, qual, "vec_id", "embedding", "quality", threshold=0.3
+    )
+    toks = text_ops.token_count("text")
+    return (
+        docs.select("doc_id", "lang", toks.alias("n_tokens"))
+        .join(flags.withColumnRenamed("vec_id", "doc_id"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.sum(F.col("sem_dropped").cast("int")).cast("bigint").alias("n_dropped"),
+            F.sum(F.when(~F.col("sem_dropped"), F.col("n_tokens")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_tokens"),
+        )
+        .orderBy("lang")
+    )
