@@ -384,3 +384,33 @@ class TestStarConnectedComponents:
             for r in dedup.connected_components_star(pairs).collect()
         }
         assert got == {3: 3, 5: 3, 9: 3, 20: 20, 21: 20}
+
+
+def test_pack_sequences_spans_and_conservation(spark):
+    from traffic_accidents_airflow_kafka_spark.operators import sampling
+
+    # Stream: 300 + 200 + 600 + 0 + 24 tokens, seq_len=256.
+    df = spark.createDataFrame(
+        [(1, 300), (2, 200), (3, 600), (4, 0), (5, 24)],
+        "doc_id long, n_tokens long",
+    )
+    spans = sampling.pack_sequences(df, "doc_id", "n_tokens", seq_len=256).collect()
+    by_doc = {}
+    for r in spans:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # Doc 1: [0,300) -> seqs 0,1 (split at 256).
+    assert [(r["seq_id"], r["offset"], r["span_tokens"]) for r in sorted(by_doc[1], key=lambda r: r["seq_id"])] == [
+        (0, 0, 256), (1, 0, 44)
+    ]
+    assert all(r["is_split"] for r in by_doc[1])
+    # Doc 2: [300,500) sits inside seq 1 at offset 44.
+    assert [(r["seq_id"], r["offset"], r["span_tokens"]) for r in by_doc[2]] == [(1, 44, 200)]
+    assert not by_doc[2][0]["is_split"]
+    # Doc 3: [500,1100) -> seqs 1..4.
+    assert sorted(r["seq_id"] for r in by_doc[3]) == [1, 2, 3, 4]
+    # Zero-token doc emits nothing.
+    assert 4 not in by_doc
+    # Token conservation: spans sum to the corpus token count.
+    assert sum(r["span_tokens"] for r in spans) == 300 + 200 + 600 + 24
+    # Offsets+spans never exceed seq_len.
+    assert all(r["offset"] + r["span_tokens"] <= 256 for r in spans)

@@ -308,3 +308,59 @@ def temperature_mixture(
             ),
         )
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    seq_len: int,
+) -> DataFrame:
+    """Pack documents into fixed-length training sequences — the GPT-style
+    corpus packing step: concatenate docs in ``id_col`` order and cut the
+    token stream every ``seq_len`` tokens. A document spanning a cut is
+    SPLIT across consecutive sequences (the packing used when no
+    document-boundary padding is wanted); emitted as one row per
+    (doc, sequence) span.
+
+    Output per span: ``seq_id``, ``offset`` (position of the span inside
+    its sequence), ``span_tokens``, ``is_split`` (doc crosses ≥1 cut).
+    Zero-token docs emit no spans.
+
+    Scale: the only global coordination is the EXCLUSIVE prefix sum of
+    token counts, computed by :func:`global_cumsum` (range partition +
+    per-partition scan + |partitions|-row broadcast offsets — no
+    single-task global window). Span expansion is a per-row
+    ``sequence()`` explode: a doc touches ceil(tokens/seq_len)+1
+    sequences at most, so the explode factor is bounded by document
+    length, never corpus size.
+    """
+    L = F.lit(seq_len)
+    t = F.col(tokens_col).cast("long")
+    cum = global_cumsum(df, id_col, tokens_col, out_col="__start")
+    spans = (
+        cum.filter(t > 0)
+        .withColumn("__end", F.col("__start") + t)
+        .withColumn("__first", F.floor(F.col("__start") / L))
+        .withColumn("__last", F.floor((F.col("__end") - 1) / L))
+        .select(
+            id_col,
+            tokens_col,
+            F.explode(F.sequence("__first", "__last")).alias("seq_id"),
+            "__start",
+            "__end",
+            (F.col("__last") > F.col("__first")).alias("is_split"),
+        )
+    )
+    seq_start = F.col("seq_id") * L
+    seq_end = seq_start + L
+    return spans.select(
+        id_col,
+        "seq_id",
+        (F.greatest(F.col("__start"), seq_start) - seq_start).alias("offset"),
+        (
+            F.least(F.col("__end"), seq_end)
+            - F.greatest(F.col("__start"), seq_start)
+        ).alias("span_tokens"),
+        "is_split",
+    )

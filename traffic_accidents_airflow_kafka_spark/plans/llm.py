@@ -1994,3 +1994,58 @@ def semantic_dedup_quality_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_SEQ_LEN = 512
+
+@register(
+    "sequence_packing_stats",
+    tier=1,  # extended training-data surface
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS t
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, t,
+             CAST(COALESCE(SUM(t) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+      FROM toks
+    ),
+    spans AS (
+      SELECT doc_id, t, s, s + t AS e,
+             unnest(generate_series(s // {_SEQ_LEN}, (s + t - 1) // {_SEQ_LEN}))
+               AS seq_id
+      FROM cum WHERE t > 0
+    )
+    SELECT CAST(COUNT(DISTINCT seq_id) AS BIGINT) AS n_sequences,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(COUNT(DISTINCT CASE WHEN (e - 1) // {_SEQ_LEN} > s // {_SEQ_LEN}
+                                    THEN doc_id END) AS BIGINT) AS n_split_docs,
+           CAST(SUM(LEAST(e, (seq_id + 1) * {_SEQ_LEN})
+                    - GREATEST(s, seq_id * {_SEQ_LEN})) AS BIGINT) AS packed_tokens
+    FROM spans
+    """,
+    doc="Fixed-length sequence packing (the GPT-style corpus packing "
+    "step): concatenate docs in id order, cut every 512 tokens, account "
+    "sequences / spans / boundary-split docs / packed tokens "
+    "(operators/sampling.py:pack_sequences). Scale: the only global "
+    "coordination is the Blelloch-style exclusive prefix sum "
+    "(global_cumsum — range partition + per-partition scan + "
+    "|partitions|-row offsets, no single-task window); span expansion "
+    "is a bounded per-row sequence() explode.",
+)
+def sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", text_ops.token_count("text").cast("bigint").alias("n_tokens")
+    )
+    spans = sampling.pack_sequences(toks, "doc_id", "n_tokens", seq_len=_SEQ_LEN)
+    return spans.agg(
+        F.countDistinct("seq_id").cast("bigint").alias("n_sequences"),
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.countDistinct(F.when(F.col("is_split"), F.col("doc_id")))
+        .cast("bigint")
+        .alias("n_split_docs"),
+        F.sum("span_tokens").cast("bigint").alias("packed_tokens"),
+    )
