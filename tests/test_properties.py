@@ -195,3 +195,84 @@ def test_banded_range_join_equals_naive_theta_join(spark, points, intervals, wid
         .collect()
     )
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=700), min_size=1, max_size=30),
+    st.sampled_from([16, 256, 512]),
+)
+def test_pack_sequences_matches_python_packer(spark, token_counts, seq_len):
+    """pack_sequences vs a straight-line Python reference packer:
+    identical spans, offsets, split flags for any token stream."""
+    from traffic_accidents_airflow_kafka_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(token_counts)], "doc_id long, n_tokens long"
+    )
+    got = sorted(
+        (r["doc_id"], r["seq_id"], r["offset"], r["span_tokens"], r["is_split"])
+        for r in sampling.pack_sequences(df, "doc_id", "n_tokens", seq_len).collect()
+    )
+    want = []
+    start = 0
+    for i, n in enumerate(token_counts):
+        end = start + n
+        if n > 0:
+            first, last = start // seq_len, (end - 1) // seq_len
+            for s in range(first, last + 1):
+                lo, hi = max(start, s * seq_len), min(end, (s + 1) * seq_len)
+                want.append((i, s, lo - s * seq_len, hi - lo, last > first))
+        start = end
+    assert got == sorted(want)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=1, max_value=10**9), min_size=1, max_size=12, unique=True
+    )
+)
+def test_temperature_mixture_shares_normalize(spark, token_counts):
+    from traffic_accidents_airflow_kafka_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(f"g{i}", n) for i, n in enumerate(token_counts)],
+        "source string, tokens long",
+    )
+    rows = sampling.temperature_mixture(df, "source", "tokens", budget=10**6).collect()
+    assert abs(sum(r["mix_share"] for r in rows) - 1.0) < 1e-4
+    # sqrt temperature: planned share ordering follows token ordering, and
+    # every group gets a nonzero plan.
+    by_tok = sorted(rows, key=lambda r: r["tokens"])
+    shares = [r["mix_share"] for r in by_tok]
+    assert shares == sorted(shares)
+    assert all(r["planned_tokens"] > 0 for r in rows)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.text(alphabet="abcd ", min_size=1, max_size=20), min_size=1, max_size=8),
+    st.lists(st.text(alphabet="abcd ", min_size=1, max_size=20), min_size=1, max_size=8),
+)
+def test_bloom_dedup_never_false_negative(spark, hist_texts, inc_texts):
+    """Any incoming text present in history MUST be flagged duplicate —
+    bloom pruning can cost extra work (false positives) but can never
+    change the answer, even with a pathologically tiny filter."""
+    from traffic_accidents_airflow_kafka_spark.operators import dedup as dd
+
+    hist = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(hist_texts)], "doc_id long, text string"
+    )
+    inc = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(inc_texts)], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r["is_duplicate"]
+        for r in dd.bloom_incremental_dedup(
+            inc, hist, "doc_id", "text", m_bits=8, k=2
+        ).collect()
+    }
+    hset = set(hist_texts)
+    for i, t in enumerate(inc_texts):
+        assert out[100 + i] == (t in hset)
