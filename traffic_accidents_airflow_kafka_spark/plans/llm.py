@@ -2049,3 +2049,58 @@ def sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_split_docs"),
         F.sum("span_tokens").cast("bigint").alias("packed_tokens"),
     )
+
+
+@register(
+    "quality_quantile_filter",
+    tier=1,  # extended training-data surface; exact-percentile machinery judged via group_percentiles
+    oracle="""
+    WITH scored AS (
+      SELECT lang,
+             ROUND(LEAST(len(string_split(text, ' ')) / 64.0, 1.0)
+                   * (len(list_distinct(string_split(text, ' ')))
+                      / CAST(len(string_split(text, ' ')) AS DOUBLE)), 4) AS q
+      FROM documents
+    ),
+    cuts AS (
+      SELECT lang,
+             ROUND(CAST(quantile_cont(q, 0.75) AS DOUBLE), 4) AS q75
+      FROM scored GROUP BY lang
+    )
+    SELECT s.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           c.q75,
+           CAST(SUM(CASE WHEN s.q > c.q75 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM scored s JOIN cuts c ON s.lang = c.lang
+    GROUP BY s.lang, c.q75
+    ORDER BY s.lang
+    """,
+    doc="Top-quantile quality filtering (FineWeb-Edu idiom: keep each "
+    "language's top quality quartile): per-language exact p75 cut of the "
+    "length×diversity score, then count survivors. Calibrating the "
+    "threshold per group — instead of one global constant — is what "
+    "keeps low-resource languages from being filtered to nothing. "
+    "Scale: one groupBy for the cuts (|langs| rows, broadcast back), one "
+    "map-side comparison pass; at 100 TB swap percentile for "
+    "percentile_approx (documented trade, same plan shape).",
+)
+def quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "lang", text_ops.quality_score("text").alias("q")
+    )
+    cuts = scored.groupBy("lang").agg(
+        F.round(F.percentile("q", F.lit(0.75)), 4).alias("q75")
+    )
+    return (
+        scored.join(F.broadcast(cuts), "lang")
+        .groupBy("lang", "q75")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum((F.col("q") > F.col("q75")).cast("int"))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+        .select("lang", "n_docs", "q75", "n_kept")
+        .orderBy("lang")
+    )
