@@ -267,3 +267,30 @@ def test_streaming_publish_roundtrip_equals_batch(spark, sf_dir):
     )
     want = sorted(map(tuple, batch.collect()))
     assert got == want
+
+
+def test_enrich_with_static_is_stateless_broadcast(spark, sf_dir):
+    """The stream-static join must plan a broadcast join on the stream
+    side and produce exactly the batch join's row multiplicity."""
+    from traffic_accidents_airflow_kafka_spark.sources.tables import load_table
+    from traffic_accidents_airflow_kafka_spark.streaming import core as streaming
+
+    events = streaming.stream_events(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    enriched = streaming.enrich_with_static(events, dim, "user_id", "inner")
+    got = streaming.run_available_now(
+        enriched.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n")),
+        spark,
+        state_partitions=4,
+    )
+    batch_events = load_table(spark, sf_dir, "events")
+    want = {
+        r["c_nationkey"]: r["n"]
+        for r in batch_events.join(dim, "user_id")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert {r["c_nationkey"]: r["n"] for r in got.collect()} == want

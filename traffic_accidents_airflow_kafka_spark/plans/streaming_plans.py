@@ -437,3 +437,53 @@ def stream_dedup_unique_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_unique"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "stream_static_enrichment",
+    tier=1,  # windowed-agg machinery judged via stream_window_counts; this adds the dim join
+    oracle="""
+    SELECT date_trunc('hour', e.ts) AS window_start,
+           n.n_name AS nation,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    doc="Stream-static dimension enrichment "
+    "(streaming/core.py:enrich_with_static): the events stream joins the "
+    "customer→nation dim chain per micro-batch — the Structured "
+    "Streaming dimension-lookup idiom (stateless; the static side is "
+    "re-planned and broadcast each batch, picking up dim updates "
+    "automatically) — then watermarked tumbling windows roll up per "
+    "nation. Scale: broadcast dims mean the stream never shuffles for "
+    "the join; watermark bounds window state exactly as in "
+    "stream_window_counts.",
+)
+def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    events = streaming.stream_events(spark, sf_dir)
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            load_table(spark, sf_dir, "nation"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(F.col("c_custkey").alias("user_id"), F.col("n_name").alias("nation"))
+    )
+    enriched = streaming.enrich_with_static(events, dim, "user_id", "inner")
+    windowed = (
+        enriched.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "nation", "n_events", "sum_value")
+    )
+    result = streaming.run_available_now(windowed, spark, state_partitions=8)
+    return result.orderBy("window_start", "nation")

@@ -311,3 +311,22 @@ def parse_kafka_messages(raw: DataFrame, schema) -> DataFrame:
         F.col("topic"),
         F.from_json(F.col("value").cast("string"), schema).alias("payload"),
     ).select("topic", "payload.*")
+
+
+def enrich_with_static(
+    stream: DataFrame,
+    static: DataFrame,
+    on: str | list,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join — the standard Structured Streaming
+    dimension lookup: the static side is a batch DataFrame re-planned
+    (and, dim-sized, broadcast) per micro-batch, so dimension updates
+    between batches are picked up automatically and the join is
+    STATELESS — no watermark, no state store, unlike stream-stream joins.
+
+    Scale: keep the static side dim-sized (broadcast) or pre-bucketed on
+    the key; the stream side never shuffles for a broadcast dim. This is
+    the streaming twin of the batch J1/J3 broadcast dim joins.
+    """
+    return stream.join(F.broadcast(static), on, how)
