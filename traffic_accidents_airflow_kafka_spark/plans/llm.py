@@ -2104,3 +2104,158 @@ def quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "n_docs", "q75", "n_kept")
         .orderBy("lang")
     )
+
+
+def _curation_funnel_oracle(
+    n: int = 8,
+    overlap_thr: float = 0.2,
+    quality_thr: float = 0.3,
+    min_tokens: int = 16,
+) -> str:
+    """The whole curation funnel composed from the already-verified CTE
+    pieces: min-id exact-dedup keeper, quality expression, Gopher
+    repetition flags, and decontamination overlap vs the held-out split."""
+    bounds = sampling.split_thresholds({"train": 0.9, "val": 0.05, "test": 0.05})
+    _, _, _ = bounds
+    (_, t1), (_, t2), _ = bounds
+    key = "md5('split-v1|' || CAST(doc_id AS VARCHAR))"
+    grams = (
+        f"list_transform(range(1, len(w) - {n} + 2), "
+        f"i -> array_to_string(w[i:i+{n - 1}], ' '))"
+    )
+    qual = (
+        "LEAST(len(b.w) / 64.0, 1.0) * "
+        "(len(list_distinct(b.w)) / CAST(len(b.w) AS DOUBLE))"
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id, lang, text, string_split(text, ' ') AS w,
+             CASE WHEN {key} >= '{t2}' THEN 1 ELSE 0 END AS is_test
+      FROM documents
+    ),
+    keepers AS (
+      SELECT md5(text) AS h, MIN(doc_id) AS keeper_id
+      FROM base WHERE is_test = 0 GROUP BY md5(text)
+    ),
+    rep_bi AS (
+      SELECT doc_id, MAX(cnt) AS bi_top
+      FROM (
+        SELECT doc_id, g, COUNT(*) AS cnt FROM (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS g
+          FROM base WHERE len(w) >= 2
+        ) GROUP BY doc_id, g
+      ) GROUP BY doc_id
+    ),
+    bench_grams AS (
+      SELECT DISTINCT md5(g) AS bench_h FROM (
+        SELECT unnest({grams}) AS g FROM base WHERE is_test = 1
+      )
+    ),
+    contam AS (
+      SELECT tg.doc_id,
+             COUNT(g) AS n_grams,
+             COUNT(bench_h) AS n_hit
+      FROM (SELECT doc_id, unnest({grams}) AS g FROM base WHERE is_test = 0) tg
+      LEFT JOIN bench_grams b ON md5(tg.g) = b.bench_h
+      GROUP BY tg.doc_id
+    ),
+    flags AS (
+      SELECT b.doc_id, b.lang, len(b.w) AS n_tokens,
+             (k.keeper_id = b.doc_id) AS dedup_keep,
+             (ROUND({qual}, 4) >= {quality_thr}
+              AND len(b.w) >= {min_tokens}) AS quality_ok,
+             (COALESCE(r.bi_top, 0) * 2 / CAST(len(b.w) AS DOUBLE) <= 0.18)
+               AS rep_ok,
+             (COALESCE(c.n_grams, 0) = 0
+              OR COALESCE(c.n_hit, 0) / CAST(c.n_grams AS DOUBLE) < {overlap_thr})
+               AS decontam_ok
+      FROM base b
+      JOIN keepers k ON md5(b.text) = k.h
+      LEFT JOIN rep_bi r ON b.doc_id = r.doc_id
+      LEFT JOIN contam c ON b.doc_id = c.doc_id
+      WHERE b.is_test = 0
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_raw,
+           CAST(SUM(CASE WHEN dedup_keep THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_after_dedup,
+           CAST(SUM(CASE WHEN dedup_keep AND quality_ok AND rep_ok
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_after_quality,
+           CAST(SUM(CASE WHEN dedup_keep AND quality_ok AND rep_ok AND decontam_ok
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
+           CAST(SUM(CASE WHEN dedup_keep AND quality_ok AND rep_ok AND decontam_ok
+                         THEN n_tokens ELSE 0 END) AS BIGINT) AS final_tokens
+    FROM flags
+    GROUP BY lang
+    ORDER BY lang
+    """
+
+
+@register(
+    "curation_funnel",
+    tier=1,  # extended training-data surface; each stage judged via its own query
+    oracle=_curation_funnel_oracle(),
+    doc="The END-TO-END curation funnel in ONE declarative plan: exact "
+    "dedup (min-id keeper) → quality + Gopher repetition filters → "
+    "benchmark decontamination vs the held-out split → per-language "
+    "survivor/token accounting. Composes operators/dedup.py, "
+    "operators/quality.py, operators/decontam.py and the quality score — "
+    "each stage is a flag column, so Catalyst fuses the funnel into "
+    "shared scans instead of five sequential materialized jobs. The "
+    "eval split itself is excluded from the corpus (contamination "
+    "hygiene). Scale: the union of each stage's documented shape; no "
+    "stage adds a corpus-wide shuffle beyond its own.",
+)
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = sampling.hash_split(
+        docs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}, seed="split-v1"
+    )
+    bench = assigned.filter(F.col("split") == "test")
+    corpus = assigned.filter(F.col("split") != "test")
+
+    deduped = dedup.exact_dedup(corpus, "doc_id", "text").select(
+        "doc_id", (~F.col("is_duplicate")).alias("dedup_keep")
+    )
+    toks = text_ops.token_count("text")
+    qual = text_ops.quality_score("text")
+    quality_ok = (qual >= 0.3) & (toks >= 16)
+    # The funnel's repetition rule is the top-bigram arm only (the oracle
+    # replays exactly that); reconstructed from the operator's columns.
+    con = decontam.contamination(
+        corpus, bench, "doc_id", "text", n=8, flag_threshold=0.2
+    ).select("doc_id", (~F.col("contaminated")).alias("decontam_ok"))
+
+    rep_ok = quality.repetition_stats(corpus, "doc_id", "text").select(
+        "doc_id",
+        (
+            F.when(
+                F.col("n_tokens") > 0,
+                F.col("bi_top") * 2 / F.col("n_tokens").cast("double"),
+            ).otherwise(F.lit(0.0))
+            <= 0.18
+        ).alias("rep_ok"),
+    )
+
+    flags = (
+        corpus.select("doc_id", "lang", toks.alias("n_tokens"), quality_ok.alias("quality_ok"))
+        .join(deduped, "doc_id")
+        .join(rep_ok, "doc_id")
+        .join(con, "doc_id")
+    )
+    keep_q = F.col("dedup_keep") & F.col("quality_ok") & F.col("rep_ok")
+    keep_final = keep_q & F.col("decontam_ok")
+    return (
+        flags.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_raw"),
+            F.sum(F.col("dedup_keep").cast("int")).cast("bigint").alias("n_after_dedup"),
+            F.sum(keep_q.cast("int")).cast("bigint").alias("n_after_quality"),
+            F.sum(keep_final.cast("int")).cast("bigint").alias("n_final"),
+            F.sum(F.when(keep_final, F.col("n_tokens")).otherwise(0))
+            .cast("bigint")
+            .alias("final_tokens"),
+        )
+        .orderBy("lang")
+    )
