@@ -463,3 +463,19 @@ def test_semantic_dedup_by_quality_drops_lower_quality_member(spark, vectors):
         ).collect()
     }
     assert flags == {0: True, 1: False, 2: False, 3: False}
+
+
+def test_hard_negative_mining_excludes_same_label(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], "a"),
+        (1, [0.99, 0.1, 0.0, 0.0], "a"),   # same label, most similar
+        (2, [0.9, 0.3, 0.0, 0.0], "b"),    # different label, next
+        (3, [0.0, 1.0, 0.0, 0.0], "b"),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label string")
+    out = similarity.hard_negative_mining(
+        emb, emb.select("vec_id").filter(F.col("vec_id") == 0), k=2
+    ).collect()
+    got = [(r["nid"], r["neg_label"]) for r in sorted(out, key=lambda r: r["rank"])]
+    # vec 1 (same label) must be absent even though it's the true nearest.
+    assert got == [(2, "b"), (3, "b")]

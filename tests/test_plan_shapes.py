@@ -12,7 +12,14 @@ from traffic_accidents_airflow_kafka_spark.plans import QUERY_REGISTRY
 #: baselines genuinely crossJoin a deliberately-tiny broadcast query set;
 #: mixture_plan crossJoins a ONE-ROW broadcast scalar (the ordered-fold
 #: denominator) onto an O(|sources|) relation.
-CROSS_JOIN_OK = {"embedding_topk", "multimodal_embed_ann", "mixture_plan"}
+CROSS_JOIN_OK = {
+    "embedding_topk",
+    "multimodal_embed_ann",
+    "mixture_plan",
+    # hard_negatives: cosine_topk's broadcast bounded-query crossJoin with
+    # the label-mismatch predicate.
+    "hard_negatives",
+}
 
 #: Streaming entries build a streaming plan — skipped here (their shape is
 #: asserted in the streaming tests).

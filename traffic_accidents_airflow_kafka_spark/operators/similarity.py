@@ -1098,3 +1098,62 @@ def semantic_dedup_by_quality(
     return vectors.select(id_col).join(
         losers.withColumn("sem_dropped", F.lit(True)), id_col, "left"
     ).select(id_col, F.coalesce("sem_dropped", F.lit(False)).alias("sem_dropped"))
+
+
+def hard_negative_mining(
+    vectors: DataFrame,
+    query_ids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 3,
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training (the
+    in-batch-negatives upgrade every retrieval/embedding recipe uses —
+    e.g. DPR, Sentence-BERT training): for each query, the ``k`` most
+    similar vectors carrying a DIFFERENT label. High-cosine wrong-label
+    neighbors are exactly the examples a contrastive loss learns most
+    from.
+
+    Same plan shape as :func:`cosine_topk` (broadcast bounded query
+    side, candidate scan never shuffles) with the label-mismatch
+    predicate pushed into the similarity join, so same-label pairs never
+    reach the ranking window. Swap the scan for the LSH/IVF candidate
+    generators when the corpus outgrows the exact path — the predicate
+    composes unchanged.
+    """
+    cand = vectors.select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).alias("nvec"),
+        F.col(label_col).alias("nlabel"),
+    ).withColumn("nnorm", vector_norm("nvec"))
+    q = vectors
+    if query_ids is not None:
+        q = vectors.join(query_ids, id_col, "left_semi")
+    q = q.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qvec"),
+        F.col(label_col).alias("qlabel"),
+    ).withColumn("qnorm", vector_norm("qvec"))
+    sim = (
+        cand.crossJoin(F.broadcast(q))
+        .filter(F.col("nlabel") != F.col("qlabel"))
+        .withColumn(
+            "cosine",
+            _dot_double(F.col("qvec"), F.col("nvec"))
+            / (F.col("qnorm") * F.col("nnorm")),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "qid",
+            "qlabel",
+            "nid",
+            F.col("nlabel").alias("neg_label"),
+            "rank",
+            F.round("cosine", 4).alias("cosine"),
+        )
+    )

@@ -2259,3 +2259,51 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "hard_negatives",
+    tier=1,  # extended training-data surface; exact-cosine machinery judged via embedding_topk
+    oracle=f"""
+    WITH nrm AS (
+      SELECT vec_id, label, embedding,
+             sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(generate_series(1, 64),
+                 j -> CAST(embedding[j] AS DOUBLE) * CAST(embedding[j] AS DOUBLE))),
+               (a, b) -> a + b)) AS nrm
+      FROM embeddings
+    ),
+    sims AS (
+      SELECT q.vec_id AS qid, q.label AS qlabel,
+             c.vec_id AS nid, c.label AS neg_label,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(generate_series(1, 64),
+                 j -> CAST(q.embedding[j] AS DOUBLE) * CAST(c.embedding[j] AS DOUBLE))),
+               (a, b) -> a + b) / (q.nrm * c.nrm) AS cosine
+      FROM nrm q JOIN nrm c
+        ON q.vec_id < 30 AND c.vec_id != q.vec_id AND c.label != q.label
+    ),
+    ranked AS (
+      SELECT qid, qlabel, nid, neg_label,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid ASC)
+               AS rank,
+             ROUND(cosine, 4) AS cosine
+      FROM sims
+    )
+    SELECT qid, qlabel, nid, neg_label, CAST(rank AS INT) AS rank, cosine
+    FROM ranked WHERE rank <= 3
+    ORDER BY qid, rank
+    """,
+    doc="Hard-negative mining for contrastive training (DPR / "
+    "Sentence-BERT recipe): per query, the top-3 most-similar vectors "
+    "with a DIFFERENT label — the wrong-label near neighbors a "
+    "contrastive loss learns most from "
+    "(operators/similarity.py:hard_negative_mining). Scale: cosine_topk's "
+    "broadcast bounded-query shape with the label-mismatch predicate "
+    "pushed into the join; swap in the LSH/IVF candidate generators "
+    "unchanged when the corpus outgrows the exact path.",
+)
+def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = emb.select("vec_id").filter(F.col("vec_id") < 30)
+    return similarity.hard_negative_mining(emb, qids, k=3).orderBy("qid", "rank")
