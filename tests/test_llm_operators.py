@@ -479,3 +479,20 @@ def test_hard_negative_mining_excludes_same_label(spark):
     got = [(r["nid"], r["neg_label"]) for r in sorted(out, key=lambda r: r["rank"])]
     # vec 1 (same label) must be absent even though it's the true nearest.
     assert got == [(2, "b"), (3, "b")]
+
+
+def test_positive_pair_mining_same_label_only(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], "a"),
+        (1, [0.99, 0.1, 0.0, 0.0], "a"),   # same label, similar -> pair
+        (2, [0.98, 0.15, 0.0, 0.0], "b"),  # similar but wrong label
+        (3, [0.0, 1.0, 0.0, 0.0], "a"),    # same label, orthogonal
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label string")
+    pairs = [
+        (r["d1"], r["d2"])
+        for r in similarity.positive_pair_mining(
+            emb, threshold=0.9, dim=4
+        ).collect()
+    ]
+    assert pairs == [(0, 1)]

@@ -1157,3 +1157,50 @@ def hard_negative_mining(
             F.round("cosine", 4).alias("cosine"),
         )
     )
+
+
+def positive_pair_mining(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    threshold: float = 0.3,
+    n_planes: int = 6,
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """Positive-pair mining — the contrastive-positives sibling of
+    :func:`hard_negative_mining`: SAME-label pairs with cosine ≥
+    ``threshold`` (paraphrase/anchor-positive candidates for
+    Sentence-BERT-style training).
+
+    Same LSH-bucketed candidate generation as
+    :func:`cosine_near_dup_pairs` with the label-equality predicate
+    pushed into the bucket join — cross-label pairs never materialize.
+    Output: (d1, d2, label, cosine), each pair once (d1 < d2).
+    """
+    planes = hyperplane_planes(dim, n_planes, seed)
+    bucketed = vectors.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col(label_col),
+        lsh_bucket(vec_col, planes).alias("bucket"),
+    ).withColumn("nrm", vector_norm(vec_col))
+    a = bucketed.select(
+        F.col(id_col).alias("d1"), F.col(vec_col).alias("v1"),
+        F.col(label_col).alias("l1"), "bucket", F.col("nrm").alias("n1"),
+    )
+    b = bucketed.select(
+        F.col(id_col).alias("d2"), F.col(vec_col).alias("v2"),
+        F.col(label_col).alias("l2"), "bucket", F.col("nrm").alias("n2"),
+    )
+    return (
+        a.join(b, "bucket")
+        .filter((F.col("d1") < F.col("d2")) & (F.col("l1") == F.col("l2")))
+        .withColumn(
+            "cosine",
+            _dot_double(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("d1", "d2", F.col("l1").alias("label"), F.round("cosine", 4).alias("cosine"))
+    )

@@ -2307,3 +2307,71 @@ def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qids = emb.select("vec_id").filter(F.col("vec_id") < 30)
     return similarity.hard_negative_mining(emb, qids, k=3).orderBy("qid", "rank")
+
+
+def _positive_pairs_oracle(
+    threshold: float = 0.25, n_planes: int = 6, dim: int = 64, seed: int = 7
+) -> str:
+    """Same plane-literal bucket CTE as the near-dup oracles, plus the
+    label-equality predicate."""
+    planes = similarity.hyperplane_planes(dim, n_planes, seed)
+
+    def dot(vec: str, lits: list[float]) -> str:
+        lit = "[" + ", ".join(repr(float(x)) for x in lits) + "]"
+        return (
+            f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            f"list_transform(generate_series(1, {dim}), "
+            f"j -> CAST({vec}[j] AS DOUBLE) * ({lit})[j])), (a, b) -> a + b)"
+        )
+
+    bucket = " + ".join(
+        f"(CASE WHEN {dot('embedding', p)} > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    vnorm = (
+        "sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {dim}), "
+        "j -> CAST(embedding[j] AS DOUBLE) * CAST(embedding[j] AS DOUBLE))), "
+        "(a, b) -> a + b))"
+    )
+    pair_dot = (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {dim}), "
+        f"j -> CAST(a.embedding[j] AS DOUBLE) * CAST(b.embedding[j] AS DOUBLE))), "
+        f"(a, b) -> a + b)"
+    )
+    return f"""
+    WITH bkt AS (
+      SELECT vec_id, label, embedding,
+             CAST({bucket} AS BIGINT) AS bucket,
+             {vnorm} AS nrm
+      FROM embeddings
+    )
+    SELECT d1, d2, label, ROUND(cosine, 4) AS cosine FROM (
+      SELECT a.vec_id AS d1, b.vec_id AS d2, a.label AS label,
+             {pair_dot} / (a.nrm * b.nrm) AS cosine
+      FROM bkt a JOIN bkt b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id AND a.label = b.label
+    )
+    WHERE cosine >= {threshold}
+    ORDER BY d1, d2
+    """
+
+
+@register(
+    "positive_pairs",
+    tier=1,  # extended training-data surface; bucket machinery judged via embedding_neardup_pairs
+    oracle=_positive_pairs_oracle(),
+    min_rows=0,  # a corpus may have no same-label high-cosine pairs
+    doc="Positive-pair mining for contrastive training "
+    "(operators/similarity.py:positive_pair_mining): same-label pairs "
+    "with cosine >= threshold — anchor/positive candidates, the "
+    "complement of hard_negatives. Scale: the LSH-bucketed pair shape "
+    "with the label-equality predicate pushed into the bucket join, so "
+    "cross-label pairs never materialize.",
+)
+def positive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.positive_pair_mining(
+        emb, "vec_id", "embedding", "label", threshold=0.25
+    ).orderBy("d1", "d2")
