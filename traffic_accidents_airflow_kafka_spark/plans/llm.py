@@ -2375,3 +2375,53 @@ def positive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.positive_pair_mining(
         emb, "vec_id", "embedding", "label", threshold=0.25
     ).orderBy("d1", "d2")
+
+
+@register(
+    "duplicated_spans",
+    tier=1,  # extended training-data surface
+    oracle="""
+    WITH grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, len(string_split(text, ' ')) - 6),
+               i -> array_to_string(string_split(text, ' ')[i:i+6], ' ')
+             ))) AS span
+      FROM documents WHERE len(string_split(text, ' ')) >= 7
+    ),
+    counted AS (
+      SELECT span, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM grams GROUP BY span
+      HAVING COUNT(*) >= 2
+    )
+    SELECT span, n_docs
+    FROM counted
+    ORDER BY n_docs DESC, span
+    LIMIT 20
+    """,
+    min_rows=0,  # a clean corpus may have no cross-doc repeated spans
+    doc="Cross-document duplicated-span report — the signal behind exact "
+    "substring dedup (Lee et al. 2022, 'Deduplicating Training Data "
+    "Makes Language Models Better', approximated at span granularity "
+    "instead of suffix arrays): word-7-gram spans appearing in >= 2 "
+    "distinct docs, heaviest first. Scale: distinct spans per doc "
+    "(dedup within doc first), then one (span -> doc-count) aggregate — "
+    "the shuffle carries span digests+counts; top-k is TakeOrdered, no "
+    "global sort. The span list is the work-list a span-excision pass "
+    "consumes.",
+)
+def duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    spans = docs.filter(
+        F.size(F.split("text", " ")) >= 7
+    ).select(
+        "doc_id",
+        F.explode(F.array_distinct(decontam.word_ngrams("text", 7))).alias("span"),
+    )
+    return (
+        spans.groupBy("span")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), F.asc("span"))
+        .limit(20)
+    )
