@@ -113,3 +113,24 @@ def test_compact_parquet_reduces_files_and_preserves_rows(spark, tmp_path):
 
     # Idempotent: already compact → no rewrite, count reported unchanged.
     assert compact_parquet(spark, path, target_file_bytes=10 * 1024 * 1024) == 1
+
+
+def test_observed_metrics_ride_the_consuming_action(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from traffic_accidents_airflow_kafka_spark.sources.sinks import observed_metrics
+    from traffic_accidents_airflow_kafka_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    seen = {}
+
+    def action(df):
+        seen["rows"] = df.count()
+
+    m = observed_metrics(
+        li,
+        {"n_rows": F.count(F.lit(1)), "max_qty": F.max("l_quantity")},
+        action=action,
+    )
+    assert m["n_rows"] == seen["rows"] == li.count()
+    assert m["max_qty"] == li.agg(F.max("l_quantity")).first()[0]

@@ -515,3 +515,45 @@ def skew_two_phase_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("long").alias("n_events"),
         F.col("sum_value").cast("double").alias("sum_value"),
     ).orderBy("event_type")
+
+
+@register(
+    "observed_scan_metrics",
+    tier=1,  # extended surface; the audit aggregates themselves are judged via data_quality_audit
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_qty,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    """,
+    doc="Inline scan observability (sources/sinks.py:observed_metrics; "
+    "Dataset.observe): row count, null count, and a quantity checksum "
+    "collected as a SIDE EFFECT of the scan's own job — the Spark-native "
+    "form of the reference's load-time row accounting "
+    "(dags/etl_crash_traffic.py:908-941), and at 100 TB the difference "
+    "between auditing for free and paying a full extra pass. The "
+    "observation row is surfaced as the query result for the gate.",
+)
+def observed_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.sinks import observed_metrics
+
+    li = load_table(spark, sf_dir, "lineitem")
+    m = observed_metrics(
+        li,
+        {
+            "n_rows": F.count(F.lit(1)),
+            "n_null_qty": F.sum(F.col("l_quantity").isNull().cast("int")),
+            "sum_qty": F.sum(F.col("l_quantity").cast("decimal(18,2)")),
+        },
+    )
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_rows"]),
+                int(m["n_null_qty"]),
+                float(m["sum_qty"]),
+            )
+        ],
+        "n_rows bigint, n_null_qty bigint, sum_qty double",
+    )

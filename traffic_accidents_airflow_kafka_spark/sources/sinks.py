@@ -168,3 +168,32 @@ def compact_parquet(
     os.rename(tmp, path)
     shutil.rmtree(old)
     return n_target
+
+
+def observed_metrics(
+    df: "DataFrame",
+    metrics: dict[str, "Column"],
+    action=None,
+):
+    """Inline scan observability via ``Dataset.observe``: named aggregate
+    metrics ride the SAME job as whatever action consumes ``df`` — no
+    second scan, no separate audit query. The production use: every
+    ingest/write job reports row counts, null counts, and checksums as a
+    side effect of the work it was already doing (the Spark-native form
+    of the reference's load-time row counting,
+    dags/etl_crash_traffic.py:908-941).
+
+    ``action(observed_df)`` runs the consuming job (defaults to a
+    ``count()``); returns the metrics dict from the Observation.
+    At 100 TB this is the difference between auditing for free and
+    paying a full extra pass per audit.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    observed = df.observe(obs, *[c.alias(n) for n, c in metrics.items()])
+    if action is None:
+        observed.count()
+    else:
+        action(observed)
+    return obs.get
