@@ -496,3 +496,42 @@ def test_positive_pair_mining_same_label_only(spark):
         ).collect()
     ]
     assert pairs == [(0, 1)]
+
+
+def test_contamination_empty_benchmark_flags_nothing(spark):
+    from traffic_accidents_airflow_kafka_spark.operators import decontam
+
+    train = spark.createDataFrame(
+        [(1, "one two three four five six seven eight nine")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([], "doc_id long, text string")
+    rows = decontam.contamination(train, bench, "doc_id", "text", n=8).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_grams"] == 2 and r["n_hit"] == 0 and not r["contaminated"]
+
+
+def test_pack_sequences_empty_input(spark):
+    from traffic_accidents_airflow_kafka_spark.operators import sampling
+
+    df = spark.createDataFrame([], "doc_id long, n_tokens long")
+    assert sampling.pack_sequences(df, "doc_id", "n_tokens", 128).collect() == []
+
+
+def test_temperature_mixture_single_group_takes_whole_budget(spark):
+    from traffic_accidents_airflow_kafka_spark.operators import sampling
+
+    df = spark.createDataFrame([("only", 1234)], "source string, tokens long")
+    r = sampling.temperature_mixture(df, "source", "tokens", budget=1000).collect()[0]
+    assert r["mix_share"] == 1.0 and r["planned_tokens"] == 1000
+
+
+def test_bloom_dedup_empty_history_keeps_everything(spark):
+    hist = spark.createDataFrame([], "doc_id long, text string")
+    inc = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in dedup.bloom_incremental_dedup(inc, hist, "doc_id", "text").collect()
+    }
+    assert all(not r["is_duplicate"] and not r["bloom_candidate"] for r in out.values())
