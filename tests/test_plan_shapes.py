@@ -39,6 +39,8 @@ ARROW_OK = {
     "embedding_pq_ann",
     # IVF-PQ: fused Arrow assign+encode pass + cogrouped per-cell ADC.
     "embedding_ivfpq_ann",
+    # PQ shortlist stage reuses pq_ann_topk's Arrow encode/ADC passes.
+    "embedding_pq_rerank",
 }
 
 

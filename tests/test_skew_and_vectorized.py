@@ -222,3 +222,29 @@ def test_ivf_pq_recall_and_determinism(spark, sf_dir):
         ).collect()
     }
     assert again == got
+
+
+def test_pq_rerank_beats_plain_pq_recall(spark, sf_dir):
+    """Exact re-ranking of a PQ shortlist must recover recall: top-1
+    agreement with the exact baseline is >= plain PQ's, and with a
+    generous shortlist it should be near-perfect."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = emb.select("vec_id").filter(F.col("vec_id") < 60)
+    exact_top1 = {
+        r["qid"]: r["nid"] for r in similarity.cosine_topk(emb, qids, k=1).collect()
+    }
+    plain = {
+        r["qid"]: r["nid"]
+        for r in similarity.pq_ann_topk(emb, qids, m=32, n_codes=64, k=1).collect()
+    }
+    rerank = {
+        r["qid"]: r["nid"]
+        for r in similarity.pq_rerank_topk(
+            emb, qids, m=32, n_codes=64, candidates=50, k=1
+        ).collect()
+    }
+    assert set(rerank) == set(exact_top1)
+    hits_plain = sum(1 for q, n in exact_top1.items() if plain.get(q) == n)
+    hits_rerank = sum(1 for q, n in exact_top1.items() if rerank.get(q) == n)
+    assert hits_rerank >= hits_plain
+    assert hits_rerank / len(exact_top1) > 0.8

@@ -1204,3 +1204,62 @@ def positive_pair_mining(
         .filter(F.col("cosine") >= threshold)
         .select("d1", "d2", F.col("l1").alias("label"), F.round("cosine", 4).alias("cosine"))
     )
+
+
+def pq_rerank_topk(
+    vectors: DataFrame,
+    query_ids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 16,
+    n_codes: int = 32,
+    candidates: int = 50,
+    k: int = 3,
+    seed: int = 7,
+) -> DataFrame:
+    """Two-stage retrieval: PQ ADC shortlist → EXACT re-rank — the
+    standard compressed-index serving pattern (FAISS refine / ScaNN
+    reordering): the cheap quantized pass keeps only ``candidates`` ids
+    per query, then full vectors are fetched for just that shortlist and
+    re-scored with exact cosine.
+
+    Why this shape at scale: exact scoring touches candidates×queries
+    vectors instead of corpus×queries — the full-precision corpus stays
+    at rest (cold storage / parquet) and only shortlist rows are
+    fetched, via an id-keyed semi-join that Spark executes as a hash
+    join on (query, candidate) pairs. Recovers most of the recall PQ
+    loses while paying PQ's scan cost.
+    """
+    shortlist = pq_ann_topk(
+        vectors,
+        query_ids,
+        id_col,
+        vec_col,
+        m=m,
+        n_codes=n_codes,
+        k=candidates,
+        seed=seed,
+    ).select("qid", "nid")
+    q = (
+        vectors.join(F.broadcast(query_ids.select(id_col)), id_col)
+        .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
+        .withColumn("qnorm", vector_norm("qvec"))
+    )
+    cand = vectors.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec")
+    ).withColumn("nnorm", vector_norm("nvec"))
+    rescored = (
+        shortlist.join(F.broadcast(q), "qid")
+        .join(cand, "nid")
+        .withColumn(
+            "cosine",
+            _dot_double(F.col("qvec"), F.col("nvec"))
+            / (F.col("qnorm") * F.col("nnorm")),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "rank", F.round("cosine", 4).alias("cosine"))
+    )

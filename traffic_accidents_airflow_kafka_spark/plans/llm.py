@@ -2480,3 +2480,24 @@ def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("shared_spans"), "src1", "src2")
         .limit(20)
     )
+
+
+@register(
+    "embedding_pq_rerank",
+    tier=1,  # extended ANN surface; rows-only like the other quantized tiers
+    oracle=None,
+    min_rows=1,
+    doc="Two-stage retrieval: PQ ADC shortlist -> exact cosine re-rank "
+    "(operators/similarity.py:pq_rerank_topk; the FAISS refine / ScaNN "
+    "reordering pattern). Recovers most of PQ's recall loss while "
+    "touching only candidates x queries full vectors — the corpus "
+    "stays compressed at rest and the shortlist fetch is an id-keyed "
+    "join. Rows-only (k-means state is engine-specific); recall >= "
+    "plain PQ is pinned in unit tests.",
+)
+def embedding_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = emb.select("vec_id").filter(F.col("vec_id") < 100)
+    return similarity.pq_rerank_topk(
+        emb, qids, m=32, n_codes=64, candidates=50, k=3
+    ).orderBy("qid", "rank")
