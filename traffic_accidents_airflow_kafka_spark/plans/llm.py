@@ -2201,11 +2201,14 @@ def _curation_funnel_oracle(
     "benchmark decontamination vs the held-out split → per-language "
     "survivor/token accounting. Composes operators/dedup.py, "
     "operators/quality.py, operators/decontam.py and the quality score — "
-    "each stage is a flag column, so Catalyst fuses the funnel into "
-    "shared scans instead of five sequential materialized jobs. The "
-    "eval split itself is excluded from the corpus (contamination "
-    "hygiene). Scale: the union of each stage's documented shape; no "
-    "stage adds a corpus-wide shuffle beyond its own.",
+    "each stage is a flag column joined on doc_id, so the funnel is one "
+    "job, not five sequential ones. The corpus (with its split "
+    "assignment) is MATERIALIZED ONCE and every stage reads that "
+    "staging relation — Spark does not dedupe common subplans, so "
+    "without it each stage would re-scan and re-hash the raw corpus "
+    "(~14 scans observed). The eval split itself is excluded from the "
+    "corpus (contamination hygiene). Scale: one corpus materialization "
+    "+ the union of each stage's documented shuffle shape.",
 )
 def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -2213,7 +2216,11 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}, seed="split-v1"
     )
     bench = assigned.filter(F.col("split") == "test")
-    corpus = assigned.filter(F.col("split") != "test")
+    # Materialize the split corpus once: five stages consume it, and
+    # Spark replans (re-scans) shared subtrees per consumer otherwise.
+    # At warehouse scale this is the "stage the filtered corpus before
+    # the funnel" idiom (persist/staging table), not an extra pass.
+    corpus = assigned.filter(F.col("split") != "test").localCheckpoint()
 
     deduped = dedup.exact_dedup(corpus, "doc_id", "text").select(
         "doc_id", (~F.col("is_duplicate")).alias("dedup_keep")
