@@ -308,3 +308,56 @@ def ntile_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority", "quartile")
     )
+
+
+@register(
+    "winsorize_stats",
+    tier=1,  # extended stats surface; exact-percentile machinery judged via group_percentiles
+    oracle="""
+    WITH cuts AS (
+      SELECT event_type,
+             ROUND(CAST(quantile_cont(value, 0.01) AS DOUBLE), 4) AS p01,
+             ROUND(CAST(quantile_cont(value, 0.99) AS DOUBLE), 4) AS p99
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           c.p01, c.p99,
+           CAST(SUM(CASE WHEN e.value < c.p01 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_low,
+           CAST(SUM(CASE WHEN e.value > c.p99 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_high
+    FROM events e JOIN cuts c ON e.event_type = c.event_type
+    GROUP BY e.event_type, c.p01, c.p99
+    ORDER BY e.event_type
+    """,
+    doc="Winsorization audit — the feature-preprocessing outlier clamp: "
+    "per-group exact p01/p99 bounds and how many rows each tail clips "
+    "(the report a `F.least/F.greatest` clamp pass consumes). Per-group "
+    "calibration, not a global constant, for the same reason as "
+    "quality_quantile_filter. Scale: one groupBy for the cuts "
+    "(|groups| rows, broadcast back) + one map-side comparison pass; "
+    "swap percentile for percentile_approx at 100 TB (same plan shape).",
+)
+def winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    pct = F.percentile("value", F.array(F.lit(0.01), F.lit(0.99)))
+    cuts = events.groupBy("event_type").agg(
+        F.round(pct.getItem(0), 4).alias("p01"),
+        F.round(pct.getItem(1), 4).alias("p99"),
+    )
+    return (
+        events.join(F.broadcast(cuts), "event_type")
+        .groupBy("event_type", "p01", "p99")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum((F.col("value") < F.col("p01")).cast("int"))
+            .cast("bigint")
+            .alias("n_clipped_low"),
+            F.sum((F.col("value") > F.col("p99")).cast("int"))
+            .cast("bigint")
+            .alias("n_clipped_high"),
+        )
+        .select("event_type", "n", "p01", "p99", "n_clipped_low", "n_clipped_high")
+        .orderBy("event_type")
+    )
