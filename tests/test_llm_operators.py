@@ -535,3 +535,32 @@ def test_bloom_dedup_empty_history_keeps_everything(spark):
         for r in dedup.bloom_incremental_dedup(inc, hist, "doc_id", "text").collect()
     }
     assert all(not r["is_duplicate"] and not r["bloom_candidate"] for r in out.values())
+
+
+def test_excise_spans_greedy_left_to_right(spark):
+    from traffic_accidents_airflow_kafka_spark.operators import decontam
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),      # 'a b c' flagged -> 'd e'
+            (2, "x a b c a b c"),  # two non-overlapping matches
+            (3, "clean text here"),
+            (4, "a b"),            # shorter than n, untouched
+        ],
+        "doc_id long, text string",
+    )
+    spans = spark.createDataFrame([("a b c",)], "span string")
+    out = {
+        r["doc_id"]: r
+        for r in decontam.excise_spans(docs, spans, "doc_id", "text", n=3).collect()
+    }
+    assert out[1]["text"] == "d e" and out[1]["n_excised_spans"] == 1
+    assert out[2]["text"] == "x" and out[2]["n_excised_spans"] == 2
+    assert out[3]["text"] == "clean text here" and out[3]["n_excised_spans"] == 0
+    assert out[4]["text"] == "a b" and out[4]["n_tokens_after"] == 2
+    # Overlap resolution: 'a b a b a' with span 'a b a' -> earliest wins,
+    # scan resumes after the window: remove [0:3], keep 'b a'.
+    docs2 = spark.createDataFrame([(9, "a b a b a")], "doc_id long, text string")
+    spans2 = spark.createDataFrame([("a b a",)], "span string")
+    r = decontam.excise_spans(docs2, spans2, "doc_id", "text", n=3).collect()[0]
+    assert r["text"] == "b a" and r["n_excised_spans"] == 1

@@ -41,6 +41,9 @@ ARROW_OK = {
     "embedding_ivfpq_ann",
     # PQ shortlist stage reuses pq_ann_topk's Arrow encode/ADC passes.
     "embedding_pq_rerank",
+    # Span excision: broadcast work-list + one Arrow pass of imperative
+    # token-window surgery (no declarative overlap-resolving form).
+    "span_excision_stats",
 }
 
 

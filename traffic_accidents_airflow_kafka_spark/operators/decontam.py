@@ -113,3 +113,88 @@ def contamination(
         overlap.alias("overlap"),
         (overlap >= F.lit(flag_threshold)).alias("contaminated"),
     )
+
+
+def excise_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    span_col: str = "span",
+) -> DataFrame:
+    """Span EXCISION — the transform that consumes a duplicated-span
+    work-list (Lee et al. 2022 exact substring dedup, span-granular):
+    every occurrence of a flagged word ``n``-gram is removed from the
+    document, greedily left-to-right (overlapping matches resolve to the
+    earliest start, then the scan resumes after the removed window).
+
+    Spark shape: the span work-list is the OUTPUT of a heavy-hitter
+    report (`duplicated_spans`) — small by construction — so it
+    broadcasts into an Arrow ``mapInPandas`` stage; the corpus streams
+    through once. Token-window matching is imperative string surgery
+    (data-dependent windows), which is exactly the sanctioned use of the
+    Arrow escape hatch — there is no declarative regexp form that
+    handles overlap resolution deterministically.
+
+    Output: ``id_col``, ``text`` (excised), ``n_tokens_before``,
+    ``n_tokens_after``, ``n_excised_spans``.
+    """
+    import pandas as pd
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    flagged = {r[span_col] for r in spans.select(span_col).distinct().collect()}
+    spark = docs.sparkSession
+    bset = spark.sparkContext.broadcast(flagged)
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("n_tokens_before", IntegerType()),
+            StructField("n_tokens_after", IntegerType()),
+            StructField("n_excised_spans", IntegerType()),
+        ]
+    )
+
+    def fn(it):
+        spanset = bset.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            ids, texts, before, after, cut = [], [], [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = text.split(" ")
+                kept, i, removed = [], 0, 0
+                while i < len(toks):
+                    if (
+                        i + n <= len(toks)
+                        and " ".join(toks[i : i + n]) in spanset
+                    ):
+                        removed += 1
+                        i += n
+                    else:
+                        kept.append(toks[i])
+                        i += 1
+                ids.append(did)
+                texts.append(" ".join(kept))
+                before.append(len(toks))
+                after.append(len(kept))
+                cut.append(removed)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "text": texts,
+                    "n_tokens_before": pd.Series(before, dtype="int32"),
+                    "n_tokens_after": pd.Series(after, dtype="int32"),
+                    "n_excised_spans": pd.Series(cut, dtype="int32"),
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(fn, out_schema)

@@ -2508,3 +2508,32 @@ def embedding_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_rerank_topk(
         emb, qids, m=32, n_codes=64, candidates=50, k=3
     ).orderBy("qid", "rank")
+
+
+@register(
+    "span_excision_stats",
+    tier=1,  # extended training-data surface
+    oracle=None,  # greedy overlap-resolving excision has no tractable SQL replay;
+    # semantics pinned by planted-fixture unit tests (test_llm_operators)
+    doc="Span excision — the transform that CONSUMES the duplicated_spans "
+    "work-list (Lee et al. 2022 exact substring dedup): every flagged "
+    "cross-document 7-gram is removed greedily left-to-right; summary "
+    "counts docs touched, spans excised, tokens before/after "
+    "(operators/decontam.py:excise_spans). Scale: the span list is a "
+    "heavy-hitter report (small by construction) broadcast into one "
+    "Arrow pass over the corpus — report and excision together are two "
+    "corpus scans total.",
+)
+def span_excision_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    spans = duplicated_spans(spark, sf_dir).select("span")
+    excised = decontam.excise_spans(docs, spans, "doc_id", "text", n=7)
+    return excised.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum((F.col("n_excised_spans") > 0).cast("int"))
+        .cast("bigint")
+        .alias("docs_touched"),
+        F.sum("n_excised_spans").cast("bigint").alias("spans_excised"),
+        F.sum("n_tokens_before").cast("bigint").alias("tokens_before"),
+        F.sum("n_tokens_after").cast("bigint").alias("tokens_after"),
+    )
