@@ -276,3 +276,45 @@ def test_bloom_dedup_never_false_negative(spark, hist_texts, inc_texts):
     hset = set(hist_texts)
     for i, t in enumerate(inc_texts):
         assert out[100 + i] == (t in hset)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abc"), min_size=1, max_size=12).map(" ".join),
+        min_size=1,
+        max_size=6,
+    ),
+    st.lists(
+        st.lists(st.sampled_from("abc"), min_size=2, max_size=2).map(" ".join),
+        min_size=0,
+        max_size=3,
+    ),
+)
+def test_excise_spans_matches_python_reference(spark, texts, flagged):
+    """Greedy left-to-right 2-gram excision vs a straight-line Python
+    scan over arbitrary tiny-alphabet docs and span lists."""
+    from traffic_accidents_airflow_kafka_spark.operators import decontam
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    spans = spark.createDataFrame(
+        [(s,) for s in set(flagged)] or [("never-matches-xx",)], "span string"
+    )
+    got = {
+        r["doc_id"]: (r["text"], r["n_excised_spans"])
+        for r in decontam.excise_spans(docs, spans, "doc_id", "text", n=2).collect()
+    }
+    spanset = set(flagged)
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        kept, j, removed = [], 0, 0
+        while j < len(toks):
+            if j + 2 <= len(toks) and " ".join(toks[j : j + 2]) in spanset:
+                removed += 1
+                j += 2
+            else:
+                kept.append(toks[j])
+                j += 1
+        assert got[i] == (" ".join(kept), removed), (t, flagged, got[i])
