@@ -294,3 +294,52 @@ def test_enrich_with_static_is_stateless_broadcast(spark, sf_dir):
         .collect()
     }
     assert {r["c_nationkey"]: r["n"] for r in got.collect()} == want
+
+
+def test_streaming_observe_reports_per_batch_metrics(spark, sf_dir):
+    """Dataset.observe on a STREAMING plan: metrics surface through
+    StreamingQueryProgress.observedMetrics per micro-batch — the
+    zero-extra-scan audit path for ingest streams (the streaming twin of
+    sources/sinks.py:observed_metrics)."""
+    import os
+    import tempfile
+
+    from traffic_accidents_airflow_kafka_spark.sources.tables import load_table
+    from traffic_accidents_airflow_kafka_spark.streaming import core as streaming
+
+    events = streaming.stream_events(spark, sf_dir)
+    observed = events.observe(
+        "ingest_audit",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+    )
+    ckpt = tempfile.mkdtemp(
+        prefix="ckpt_obs_", dir="/dev/shm" if os.path.isdir("/dev/shm") else None
+    )
+    q = (
+        observed.groupBy("event_type")
+        .count()
+        .writeStream.format("memory")
+        .queryName("obs_test")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    metrics = [
+        p["observedMetrics"]["ingest_audit"]
+        for p in (q.recentProgress or [])
+        if p.get("observedMetrics") and "ingest_audit" in p["observedMetrics"]
+    ]
+    assert metrics, "no observed metrics surfaced in query progress"
+    total_rows = sum(m["n_rows"] for m in metrics)
+    batch = load_table(spark, sf_dir, "events")
+    assert total_rows == batch.count()
+    want_sum = batch.agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("s")
+    ).first()["s"]
+    import decimal
+
+    got_sum = sum(decimal.Decimal(str(m["sum_value"])) for m in metrics)
+    assert got_sum == want_sum
