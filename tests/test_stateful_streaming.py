@@ -214,3 +214,39 @@ def test_native_session_window_merges_touching_windows(spark, tmp_path_factory):
     )
     # ONE merged session: [10:00, 10:30+gap), both events inside.
     assert got == [(_ts(0), dt.datetime(2024, 1, 1, 11, 0), 2)]
+
+
+def test_anomaly_flags_planted_spike(spark, tmp_path):
+    """First min_prior events are never flagged; a value above 3x the
+    running mean is; state math is exact integer cents. Runs as a real
+    availableNow stream (applyInPandasWithState is streaming-only)."""
+    import pyspark.sql.functions as F
+
+    from traffic_accidents_airflow_kafka_spark.streaming import core as streaming
+    from traffic_accidents_airflow_kafka_spark.streaming import stateful
+
+    rows = [
+        # user 1: steady 10.00s, then a 100.00 spike, then normal again.
+        (1, "2024-01-01 00:00:00", 1, 1000),
+        (1, "2024-01-01 00:01:00", 2, 1000),
+        (1, "2024-01-01 00:02:00", 3, 1000),
+        (1, "2024-01-01 00:03:00", 4, 10000),  # 100 > 3*10 -> anomaly
+        (1, "2024-01-01 00:04:00", 5, 1000),   # mean now 32.5; 3x > 10 -> not
+        # user 2: only two events, never enough priors.
+        (2, "2024-01-01 00:00:00", 6, 1000),
+        (2, "2024-01-01 00:01:00", 7, 99000),
+    ]
+    batch = spark.createDataFrame(
+        rows, "user_id long, ts_s string, event_id long, cents long"
+    ).select(
+        "user_id", F.col("ts_s").cast("timestamp").alias("ts"), "event_id", "cents"
+    )
+    src = str(tmp_path / "anomaly_src")
+    batch.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    flags = stateful.anomaly_flags(stream)
+    out = streaming.run_available_now(
+        flags, spark, state_partitions=2, output_mode="append"
+    )
+    got = {r["event_id"]: r["is_anomaly"] for r in out.collect()}
+    assert got == {1: False, 2: False, 3: False, 4: True, 5: False, 6: False, 7: False}

@@ -487,3 +487,58 @@ def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     result = streaming.run_available_now(windowed, spark, state_partitions=8)
     return result.orderBy("window_start", "nation")
+
+
+@register(
+    "stream_anomaly_flags",
+    tier=1,  # stateful machinery judged via stream_sessions; this adds the online-detector pattern
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+             COUNT(*) OVER w AS prior_n,
+             COALESCE(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                      OVER w, 0) AS prior_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN prior_n >= 3 AND cents * prior_n > 3 * prior_s
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+    FROM seq
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="Streaming running-mean anomaly flags "
+    "(streaming/stateful.py:anomaly_flags): the online-monitoring "
+    "stateful pattern — per-key (count, sum) state in integer cents, "
+    "events flagged when value > 3x the running mean of >= 3 prior "
+    "events. The integer-cents contract makes state folds and the flag "
+    "comparison order-independent integer arithmetic, so the oracle "
+    "replays them exactly as decimal window sums. Scale: O(1) state per "
+    "key, flags emitted in-stream (append mode), state partitions sized "
+    "to live-key cardinality.",
+)
+def stream_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import stateful
+
+    events = streaming.stream_events(spark, sf_dir).select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    flags = stateful.anomaly_flags(events)
+    out = streaming.run_available_now(
+        flags, spark, state_partitions=8, output_mode="append"
+    )
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("is_anomaly").cast("int")).cast("bigint").alias("n_anomalies"),
+        )
+        .orderBy("user_id")
+    )

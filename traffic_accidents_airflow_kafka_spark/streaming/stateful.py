@@ -31,6 +31,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    BooleanType,
     DoubleType,
     IntegerType,
     LongType,
@@ -224,5 +225,80 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
             "n_events",
             "sum_value",
             "closed_by",
+        )
+    )
+
+
+def anomaly_flags(
+    events: DataFrame, threshold_mult: int = 3, min_prior: int = 3
+) -> DataFrame:
+    """Per-key running-mean anomaly detection — the third stateful
+    pattern alongside sessionization: flag an event when its value
+    exceeds ``threshold_mult`` × the running mean of the key's PRIOR
+    events (at least ``min_prior`` of them). The online-monitoring /
+    fraud-screening shape: tiny per-key state (count + sum), flags
+    emitted in-stream.
+
+    Exactness contract: values are carried as integer CENTS (the
+    decimal(18,2) grid × 100), so state updates and the flag comparison
+    ``cents × prior_n > mult × prior_sum`` are pure integer arithmetic —
+    bit-identical in any engine and independent of accumulation order.
+    Events are processed in (ts, event_id) order within each batch;
+    across batches the state folds in arrival order, which matches event
+    order under the per-key ordered-delivery guarantee Kafka partitions
+    provide (the same assumption every online detector makes).
+
+    Input: columns ``user_id``, ``ts``, ``event_id``, ``cents`` (long).
+    Output: one row per event — user_id, event_id, is_anomaly.
+    """
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("event_id", LongType()),
+            StructField("is_anomaly", BooleanType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("s", LongType())]
+    )
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:  # NoTimeout configured; defensive only
+            state.remove()
+            return
+        frames = [f for f in pdfs if len(f)]
+        if not frames:
+            return
+        rows = pd.concat(frames) if len(frames) > 1 else frames[0]
+        rows = rows.sort_values(["ts", "event_id"], kind="stable")
+        cents = rows["cents"].to_numpy(dtype="int64")
+        n, s = state.get if state.exists else (0, 0)
+        flags = np.empty(len(cents), dtype=bool)
+        for i, c in enumerate(cents):
+            flags[i] = n >= min_prior and c * n > threshold_mult * s
+            n += 1
+            s += int(c)
+        state.update((int(n), int(s)))
+        yield pd.DataFrame(
+            {
+                "user_id": np.int64(user_id),
+                "event_id": rows["event_id"].to_numpy(dtype="int64"),
+                "is_anomaly": flags,
+            }
+        )
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
