@@ -250,3 +250,60 @@ def test_anomaly_flags_planted_spike(spark, tmp_path):
     )
     got = {r["event_id"]: r["is_anomaly"] for r in out.collect()}
     assert got == {1: False, 2: False, 3: False, 4: True, 5: False, 6: False, 7: False}
+
+
+def test_anomaly_flags_state_carries_across_micro_batches(spark, tmp_path):
+    """Two files + maxFilesPerTrigger=1 => two micro-batches: the second
+    batch's flags must be computed against state accumulated in the
+    first (per-key ordered-arrival contract)."""
+    import os
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from traffic_accidents_airflow_kafka_spark.streaming import stateful
+
+    def frame(rows):
+        return spark.createDataFrame(
+            rows, "user_id long, ts_s string, event_id long, cents long"
+        ).select(
+            "user_id", F.col("ts_s").cast("timestamp").alias("ts"), "event_id", "cents"
+        )
+
+    src = str(tmp_path / "anomaly_two_batches")
+    # Batch 1: three steady events -> state (n=3, s=3000).
+    frame(
+        [
+            (1, "2024-01-01 00:00:00", 1, 1000),
+            (1, "2024-01-01 00:01:00", 2, 1000),
+            (1, "2024-01-01 00:02:00", 3, 1000),
+        ]
+    ).coalesce(1).write.mode("append").parquet(src)
+    # Batch 2: a spike that is anomalous ONLY against batch-1 state.
+    frame([(1, "2024-01-01 00:03:00", 4, 10000)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    schema = frame([(1, "2024-01-01 00:00:00", 1, 1000)]).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    flags = stateful.anomaly_flags(stream)
+    ckpt = tempfile.mkdtemp(
+        prefix="ckpt_an2_", dir="/dev/shm" if os.path.isdir("/dev/shm") else None
+    )
+    q = (
+        flags.writeStream.format("memory")
+        .queryName("an2")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    got = {r["event_id"]: r["is_anomaly"] for r in spark.sql("select * from an2").collect()}
+    assert n_batches >= 2, "expected the source split across micro-batches"
+    assert got == {1: False, 2: False, 3: False, 4: True}
