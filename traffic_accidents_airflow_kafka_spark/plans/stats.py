@@ -361,3 +361,59 @@ def winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "n", "p01", "p99", "n_clipped_low", "n_clipped_high")
         .orderBy("event_type")
     )
+
+
+@register(
+    "scaler_fit",
+    tier=1,  # extended stats surface
+    oracle="""
+    WITH cents AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(c) / (COUNT(*) * 100.0), 4) AS mean_value,
+           ROUND(sqrt((SUM(c * c) * COUNT(*) - SUM(c) * SUM(c)))
+                 / (COUNT(*) * 100.0), 4) AS std_value
+    FROM cents
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Feature-standardization fit — the z-score scaler's (mean, std) "
+    "parameters per group, the fit step every numeric-feature pipeline "
+    "runs before training. Exactness: values ride the decimal(18,2) "
+    "grid as integer cents, so SUM(c) and SUM(c^2) are exact integers "
+    "and mean/std reduce to ONE division (and one sqrt) from "
+    "order-independent integer moments — population std computed as "
+    "sqrt(n*sum(c^2) - sum(c)^2)/(n*100). Scale: one partial-aggregate "
+    "pass, |groups| output rows; the transform step is a broadcast-back "
+    "map, exactly like winsorize/quantile calibration.",
+)
+def scaler_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    c = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    grouped = events.select("event_type", c.alias("c")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    return grouped.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("s1") / (F.col("n") * F.lit(100.0)), 4).alias("mean_value"),
+        # n*s2 - s1^2 in DECIMAL(38,0): the product overflows int64 once a
+        # group holds ~1e9 cent-squared rows; decimal keeps it exact to
+        # 38 digits (DuckDB's HUGEINT does the same on the oracle side).
+        F.round(
+            F.sqrt(
+                (
+                    F.col("s2").cast("decimal(38,0)") * F.col("n")
+                    - F.col("s1").cast("decimal(38,0)") * F.col("s1")
+                ).cast("double")
+            )
+            / (F.col("n") * F.lit(100.0)),
+            4,
+        ).alias("std_value"),
+    ).orderBy("event_type")
