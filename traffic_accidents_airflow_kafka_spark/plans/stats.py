@@ -394,10 +394,13 @@ def winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scaler_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     c = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    # Accumulate both moments in DECIMAL(38,0): a long SUM of cent-squares
+    # overflows at ~1e10 rows per group; decimal partial aggregates stay
+    # exact (and still combine map-side).
     grouped = events.select("event_type", c.alias("c")).groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("c").alias("s1"),
-        F.sum(F.col("c") * F.col("c")).alias("s2"),
+        F.sum(F.col("c").cast("decimal(38,0)")).alias("s1"),
+        F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)")).alias("s2"),
     )
     return grouped.select(
         "event_type",
@@ -409,8 +412,8 @@ def scaler_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sqrt(
                 (
-                    F.col("s2").cast("decimal(38,0)") * F.col("n")
-                    - F.col("s1").cast("decimal(38,0)") * F.col("s1")
+                    F.col("s2") * F.col("n")
+                    - F.col("s1") * F.col("s1")
                 ).cast("double")
             )
             / (F.col("n") * F.lit(100.0)),
