@@ -414,3 +414,44 @@ def test_pack_sequences_spans_and_conservation(spark):
     assert sum(r["span_tokens"] for r in spans) == 300 + 200 + 600 + 24
     # Offsets+spans never exceed seq_len.
     assert all(r["offset"] + r["span_tokens"] <= 256 for r in spans)
+
+
+def test_temperature_mixture_generic_alpha_path(spark):
+    """alpha != 0.5 exercises the pow() branch: shares still normalize
+    and low-resource upweighting strengthens as alpha drops."""
+    from traffic_accidents_airflow_kafka_spark.operators import sampling
+
+    per = spark.createDataFrame(
+        [("big", 1_000_000), ("small", 1_000)], "source string, tokens long"
+    )
+    half = {
+        r["source"]: r["mix_share"]
+        for r in sampling.temperature_mixture(per, "source", "tokens", 10**6).collect()
+    }
+    cold = {
+        r["source"]: r["mix_share"]
+        for r in sampling.temperature_mixture(
+            per, "source", "tokens", 10**6, alpha=0.2
+        ).collect()
+    }
+    assert abs(sum(half.values()) - 1.0) < 1e-5
+    assert abs(sum(cold.values()) - 1.0) < 1e-5
+    assert cold["small"] > half["small"]  # lower temperature, more upweight
+
+
+def test_pack_sequences_ignores_nonpositive_token_counts(spark):
+    from traffic_accidents_airflow_kafka_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, -5), (3, 0), (4, 10)], "doc_id long, n_tokens long"
+    )
+    spans = sampling.pack_sequences(df, "doc_id", "n_tokens", 16).collect()
+    assert sorted({r["doc_id"] for r in spans}) == [1, 4]
+    # The stream is contiguous over the VALID docs only: doc 4 starts at
+    # global offset 10 (doc 1's tokens), NOT shifted by the dropped rows,
+    # so it splits across the seq-16 boundary as [10,16) + [16,20).
+    doc4 = sorted(
+        ((r["seq_id"], r["offset"], r["span_tokens"]) for r in spans if r["doc_id"] == 4)
+    )
+    assert sum(r["span_tokens"] for r in spans) == 20
+    assert doc4 == [(0, 10, 6), (1, 0, 4)]

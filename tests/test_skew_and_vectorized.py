@@ -248,3 +248,38 @@ def test_pq_rerank_beats_plain_pq_recall(spark, sf_dir):
     hits_rerank = sum(1 for q, n in exact_top1.items() if rerank.get(q) == n)
     assert hits_rerank >= hits_plain
     assert hits_rerank / len(exact_top1) > 0.8
+
+
+def test_ivf_pq_rejects_indivisible_dim(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = emb.select("vec_id").filter(F.col("vec_id") < 5)
+    with pytest.raises(ValueError, match="not divisible"):
+        similarity.ivf_pq_ann_topk(emb, qids, m=7)
+
+
+def test_winsorize_and_scale_transform_composition(spark, sf_dir):
+    """The consume side of the fit queries: clamp at the fitted bounds,
+    then z-score with the fitted moments — every value lands in the
+    clamp interval and standardized outliers are bounded."""
+    from traffic_accidents_airflow_kafka_spark.plans.stats import (
+        scaler_fit,
+        winsorize_stats,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    cuts = winsorize_stats(spark, sf_dir).select("event_type", "p01", "p99")
+    fit = scaler_fit(spark, sf_dir).select("event_type", "mean_value", "std_value")
+    out = (
+        events.join(F.broadcast(cuts), "event_type")
+        .join(F.broadcast(fit), "event_type")
+        .withColumn(
+            "clamped", F.least(F.greatest(F.col("value"), F.col("p01")), F.col("p99"))
+        )
+        .withColumn("z", (F.col("clamped") - F.col("mean_value")) / F.col("std_value"))
+    )
+    bad = out.filter(
+        (F.col("clamped") < F.col("p01")) | (F.col("clamped") > F.col("p99"))
+    ).count()
+    assert bad == 0
+    zmax = out.agg(F.max(F.abs("z"))).first()[0]
+    assert zmax < 6  # clamped-then-scaled tail is bounded

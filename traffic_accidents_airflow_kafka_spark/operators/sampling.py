@@ -337,9 +337,11 @@ def pack_sequences(
     """
     L = F.lit(seq_len)
     t = F.col(tokens_col).cast("long")
-    cum = global_cumsum(df, id_col, tokens_col, out_col="__start")
+    # Nonpositive token counts are excluded BEFORE the prefix sum — a
+    # zero-or-negative row must not shift later documents' offsets.
+    cum = global_cumsum(df.filter(t > 0), id_col, tokens_col, out_col="__start")
     spans = (
-        cum.filter(t > 0)
+        cum
         .withColumn("__end", F.col("__start") + t)
         .withColumn("__first", F.floor(F.col("__start") / L))
         .withColumn("__last", F.floor((F.col("__end") - 1) / L))
