@@ -2005,6 +2005,7 @@ _SEQ_LEN = 512
     WITH toks AS (
       SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS t
       FROM documents
+      WHERE len(string_split(text, ' ')) > 0
     ),
     cum AS (
       SELECT doc_id, t,
@@ -2016,7 +2017,7 @@ _SEQ_LEN = 512
       SELECT doc_id, t, s, s + t AS e,
              unnest(generate_series(s // {_SEQ_LEN}, (s + t - 1) // {_SEQ_LEN}))
                AS seq_id
-      FROM cum WHERE t > 0
+      FROM cum
     )
     SELECT CAST(COUNT(DISTINCT seq_id) AS BIGINT) AS n_sequences,
            CAST(COUNT(*) AS BIGINT) AS n_spans,
