@@ -2538,3 +2538,36 @@ def span_excision_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens_before").cast("bigint").alias("tokens_before"),
         F.sum("n_tokens_after").cast("bigint").alias("tokens_after"),
     )
+
+
+@register(
+    "doc_length_histogram",
+    tier=1,  # extended training-data surface
+    oracle="""
+    SELECT lang,
+           CAST(len(string_split(text, ' ')) // 16 * 16 AS BIGINT) AS bucket_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS bucket_tokens
+    FROM documents
+    GROUP BY lang, bucket_lo
+    ORDER BY lang, bucket_lo
+    """,
+    doc="Token-length histogram per language (16-token buckets) — the "
+    "first chart of every corpus datasheet, and the input to length-cut "
+    "decisions (truncation budgets, the quality filter's min-length "
+    "knob). Scale: pure map-side bucketing + one partial aggregate; "
+    "|langs| x |buckets| output rows.",
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n = text_ops.token_count("text")
+    bucket = (F.floor(n / 16) * 16).cast("bigint")
+    return (
+        docs.select("lang", n.alias("n_tokens"), bucket.alias("bucket_lo"))
+        .groupBy("lang", "bucket_lo")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("bucket_tokens"),
+        )
+        .orderBy("lang", "bucket_lo")
+    )
