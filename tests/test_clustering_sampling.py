@@ -455,3 +455,26 @@ def test_pack_sequences_ignores_nonpositive_token_counts(spark):
     )
     assert sum(r["span_tokens"] for r in spans) == 20
     assert doc4 == [(0, 10, 6), (1, 0, 4)]
+
+
+def test_temperature_mixture_stable_under_repartitioning(spark):
+    """The ordered-fold denominator must make mix_share BIT-identical
+    regardless of physical partitioning — the property a parallel SUM
+    of doubles does not have."""
+    from traffic_accidents_airflow_kafka_spark.operators import sampling
+
+    per = spark.createDataFrame(
+        [(f"s{i}", 1000 + 7 * i * i) for i in range(40)], "source string, tokens long"
+    )
+    base = {
+        r["source"]: r["mix_share"]
+        for r in sampling.temperature_mixture(per, "source", "tokens", 10**6).collect()
+    }
+    for parts in (1, 7, 32):
+        again = {
+            r["source"]: r["mix_share"]
+            for r in sampling.temperature_mixture(
+                per.repartition(parts), "source", "tokens", 10**6
+            ).collect()
+        }
+        assert again == base  # exact float equality, not isclose
