@@ -564,3 +564,74 @@ def test_excise_spans_greedy_left_to_right(spark):
     spans2 = spark.createDataFrame([("a b a",)], "span string")
     r = decontam.excise_spans(docs2, spans2, "doc_id", "text", n=3).collect()[0]
     assert r["text"] == "b a" and r["n_excised_spans"] == 1
+
+
+def test_chunk_documents_boundary_arithmetic(spark):
+    """Chunks tile the document: consecutive chunks overlap by exactly
+    `overlap` chars, concatenating each chunk's non-overlap prefix plus
+    the final chunk reconstructs the text, and short/empty docs yield
+    exactly one chunk."""
+    from traffic_accidents_airflow_kafka_spark.operators.text import chunk_documents
+
+    text = "".join(chr(ord("a") + i % 26) for i in range(100))
+    docs = spark.createDataFrame(
+        [(1, text), (2, "short"), (3, "")], "doc_id long, text string"
+    )
+    out = chunk_documents(docs, "doc_id", "text", chunk_chars=64, overlap=16)
+    rows = {r["doc_id"]: [] for r in out.collect()}
+    for r in out.collect():
+        rows[r["doc_id"]].append(r)
+    for v in rows.values():
+        v.sort(key=lambda r: r["chunk_idx"])
+
+    c1 = rows[1]
+    assert [r["chunk_start"] for r in c1] == [1, 49]  # stride 48, bound 100-16=84
+    assert c1[0]["chunk_text"] == text[0:64]
+    assert c1[1]["chunk_text"] == text[48:100]
+    # overlap region identical between consecutive chunks
+    assert c1[0]["chunk_text"][-16:] == c1[1]["chunk_text"][:16]
+    # reconstruction: non-overlap prefixes + final chunk
+    assert c1[0]["chunk_text"][:48] + c1[1]["chunk_text"] == text
+
+    assert len(rows[2]) == 1 and rows[2][0]["chunk_text"] == "short"
+    assert len(rows[3]) == 1 and rows[3][0]["chunk_text"] == ""
+
+
+def test_chunk_documents_rejects_nonpositive_stride(spark):
+    import pytest
+    from traffic_accidents_airflow_kafka_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(docs, "doc_id", "text", chunk_chars=16, overlap=16)
+
+
+def test_tfidf_ranks_distinctive_terms_over_ubiquitous(spark, tmp_path):
+    """A term appearing in every document (df = N) scores below a
+    same-tf term unique to one document; top-1 for the planted doc is
+    its distinctive term."""
+    import pyspark.sql.functions as F
+    from traffic_accidents_airflow_kafka_spark.plans.llm import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (0, "zebra zebra common filler1 filler2"),
+            (1, "common alpha beta gamma delta"),
+            (2, "common epsilon zeta eta theta"),
+        ],
+        "doc_id long, text string",
+    ).withColumn("lang", F.lit("en")).withColumn("source", F.lit("t")).withColumn(
+        "n_chars", F.length("text")
+    )
+    sf = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(sf, exist_ok=True)
+    docs.write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+    out = tfidf_top_terms(spark, sf).toPandas()
+    top_doc0 = out[(out["doc_id"] == 0) & (out["rnk"] == 1)].iloc[0]
+    assert top_doc0["term"] == "zebra" and top_doc0["tf"] == 2
+    # 'common' (df=3=N) never outranks a unique term of equal tf.
+    for doc in (1, 2):
+        sub = out[out["doc_id"] == doc].sort_values("rnk")
+        assert list(sub["term"])[-1] == "common" or "common" not in list(sub["term"])

@@ -228,6 +228,51 @@ def normalize_text(text: Column | str) -> Column:
     return F.trim(c)
 
 
+def chunk_documents(
+    docs: "DataFrame",
+    id_col: str,
+    text_col: str,
+    chunk_chars: int = 256,
+    overlap: int = 32,
+) -> "DataFrame":
+    """Sliding-window document chunking — the retrieval/embedding-prep
+    transform every RAG and long-context training pipeline runs before
+    embedding: fixed-width character windows with a configurable overlap
+    so no boundary-spanning passage is lost.
+
+    Chunk *i* starts at ``1 + i * (chunk_chars - overlap)`` (1-based,
+    substring semantics identical in Spark and DuckDB); the start
+    sequence stops once the remaining text is covered
+    (``start <= greatest(len - overlap, 1)``), so a short document
+    yields exactly one chunk and the final chunk may run short.
+
+    All native expressions: one ``sequence`` → ``posexplode`` per
+    document, no UDFs, no shuffle — chunking is embarrassingly parallel
+    and stays map-side; downstream embedding/ANN stages see ~len/stride
+    more rows with bounded width. Returns (id, chunk_idx, chunk_start,
+    chunk_text).
+    """
+    stride = chunk_chars - overlap
+    if stride <= 0:
+        raise ValueError("chunk_chars must exceed overlap")
+    c = F.col(text_col)
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.length(c) - overlap, F.lit(1)),
+        F.lit(stride),
+    )
+    return docs.select(
+        F.col(id_col),
+        F.posexplode(starts).alias("chunk_idx", "chunk_start"),
+        c.alias("__t"),
+    ).select(
+        F.col(id_col),
+        "chunk_idx",
+        "chunk_start",
+        F.col("__t").substr(F.col("chunk_start"), F.lit(chunk_chars)).alias("chunk_text"),
+    )
+
+
 def classifier_weights(n_buckets: int = 64, seed: str = "qclf-v1") -> list[float]:
     """Deterministic stand-in weight vector for :func:`hashed_linear_score`
     — md5-derived uniforms centered on 0, one per feature bucket. A real

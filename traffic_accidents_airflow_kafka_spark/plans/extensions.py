@@ -670,3 +670,132 @@ def regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(rev).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), "nation")
     )
+
+
+@register(
+    "funnel_conversion",
+    tier=1,  # extended event-analytics surface
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id
+    )
+    SELECT stage, n_users FROM (
+      SELECT 1 AS stage_idx, 'view' AS stage, COUNT(*) AS n_users FROM s1
+      UNION ALL
+      SELECT 2, 'view>click', COUNT(*) FROM s2
+      UNION ALL
+      SELECT 3, 'view>click>purchase', COUNT(*) FROM s3
+    ) ORDER BY stage_idx
+    """,
+    doc="Ordered funnel conversion (view -> click -> purchase, each stage "
+    "strictly after the previous): the product-analytics staple missing "
+    "from plain groupBy dashboards — stage N counts users whose earliest "
+    "qualifying event follows their stage-N-1 timestamp. Three "
+    "monotonically shrinking per-user min-aggregates, each joined back "
+    "to the (already type-filtered, so far smaller) event slice on "
+    "user_id; no window functions, no event-order state. Scale: every "
+    "stage is one hash aggregate + one key-co-partitioned join keyed on "
+    "user_id; AQE broadcasts the later (tiny) stage relations; events "
+    "never shuffle more than once per stage slice.",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+
+    def stage_after(event_type: str, prev: DataFrame, prev_ts: str, out_ts: str) -> DataFrame:
+        sliced = events.filter(F.col("event_type") == event_type)
+        return (
+            sliced.join(prev, "user_id")
+            .filter(F.col("ts") > F.col(prev_ts))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out_ts))
+        )
+
+    s1 = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = stage_after("click", s1, "t1", "t2")
+    s3 = stage_after("purchase", s2, "t2", "t3")
+
+    def stage_count(idx: int, name: str, rel: DataFrame) -> DataFrame:
+        return rel.agg(
+            F.lit(idx).alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+
+    return (
+        stage_count(1, "view", s1)
+        .unionByName(stage_count(2, "view>click", s2))
+        .unionByName(stage_count(3, "view>click>purchase", s3))
+        .orderBy("stage_idx")
+        .select("stage", "n_users")
+    )
+
+
+@register(
+    "rolling_user_stats",
+    tier=1,  # extended window-function surface
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, value,
+             SUM(CAST(value AS DECIMAL(18,2)))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS dec_roll,
+             COUNT(*)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS n_in_frame,
+             lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+      FROM events
+      WHERE user_id < 40
+    )
+    SELECT user_id, event_id,
+           CAST(dec_roll AS DOUBLE) AS roll_sum,
+           ROUND(CAST(dec_roll AS DOUBLE) / n_in_frame, 4) AS roll_avg,
+           ROUND(value - COALESCE(prev_value, value), 4) AS delta
+    FROM ordered
+    ORDER BY user_id, event_id
+    """,
+    doc="Rolling per-user window stats: 3-row moving sum/average of "
+    "event value plus the lag-1 delta — the feature-engineering shape "
+    "(trailing behavior windows) batch scoring pipelines compute before "
+    "training. Frame sums run over DECIMAL(18,2) so the sliding "
+    "accumulation is order-exact in both engines (double frame-sums "
+    "diverge between Spark's running accumulation and DuckDB's segment "
+    "tree); ties broken by event_id so frames are deterministic. "
+    "Scale: one shuffle on user_id, per-partition sort, single-pass "
+    "frame evaluation; state is the 3-row frame, not the partition.",
+)
+def rolling_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(-2, Window.currentRow)
+    dec_roll = F.sum(F.col("value").cast("decimal(18,2)")).over(frame)
+    n_in_frame = F.count(F.lit(1)).over(frame)
+    prev = F.lag("value").over(w)
+    return (
+        events.select(
+            "user_id",
+            "event_id",
+            dec_roll.cast("double").alias("roll_sum"),
+            F.round(dec_roll.cast("double") / n_in_frame, 4).alias("roll_avg"),
+            F.round(F.col("value") - F.coalesce(prev, F.col("value")), 4).alias("delta"),
+        )
+        .orderBy("user_id", "event_id")
+    )

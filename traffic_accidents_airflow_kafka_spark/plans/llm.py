@@ -2541,6 +2541,116 @@ def span_excision_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "chunk_inventory",
+    tier=1,  # extended training-data surface
+    oracle="""
+    WITH starts AS (
+      SELECT doc_id,
+             text,
+             unnest(generate_series(1, greatest(length(text) - 32, 1), 224)) AS chunk_start
+      FROM documents
+      WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           CAST((chunk_start - 1) // 224 AS INT) AS chunk_idx,
+           CAST(chunk_start AS INT) AS chunk_start,
+           CAST(length(substring(text, chunk_start, 256)) AS INT) AS n_chunk_chars,
+           md5(substring(text, chunk_start, 256)) AS chunk_digest
+    FROM starts
+    ORDER BY doc_id, chunk_idx
+    """,
+    doc="Sliding-window document chunking (operators/text.py:"
+    "chunk_documents) — the RAG/embedding-prep transform: 256-char "
+    "windows with 32-char overlap, every chunk digest-identified. The "
+    "value-hash covers the chunk TEXT via md5, so boundary arithmetic "
+    "is pinned byte-for-byte against the oracle. Scale: pure map-side "
+    "sequence+posexplode, no shuffle; output rows ~= corpus_chars / "
+    "stride with bounded row width — the right input shape for the "
+    "embed -> ANN stages downstream.",
+)
+def chunk_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    chunks = text_ops.chunk_documents(docs, "doc_id", "text", chunk_chars=256, overlap=32)
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("chunk_start").cast("int").alias("chunk_start"),
+        F.length("chunk_text").cast("int").alias("n_chunk_chars"),
+        F.md5(F.col("chunk_text").cast("binary")).alias("chunk_digest"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+@register(
+    "tfidf_top_terms",
+    tier=1,  # extended training-data surface
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df_docs FROM tf GROUP BY term
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df_docs,
+             ROUND(tf.tf * (ln((n.n_docs + 1.0) / (df.df_docs + 1.0)) + 1.0), 4) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, term, tf, df_docs, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, CAST(rnk AS INT) AS rnk, term,
+           CAST(tf AS BIGINT) AS tf, CAST(df_docs AS BIGINT) AS df_docs, tfidf
+    FROM ranked WHERE rnk <= 3 AND doc_id < 100
+    ORDER BY doc_id, rnk
+    """,
+    doc="TF-IDF top-3 terms per document — the classic corpus keyword "
+    "extractor (salient-term summaries, topic drift monitoring, "
+    "quality triage). tfidf = tf * (ln((N+1)/(df+1)) + 1), the "
+    "smoothed sklearn formulation; ROUND(4) pins the float product "
+    "cross-engine, with the term string as the deterministic "
+    "tie-break. Scale shape: two hash aggregates over the (doc, term) "
+    "stream (tf, then document-frequency over tf's output — tokens "
+    "shuffle once), the df relation joins back keyed on the term "
+    "string, N rides in as a broadcast scalar, and the final top-3 is "
+    "a per-doc window over ~|distinct terms per doc| rows. Documents "
+    "never shuffle — only (term, count) pairs do.",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar: one count action, broadcast as a literal
+    tf = (
+        docs.select("doc_id", F.explode(text_ops.tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_rel = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+    idf = F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df_docs") + F.lit(1.0)).cast("double")) + 1.0
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        tf.join(df_rel, "term")
+        # Output-doc predicate BEFORE the window: row_number partitions by
+        # doc_id, so pruning docs first shrinks the window's sort input
+        # without changing any surviving rank.
+        .filter(F.col("doc_id") < 100)
+        .withColumn("tfidf", F.round(F.col("tf") * idf, 4))
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "rnk", "term", "tf", "df_docs", "tfidf")
+        .orderBy("doc_id", "rnk")
+    )
+
+
+@register(
     "doc_length_histogram",
     tier=1,  # extended training-data surface
     oracle="""
