@@ -635,3 +635,47 @@ def test_tfidf_ranks_distinctive_terms_over_ubiquitous(spark, tmp_path):
     for doc in (1, 2):
         sub = out[out["doc_id"] == doc].sort_values("rnk")
         assert list(sub["term"])[-1] == "common" or "common" not in list(sub["term"])
+
+
+def _write_docs(spark, tmp_path, texts):
+    import os
+    import pyspark.sql.functions as F
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    ).withColumn("lang", F.lit("en")).withColumn("source", F.lit("t")).withColumn(
+        "n_chars", F.length("text")
+    )
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    docs.write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+    return sf
+
+
+def test_vocab_coverage_matches_hand_zipf(spark, tmp_path):
+    """Planted counts: 'a'x6 'b'x3 'c'x1 -> top-10 covers everything;
+    coverage fractions follow the hand-computed mass."""
+    from traffic_accidents_airflow_kafka_spark.plans.llm import vocab_coverage
+
+    sf = _write_docs(spark, tmp_path, ["a a a b", "a a a b b c"])
+    out = vocab_coverage(spark, sf).toPandas().set_index("cutoff")
+    assert out.at[10, "n_terms"] == 3
+    assert out.at[10, "covered_tokens"] == 10 and out.at[10, "total_tokens"] == 10
+    assert out.at[10, "coverage"] == 1.0
+    # all three cutoffs present even when vocab < cutoff
+    assert list(out.index) == [10, 100, 1000]
+
+
+def test_pmi_prefers_bound_phrase_over_independent_pair(spark, tmp_path):
+    """A bigram that ALWAYS co-occurs ('new york' x5) outranks a pair of
+    frequent-but-independent words; sub-floor bigrams are dropped."""
+    from traffic_accidents_airflow_kafka_spark.plans.llm import pmi_collocations
+
+    texts = ["new york " + "x y " * 5]*5  # 'new york' 5x; x,y frequent, mixed order
+    texts += ["y x " * 5] * 5
+    sf = _write_docs(spark, tmp_path, texts)
+    out = pmi_collocations(spark, sf).toPandas()
+    assert len(out) >= 1
+    assert out.iloc[0]["bigram"] == "new york"
+    # support floor: nothing below 5 occurrences
+    assert (out["c12"] >= 5).all()

@@ -2651,6 +2651,175 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "vocab_coverage",
+    tier=1,  # extended training-data surface
+    oracle="""
+    WITH cnt AS (
+      SELECT term, COUNT(*) AS c
+      FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+      GROUP BY term
+    ),
+    total AS (SELECT SUM(c) AS t FROM cnt),
+    ranked AS (
+      SELECT term, c, ROW_NUMBER() OVER (ORDER BY c DESC, term) AS rnk
+      FROM cnt
+    ),
+    top AS (SELECT * FROM ranked WHERE rnk <= 1000)
+    SELECT cutoff,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(SUM(c) AS BIGINT) AS covered_tokens,
+           CAST(MAX(total.t) AS BIGINT) AS total_tokens,
+           ROUND(SUM(c) / CAST(MAX(total.t) AS DOUBLE), 4) AS coverage
+    FROM top CROSS JOIN total
+    CROSS JOIN (SELECT unnest([10, 100, 1000]) AS cutoff)
+    WHERE rnk <= cutoff
+    GROUP BY cutoff
+    ORDER BY cutoff
+    """,
+    doc="Vocabulary coverage curve: what fraction of the corpus token "
+    "mass the top-10/100/1000 terms cover — the Zipf chart of every "
+    "corpus datasheet and the sizing input for vocabulary/tokenizer "
+    "decisions. Scale shape: term counts are one hash aggregate; the "
+    "top-1000 selection is orderBy+limit = TakeOrdered (per-partition "
+    "heaps + driver merge, NO global sort of the vocabulary — the "
+    "full-vocab window formulation degenerates to a single-task sort "
+    "at web scale); ranking/cumulating then run on the 1000-row "
+    "relation, and the total-token scalar is one aggregate row.",
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(F.explode(text_ops.tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        # Feeds the scalar total AND the top-k selection — materialize the
+        # |vocabulary|-row relation once instead of replaying the corpus
+        # explode+aggregate per consumer.
+        .localCheckpoint()
+    )
+    total = int(cnt.agg(F.sum("c")).first()[0])  # scalar: total token mass
+    top = cnt.orderBy(F.desc("c"), "term").limit(1000)
+    # 1000-row relation: the single-partition window is bounded by the
+    # cutoff list, not the vocabulary.
+    ranked = top.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.desc("c"), "term"))
+    )
+    cutoffs = spark.range(1).select(
+        F.explode(F.array(F.lit(10), F.lit(100), F.lit(1000))).alias("cutoff")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(cutoffs))
+        .filter(F.col("rnk") <= F.col("cutoff"))
+        .groupBy("cutoff")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+            F.sum("c").cast("bigint").alias("covered_tokens"),
+            F.lit(total).cast("bigint").alias("total_tokens"),
+            F.round(F.sum("c") / F.lit(float(total)), 4).alias("coverage"),
+        )
+        .orderBy("cutoff")
+    )
+
+
+@register(
+    "pmi_collocations",
+    tier=1,  # extended training-data surface
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    bg AS (
+      SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i+1])) AS bigram
+      FROM words WHERE len(w) >= 2
+    ),
+    c12 AS (SELECT bigram, COUNT(*) AS c12 FROM bg GROUP BY bigram),
+    uni AS (
+      SELECT term, COUNT(*) AS c1
+      FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+      GROUP BY term
+    ),
+    t1 AS (SELECT SUM(c1) AS t FROM uni),
+    t2 AS (SELECT SUM(c12) AS t FROM c12),
+    scored AS (
+      SELECT c12.bigram, c12.c12,
+             ROUND(ln((c12.c12 / CAST(t2.t AS DOUBLE))
+                      / ((u1.c1 / CAST(t1.t AS DOUBLE))
+                         * (u2.c1 / CAST(t1.t AS DOUBLE)))), 4) AS pmi
+      FROM c12
+      JOIN uni u1 ON u1.term = string_split(c12.bigram, ' ')[1]
+      JOIN uni u2 ON u2.term = string_split(c12.bigram, ' ')[2]
+      CROSS JOIN t1 CROSS JOIN t2
+      WHERE c12.c12 >= 5
+    )
+    SELECT bigram, CAST(c12 AS BIGINT) AS c12, pmi
+    FROM scored
+    ORDER BY pmi DESC, bigram
+    LIMIT 20
+    """,
+    doc="PMI collocation mining: top-20 bigrams by pointwise mutual "
+    "information, pmi = ln(P(w1 w2) / (P(w1) P(w2))) with a c12 >= 5 "
+    "support floor — the classic phrase/collocation extractor "
+    "(word2vec-style phrase merging, boilerplate discovery). Scale "
+    "shape: the bigram and unigram count relations are hash "
+    "aggregates over the token stream (vocabulary-sized outputs); the "
+    "two probability joins key on term strings against the "
+    "(broadcastable) unigram relation; the totals are two scalar "
+    "aggregates; final top-20 is TakeOrdered. ROUND(4) pins the float "
+    "ln cross-engine with the bigram string as tie-break.",
+)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = text_ops.tokens("text")
+    n = F.size(toks)
+    bigrams = F.transform(
+        F.slice(toks, 1, n - 1),
+        lambda w, i: F.concat_ws(" ", w, F.element_at(toks, i + F.lit(2))),
+    )
+    # Materialize the vocabulary-sized count relations ONCE: each feeds a
+    # scalar total AND the scoring join — without this the corpus-wide
+    # explode+aggregate replays per consumer (measured 3.9 s → 2.2 s at
+    # sf0.1). At cluster scale the same reuse is a .persist() on two
+    # |vocabulary|-row relations.
+    c12 = (
+        docs.filter(n >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint()
+    )
+    uni = (
+        docs.select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c1"))
+        .localCheckpoint()
+    )
+    t1 = float(uni.agg(F.sum("c1")).first()[0])  # scalar: token mass
+    t2 = float(c12.agg(F.sum("c12")).first()[0])  # scalar: bigram mass
+    w1 = F.split(F.col("bigram"), " ").getItem(0)
+    w2 = F.split(F.col("bigram"), " ").getItem(1)
+    u1 = uni.select(F.col("term").alias("__w1"), F.col("c1").alias("__c_w1"))
+    u2 = uni.select(F.col("term").alias("__w2"), F.col("c1").alias("__c_w2"))
+    pmi = F.round(
+        F.log(
+            (F.col("c12") / F.lit(t2))
+            / ((F.col("__c_w1") / F.lit(t1)) * (F.col("__c_w2") / F.lit(t1)))
+        ),
+        4,
+    )
+    return (
+        c12.filter(F.col("c12") >= 5)
+        .join(u1, w1 == F.col("__w1"))
+        .join(u2, w2 == F.col("__w2"))
+        .select("bigram", F.col("c12").cast("bigint").alias("c12"), pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "bigram")
+        .limit(20)
+    )
+
+
+@register(
     "doc_length_histogram",
     tier=1,  # extended training-data surface
     oracle="""
