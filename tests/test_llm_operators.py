@@ -679,3 +679,36 @@ def test_pmi_prefers_bound_phrase_over_independent_pair(spark, tmp_path):
     assert out.iloc[0]["bigram"] == "new york"
     # support floor: nothing below 5 occurrences
     assert (out["c12"] >= 5).all()
+
+
+def test_pagerank_star_center_dominates_and_mass_conserves(spark):
+    """On a 5-node star the hub out-ranks every leaf; total rank mass
+    sums to 1 (teleport + dangling redistribution)."""
+    from traffic_accidents_airflow_kafka_spark.operators.graph import pagerank
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (1, 5)], "d1 long, d2 long"
+    )
+    ranks = {r["id"]: r["rank"] for r in pagerank(pairs, iters=15).collect()}
+    assert set(ranks) == {1, 2, 3, 4, 5}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    hub = ranks[1]
+    for leaf in (2, 3, 4, 5):
+        assert hub > ranks[leaf] * 2
+    # leaves are symmetric
+    leaves = [ranks[i] for i in (2, 3, 4, 5)]
+    assert max(leaves) - min(leaves) < 1e-12
+
+
+def test_pagerank_directed_dangling_mass_redistributes(spark):
+    """Directed chain 1->2->3: node 3 dangles; ranks still sum to 1 and
+    order follows the flow (3 >= 2 >= 1)."""
+    from traffic_accidents_airflow_kafka_spark.operators.graph import pagerank
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "d1 long, d2 long")
+    ranks = {
+        r["id"]: r["rank"]
+        for r in pagerank(pairs, iters=25, symmetrize=False).collect()
+    }
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    assert ranks[3] > ranks[2] > ranks[1]

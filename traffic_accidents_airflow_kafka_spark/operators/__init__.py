@@ -1,4 +1,4 @@
 """Large-scale data-pipeline operators: dedup, similarity search, text
 analysis, multimodal column plumbing."""
 
-from . import dedup, multimodal, sampling, similarity, text  # noqa: F401
+from . import dedup, graph, multimodal, sampling, similarity, text  # noqa: F401

@@ -1,0 +1,120 @@
+"""Graph centrality over candidate-pair relations.
+
+Connected components (``operators/dedup.py``) answers "which docs form a
+duplicate cluster"; PageRank answers "which doc is the cluster's natural
+canonical representative" — the node most linked-to by near-duplicates,
+mirrors, and partial copies. Production curation pipelines use exactly
+this to pick the keeper inside large duplicate families (and, on citation
+or hyperlink graphs, to weight documents for sampling).
+
+Design: classic damped power iteration, driver-coordinated like the
+connected-components loop — per round ONE join (edges × ranks, keyed on
+the 8-byte node id) and one groupBy-sum, with ``localCheckpoint``
+truncating lineage and dangling-mass redistribution as a single scalar
+aggregate per round (one row to the driver, never data).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def pagerank(
+    pairs: DataFrame,
+    src: str = "d1",
+    dst: str = "d2",
+    damping: float = 0.85,
+    iters: int = 10,
+    symmetrize: bool = True,
+) -> DataFrame:
+    """Damped PageRank over a pair relation; fixed ``iters`` rounds.
+
+    ``symmetrize=True`` (the near-dup-graph default) treats pairs as
+    undirected edges. Dangling nodes (no out-edges) redistribute their
+    mass uniformly each round, so ranks always sum to 1 (within float
+    tolerance). Returns (id, rank).
+
+    Scale: the edge relation (joined once with out-degrees) is
+    materialized up front and re-joined each round — rounds shuffle
+    (node_id, double) pairs only. Shuffle partitions are sized to the
+    GRAPH (like the CC loop): candidate-pair graphs are orders of
+    magnitude smaller than the corpus that produced them.
+    """
+    fwd = pairs.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
+    edges = fwd
+    if symmetrize:
+        edges = fwd.union(
+            pairs.select(F.col(dst).alias("e_src"), F.col(src).alias("e_dst"))
+        )
+    # Materialize the (possibly expensive) upstream pair plan FIRST —
+    # nodes, degrees, and the edge-degree relation all derive from this
+    # checkpoint; without it the candidate-pair pipeline replays once per
+    # derivation AND once per round in the dangling probe (measured 44 s
+    # → ~6 s at sf0.1 on the Jaccard-pair input).
+    edges = edges.filter(F.col("e_src") != F.col("e_dst")).distinct().localCheckpoint()
+
+    nodes = (
+        edges.select(F.col("e_src").alias("id"))
+        .union(edges.select(F.col("e_dst").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    spark = pairs.sparkSession
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+
+    out_deg = edges.groupBy("e_src").agg(F.count(F.lit(1)).alias("__deg"))
+    # Edges carry their source's out-degree from the start: the per-round
+    # join then needs only the rank relation.
+    edges_deg = edges.join(out_deg, "e_src").localCheckpoint()
+    # Dangling node SET is loop-invariant — only its rank MASS changes.
+    # A symmetrized graph has no dangling nodes by construction, so the
+    # per-round scalar probe short-circuits to 0 there.
+    dangling_nodes = nodes.join(
+        out_deg.withColumnRenamed("e_src", "id"), "id", "left_anti"
+    ).localCheckpoint()
+    has_dangling = dangling_nodes.count() > 0
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    n_edges = edges_deg.count()
+    loop_parts = max(1, min(int(prev_parts), n_edges // 500_000 + 1))
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    try:
+        base = (1.0 - damping) / n_nodes
+        ranks = nodes.select("id", F.lit(1.0 / n_nodes).alias("rank"))
+        for _ in range(iters):
+            joined = edges_deg.join(
+                ranks.withColumnRenamed("id", "e_src"), "e_src"
+            )
+            contribs = joined.select(
+                F.col("e_dst").alias("id"),
+                (F.col("rank") / F.col("__deg")).alias("c"),
+            )
+            dangling = 0.0
+            if has_dangling:
+                dangling = (
+                    ranks.join(dangling_nodes, "id", "left_semi")
+                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+                    .first()[0]
+                )
+            new_ranks = (
+                nodes.join(
+                    contribs.groupBy("id").agg(F.sum("c").alias("__in")), "id", "left"
+                )
+                .select(
+                    "id",
+                    (
+                        F.lit(base)
+                        + F.lit(damping)
+                        * (F.coalesce("__in", F.lit(0.0)) + F.lit(dangling / n_nodes))
+                    ).alias("rank"),
+                )
+                .localCheckpoint()
+            )
+            ranks.unpersist()
+            ranks = new_ranks
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return ranks

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..operators import (
     decontam,
     dedup,
+    graph,
     multimodal,
     quality,
     sampling,
@@ -1061,6 +1062,36 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("id") == F.col("component")).alias("is_canonical"),
         )
         .orderBy("cluster_id", "doc_id")
+    )
+
+
+@register(
+    "dedup_pagerank",
+    tier=1,  # extended clustering surface
+    oracle=None,  # damped power iteration over float sums: per-engine
+    # accumulation order differs in the last ulps, so no bit-stable SQL
+    # replay; semantics pinned by star/chain/mass-conservation unit tests
+    min_rows=0,
+    doc="PageRank centrality over the near-dup pair graph "
+    "(operators/graph.py:pagerank): inside every duplicate family, the "
+    "most-linked-to node is the natural canonical keeper (and on "
+    "citation/link graphs the same operator weights documents for "
+    "sampling). Damped power iteration, 10 fixed rounds, driver-"
+    "coordinated like the CC loop: per round one edges x ranks join "
+    "keyed on 8-byte node ids plus a groupBy-sum; dangling mass "
+    "redistributes via one scalar row; lineage truncated per round. "
+    "Scale: rounds shuffle (id, double) pairs over a graph that is "
+    "orders of magnitude smaller than the corpus.",
+)
+def dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.word_shingles(docs, "doc_id", "text", n=3)
+    pairs = dedup.jaccard_pairs(sh, "doc_id").filter(F.col("jaccard") >= 0.5)
+    ranks = graph.pagerank(pairs, "d1", "d2", damping=0.85, iters=10)
+    return (
+        ranks.select(F.col("id").alias("doc_id"), F.round("rank", 6).alias("rank"))
+        .orderBy(F.desc("rank"), "doc_id")
+        .limit(30)
     )
 
 
