@@ -277,3 +277,150 @@ def test_rolling_user_stats_frame_arithmetic(spark, sf_dir):
             raw = list(grp["value"])
             assert abs(got.at[1, "delta"] - round(raw[1] - raw[0], 4)) < 1e-9
         assert abs(got.at[0, "delta"]) < 1e-12
+
+
+def test_cohort_retention_offsets(spark, tmp_path):
+    """User joining in week W and active in W and W+2 lands in offsets
+    0 and 2 of cohort W; a W+1 joiner starts their own cohort at 0."""
+    import os
+    from datetime import datetime as dt
+    import pyspark.sql.functions as F
+    from traffic_accidents_airflow_kafka_spark.plans.extensions import cohort_retention
+
+    rows = [
+        (1, dt(2024, 1, 1, 9)),   # Monday, week A, offset 0
+        (1, dt(2024, 1, 3, 9)),   # same week -> still offset 0
+        (1, dt(2024, 1, 15, 9)),  # week A+2
+        (2, dt(2024, 1, 8, 9)),   # week B (A+1), own cohort offset 0
+    ]
+    events = spark.createDataFrame(
+        [(i, ts, u, "view", 1.0, "{}") for i, (u, ts) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    events.write.mode("overwrite").parquet(os.path.join(sf, "events.parquet"))
+    out = cohort_retention(spark, sf).toPandas()
+    got = {(r.cohort_week, r.week_offset): r.n_users for r in out.itertuples()}
+    assert got == {
+        ("2024-01-01", 0): 1,
+        ("2024-01-01", 2): 1,
+        ("2024-01-08", 0): 1,
+    }
+
+
+def test_event_transitions_probabilities(spark, tmp_path):
+    """Per-user lag ordering: u1 emits view->click, click->view,
+    view->purchase; transition rows and row-normalized probabilities
+    follow the hand count."""
+    import os
+    from datetime import datetime as dt
+    from traffic_accidents_airflow_kafka_spark.plans.extensions import event_transitions
+
+    seq = ["view", "click", "view", "purchase"]
+    rows = [(i, dt(2024, 1, 1, 9 + i), 1, t, 1.0, "{}") for i, t in enumerate(seq)]
+    # second user: single event -> contributes no transitions
+    rows.append((99, dt(2024, 1, 1, 9), 2, "view", 1.0, "{}"))
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    events.write.mode("overwrite").parquet(os.path.join(sf, "events.parquet"))
+    out = event_transitions(spark, sf).toPandas()
+    got = {(r.prev_type, r.next_type): (r.n, r.p_next) for r in out.itertuples()}
+    assert got == {
+        ("view", "click"): (1, 0.5),
+        ("view", "purchase"): (1, 0.5),
+        ("click", "view"): (1, 1.0),
+    }
+
+
+def test_unpivot_roundtrips_pivot_cells(spark, sf_dir):
+    """Every nonzero long-form cell equals the direct groupBy count, and
+    pivot fill-0 cells survive as explicit zeros."""
+    import pyspark.sql.functions as F
+    from traffic_accidents_airflow_kafka_spark.functions import scalar as fn
+    from traffic_accidents_airflow_kafka_spark.plans.extensions import (
+        unpivot_event_matrix,
+    )
+
+    out = unpivot_event_matrix(spark, sf_dir).toPandas()
+    events = load_table(spark, sf_dir, "events")
+    direct = (
+        events.select(
+            F.hour("ts").cast("int").alias("event_hour"),
+            fn.enum_normalize("event_type", ["click", "view", "purchase"]).alias(
+                "event_type"
+            ),
+        )
+        .groupBy("event_hour", "event_type")
+        .count()
+        .toPandas()
+    )
+    want = {(r.event_hour, r.event_type): r.count for r in direct.itertuples()}
+    for r in out.itertuples():
+        assert r.n == want.get((r.event_hour, r.event_type), 0)
+    # the long form is dense: hours x 4 types
+    assert len(out) == out["event_hour"].nunique() * 4
+
+
+def test_incremental_merge_equals_full_recompute(spark, sf_dir):
+    """Merging base+delta partials is bit-identical to aggregating the
+    whole table — COUNT and DECIMAL SUM are mergeable states."""
+    import pyspark.sql.functions as F
+    from traffic_accidents_airflow_kafka_spark.plans.extensions import (
+        incremental_agg_merge,
+    )
+
+    merged = {
+        r["event_type"]: (r["n_events"], r["sum_value"])
+        for r in incremental_agg_merge(spark, sf_dir).collect()
+    }
+    full = {
+        r["event_type"]: (r["n_events"], r["sum_value"])
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .collect()
+    }
+    assert merged == full
+
+
+def test_apply_changes_merge_semantics(spark):
+    """Latest change per key wins; deletes remove the key; untouched keys
+    pass through; a key new in the batch inserts."""
+    from traffic_accidents_airflow_kafka_spark.operators.scd import apply_changes
+
+    snapshot = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "a1", 10, "u"),
+            (1, "a2", 20, "u"),   # later seq wins
+            (2, None, 5, "d"),    # delete key 2
+            (4, "new", 1, "u"),   # insert unseen key
+        ],
+        "k long, v string, seq long, op string",
+    )
+    out = {r["k"]: r["v"] for r in apply_changes(snapshot, changes, ["k"], "seq", "op").collect()}
+    assert out == {1: "a2", 3: "c", 4: "new"}
+
+
+def test_apply_changes_delete_then_earlier_upsert_ignored(spark):
+    """A delete with the HIGHEST seq beats earlier upserts in the same
+    batch — only the latest op per key is applied."""
+    from traffic_accidents_airflow_kafka_spark.operators.scd import apply_changes
+
+    snapshot = spark.createDataFrame([(1, "a")], "k long, v string")
+    changes = spark.createDataFrame(
+        [(1, "x", 1, "u"), (1, None, 2, "d")], "k long, v string, seq long, op string"
+    )
+    assert apply_changes(snapshot, changes, ["k"], "seq", "op").count() == 0

@@ -62,3 +62,41 @@ def scd2_history(
         .withColumn("valid_to", F.lead("valid_from").over(wv))
         .select(*keys, *attrs, "valid_from", "valid_to")
     )
+
+
+def apply_changes(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    seq_col: str,
+    op_col: str,
+    delete_op: str = "d",
+) -> DataFrame:
+    """Apply a CDC batch to a snapshot — lakehouse MERGE semantics,
+    set-wise: the latest change per key wins (``seq_col`` order),
+    ``delete_op`` rows remove the key, anything else upserts the row's
+    payload. Complements :func:`scd2_history`: that builds HISTORY from
+    a feed; this applies a feed to produce the new CURRENT state.
+
+    ``changes`` must carry ``key_cols``, ``seq_col``, ``op_col``, and
+    the snapshot's value columns (ignored for deletes). Keys absent
+    from the batch pass through untouched.
+
+    Scale shape: one shuffle on the key for the per-key latest-change
+    window (the CDC batch, not the snapshot), one key-keyed left-anti
+    join against the snapshot, and a union — snapshot rows never sort.
+    This is the set-wise replacement for the reference's row-at-a-time
+    ``ON CONFLICT`` loop (dags/etl_crash_traffic.py:693-787), and the
+    plan MERGE INTO compiles to on lakehouse formats.
+    """
+    keys = list(key_cols)
+    w = Window.partitionBy(*keys).orderBy(F.col(seq_col).desc())
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    upserts = latest.filter(F.col(op_col) != delete_op).select(*snapshot.columns)
+    touched = latest.select(*keys)
+    kept = snapshot.join(touched, keys, "left_anti")
+    return kept.unionByName(upserts)

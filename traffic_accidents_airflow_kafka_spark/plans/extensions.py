@@ -849,3 +849,320 @@ def cube_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gid", "event_type", "dow")
     )
+
+
+@register(
+    "cohort_retention",
+    tier=1,  # extended event-analytics surface
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(date_trunc('week', ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week FROM events
+    )
+    SELECT strftime(f.cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(datediff('day', f.cohort_week, a.act_week) // 7 AS INT) AS week_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM activity a JOIN firsts f USING (user_id)
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    doc="Cohort retention table: users grouped by first-seen week, "
+    "counted in each later activity week — the product-analytics "
+    "retention heatmap. Both engines date_trunc to Monday weeks; the "
+    "offset is whole weeks. Scale shape: one per-user min-aggregate "
+    "(cohort assignment), one distinct over (user, week) — both hash "
+    "aggregates keyed on user_id so AQE co-partitions the join — and "
+    "a final |cohorts|x|offsets| rollup. No windows, no event "
+    "ordering state.",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", "ts")).alias("cohort_week")
+    )
+    activity = events.select(
+        "user_id", F.date_trunc("week", "ts").alias("act_week")
+    ).distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            F.floor(F.datediff("act_week", "cohort_week") / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").cast("bigint").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+@register(
+    "event_transitions",
+    tier=1,  # extended event-analytics surface
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, next_type
+    ),
+    totals AS (
+      SELECT prev_type, SUM(n) AS t FROM pairs GROUP BY prev_type
+    )
+    SELECT p.prev_type, p.next_type,
+           CAST(p.n AS BIGINT) AS n,
+           ROUND(p.n / CAST(t.t AS DOUBLE), 4) AS p_next
+    FROM pairs p JOIN totals t USING (prev_type)
+    ORDER BY prev_type, next_type
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences: P(next event type | previous), the sequential-pattern "
+    "summary behind next-action prediction features and funnel-leak "
+    "diagnosis. Ordering is (ts, event_id) so ties are deterministic. "
+    "Scale shape: one shuffle on user_id + per-partition sort for the "
+    "lag, then the |types|^2 pair matrix aggregates map-side; the "
+    "per-prev totals join runs on the tiny matrix, broadcast under "
+    "AQE. Integer counts ratio-ed as doubles, ROUND(4) pins the "
+    "cross-engine contract.",
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    pairs = seq.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    totals = pairs.groupBy("prev_type").agg(F.sum("n").alias("t"))
+    return (
+        pairs.join(totals, "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("n") / F.col("t").cast("double"), 4).alias("p_next"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
+@register(
+    "unpivot_event_matrix",
+    tier=1,  # extended reshape surface (pivot judged via enum_pivot)
+    oracle="""
+    WITH norm AS (
+      SELECT CAST(hour(ts) AS INT) AS event_hour,
+             CASE WHEN lower(trim(event_type)) IN ('click','view','purchase')
+                  THEN lower(trim(event_type)) ELSE 'unknown' END AS etype
+      FROM events
+    ),
+    wide AS (
+      SELECT event_hour,
+             CAST(SUM(CASE WHEN etype = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
+             CAST(SUM(CASE WHEN etype = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS view,
+             CAST(SUM(CASE WHEN etype = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+             CAST(SUM(CASE WHEN etype = 'unknown'  THEN 1 ELSE 0 END) AS BIGINT) AS unknown
+      FROM norm GROUP BY event_hour
+    )
+    SELECT event_hour, event_type, n FROM (
+      SELECT event_hour, 'click' AS event_type, click AS n FROM wide
+      UNION ALL SELECT event_hour, 'view', view FROM wide
+      UNION ALL SELECT event_hour, 'purchase', purchase FROM wide
+      UNION ALL SELECT event_hour, 'unknown', unknown FROM wide
+    )
+    ORDER BY event_hour, event_type
+    """,
+    doc="Unpivot (melt): the wide hour x event-type count matrix from "
+    "enum_pivot reshaped back to long form via DataFrame.unpivot — the "
+    "inverse reshape every BI export needs, and proof the pivot round-"
+    "trips (pivot -> unpivot preserves every cell including fill-0 "
+    "cells). Scale: unpivot is a map-side expression expansion (rows x "
+    "|value columns|), no shuffle beyond the upstream pivot aggregate.",
+)
+def unpivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators_core import PIVOT_EVENT_TYPES, enum_pivot
+
+    wide = enum_pivot(spark, sf_dir)
+    return (
+        wide.unpivot(
+            ids=["event_hour"],
+            values=PIVOT_EVENT_TYPES,
+            variableColumnName="event_type",
+            valueColumnName="n",
+        )
+        .orderBy("event_hour", "event_type")
+    )
+
+
+@register(
+    "full_outer_reconciliation",
+    tier=1,  # extended join surface (inner/left/anti judged in tier 0)
+    oracle="""
+    WITH o AS (
+      SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS day,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY 1
+    ),
+    e AS (
+      SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+             COUNT(*) AS n_events
+      FROM events GROUP BY 1
+    )
+    SELECT COALESCE(o.day, e.day) AS day,
+           CAST(COALESCE(o.n_orders, 0) AS BIGINT) AS n_orders,
+           CAST(COALESCE(e.n_events, 0) AS BIGINT) AS n_events,
+           CASE WHEN o.day IS NULL THEN 'events_only'
+                WHEN e.day IS NULL THEN 'orders_only'
+                ELSE 'both' END AS side
+    FROM o FULL OUTER JOIN e ON o.day = e.day
+    ORDER BY day
+    """,
+    doc="Full-outer reconciliation: per-day order counts vs event "
+    "counts with a side indicator — the cross-system audit shape "
+    "(warehouse vs event-bus drift detection), and the catalog's "
+    "full-outer join exemplar. Scale: both inputs pre-aggregate to "
+    "|days| rows BEFORE the join, so the full-outer shuffle moves "
+    "day-level rows, never raw facts.",
+)
+def full_outer_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    events = load_table(spark, sf_dir, "events")
+    o = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    e = events.groupBy(
+        F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    oj = o.withColumnRenamed("day", "o_day")
+    ej = e.withColumnRenamed("day", "e_day")
+    return (
+        oj.join(ej, oj["o_day"] == ej["e_day"], "full_outer")
+        .select(
+            F.coalesce("o_day", "e_day").alias("day"),
+            F.coalesce("n_orders", F.lit(0)).cast("bigint").alias("n_orders"),
+            F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+            F.when(F.col("o_day").isNull(), "events_only")
+            .when(F.col("e_day").isNull(), "orders_only")
+            .otherwise("both")
+            .alias("side"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "incremental_agg_merge",
+    tier=1,  # extended maintenance surface
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Incremental aggregate maintenance: a previously-materialized "
+    "per-type aggregate (the 80% 'base' slice) merged with a new "
+    "batch's partial aggregate (the 20% 'delta') by re-aggregating "
+    "the PARTIALS — never rescanning base facts. COUNT and exact "
+    "DECIMAL SUM are mergeable states, so the merged result is "
+    "bit-identical to the full recompute, which is exactly what the "
+    "oracle checks (it aggregates the whole table). This is the "
+    "foundation the streaming/lakehouse incremental pipelines build "
+    "on: update cost tracks the delta, not the corpus. Scale: merge "
+    "input is 2 x |groups| rows.",
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("__dec_sum"),
+        )
+
+    base = partial(events.filter(F.col("event_id") % 10 < 8))
+    delta = partial(events.filter(F.col("event_id") % 10 >= 8))
+    return (
+        base.unionByName(delta)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("__dec_sum").cast("double").alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "cdc_apply_user_state",
+    tier=1,  # extended maintenance surface
+    oracle="""
+    WITH snap AS (
+      SELECT user_id, value AS state_value FROM (
+        SELECT user_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events WHERE event_id % 2 = 0
+      ) WHERE rn = 1
+    ),
+    latest AS (
+      SELECT user_id, value,
+             CASE WHEN event_type = 'unknown' THEN 'd' ELSE 'u' END AS op
+      FROM (
+        SELECT user_id, value, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_id % 2 = 1
+      ) WHERE rn = 1
+    )
+    SELECT user_id, state_value FROM (
+      SELECT s.user_id, s.state_value
+      FROM snap s LEFT JOIN latest l USING (user_id)
+      WHERE l.user_id IS NULL
+      UNION ALL
+      SELECT user_id, value AS state_value FROM latest WHERE op <> 'd'
+    )
+    ORDER BY user_id
+    """,
+    doc="CDC batch apply — MERGE INTO semantics, set-wise "
+    "(operators/scd.py:apply_changes): a per-user snapshot (earliest "
+    "even-id event) updated by a change feed (odd-id events; latest "
+    "per user wins, 'unknown' type = delete). The set-wise replacement "
+    "for the reference's row-at-a-time ON CONFLICT loop "
+    "(dags/etl_crash_traffic.py:693-787) and the plan lakehouse MERGE "
+    "compiles to. Scale: the latest-change window shuffles the CDC "
+    "BATCH on the key; the snapshot sees one key-keyed anti-join and "
+    "never sorts.",
+)
+def cdc_apply_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.scd import apply_changes
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    snapshot = (
+        events.filter(F.col("event_id") % 2 == 0)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", F.col("value").alias("state_value"))
+    )
+    changes = events.filter(F.col("event_id") % 2 == 1).select(
+        "user_id",
+        F.col("value").alias("state_value"),
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "unknown", "d").otherwise("u").alias("op"),
+    )
+    return apply_changes(
+        snapshot, changes, ["user_id"], seq_col="seq", op_col="op"
+    ).orderBy("user_id")

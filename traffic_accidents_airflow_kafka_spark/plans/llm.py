@@ -1071,7 +1071,7 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # damped power iteration over float sums: per-engine
     # accumulation order differs in the last ulps, so no bit-stable SQL
     # replay; semantics pinned by star/chain/mass-conservation unit tests
-    min_rows=0,
+    min_rows=1,  # the sf0.01 near-dup graph is non-empty (dedup_clusters rows)
     doc="PageRank centrality over the near-dup pair graph "
     "(operators/graph.py:pagerank): inside every duplicate family, the "
     "most-linked-to node is the natural canonical keeper (and on "
@@ -2737,11 +2737,15 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = top.withColumn(
         "rnk", F.row_number().over(Window.orderBy(F.desc("c"), "term"))
     )
-    cutoffs = spark.range(1).select(
-        F.explode(F.array(F.lit(10), F.lit(100), F.lit(1000))).alias("cutoff")
-    )
+    # Attach the cutoff list as a map-side explode per ranked row — a
+    # crossJoin against a 3-row cutoff relation would plan a
+    # BroadcastNestedLoopJoin (non-equi predicate); this is pure codegen.
     return (
-        ranked.crossJoin(F.broadcast(cutoffs))
+        ranked.select(
+            "c",
+            "rnk",
+            F.explode(F.array(F.lit(10), F.lit(100), F.lit(1000))).alias("cutoff"),
+        )
         .filter(F.col("rnk") <= F.col("cutoff"))
         .groupBy("cutoff")
         .agg(
