@@ -424,3 +424,28 @@ def test_apply_changes_delete_then_earlier_upsert_ignored(spark):
         [(1, "x", 1, "u"), (1, None, 2, "d")], "k long, v string, seq long, op string"
     )
     assert apply_changes(snapshot, changes, ["k"], "seq", "op").count() == 0
+
+
+def test_group_trend_fit_recovers_planted_line(spark, tmp_path):
+    """Events on an exact line value = 10 + 2*h recover slope 2.0/hour
+    and intercept 10 at the 2024-01-01 anchor."""
+    import os
+    from datetime import datetime as dt, timedelta
+    from traffic_accidents_airflow_kafka_spark.plans.stats import group_trend_fit
+
+    base = dt(2024, 1, 1)
+    rows = [
+        (i, base + timedelta(hours=i), 1, "lin", 10.0 + 2.0 * i, "{}")
+        for i in range(24)
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    events.write.mode("overwrite").parquet(os.path.join(sf, "events.parquet"))
+    [r] = group_trend_fit(spark, sf).collect()
+    assert r["event_type"] == "lin" and r["n"] == 24
+    assert abs(r["slope_per_hour"] - 2.0) < 1e-9
+    assert abs(r["intercept_value"] - 10.0) < 1e-9

@@ -420,3 +420,83 @@ def scaler_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("std_value"),
     ).orderBy("event_type")
+
+
+@register(
+    "group_trend_fit",
+    tier=1,  # extended stats surface
+    oracle="""
+    WITH m AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) - 1704067200000000 AS HUGEINT) AS x,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT) AS c
+      FROM events
+    ),
+    agg AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             SUM(x) AS sx, SUM(c) AS sy,
+             SUM(x * x) AS sxx, SUM(x * c) AS sxy
+      FROM m GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE)
+                 * 3600000000.0 / 100.0, 4) AS slope_per_hour,
+           ROUND((CAST(sy AS DOUBLE)
+                  - CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(sx AS DOUBLE))
+                 / n / 100.0, 4) AS intercept_value
+    FROM agg
+    ORDER BY event_type
+    """,
+    doc="Per-group OLS trend fit: slope (value units per hour) and "
+    "anchor intercept of value ~ time per event_type — the trend "
+    "feature batch scoring pipelines attach before training, in closed "
+    "form. Exactness: x is integer MICROSECONDS offset from a fixed "
+    "anchor (2024-01-01 UTC) and y integer cents, so all five moments "
+    "(n, Sx, Sy, Sxx, Sxy) are order-independent exact integers in "
+    "DECIMAL(38,0) partial aggregates (HUGEINT on the oracle side); "
+    "slope/intercept reduce to a few deterministic double ops from "
+    "identical integers. Scale: ONE partial-aggregate pass, |groups| "
+    "output rows — same shape as scaler_fit. For 1e9-row groups the "
+    "Sxx product approaches 38 digits; production centers x per group "
+    "first (two-pass), same plan shape.",
+)
+def group_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    anchor_us = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in microseconds
+    # ts is TIMESTAMP_NTZ; session tz is pinned UTC (session.py:78), so the
+    # cast to instant-type TIMESTAMP reads the naive value as UTC — the
+    # same convention DuckDB's epoch_us applies to naive timestamps.
+    x = (F.unix_micros(F.col("ts").cast("timestamp")) - F.lit(anchor_us)).cast(
+        "decimal(38,0)"
+    )
+    c = (F.col("value").cast("decimal(18,2)") * 100).cast("decimal(38,0)")
+    agg = (
+        events.select("event_type", x.alias("x"), c.alias("c"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("c").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("x") * F.col("c")).alias("sxy"),
+        )
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope_raw = num / den  # cents per microsecond
+    return agg.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(slope_raw * F.lit(3.6e9) / F.lit(100.0), 4).alias("slope_per_hour"),
+        F.round(
+            (F.col("sy").cast("double") - slope_raw * F.col("sx").cast("double"))
+            / F.col("n")
+            / F.lit(100.0),
+            4,
+        ).alias("intercept_value"),
+    ).orderBy("event_type")
