@@ -449,3 +449,36 @@ def test_group_trend_fit_recovers_planted_line(spark, tmp_path):
     assert r["event_type"] == "lin" and r["n"] == 24
     assert abs(r["slope_per_hour"] - 2.0) < 1e-9
     assert abs(r["intercept_value"] - 10.0) < 1e-9
+
+
+def test_batch_sessions_cuts_at_gap_boundary(spark, tmp_path):
+    """Planted journeys: gaps of exactly 1800 s stay in-session; 1801 s
+    cuts. User 1: three events 30 min apart → one 2-event session (the
+    1801 s gap cuts before the third). User 2: lone event → singleton."""
+    import pyspark.sql.functions as F  # noqa: F811
+
+    from traffic_accidents_airflow_kafka_spark.plans.extensions import (
+        batch_sessions,
+    )
+
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [
+        (1, base, 101, "view", 0.0, "{}"),
+        (1, base + dt.timedelta(seconds=1800), 102, "view", 0.0, "{}"),  # in
+        (1, base + dt.timedelta(seconds=1800 + 1801), 103, "view", 0.0, "{}"),
+        (2, base, 201, "click", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        [(eid, ts, uid, et, v, p) for uid, ts, eid, et, v, p in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    sf_dir = str(tmp_path / "sess")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/events.parquet")
+    out = {
+        r["session_len"]: (r["n_sessions"], r["total_duration_s"])
+        for r in batch_sessions(spark, sf_dir).collect()
+    }
+    # Two singleton sessions (user 1's cut tail + user 2), one 2-event
+    # session spanning exactly 1800 s.
+    assert out == {1: (2, 0), 2: (1, 1800)}

@@ -1166,3 +1166,135 @@ def cdc_apply_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_changes(
         snapshot, changes, ["user_id"], seq_col="seq", op_col="op"
     ).orderBy("user_id")
+
+
+@register(
+    "batch_sessions",
+    tier=1,  # extended event-analytics surface
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_ts
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN prev_ts IS NULL
+                       OR date_diff('second', prev_ts, ts) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM ordered
+    ),
+    sessioned AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS sess_no
+      FROM flagged
+    ),
+    per_session AS (
+      SELECT user_id, sess_no,
+             COUNT(*) AS n_events,
+             date_diff('second', MIN(ts), MAX(ts)) AS duration_s
+      FROM sessioned
+      GROUP BY user_id, sess_no
+    )
+    SELECT CAST(n_events AS BIGINT) AS session_len,
+           COUNT(*) AS n_sessions,
+           CAST(SUM(duration_s) AS BIGINT) AS total_duration_s
+    FROM per_session
+    GROUP BY n_events
+    ORDER BY session_len
+    """,
+    doc="Batch sessionization (gaps-and-islands): per-user sessions cut "
+    "at >30 min inactivity via lag + running sum of session-start flags "
+    "— the BATCH twin of stream_sessions (streaming/stateful.py), so "
+    "backfill and live paths share semantics. Scale: ONE shuffle on "
+    "user_id serves both window passes (same partitioning), then the "
+    "session rollup is map-side; no state store, no iteration. Ties "
+    "broken by event_id so the lag is deterministic in both engines.",
+)
+def batch_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = F.unix_timestamp("ts") - F.unix_timestamp(
+        F.lag("ts").over(w)
+    )
+    flagged = events.withColumn(
+        "new_sess",
+        F.when(gap_s.isNull() | (gap_s > 1800), 1).otherwise(0),
+    )
+    sessioned = flagged.withColumn(
+        "sess_no",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_session = sessioned.groupBy("user_id", "sess_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+        ).alias("duration_s"),
+    )
+    return (
+        per_session.groupBy(F.col("n_events").alias("session_len"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("duration_s").alias("total_duration_s"),
+        )
+        .orderBy("session_len")
+    )
+
+
+@register(
+    "mom_revenue_growth",
+    tier=1,  # extended dashboard surface
+    oracle="""
+    WITH monthly AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue,
+             COUNT(*) AS n_orders
+      FROM orders
+      GROUP BY 1
+    )
+    SELECT month, revenue, n_orders,
+           lag(revenue) OVER (ORDER BY month) AS prev_revenue,
+           ROUND((revenue - lag(revenue) OVER (ORDER BY month))
+                 / lag(revenue) OVER (ORDER BY month) * 100, 4)
+             AS growth_pct
+    FROM monthly
+    ORDER BY month
+    """,
+    doc="Month-over-month revenue growth: monthly decimal-exact rollup, "
+    "then lag + percent change over the month axis — the reference "
+    "dashboard's trend-line companion (SURVEY §2.9 totals-by-period "
+    "family). Scale: the rollup shuffles once on ~tens of month keys "
+    "after map-side partial aggregation; the single-partition lag "
+    "window runs over those few dozen rows only (post-aggregate), so "
+    "the unpartitioned window is bounded, not a scale hazard. Growth "
+    "computed from identical doubles in both engines, ROUND(…, 4).",
+)
+def mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(
+        dec_sum("o_totalprice", "revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month",
+        "revenue",
+        "n_orders",
+        prev.alias("prev_revenue"),
+        F.round((F.col("revenue") - prev) / prev * 100, 4).alias(
+            "growth_pct"
+        ),
+    ).orderBy("month")
