@@ -482,3 +482,28 @@ def test_batch_sessions_cuts_at_gap_boundary(spark, tmp_path):
     # Two singleton sessions (user 1's cut tail + user 2), one 2-event
     # session spanning exactly 1800 s.
     assert out == {1: (2, 0), 2: (1, 1800)}
+
+
+def test_time_gapfill_carries_last_observation(spark, tmp_path):
+    """User with events at hours 0, 1, and 4 of the same day: the grid is
+    5 hours, hours 2-3 are filled, and the filled total proves hour 1's
+    value (20) was carried into both holes: 10 + 20*3 + 40 = 90."""
+    from traffic_accidents_airflow_kafka_spark.plans.extensions import (
+        time_gapfill_locf,
+    )
+
+    rows = [
+        (1, dt.datetime(2024, 3, 1, 0, 30), 7, "view", 10.0, "{}"),
+        (1, dt.datetime(2024, 3, 1, 1, 30), 8, "view", 20.0, "{}"),
+        (1, dt.datetime(2024, 3, 1, 4, 30), 9, "view", 40.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        [(eid, ts, uid, et, v, p) for uid, ts, eid, et, v, p in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    sf_dir = str(tmp_path / "gap")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/events.parquet")
+    [r] = time_gapfill_locf(spark, sf_dir).collect()
+    assert (r["n_hours"], r["n_observed"], r["n_filled"]) == (5, 3, 2)
+    assert r["locf_total"] == 10.0 + 20.0 * 3 + 40.0

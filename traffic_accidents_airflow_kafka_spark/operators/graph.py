@@ -84,7 +84,17 @@ def pagerank(
     try:
         base = (1.0 - damping) / n_nodes
         ranks = nodes.select("id", F.lit(1.0 / n_nodes).alias("rank"))
-        for _ in range(iters):
+        # Lineage is truncated every CHECKPOINT_EVERY rounds, not every
+        # round: each localCheckpoint is an eager job, and on a
+        # dangling-free graph (every symmetrized near-dup graph) the
+        # rounds in between stay lazy — 3 rounds fuse into one
+        # materialization, cutting scheduler round-trips ~3x while the
+        # stacked plan stays 3 joins deep (well inside analyzer budget).
+        # A dangling graph materializes every round anyway via the
+        # scalar mass probe, so the cadence only changes job count.
+        checkpoint_every = 3
+        last_ckpt = None  # previous checkpointed ranks, released on the next one
+        for it in range(iters):
             joined = edges_deg.join(
                 ranks.withColumnRenamed("id", "e_src"), "e_src"
             )
@@ -99,21 +109,21 @@ def pagerank(
                     .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
                     .first()[0]
                 )
-            new_ranks = (
-                nodes.join(
-                    contribs.groupBy("id").agg(F.sum("c").alias("__in")), "id", "left"
-                )
-                .select(
-                    "id",
-                    (
-                        F.lit(base)
-                        + F.lit(damping)
-                        * (F.coalesce("__in", F.lit(0.0)) + F.lit(dangling / n_nodes))
-                    ).alias("rank"),
-                )
-                .localCheckpoint()
+            new_ranks = nodes.join(
+                contribs.groupBy("id").agg(F.sum("c").alias("__in")), "id", "left"
+            ).select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce("__in", F.lit(0.0)) + F.lit(dangling / n_nodes))
+                ).alias("rank"),
             )
-            ranks.unpersist()
+            if it % checkpoint_every == checkpoint_every - 1 or it == iters - 1:
+                new_ranks = new_ranks.localCheckpoint()
+                if last_ckpt is not None:
+                    last_ckpt.unpersist()
+                last_ckpt = new_ranks
             ranks = new_ranks
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)

@@ -1298,3 +1298,137 @@ def mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "growth_pct"
         ),
     ).orderBy("month")
+
+
+@register(
+    "time_gapfill_locf",
+    tier=1,  # extended time-series surface
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS h,
+             SUM(CAST(value AS DECIMAL(18,2))) AS hour_sum
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM hourly GROUP BY 1
+    ),
+    grid AS (
+      SELECT user_id, UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+      FROM bounds
+    ),
+    joined AS (
+      SELECT g.user_id, g.h, hr.hour_sum
+      FROM grid g LEFT JOIN hourly hr USING (user_id, h)
+    ),
+    filled AS (
+      SELECT user_id, hour_sum,
+             last_value(hour_sum IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY h
+               ROWS UNBOUNDED PRECEDING) AS locf
+      FROM joined
+    )
+    SELECT user_id,
+           COUNT(*) AS n_hours,
+           COUNT(hour_sum) AS n_observed,
+           COUNT(*) - COUNT(hour_sum) AS n_filled,
+           CAST(SUM(locf) AS DOUBLE) AS locf_total
+    FROM filled GROUP BY user_id ORDER BY user_id
+    """,
+    doc="Time-grid gap-fill + LOCF (the hypertable "
+    "time_bucket_gapfill/locf idiom): per-user hourly rollup, a dense "
+    "hour grid from each user's own [min, max] span (sequence + "
+    "explode), left-join observed hours onto the grid, forward-fill "
+    "the holes with last-observation-carried-forward "
+    "(last(ignorenulls) over rows-unbounded-preceding). The per-user "
+    "rollup over the filled series proves the carry values, not just "
+    "the hole counts. Scale: grid size is entities x granularity — "
+    "independent of event volume; the rollup, grid join, and fill "
+    "window all shuffle on user_id (one partitioning reused), and the "
+    "hourly pre-aggregate means the window never sees raw events. "
+    "Decimal hour sums keep the filled totals bit-identical.",
+)
+def time_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("hour_sum"))
+    bounds = hourly.groupBy("user_id").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    joined = grid.join(hourly, ["user_id", "h"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = joined.withColumn(
+        "locf", F.last("hour_sum", ignorenulls=True).over(w)
+    )
+    return (
+        filled.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.count("hour_sum").alias("n_observed"),
+            (F.count(F.lit(1)) - F.count("hour_sum")).alias("n_filled"),
+            F.sum("locf").cast("double").alias("locf_total"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "fuzzy_name_pairs",
+    tier=1,  # extended entity-resolution surface
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name FROM part),
+    toks AS (
+      SELECT p_name, UNNEST(string_split(p_name, ' ')) AS tok FROM names
+    ),
+    cand AS (
+      SELECT DISTINCT a.p_name AS n1, b.p_name AS n2
+      FROM toks a JOIN toks b ON a.tok = b.tok AND a.p_name < b.p_name
+    )
+    SELECT n1, n2, CAST(levenshtein(n1, n2) AS INT) AS dist
+    FROM cand WHERE levenshtein(n1, n2) <= 4
+    ORDER BY n1, n2
+    """,
+    doc="Fuzzy string join (entity resolution): distinct part names "
+    "within Levenshtein distance 4, candidates generated by a shared-"
+    "token inverted index — the blocking step that replaces the "
+    "quadratic all-pairs edit-distance join. Recall contract (stated, "
+    "not hidden): a candidate pair must share >= 1 exact token, which "
+    "holds for every real near-match whose edit lies inside one token. "
+    "Scale: names dedupe to the VOCABULARY before blocking (edit "
+    "distance over distinct strings, never over rows); the token join "
+    "shuffles on the token hash like every dedup family here, and "
+    "levenshtein runs codegen on candidates only.",
+)
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    names = part.select("p_name").distinct()
+    toks = names.select(
+        "p_name", F.explode(F.split("p_name", " ")).alias("tok")
+    )
+    a, b = toks.alias("a"), toks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .select(F.col("a.p_name").alias("n1"), F.col("b.p_name").alias("n2"))
+        .distinct()
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("n1", "n2").cast("int"))
+        .filter(F.col("dist") <= 4)
+        .orderBy("n1", "n2")
+    )
