@@ -712,3 +712,24 @@ def test_pagerank_directed_dangling_mass_redistributes(spark):
     }
     assert abs(sum(ranks.values()) - 1.0) < 1e-9
     assert ranks[3] > ranks[2] > ranks[1]
+
+
+def test_leakfree_split_keeps_neardup_family_together(spark, tmp_path):
+    """Plant a 3-doc near-dup family among distinct singletons; the split
+    is keyed on the CLUSTER, so all three must land in one split and the
+    straddle proof column must read 1."""
+    from traffic_accidents_airflow_kafka_spark.plans.llm import (
+        leakfree_split_stats,
+    )
+
+    dup = "the quick brown fox jumps over the lazy dog again and again"
+    texts = [dup, dup + " x", dup + " y"] + [
+        f"totally unrelated document number {i} with its own words {i * 7}"
+        for i in range(10)
+    ]
+    sf = _write_docs(spark, tmp_path, texts)
+    rows = leakfree_split_stats(spark, sf).collect()
+    assert all(r["max_splits_per_cluster"] == 1 for r in rows)
+    # 13 docs, 11 clusters (the family collapses 3 -> 1).
+    assert sum(r["n_docs"] for r in rows) == 13
+    assert sum(r["n_clusters"] for r in rows) == 11

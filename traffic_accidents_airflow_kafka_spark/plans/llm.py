@@ -2885,3 +2885,117 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "bucket_lo")
     )
+
+
+def _leakfree_split_oracle() -> str:
+    bounds = sampling.split_thresholds({"train": 0.8, "val": 0.1, "test": 0.1})
+    (t_name, t1), (v_name, t2), (rest_name, _) = bounds
+    key = "md5('split-v1|' || CAST(cluster_id AS VARCHAR))"
+    return (
+        _SHINGLE_CTE.replace("WITH words", "WITH RECURSIVE words")
+        + f""",
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    jpairs AS (
+      SELECT i.d1, i.d2
+      FROM inter i
+      JOIN sizes s1 ON i.d1 = s1.doc_id
+      JOIN sizes s2 ON i.d2 = s2.doc_id
+      WHERE i.n_common / CAST(s1.sz + s2.sz - i.n_common AS DOUBLE) >= 0.5
+    ),
+    edges AS (
+      SELECT d1 AS src, d2 AS dst FROM jpairs
+      UNION
+      SELECT d2 AS src, d1 AS dst FROM jpairs
+    ),
+    reach(id, c) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.c FROM reach r JOIN edges e ON r.id = e.src
+      WHERE r.c < e.dst
+    ),
+    comp AS (SELECT id, MIN(c) AS cluster_id FROM reach GROUP BY id),
+    labeled AS (
+      SELECT d.doc_id, COALESCE(comp.cluster_id, d.doc_id) AS cluster_id,
+             d.n_chars
+      FROM documents d LEFT JOIN comp ON d.doc_id = comp.id
+    ),
+    assigned AS (
+      SELECT doc_id, cluster_id, n_chars,
+             CASE WHEN {key} < '{t1}' THEN '{t_name}'
+                  WHEN {key} < '{t2}' THEN '{v_name}'
+                  ELSE '{rest_name}' END AS split
+      FROM labeled
+    ),
+    straddle AS (
+      SELECT CAST(MAX(cnt) AS BIGINT) AS m FROM (
+        SELECT cluster_id, COUNT(DISTINCT split) AS cnt
+        FROM assigned GROUP BY 1
+      )
+    )
+    SELECT split,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           (SELECT m FROM straddle) AS max_splits_per_cluster
+    FROM assigned
+    GROUP BY split
+    ORDER BY split
+    """
+    )
+
+
+@register(
+    "leakfree_split_stats",
+    tier=1,  # extended training-data surface; split + CC machinery judged via tier-0 twins
+    oracle=_leakfree_split_oracle(),
+    doc="Leakage-free train/val/test split (80/10/10): the split key is "
+    "the near-dup CLUSTER id (connected components over word-3-gram "
+    "Jaccard >= 0.5 pairs; singleton docs are their own cluster), so an "
+    "entire duplicate family moves between splits atomically and a "
+    "test document can never have a near-copy in train — the eval-"
+    "contamination guard doc-keyed splits (dataset_split_stats) cannot "
+    "give. max_splits_per_cluster == 1 is PROVEN in the output, not "
+    "assumed. Scale: cluster labels come from the CC loop (graph-sized, "
+    "not corpus-sized); the label join is one doc_id-keyed shuffle; the "
+    "md5 split assignment stays pure map-side CASE on the cluster id.",
+)
+def leakfree_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.word_shingles(docs, "doc_id", "text", n=3)
+    pairs = dedup.jaccard_pairs(sh, "doc_id").filter(F.col("jaccard") >= 0.5)
+    comp = dedup.connected_components(pairs, "d1", "d2").select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    labeled = (
+        docs.select("doc_id", "n_chars")
+        .join(comp, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("component", "doc_id"))
+    )
+    assigned = sampling.hash_split(
+        labeled, "cluster_id", {"train": 0.8, "val": 0.1, "test": 0.1},
+        seed="split-v1",
+    )
+    straddle = (
+        assigned.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("cnt"))
+        .agg(F.max("cnt").cast("bigint").alias("max_splits_per_cluster"))
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("cluster_id").cast("bigint").alias("n_clusters"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .crossJoin(F.broadcast(straddle))
+        .select(
+            "split", "n_docs", "n_clusters", "sum_chars",
+            "max_splits_per_cluster",
+        )
+        .orderBy("split")
+    )

@@ -500,3 +500,64 @@ def group_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("intercept_value"),
     ).orderBy("event_type")
+
+
+@register(
+    "column_entropy",
+    tier=1,  # extended profiling surface; distribution machinery judged via value_counts
+    oracle="""
+    WITH s AS (
+      SELECT 'doc_lang' AS col_name, lang AS v FROM documents
+      UNION ALL SELECT 'doc_source', source FROM documents
+      UNION ALL SELECT 'event_type', event_type FROM events
+    ),
+    c AS (SELECT col_name, v, COUNT(*) AS c FROM s GROUP BY 1, 2),
+    t AS (SELECT col_name, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY 1)
+    SELECT col_name,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           ROUND(-SUM((c / CAST(n AS DOUBLE))
+                      * log2(c / CAST(n AS DOUBLE))), 4) AS entropy_bits,
+           ROUND(MAX(c / CAST(n AS DOUBLE)), 4) AS top_share
+    FROM c JOIN t USING (col_name)
+    GROUP BY col_name
+    ORDER BY col_name
+    """,
+    doc="Column-entropy profile: Shannon entropy (bits) + modal share "
+    "per categorical column across tables — the data-profiling read "
+    "behind skew detection (a near-zero-entropy join key is a salting "
+    "candidate; operators/skew.py) and dedup-value screening (entropy "
+    "~0 means the column carries no dedup signal). Scale: one hash "
+    "aggregate per column to a vocabulary-sized count relation; the "
+    "entropy fold runs over counts, never rows. Sums of p*log2(p) are "
+    "ROUND(4)-stabilized per the float-stat convention.",
+)
+def column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    events = load_table(spark, sf_dir, "events")
+    s = (
+        docs.select(F.lit("doc_lang").alias("col_name"), F.col("lang").alias("v"))
+        .unionByName(
+            docs.select(
+                F.lit("doc_source").alias("col_name"), F.col("source").alias("v")
+            )
+        )
+        .unionByName(
+            events.select(
+                F.lit("event_type").alias("col_name"),
+                F.col("event_type").alias("v"),
+            )
+        )
+    )
+    c = s.groupBy("col_name", "v").agg(F.count(F.lit(1)).alias("c"))
+    t = c.groupBy("col_name").agg(F.sum("c").cast("bigint").alias("n"))
+    p = F.col("c") / F.col("n").cast("double")
+    return (
+        c.join(t, "col_name")
+        .groupBy("col_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+            F.round(-F.sum(p * F.log2(p)), 4).alias("entropy_bits"),
+            F.round(F.max(p), 4).alias("top_share"),
+        )
+        .orderBy("col_name")
+    )
