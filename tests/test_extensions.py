@@ -507,3 +507,46 @@ def test_time_gapfill_carries_last_observation(spark, tmp_path):
     [r] = time_gapfill_locf(spark, sf_dir).collect()
     assert (r["n_hours"], r["n_observed"], r["n_filled"]) == (5, 3, 2)
     assert r["locf_total"] == 10.0 + 20.0 * 3 + 40.0
+
+
+def test_table_fingerprint_order_invariant_and_change_sensitive(
+    spark, sf_dir, tmp_path
+):
+    """The fingerprint is a multiset digest: permuting row order (via a
+    reversed-sort rewrite) must not move it; editing one cell must."""
+    import os
+
+    from traffic_accidents_airflow_kafka_spark.plans.extensions import (
+        _FP_TABLES,
+        table_fingerprint,
+    )
+    from traffic_accidents_airflow_kafka_spark.sources.tables import load_table
+
+    base = table_fingerprint(spark, sf_dir)
+    fp = {r["table_name"]: (r["n_rows"], r["fingerprint"]) for r in base.collect()}
+
+    alt = str(tmp_path / "permuted")
+    os.makedirs(alt, exist_ok=True)
+    for tbl in _FP_TABLES:
+        df = load_table(spark, sf_dir, tbl)
+        key = df.columns[0]
+        out = df.orderBy(F.desc(key)) if tbl != "nation" else df.orderBy(
+            F.desc(key)
+        ).withColumn(
+            "n_name",
+            F.when(F.col("n_nationkey") == 0, F.lit("TAMPERED")).otherwise(
+                F.col("n_name")
+            ),
+        )
+        out.repartition(3).write.mode("overwrite").parquet(
+            f"{alt}/{tbl}.parquet"
+        )
+    fp2 = {
+        r["table_name"]: (r["n_rows"], r["fingerprint"])
+        for r in table_fingerprint(spark, alt).collect()
+    }
+    for tbl in _FP_TABLES:
+        if tbl == "nation":
+            assert fp2[tbl][0] == fp[tbl][0] and fp2[tbl][1] != fp[tbl][1]
+        else:
+            assert fp2[tbl] == fp[tbl]

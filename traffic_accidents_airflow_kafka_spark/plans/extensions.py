@@ -1432,3 +1432,81 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= 4)
         .orderBy("n1", "n2")
     )
+
+
+_FP_TABLES: dict[str, list[str]] = {
+    # Integer/varchar columns only: float and timestamp render differently
+    # across engines, so a cross-engine fingerprint excludes them by
+    # contract (documented; a single-engine deployment would include all).
+    "customer": ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"],
+    "nation": ["n_nationkey", "n_name", "n_regionkey"],
+    "orders": ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+    "region": ["r_regionkey", "r_name"],
+    "supplier": ["s_suppkey", "s_name", "s_nationkey"],
+}
+
+_HEX52 = (
+    "CAST(list_reduce(list_transform(generate_series(1, 13), "
+    "j -> CAST(instr('0123456789abcdef', substr({md5}, j, 1)) - 1 AS BIGINT)), "
+    "(a, b) -> a * 16 + b) AS DECIMAL(38,0))"
+)
+
+
+def _fingerprint_oracle() -> str:
+    branches = []
+    for tbl, cols in _FP_TABLES.items():
+        rowstr = " || '|' || ".join(
+            f"COALESCE(CAST({c} AS VARCHAR), chr(8709))" for c in cols
+        )
+        digest = _HEX52.format(md5=f"md5('{tbl}|' || {rowstr})")
+        branches.append(
+            f"SELECT '{tbl}' AS table_name, COUNT(*) AS n_rows, "
+            f"CAST(SUM({digest}) AS VARCHAR) AS fingerprint FROM {tbl}"
+        )
+    return (
+        "SELECT * FROM (\n"
+        + "\nUNION ALL\n".join(branches)
+        + "\n) ORDER BY table_name"
+    )
+
+
+@register(
+    "table_fingerprint",
+    tier=1,  # extended reconciliation surface
+    oracle=_fingerprint_oracle(),
+    doc="Order-independent table fingerprints — the replication/"
+    "migration equality check: per row, the first 52 bits of "
+    "md5(table|col1|col2|...) as an exact integer; per table, their "
+    "DECIMAL(38,0) sum (commutative, so partition order, shuffle "
+    "order, and engine never matter) plus the row count, emitted as a "
+    "digit string. Two systems agree on (n_rows, fingerprint) iff "
+    "their rows match as a multiset — without moving either table. "
+    "Scale: embarrassingly parallel map + one scalar aggregate per "
+    "table; the 52-bit digest keeps the per-row parse exact in every "
+    "engine (the md5-uniform idiom, operators/sampling.py), and the "
+    "decimal sum cannot overflow below 10^23 rows. Nulls fold as a "
+    "sentinel; float/timestamp columns are excluded by cross-engine "
+    "contract (single-engine deployments fingerprint them too).",
+)
+def table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for tbl, cols in _FP_TABLES.items():
+        df = load_table(spark, sf_dir, tbl)
+        rowstr = F.concat_ws(
+            "|",
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit("∅"))
+                for c in cols
+            ],
+        )
+        digest = F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{tbl}|"), rowstr)), 1, 13),
+            16,
+            10,
+        ).cast("decimal(38,0)")
+        branch = df.select(digest.alias("d")).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("d").cast("decimal(38,0)").cast("string").alias("fingerprint"),
+        ).select(F.lit(tbl).alias("table_name"), "n_rows", "fingerprint")
+        out = branch if out is None else out.unionByName(branch)
+    return out.orderBy("table_name")
