@@ -19,6 +19,9 @@ CROSS_JOIN_OK = {
     # hard_negatives: cosine_topk's broadcast bounded-query crossJoin with
     # the label-mismatch predicate.
     "hard_negatives",
+    # leakfree_split_stats: the straddle PROOF column is a ONE-ROW
+    # broadcast scalar crossJoined onto the |splits|-row rollup.
+    "leakfree_split_stats",
 }
 
 #: Streaming entries build a streaming plan — skipped here (their shape is
