@@ -1510,3 +1510,74 @@ def table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(tbl).alias("table_name"), "n_rows", "fingerprint")
         out = branch if out is None else out.unionByName(branch)
     return out.orderBy("table_name")
+
+
+@register(
+    "key_skew_report",
+    tier=1,  # extended diagnostics surface; the pre-salting read
+    oracle="""
+    WITH keys AS (
+      SELECT 'events.event_type' AS key_col, event_type AS k FROM events
+      UNION ALL
+      SELECT 'events.user_id', CAST(user_id AS VARCHAR) FROM events
+      UNION ALL
+      SELECT 'orders.o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+    ),
+    counts AS (SELECT key_col, k, COUNT(*) AS c FROM keys GROUP BY 1, 2)
+    SELECT key_col,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(MAX(c) AS BIGINT) AS max_key_rows,
+           ROUND(MAX(c) / CAST(SUM(c) AS DOUBLE), 4) AS top_share,
+           ROUND(CAST(MAX(c) AS DOUBLE) * COUNT(*) / SUM(c), 4)
+             AS skew_factor
+    FROM counts GROUP BY key_col ORDER BY key_col
+    """,
+    doc="Join-key skew report — the diagnostic that decides WHICH skew "
+    "mitigation a join needs (operators/skew.py): per candidate key, "
+    "row count, key cardinality, hottest-key size, its share, and the "
+    "skew factor (max/mean group size; ~1 = uniform, >> 1 = salt or "
+    "AQE-skew-split before shuffling on it). events.event_type reads "
+    "~5 with skew_factor ~1 x 5 keys (EVERY key hot — the "
+    "skew_salted_join case); user_id/custkey read near-uniform. "
+    "Scale: one hash aggregate per key column to a key-cardinality "
+    "relation, then a scalar rollup; nothing driver-side.",
+)
+def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    keys = (
+        events.select(
+            F.lit("events.event_type").alias("key_col"),
+            F.col("event_type").alias("k"),
+        )
+        .unionByName(
+            events.select(
+                F.lit("events.user_id").alias("key_col"),
+                F.col("user_id").cast("string").alias("k"),
+            )
+        )
+        .unionByName(
+            orders.select(
+                F.lit("orders.o_custkey").alias("key_col"),
+                F.col("o_custkey").cast("string").alias("k"),
+            )
+        )
+    )
+    counts = keys.groupBy("key_col", "k").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        counts.groupBy("key_col")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.max("c").cast("bigint").alias("max_key_rows"),
+            F.round(
+                F.max("c") / F.sum("c").cast("double"), 4
+            ).alias("top_share"),
+            F.round(
+                F.max("c").cast("double") * F.count(F.lit(1)) / F.sum("c"),
+                4,
+            ).alias("skew_factor"),
+        )
+        .orderBy("key_col")
+    )
