@@ -2999,3 +2999,104 @@ def leakfree_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@register(
+    "embedding_drift",
+    tier=1,  # extended monitoring surface; centroid machinery judged via embedding_centroids
+    oracle="""
+    WITH halves AS (
+      SELECT label, vec_id % 2 AS half, embedding FROM embeddings
+    ),
+    exploded AS (
+      SELECT label, half,
+             unnest(range(1, len(embedding) + 1)) AS pos,
+             unnest(embedding) AS v
+      FROM halves
+    ),
+    cents AS (
+      SELECT label, half, pos, ROUND(AVG(CAST(v AS DOUBLE)), 4) AS c
+      FROM exploded GROUP BY 1, 2, 3
+    ),
+    paired AS (
+      SELECT a.label, a.pos, a.c AS c0, b.c AS c1
+      FROM cents a JOIN cents b
+        ON a.label = b.label AND a.pos = b.pos
+      WHERE a.half = 0 AND b.half = 1
+    ),
+    geom AS (
+      SELECT label,
+             ROUND(SUM(c0 * c1)
+                   / sqrt(SUM(c0 * c0) * SUM(c1 * c1)), 4) AS centroid_cosine,
+             ROUND(sqrt(SUM((c0 - c1) * (c0 - c1))), 4) AS centroid_l2
+      FROM paired GROUP BY label
+    ),
+    sizes AS (
+      SELECT label,
+             CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_even,
+             CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_odd
+      FROM halves GROUP BY label
+    )
+    SELECT label, n_even, n_odd, centroid_cosine, centroid_l2
+    FROM geom JOIN sizes USING (label)
+    ORDER BY label
+    """,
+    doc="Embedding drift report — the corpus-monitoring read between two "
+    "snapshots (stood in by the deterministic even/odd vec_id halves): "
+    "per label, half sizes plus cosine and L2 distance between the two "
+    "half centroids. A production pipeline runs this between ingest "
+    "waves to catch encoder regressions or source shifts before "
+    "retraining. Scale: centroids via posexplode two-phase aggregate "
+    "(|labels| x 2 x dim cells, corpus-size-independent — the "
+    "embedding_centroids shape); the geometry pass runs over those "
+    "cells only. Centroid components ROUND(4)-pinned before the "
+    "geometry so both engines fold identical doubles.",
+)
+def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    halves = emb.select(
+        "label", (F.col("vec_id") % 2).alias("half"), "embedding"
+    )
+    cents = (
+        halves.select(
+            "label", "half", F.posexplode("embedding").alias("pos", "v")
+        )
+        .groupBy("label", "half", "pos")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 4).alias("c"))
+    )
+    a = cents.filter(F.col("half") == 0).select(
+        "label", "pos", F.col("c").alias("c0")
+    )
+    b = cents.filter(F.col("half") == 1).select(
+        "label", "pos", F.col("c").alias("c1")
+    )
+    geom = (
+        a.join(b, ["label", "pos"])
+        .groupBy("label")
+        .agg(
+            F.round(
+                F.sum(F.col("c0") * F.col("c1"))
+                / F.sqrt(
+                    F.sum(F.col("c0") * F.col("c0"))
+                    * F.sum(F.col("c1") * F.col("c1"))
+                ),
+                4,
+            ).alias("centroid_cosine"),
+            F.round(
+                F.sqrt(F.sum((F.col("c0") - F.col("c1")) ** 2)), 4
+            ).alias("centroid_l2"),
+        )
+    )
+    sizes = halves.groupBy("label").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_even"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_odd"),
+    )
+    return (
+        geom.join(sizes, "label")
+        .select("label", "n_even", "n_odd", "centroid_cosine", "centroid_l2")
+        .orderBy("label")
+    )
