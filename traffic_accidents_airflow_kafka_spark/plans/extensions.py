@@ -1581,3 +1581,91 @@ def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key_col")
     )
+
+
+@register(
+    "k_anonymity_audit",
+    tier=1,  # extended governance surface; hash-agg machinery judged via tier-0 aggregates
+    oracle="""
+    WITH qi AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal / 1000.0) AS INT) AS bal_band
+      FROM customer
+    ),
+    g AS (
+      SELECT c_nationkey, c_mktsegment, bal_band, COUNT(*) AS k
+      FROM qi GROUP BY 1, 2, 3
+    ),
+    b AS (
+      SELECT CASE WHEN k = 1 THEN 0 WHEN k < 5 THEN 1
+                  WHEN k < 10 THEN 2 ELSE 3 END AS k_rank,
+             CASE WHEN k = 1 THEN '1 (unique)' WHEN k < 5 THEN '2-4'
+                  WHEN k < 10 THEN '5-9' ELSE '10+' END AS k_bucket,
+             k
+      FROM g
+    ),
+    agg AS (
+      SELECT k_rank, k_bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_groups,
+             CAST(SUM(k) AS BIGINT) AS n_rows
+      FROM b GROUP BY 1, 2
+    )
+    SELECT k_rank, k_bucket, n_groups, n_rows,
+           ROUND(n_rows / CAST(SUM(n_rows) OVER () AS DOUBLE), 4) AS pct_rows
+    FROM agg
+    ORDER BY k_rank
+    """,
+    doc="k-anonymity audit — the privacy-risk read a training-data "
+    "governance pass runs before release: customers grouped by the "
+    "quasi-identifier tuple (nation, market segment, account-balance "
+    "band); every group's size k is its re-identification resistance, "
+    "histogrammed into risk buckets (k=1 rows are individually "
+    "re-identifiable from the QI tuple alone; k<5 is the conventional "
+    "suppression threshold). Complements pii_scrub_stats: scrubbing "
+    "removes DIRECT identifiers, this measures what the remaining "
+    "quasi-identifiers still leak. Scale: one hash aggregate over the "
+    "QI tuple (|groups| <= |QI vocabulary| rows), then a 4-row bucket "
+    "rollup — the fact table never re-shuffles; pct rides a window "
+    "over the 4-row aggregate.",
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    customer = load_table(spark, sf_dir, "customer")
+    g = (
+        customer.select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000.0).cast("int").alias("bal_band"),
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    b = g.select(
+        F.when(F.col("k") == 1, 0)
+        .when(F.col("k") < 5, 1)
+        .when(F.col("k") < 10, 2)
+        .otherwise(3)
+        .alias("k_rank"),
+        F.when(F.col("k") == 1, "1 (unique)")
+        .when(F.col("k") < 5, "2-4")
+        .when(F.col("k") < 10, "5-9")
+        .otherwise("10+")
+        .alias("k_bucket"),
+        "k",
+    )
+    agg = b.groupBy("k_rank", "k_bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum("k").cast("bigint").alias("n_rows"),
+    )
+    return agg.select(
+        "k_rank",
+        "k_bucket",
+        "n_groups",
+        "n_rows",
+        F.round(
+            F.col("n_rows")
+            / F.sum("n_rows").over(Window.partitionBy()).cast("double"),
+            4,
+        ).alias("pct_rows"),
+    ).orderBy("k_rank")

@@ -561,3 +561,123 @@ def column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("col_name")
     )
+
+
+@register(
+    "feature_drift_psi",
+    tier=1,  # extended monitoring surface; percentile machinery judged via summary_stats
+    oracle="""
+    WITH snap AS (
+      SELECT o_totalprice AS price,
+             CASE WHEN o_orderkey % 2 = 0 THEN 'ref' ELSE 'cur' END AS snapshot
+      FROM orders
+    ),
+    edges AS (
+      SELECT list_transform(
+               quantile_cont(price, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+               x -> ROUND(CAST(x AS DOUBLE), 4)) AS ed
+      FROM snap WHERE snapshot = 'ref'
+    ),
+    bins AS (
+      SELECT i AS bin_idx,
+             CASE WHEN i = 0 THEN NULL ELSE ed[i] END AS lo,
+             CASE WHEN i = 9 THEN NULL ELSE ed[i + 1] END AS hi
+      FROM edges, generate_series(0, 9) AS g(i)
+    ),
+    agg AS (
+      SELECT b.bin_idx, b.lo, b.hi,
+             CAST(SUM(CASE WHEN s.snapshot = 'ref' THEN 1 ELSE 0 END) AS BIGINT)
+               AS ref_n,
+             CAST(SUM(CASE WHEN s.snapshot = 'cur' THEN 1 ELSE 0 END) AS BIGINT)
+               AS cur_n
+      FROM snap s JOIN bins b
+        ON (b.lo IS NULL OR s.price > b.lo)
+       AND (b.hi IS NULL OR s.price <= b.hi)
+      GROUP BY 1, 2, 3
+    ),
+    tot AS (
+      SELECT bin_idx, lo, hi, ref_n, cur_n,
+             SUM(ref_n) OVER () AS rt, SUM(cur_n) OVER () AS ct
+      FROM agg
+    )
+    SELECT bin_idx, lo, hi, ref_n, cur_n,
+           ROUND(ref_n / CAST(rt AS DOUBLE), 4) AS ref_pct,
+           ROUND(cur_n / CAST(ct AS DOUBLE), 4) AS cur_pct,
+           ROUND((cur_n / CAST(ct AS DOUBLE) - ref_n / CAST(rt AS DOUBLE))
+                 * ln((cur_n / CAST(ct AS DOUBLE))
+                      / (ref_n / CAST(rt AS DOUBLE))), 4) AS psi_term
+    FROM tot
+    ORDER BY bin_idx
+    """,
+    doc="Tabular feature drift via Population Stability Index — the "
+    "numeric-feature twin of embedding_drift, run between ingest waves "
+    "to catch source shifts before retraining: decile bins calibrated "
+    "on the REFERENCE snapshot (even o_orderkey half), both snapshots "
+    "counted into those fixed bins, per-bin PSI terms (sum >= 0.2 is "
+    "the conventional 'significant drift' flag). Bin edges are exact "
+    "ref-half deciles ROUND(4)-pinned on both engines so boundary "
+    "comparisons see identical doubles; PSI terms compute from exact "
+    "integer bin counts, so the doubles fold identically. Scale: one "
+    "percentile aggregate over the ref half (percentile_approx at "
+    "100 TB, same plan), then ONE broadcast range-join pass bins both "
+    "snapshots; totals ride a window over the 10-row aggregate — no "
+    "second scan of the fact table.",
+)
+def feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    snap = orders.select(
+        F.col("o_totalprice").alias("price"),
+        F.when(F.col("o_orderkey") % 2 == 0, F.lit("ref"))
+        .otherwise(F.lit("cur"))
+        .alias("snapshot"),
+    )
+    qs = [i / 10.0 for i in range(1, 10)]
+    pct = F.percentile("price", F.array(*[F.lit(q) for q in qs]))
+    edges = snap.filter(F.col("snapshot") == "ref").agg(
+        F.transform(pct, lambda x: F.round(x, 4)).alias("ed")
+    )
+    # F.get is 0-indexed and NULL out of bounds: bin 0 gets lo=NULL
+    # (open left tail), bin 9 gets hi=NULL (open right tail).
+    bins = edges.select(
+        F.explode(F.sequence(F.lit(0), F.lit(9))).alias("bin_idx"), "ed"
+    ).select(
+        "bin_idx",
+        F.get("ed", F.col("bin_idx") - 1).alias("lo"),
+        F.get("ed", F.col("bin_idx")).alias("hi"),
+    )
+    agg = (
+        snap.join(
+            F.broadcast(bins),
+            (F.col("lo").isNull() | (F.col("price") > F.col("lo")))
+            & (F.col("hi").isNull() | (F.col("price") <= F.col("hi"))),
+        )
+        .groupBy("bin_idx", "lo", "hi")
+        .agg(
+            F.sum((F.col("snapshot") == "ref").cast("int"))
+            .cast("bigint")
+            .alias("ref_n"),
+            F.sum((F.col("snapshot") == "cur").cast("int"))
+            .cast("bigint")
+            .alias("cur_n"),
+        )
+    )
+    w = Window.partitionBy()
+    tot = agg.withColumn("rt", F.sum("ref_n").over(w)).withColumn(
+        "ct", F.sum("cur_n").over(w)
+    )
+    ref_pct = F.col("ref_n") / F.col("rt").cast("double")
+    cur_pct = F.col("cur_n") / F.col("ct").cast("double")
+    return tot.select(
+        "bin_idx",
+        "lo",
+        "hi",
+        "ref_n",
+        "cur_n",
+        F.round(ref_pct, 4).alias("ref_pct"),
+        F.round(cur_pct, 4).alias("cur_pct"),
+        F.round((cur_pct - ref_pct) * F.log(cur_pct / ref_pct), 4).alias(
+            "psi_term"
+        ),
+    ).orderBy("bin_idx")
