@@ -22,6 +22,10 @@ CROSS_JOIN_OK = {
     # leakfree_split_stats: the straddle PROOF column is a ONE-ROW
     # broadcast scalar crossJoined onto the |splits|-row rollup.
     "leakfree_split_stats",
+    # feature_drift_psi: the decile-edge array is a ONE-ROW broadcast
+    # scalar crossJoined onto the snapshot union; binning is a map-side
+    # fold over that array, never a range join.
+    "feature_drift_psi",
 }
 
 #: Streaming entries build a streaming plan — skipped here (their shape is

@@ -578,25 +578,25 @@ def column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
                x -> ROUND(CAST(x AS DOUBLE), 4)) AS ed
       FROM snap WHERE snapshot = 'ref'
     ),
-    bins AS (
-      SELECT i AS bin_idx,
-             CASE WHEN i = 0 THEN NULL ELSE ed[i] END AS lo,
-             CASE WHEN i = 9 THEN NULL ELSE ed[i + 1] END AS hi
-      FROM edges, generate_series(0, 9) AS g(i)
+    binned AS (
+      SELECT s.snapshot,
+             CAST(len(list_filter(e.ed, x -> s.price > x)) AS BIGINT) AS bin_idx,
+             e.ed
+      FROM snap s CROSS JOIN edges e
     ),
     agg AS (
-      SELECT b.bin_idx, b.lo, b.hi,
-             CAST(SUM(CASE WHEN s.snapshot = 'ref' THEN 1 ELSE 0 END) AS BIGINT)
+      SELECT bin_idx, first(ed) AS ed,
+             CAST(SUM(CASE WHEN snapshot = 'ref' THEN 1 ELSE 0 END) AS BIGINT)
                AS ref_n,
-             CAST(SUM(CASE WHEN s.snapshot = 'cur' THEN 1 ELSE 0 END) AS BIGINT)
+             CAST(SUM(CASE WHEN snapshot = 'cur' THEN 1 ELSE 0 END) AS BIGINT)
                AS cur_n
-      FROM snap s JOIN bins b
-        ON (b.lo IS NULL OR s.price > b.lo)
-       AND (b.hi IS NULL OR s.price <= b.hi)
-      GROUP BY 1, 2, 3
+      FROM binned GROUP BY bin_idx
     ),
     tot AS (
-      SELECT bin_idx, lo, hi, ref_n, cur_n,
+      SELECT bin_idx,
+             CASE WHEN bin_idx = 0 THEN NULL ELSE ed[bin_idx] END AS lo,
+             CASE WHEN bin_idx = 9 THEN NULL ELSE ed[bin_idx + 1] END AS hi,
+             ref_n, cur_n,
              SUM(ref_n) OVER () AS rt, SUM(cur_n) OVER () AS ct
       FROM agg
     )
@@ -619,9 +619,11 @@ def column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "comparisons see identical doubles; PSI terms compute from exact "
     "integer bin counts, so the doubles fold identically. Scale: one "
     "percentile aggregate over the ref half (percentile_approx at "
-    "100 TB, same plan), then ONE broadcast range-join pass bins both "
-    "snapshots; totals ride a window over the 10-row aggregate — no "
-    "second scan of the fact table.",
+    "100 TB, same plan) produces a ONE-ROW edges array, broadcast-"
+    "crossJoined onto the union of both snapshots (the sanctioned "
+    "scalar-straddle shape); bin assignment is a map-side array fold "
+    "(count of edges below the value) — no join ever touches the fact "
+    "rows; totals ride a window over the 10-row aggregate.",
 )
 def feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -638,23 +640,19 @@ def feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = snap.filter(F.col("snapshot") == "ref").agg(
         F.transform(pct, lambda x: F.round(x, 4)).alias("ed")
     )
-    # F.get is 0-indexed and NULL out of bounds: bin 0 gets lo=NULL
-    # (open left tail), bin 9 gets hi=NULL (open right tail).
-    bins = edges.select(
-        F.explode(F.sequence(F.lit(0), F.lit(9))).alias("bin_idx"), "ed"
-    ).select(
-        "bin_idx",
-        F.get("ed", F.col("bin_idx") - 1).alias("lo"),
-        F.get("ed", F.col("bin_idx")).alias("hi"),
+    # Map-side bin assignment: bin = number of edges strictly below the
+    # value (0..9 for 9 edges) — equivalent to the (lo, hi] range lookup
+    # but a pure fold over the broadcast scalar array, no range join.
+    bin_idx = F.aggregate(
+        "ed",
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + (F.col("price") > x).cast("bigint"),
     )
     agg = (
-        snap.join(
-            F.broadcast(bins),
-            (F.col("lo").isNull() | (F.col("price") > F.col("lo")))
-            & (F.col("hi").isNull() | (F.col("price") <= F.col("hi"))),
-        )
-        .groupBy("bin_idx", "lo", "hi")
+        snap.crossJoin(F.broadcast(edges))
+        .groupBy(bin_idx.alias("bin_idx"))
         .agg(
+            F.first("ed").alias("ed"),
             F.sum((F.col("snapshot") == "ref").cast("int"))
             .cast("bigint")
             .alias("ref_n"),
@@ -664,8 +662,13 @@ def feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy()
-    tot = agg.withColumn("rt", F.sum("ref_n").over(w)).withColumn(
-        "ct", F.sum("cur_n").over(w)
+    # F.get is 0-indexed and NULL out of bounds: bin 0 gets lo=NULL
+    # (open left tail), bin 9 gets hi=NULL (open right tail).
+    tot = (
+        agg.withColumn("lo", F.get("ed", F.col("bin_idx").cast("int") - 1))
+        .withColumn("hi", F.get("ed", F.col("bin_idx").cast("int")))
+        .withColumn("rt", F.sum("ref_n").over(w))
+        .withColumn("ct", F.sum("cur_n").over(w))
     )
     ref_pct = F.col("ref_n") / F.col("rt").cast("double")
     cur_pct = F.col("cur_n") / F.col("ct").cast("double")
