@@ -1669,3 +1669,107 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("pct_rows"),
     ).orderBy("k_rank")
+
+
+@register(
+    "snapshot_diff_report",
+    tier=1,  # extended reconciliation surface; companion to table_fingerprint
+    oracle="""
+    WITH v1 AS (
+      SELECT o_orderkey AS k,
+             o_orderstatus || '|' || CAST(o_custkey AS VARCHAR)
+               || '|' || o_orderpriority AS attrs
+      FROM orders WHERE o_orderkey % 10 <> 0
+    ),
+    v2 AS (
+      SELECT o_orderkey AS k,
+             o_orderstatus || '|' || CAST(o_custkey AS VARCHAR) || '|' ||
+               CASE WHEN o_orderkey % 13 = 0 THEN 'X-DRIFTED'
+                    ELSE o_orderpriority END AS attrs
+      FROM orders WHERE o_orderkey % 10 <> 5
+    ),
+    j AS (
+      SELECT COALESCE(v1.k, v2.k) AS k, v1.attrs AS a1, v2.attrs AS a2
+      FROM v1 FULL JOIN v2 ON v1.k = v2.k
+    ),
+    cls AS (
+      SELECT k,
+             CASE WHEN a1 IS NULL THEN 'added'
+                  WHEN a2 IS NULL THEN 'removed'
+                  WHEN a1 <> a2 THEN 'changed'
+                  ELSE 'unchanged' END AS change_type
+      FROM j
+    ),
+    agg AS (
+      SELECT change_type,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             MIN(k) AS min_key, MAX(k) AS max_key
+      FROM cls GROUP BY change_type
+    )
+    SELECT change_type, n_rows, min_key, max_key,
+           ROUND(n_rows / CAST(SUM(n_rows) OVER () AS DOUBLE), 4) AS pct_rows
+    FROM agg
+    ORDER BY change_type
+    """,
+    doc="Row-level snapshot diff — the data-diff read behind safe "
+    "migrations and replication audits (the row-granular companion to "
+    "table_fingerprint's table-level multiset digest): two versions of "
+    "orders (v2 deterministically adds the o_orderkey%10=0 rows, drops "
+    "the %10=5 rows, and drifts o_orderpriority on %13=0) full-outer "
+    "join on the key, each row classified added / removed / changed / "
+    "unchanged by comparing a canonical attrs rendering, rolled up "
+    "with key extents and row shares. Scale: ONE key-partitioned "
+    "full-outer shuffle join (no broadcast side at 100 TB — both "
+    "snapshots hash-partition on the key), attrs comparison map-side, "
+    "then a 4-row rollup; pct rides a window over the 4-row "
+    "aggregate. Changed-row DETAIL (which rows, which columns) is the "
+    "same join minus the rollup.",
+)
+def snapshot_diff_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+
+    def attrs(priority_col):
+        return F.concat_ws(
+            "|",
+            F.col("o_orderstatus"),
+            F.col("o_custkey").cast("string"),
+            priority_col,
+        )
+
+    v1 = orders.filter(F.col("o_orderkey") % 10 != 0).select(
+        F.col("o_orderkey").alias("k"), attrs(F.col("o_orderpriority")).alias("a1")
+    )
+    v2 = orders.filter(F.col("o_orderkey") % 10 != 5).select(
+        F.col("o_orderkey").alias("k"),
+        attrs(
+            F.when(F.col("o_orderkey") % 13 == 0, F.lit("X-DRIFTED")).otherwise(
+                F.col("o_orderpriority")
+            )
+        ).alias("a2"),
+    )
+    cls = v1.join(v2, "k", "full_outer").select(
+        "k",
+        F.when(F.col("a1").isNull(), "added")
+        .when(F.col("a2").isNull(), "removed")
+        .when(F.col("a1") != F.col("a2"), "changed")
+        .otherwise("unchanged")
+        .alias("change_type"),
+    )
+    agg = cls.groupBy("change_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("k").alias("min_key"),
+        F.max("k").alias("max_key"),
+    )
+    return agg.select(
+        "change_type",
+        "n_rows",
+        "min_key",
+        "max_key",
+        F.round(
+            F.col("n_rows")
+            / F.sum("n_rows").over(Window.partitionBy()).cast("double"),
+            4,
+        ).alias("pct_rows"),
+    ).orderBy("change_type")

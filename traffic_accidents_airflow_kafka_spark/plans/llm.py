@@ -3100,3 +3100,121 @@ def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("label", "n_even", "n_odd", "centroid_cosine", "centroid_l2")
         .orderBy("label")
     )
+
+
+#: Fixed BM25 demo query terms (high-document-frequency corpus words) and
+#: the standard Robertson parameters.
+_BM25_TERMS = ("join", "hash", "scan")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@register(
+    "bm25_search",
+    tier=1,  # extended retrieval surface; token machinery judged via token_accounting
+    oracle=f"""
+    WITH dl AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+    ),
+    sc AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             SUM(dl) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents)
+      WHERE term IN ('join', 'hash', 'scan')
+      GROUP BY doc_id, term
+    ),
+    dfr AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             ln(1.0 + (sc.n_docs - dfr.df + 0.5) / (dfr.df + 0.5))
+               * (tf.tf * ({_BM25_K1} + 1.0))
+               / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                  + {_BM25_B} * dl.dl / sc.avgdl)) AS s
+      FROM tf JOIN dfr USING (term) JOIN dl USING (doc_id) CROSS JOIN sc
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             SUM(CASE WHEN term = 'join' THEN s ELSE 0.0 END) AS s_join,
+             SUM(CASE WHEN term = 'hash' THEN s ELSE 0.0 END) AS s_hash,
+             SUM(CASE WHEN term = 'scan' THEN s ELSE 0.0 END) AS s_scan
+      FROM scored GROUP BY doc_id
+    ),
+    final AS (
+      SELECT doc_id,
+             ROUND(s_join, 4) AS s_join, ROUND(s_hash, 4) AS s_hash,
+             ROUND(s_scan, 4) AS s_scan,
+             ROUND((s_join + s_hash) + s_scan, 4) AS bm25
+      FROM per_doc
+    )
+    SELECT doc_id, s_join, s_hash, s_scan, bm25
+    FROM final ORDER BY bm25 DESC, doc_id LIMIT 20
+    """,
+    doc="BM25 keyword retrieval — the lexical-search side of a hybrid "
+    "(BM25 + ANN) retrieval stack, and the standard hard-negative "
+    "source for embedding training: top-20 documents for the fixed "
+    "query {'join','hash','scan'} under Robertson BM25 (k1=1.2, "
+    "b=0.75, idf = ln(1+(N-df+.5)/(df+.5))). Parity: every float "
+    "derives from exact integer tf/df/dl through the identical "
+    "formula; the per-doc total adds the three per-term scores in a "
+    "FIXED parenthesized order ((join+hash)+scan) because float "
+    "addition is not associative, then ROUND(4) pins it; doc_id "
+    "breaks ranking ties. Scale: the token stream filters to the "
+    "query vocabulary BEFORE its one hash aggregate (predicate on the "
+    "exploded term — pennies per doc), df is a |terms|-row broadcast, "
+    "doc lengths join key-partitioned on doc_id, corpus scalars ride "
+    "in as literals from one count, and top-20 is TakeOrdered (no "
+    "global sort).",
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    dl = docs.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
+    n_docs, total_tokens = dl.agg(
+        F.count(F.lit(1)), F.sum("dl")
+    ).first()
+    avgdl = total_tokens / n_docs  # IEEE double division, same in SQL
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfr = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        1.0 + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    s = idf * (F.col("tf") * (_BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.lit(avgdl))
+    )
+    scored = (
+        tf.join(F.broadcast(dfr), "term").join(dl, "doc_id").withColumn("s", s)
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("term") == t, F.col("s")).otherwise(0.0)).alias(
+                f"s_{t}"
+            )
+            for t in _BM25_TERMS
+        ]
+    )
+    bm25 = F.round(
+        (F.col("s_join") + F.col("s_hash")) + F.col("s_scan"), 4
+    )
+    return (
+        per_doc.select(
+            "doc_id",
+            F.round("s_join", 4).alias("s_join"),
+            F.round("s_hash", 4).alias("s_hash"),
+            F.round("s_scan", 4).alias("s_scan"),
+            bm25.alias("bm25"),
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+    )
