@@ -118,6 +118,31 @@ def test_feature_drift_psi_quiet_on_identical_halves(spark, tmp_path):
     assert pdf["psi_term"].sum() < 0.01
 
 
+def test_incremental_neardup_probe_finds_corpus_twin(spark, tmp_path):
+    """Arrival 5 duplicates corpus doc 1 -> flagged with est_sim 1.0
+    against best_old_id 1; arrival 10 shares nothing -> absent; corpus
+    docs never pair with each other."""
+    from traffic_accidents_airflow_kafka_spark.plans.llm import (
+        incremental_neardup_arrivals,
+    )
+
+    twin = "the quick brown fox jumps over the lazy dog tonight"
+    docs = spark.createDataFrame(
+        [
+            (1, twin, "en", "s", len(twin)),
+            (2, twin, "en", "s", len(twin)),  # corpus-side dup of 1: must NOT emit
+            (5, twin, "en", "s", len(twin)),  # arrival twin
+            (10, "completely unrelated words entirely different text", "en", "s", 49),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = _write(docs, tmp_path, "documents")
+    pdf = incremental_neardup_arrivals(spark, sf).toPandas()
+    assert list(pdf["new_id"]) == [5]
+    assert pdf.iloc[0]["best_old_id"] == 1  # old_id tiebreak picks the lowest
+    assert pdf.iloc[0]["best_sim"] == 1.0
+
+
 def test_bm25_ranks_term_dense_short_doc_first(spark, tmp_path):
     """A short doc saturated with the query term outranks a long doc
     mentioning it once; a doc with no query terms never appears."""

@@ -201,6 +201,76 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_cross_pairs(
+    sig_new: DataFrame,
+    sig_old: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    rows_per_band: int = 1,
+) -> DataFrame:
+    """Banded-LSH candidate pairs BETWEEN two signature sets — the
+    incremental-dedup shape: a new arrival batch probes the indexed
+    corpus without ever re-pairing the corpus against itself.
+
+    Same banding and first-matching-band dedup as
+    :func:`lsh_candidate_pairs`, but the join is new×old (no self-join,
+    no id ordering constraint — the sides are disjoint by contract).
+    Output: (new_id, old_id, est_sim).
+
+    Scale: cost is |batch|×bands probe rows joined against the
+    (persisted, in production) corpus band index — linear in the BATCH,
+    not the corpus; the daily-ingest alternative of re-running the full
+    self-join is quadratic in history.
+    """
+    n_bands = num_hashes // rows_per_band
+
+    def banded(sig: DataFrame) -> DataFrame:
+        cols = [
+            F.concat(
+                *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias(f"band{b}")
+            for b in range(n_bands)
+        ]
+        stack_args = ", ".join(f"{b}, band{b}" for b in range(n_bands))
+        return sig.select(
+            id_col, *[F.col(f"mh{i}") for i in range(num_hashes)], *cols
+        ).selectExpr(
+            id_col,
+            *[f"mh{i}" for i in range(num_hashes)],
+            f"stack({n_bands}, {stack_args}) AS (band_idx, band_val)",
+        )
+
+    a, b = banded(sig_new).alias("a"), banded(sig_old).alias("b")
+    matches = sum(
+        F.when(F.col(f"a.mh{i}") == F.col(f"b.mh{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    first_band_match = F.lit(True)
+    for j in range(n_bands - 1):
+        parts_a = F.concat(
+            *[F.col(f"a.mh{j * rows_per_band + r}") for r in range(rows_per_band)]
+        )
+        parts_b = F.concat(
+            *[F.col(f"b.mh{j * rows_per_band + r}") for r in range(rows_per_band)]
+        )
+        first_band_match = first_band_match & (
+            (F.col("a.band_idx") <= j) | (parts_a != parts_b)
+        )
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val")),
+        )
+        .filter(first_band_match)
+        .select(
+            F.col(f"a.{id_col}").alias("new_id"),
+            F.col(f"b.{id_col}").alias("old_id"),
+            (matches / float(num_hashes)).alias("est_sim"),
+        )
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "d1",

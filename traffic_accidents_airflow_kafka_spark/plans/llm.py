@@ -3218,3 +3218,104 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(20)
     )
+
+
+def _incremental_neardup_oracle() -> str:
+    mh_aggs = ",\n        ".join(
+        f"min(md5('{i}|' || shingle)) AS mh{i}" for i in range(_NUM_HASHES)
+    )
+    band_union_new = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band_idx, mh{i} AS band_val "
+        f"FROM sig WHERE doc_id % 5 = 0"
+        for i in range(_NUM_HASHES)
+    )
+    band_union_old = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band_idx, mh{i} AS band_val "
+        f"FROM sig WHERE doc_id % 5 <> 0"
+        for i in range(_NUM_HASHES)
+    )
+    match_sum = " + ".join(
+        f"CASE WHEN s1.mh{i} = s2.mh{i} THEN 1 ELSE 0 END"
+        for i in range(_NUM_HASHES)
+    )
+    return (
+        _SHINGLE_CTE
+        + f""",
+    sig AS (
+      SELECT doc_id, {mh_aggs}
+      FROM sh GROUP BY doc_id
+    ),
+    bands_new AS (
+      {band_union_new}
+    ),
+    bands_old AS (
+      {band_union_old}
+    ),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+      FROM bands_new n
+      JOIN bands_old o ON n.band_idx = o.band_idx AND n.band_val = o.band_val
+    ),
+    scored AS (
+      SELECT c.new_id, c.old_id,
+             CAST(({match_sum}) AS DOUBLE) / {_NUM_HASHES} AS est_sim
+      FROM cand c
+      JOIN sig s1 ON c.new_id = s1.doc_id
+      JOIN sig s2 ON c.old_id = s2.doc_id
+    ),
+    ranked AS (
+      SELECT new_id, old_id, est_sim,
+             ROW_NUMBER() OVER (PARTITION BY new_id
+                                ORDER BY est_sim DESC, old_id) AS rnk
+      FROM scored
+    )
+    SELECT new_id, old_id AS best_old_id, est_sim AS best_sim
+    FROM ranked WHERE rnk = 1
+    ORDER BY best_sim DESC, new_id
+    LIMIT 100
+    """
+    )
+
+
+@register(
+    "incremental_neardup_arrivals",
+    tier=1,  # extended dedup surface; LSH machinery judged via minhash_lsh_pairs
+    oracle=_incremental_neardup_oracle(),
+    min_rows=0,  # a batch sharing no band with the corpus legitimately flags nothing
+    doc="Incremental near-dup — the DAILY-INGEST dedup shape: the new "
+    "arrival batch (doc_id%5=0 stands in for today's partition) probes "
+    "the indexed corpus (the other 80%) through the banded MinHash-LSH "
+    "index, and each flagged arrival reports its best corpus match "
+    "(max est_sim, old_id tiebreak). Production persists the corpus "
+    "band index (bucketed on band_val) and only APPENDS each batch's "
+    "signatures — this query is the probe plan "
+    "(operators/dedup.py:lsh_cross_pairs). Scale: cost is linear in "
+    "the BATCH (|batch|×bands probe rows against a bucketed index "
+    "join), where re-running the corpus self-join daily is quadratic "
+    "in history; the full self-join remains the backfill path "
+    "(minhash_lsh_pairs). Signatures derive from engine-stable "
+    "md5-seeded minima, so the whole incremental pipeline "
+    "oracle-checks, per-band dedup via the first-matching-band "
+    "predicate — no dropDuplicates shuffle.",
+)
+def incremental_neardup_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.word_shingles(docs, "doc_id", "text", n=3)
+    sigs = dedup.minhash_signatures(sh, "doc_id", _NUM_HASHES)
+    new = sigs.filter(F.col("doc_id") % 5 == 0)
+    old = sigs.filter(F.col("doc_id") % 5 != 0)
+    pairs = dedup.lsh_cross_pairs(new, old, "doc_id", _NUM_HASHES, rows_per_band=1)
+    w = Window.partitionBy("new_id").orderBy(F.desc("est_sim"), "old_id")
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "new_id",
+            F.col("old_id").alias("best_old_id"),
+            F.col("est_sim").alias("best_sim"),
+        )
+        .orderBy(F.desc("best_sim"), "new_id")
+        .limit(100)
+    )
