@@ -76,3 +76,30 @@ def test_zorder_partitions_bound_both_dimensions(spark):
     # keeping x extents bounded too.
     assert z_ext["sy"] < l_ext["sy"] / 2
     assert z_ext["sx"] < 64.0 * parts  # x never degenerates to full range everywhere
+
+
+def test_partitioned_write_gets_dynamic_partition_pruning(spark, tmp_path):
+    """A date/enum-partitioned fact joined to a dim filtered on a
+    NON-join column (so no static predicate can be inferred onto the
+    fact) must plan a dynamicpruning subquery on the partition column —
+    at 100 TB this is the difference between scanning 3 partitions and
+    scanning the table. Runtime result checked against the hand sum."""
+    from traffic_accidents_airflow_kafka_spark.sources.sinks import write_parquet
+
+    fact = spark.range(10_000).select(
+        "id", (F.col("id") % 20).alias("part_k"), (F.col("id") * 2).alias("value")
+    )
+    path = str(tmp_path / "fact")
+    write_parquet(fact, path, partition_by=["part_k"])
+    dim = spark.range(20).select(
+        F.col("id").alias("part_k"), (F.col("id") < 3).alias("flag")
+    )
+    j = (
+        spark.read.parquet(path)
+        .join(dim.filter(F.col("flag")), "part_k")
+        .agg(F.sum("value").alias("s"))
+    )
+    expected = sum(2 * i for i in range(10_000) if i % 20 < 3)
+    assert j.collect()[0]["s"] == expected
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), "no DPP subquery on the fact scan"
