@@ -26,6 +26,9 @@ CROSS_JOIN_OK = {
     # scalar crossJoined onto the snapshot union; binning is a map-side
     # fold over that array, never a range join.
     "feature_drift_psi",
+    # hybrid_rrf_retrieval: the semantic list reuses cosine_topk's
+    # broadcast bounded-query crossJoin (here a SINGLE query vector).
+    "hybrid_rrf_retrieval",
 }
 
 #: Streaming entries build a streaming plan — skipped here (their shape is

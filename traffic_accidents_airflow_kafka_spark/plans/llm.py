@@ -3174,10 +3174,26 @@ _BM25_B = 0.75
 )
 def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    per_doc = _bm25_per_doc(docs)
+    return (
+        per_doc.select(
+            "doc_id",
+            F.round("s_join", 4).alias("s_join"),
+            F.round("s_hash", 4).alias("s_hash"),
+            F.round("s_scan", 4).alias("s_scan"),
+            F.round("bm25_raw", 4).alias("bm25"),
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+    )
+
+
+def _bm25_per_doc(docs: DataFrame) -> DataFrame:
+    """Per-doc RAW BM25 columns (s_<term>... plus their fixed-order sum
+    ``bm25_raw``) for the fixed query vocabulary — shared by the pure
+    lexical ranking and the hybrid fusion."""
     dl = docs.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
-    n_docs, total_tokens = dl.agg(
-        F.count(F.lit(1)), F.sum("dl")
-    ).first()
+    n_docs, total_tokens = dl.agg(F.count(F.lit(1)), F.sum("dl")).first()
     avgdl = total_tokens / n_docs  # IEEE double division, same in SQL
     tf = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
@@ -3204,20 +3220,8 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             for t in _BM25_TERMS
         ]
     )
-    bm25 = F.round(
-        (F.col("s_join") + F.col("s_hash")) + F.col("s_scan"), 4
-    )
-    return (
-        per_doc.select(
-            "doc_id",
-            F.round("s_join", 4).alias("s_join"),
-            F.round("s_hash", 4).alias("s_hash"),
-            F.round("s_scan", 4).alias("s_scan"),
-            bm25.alias("bm25"),
-        )
-        .orderBy(F.desc("bm25"), "doc_id")
-        .limit(20)
-    )
+    bm25_raw = (F.col("s_join") + F.col("s_hash")) + F.col("s_scan")
+    return per_doc.withColumn("bm25_raw", bm25_raw)
 
 
 def _incremental_neardup_oracle() -> str:
@@ -3318,4 +3322,156 @@ def incremental_neardup_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("best_sim"), "new_id")
         .limit(100)
+    )
+
+
+def _hybrid_rrf_oracle() -> str:
+    cosine_fold = """
+             list_sum(list_transform(generate_series(1, len(q.qvec)),
+                      i -> CAST(q.qvec[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+             / ( sqrt(list_sum(list_transform(generate_series(1, len(q.qvec)),
+                      i -> CAST(q.qvec[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE))))
+               * sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),
+                      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) )
+    """
+    return f"""
+    WITH dl AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+    ),
+    sc AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             SUM(dl) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents)
+      WHERE term IN ('join', 'hash', 'scan')
+      GROUP BY doc_id, term
+    ),
+    dfr AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             ln(1.0 + (sc.n_docs - dfr.df + 0.5) / (dfr.df + 0.5))
+               * (tf.tf * ({_BM25_K1} + 1.0))
+               / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                  + {_BM25_B} * dl.dl / sc.avgdl)) AS s
+      FROM tf JOIN dfr USING (term) JOIN dl USING (doc_id) CROSS JOIN sc
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             (SUM(CASE WHEN term = 'join' THEN s ELSE 0.0 END)
+              + SUM(CASE WHEN term = 'hash' THEN s ELSE 0.0 END))
+              + SUM(CASE WHEN term = 'scan' THEN s ELSE 0.0 END) AS bm25_raw
+      FROM scored GROUP BY doc_id
+    ),
+    lex50 AS (
+      SELECT doc_id, bm25_raw FROM per_doc
+      ORDER BY bm25_raw DESC, doc_id LIMIT 50
+    ),
+    lex AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY bm25_raw DESC, doc_id)
+                  AS BIGINT) AS rank_lex
+      FROM lex50
+    ),
+    q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+    sims AS (
+      SELECT e.vec_id AS doc_id, {cosine_fold} AS cosine
+      FROM embeddings e, q WHERE e.vec_id <> 0
+    ),
+    sem50 AS (
+      SELECT doc_id, cosine FROM sims ORDER BY cosine DESC, doc_id LIMIT 50
+    ),
+    sem AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id)
+                  AS BIGINT) AS rank_sem
+      FROM sem50
+    ),
+    fused AS (
+      SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+             COALESCE(l.rank_lex, 0) AS rank_lex,
+             COALESCE(s.rank_sem, 0) AS rank_sem
+      FROM lex l FULL JOIN sem s ON l.doc_id = s.doc_id
+    ),
+    rrfed AS (
+      SELECT doc_id, rank_lex, rank_sem,
+             CASE WHEN rank_lex > 0 THEN 1.0 / (60 + rank_lex) ELSE 0.0 END
+             + CASE WHEN rank_sem > 0 THEN 1.0 / (60 + rank_sem) ELSE 0.0 END
+               AS rrf_raw
+      FROM fused
+    )
+    SELECT doc_id, rank_lex, rank_sem, ROUND(rrf_raw, 6) AS rrf
+    FROM rrfed ORDER BY rrf_raw DESC, doc_id LIMIT 20
+    """
+
+
+@register(
+    "hybrid_rrf_retrieval",
+    tier=1,  # extended retrieval surface; component stacks judged via bm25/embedding queries
+    oracle=_hybrid_rrf_oracle(),
+    doc="Hybrid retrieval via Reciprocal Rank Fusion — the standard "
+    "production fusion of a lexical (BM25, fixed query vocabulary) and "
+    "a semantic (cosine vs the vec_id-0 query embedding) candidate "
+    "list: rrf = sum over lists of 1/(60+rank), rank 0 = absent from "
+    "that list's top-50. RRF needs only RANKS, so the two stacks stay "
+    "independently tuned and the fusion is score-scale-free — which is "
+    "also what makes it oracle-checkable (ranks are exact ints; the "
+    "two 1/(60+r) terms add in fixed order). Scale: each list is its "
+    "own top-50 TakeOrdered (per-partition heaps, no global sort); "
+    "row_number then runs over 50-row relations, and the fusion join "
+    "touches <= 100 rows. The component stacks scale independently "
+    "(BM25 filters the token stream to the query vocabulary; the "
+    "semantic side swaps brute-force cosine for the LSH/IVF index at "
+    "corpus scale, same ranks in, same fusion out).",
+)
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    lex50 = (
+        _bm25_per_doc(docs)
+        .select("doc_id", "bm25_raw")
+        .orderBy(F.desc("bm25_raw"), "doc_id")
+        .limit(50)
+    )
+    # row_number over the ALREADY-LIMITED 50-row relation (TakeOrdered
+    # did the heavy selection); the unpartitioned window is bounded.
+    wl = Window.orderBy(F.desc("bm25_raw"), "doc_id")
+    lex = lex50.select(
+        "doc_id", F.row_number().over(wl).cast("bigint").alias("rank_lex")
+    )
+
+    qids = emb.select("vec_id").filter(F.col("vec_id") == 0)
+    sem = similarity.cosine_topk(emb, qids, "vec_id", "embedding", k=50).select(
+        F.col("nid").alias("doc_id"), F.col("rank").cast("bigint").alias("rank_sem")
+    )
+
+    fused = (
+        lex.join(sem, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("rank_lex", F.lit(0)).alias("rank_lex"),
+            F.coalesce("rank_sem", F.lit(0)).alias("rank_sem"),
+        )
+        .withColumn(
+            "rrf_raw",
+            F.when(F.col("rank_lex") > 0, 1.0 / (F.col("rank_lex") + 60))
+            .otherwise(0.0)
+            + F.when(F.col("rank_sem") > 0, 1.0 / (F.col("rank_sem") + 60))
+            .otherwise(0.0),
+        )
+    )
+    return (
+        fused.orderBy(F.desc("rrf_raw"), "doc_id")
+        .limit(20)
+        .select(
+            "doc_id", "rank_lex", "rank_sem", F.round("rrf_raw", 6).alias("rrf")
+        )
     )
