@@ -550,3 +550,34 @@ def test_table_fingerprint_order_invariant_and_change_sensitive(
             assert fp2[tbl][0] == fp[tbl][0] and fp2[tbl][1] != fp[tbl][1]
         else:
             assert fp2[tbl] == fp[tbl]
+
+
+def test_mergeable_uniques_error_and_mergeability(spark, sf_dir):
+    """Per-day and global HLL estimates land within 5% of exact distinct
+    counts, and the union of per-day sketches estimates the SAME value
+    as one corpus-wide sketch (mergeability — the property that lets
+    persisted per-partition sketches replace history rescans)."""
+    import pyspark.sql.functions as F
+
+    from traffic_accidents_airflow_kafka_spark.plans.extensions import (
+        mergeable_uniques,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    out = mergeable_uniques(spark, sf_dir).toPandas()
+    exact = {
+        r["day"]: r["n"]
+        for r in events.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert len(out) == len(exact) > 0
+    for r in out.itertuples():
+        assert abs(r.est_uniques - exact[r.day]) <= max(1, 0.05 * exact[r.day])
+    g_exact = events.select("user_id").distinct().count()
+    g_est = out["global_uniques"].iloc[0]
+    assert abs(g_est - g_exact) <= max(1, 0.05 * g_exact)
+    single = events.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id"))
+    ).first()[0]
+    assert g_est == single  # union of day sketches ≡ one global sketch

@@ -29,6 +29,9 @@ CROSS_JOIN_OK = {
     # hybrid_rrf_retrieval: the semantic list reuses cosine_topk's
     # broadcast bounded-query crossJoin (here a SINGLE query vector).
     "hybrid_rrf_retrieval",
+    # mergeable_uniques: the global HLL-union estimate is a ONE-ROW
+    # broadcast scalar crossJoined onto the |days|-row relation.
+    "mergeable_uniques",
 }
 
 #: Streaming entries build a streaming plan — skipped here (their shape is

@@ -1773,3 +1773,40 @@ def snapshot_diff_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("pct_rows"),
     ).orderBy("change_type")
+
+
+@register(
+    "mergeable_uniques",
+    tier=1,  # extended sketch surface; exactness-bounded by unit test, no DuckDB HLL analog
+    oracle=None,  # Apache DataSketches HLL has no DuckDB twin; error and
+    # mergeability bounds are pinned in test_extensions.py instead
+    doc="Mergeable distinct-count sketches — the pattern that makes "
+    "incremental uniques POSSIBLE at 100 TB: per-day HLL sketches of "
+    "the user set (Spark 4 datasketches hll_sketch_agg), each day's "
+    "estimate read from its sketch, and the GLOBAL estimate from "
+    "hll_union_agg over the day sketches — the union of persisted "
+    "per-partition sketches replaces any rescan of history (exact "
+    "count_distinct over a year of days must re-shuffle the year; "
+    "sketch union touches |days| kilobyte-sized states). Rows-only by "
+    "design: DataSketches HLL has no DuckDB analog; the test pins "
+    "per-day and global estimates within 5% of exact and pins "
+    "union-of-days == single global sketch (mergeability). Scale: one "
+    "day-keyed partial-aggregating shuffle builds all sketches; the "
+    "union is a scalar over |days| rows, broadcast back (sanctioned "
+    "one-row crossJoin).",
+)
+def mergeable_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.date_trunc("day", "ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    glob = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("global_uniques")
+    )
+    return (
+        daily.select(
+            "day", F.hll_sketch_estimate("sk").alias("est_uniques")
+        )
+        .crossJoin(F.broadcast(glob))
+        .orderBy("day")
+    )
