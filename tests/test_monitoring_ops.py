@@ -103,6 +103,9 @@ def test_feature_drift_psi_flags_planted_shift(spark, tmp_path):
     assert pdf["ref_n"].sum() == 1000 and pdf["cur_n"].sum() == 1000
     # Each ref decile holds ~10% by construction of the bins.
     assert (pdf["ref_pct"] - 0.1).abs().max() < 0.01
+    # Drained bins (cur_n=0 here) must contribute large FINITE terms —
+    # the epsilon floor keeps ln away from 0 (no NULL/-inf leakage).
+    assert pdf["psi_term"].notna().all()
     assert pdf["psi_term"].sum() > 0.2, "planted shift not flagged"
 
 

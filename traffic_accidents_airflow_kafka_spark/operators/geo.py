@@ -78,9 +78,14 @@ def radius_join(
     conservative for: longitude degrees shrink by cos(lat), so the cell
     width is sized for the WORST latitude the data can contain (default
     ±75° — 3.86× the equator width; polar data wants a different
-    scheme entirely). Correctness never depends on the constant — a
-    too-small cell size would only be wrong, a conservative one only
+    scheme entirely). Within that band, a conservative cell size only
     generates more candidates for the exact filter to discard.
+
+    Known limits (both inherited from flat lat/lon cell keys): pairs
+    straddling the ±180° antimeridian fall in distant cells and are
+    MISSED (fine for continental data like the reference's US corpus;
+    dateline data needs a wrapped or S2/H3 cell scheme), and latitudes
+    beyond ``max_abs_lat`` void the cell-size guarantee.
     """
     # Cell size: r_km in longitude-degrees at the worst latitude.
     cell_deg = r_km / (KM_PER_DEG * math.cos(math.radians(max_abs_lat)))

@@ -604,8 +604,9 @@ def column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(ref_n / CAST(rt AS DOUBLE), 4) AS ref_pct,
            ROUND(cur_n / CAST(ct AS DOUBLE), 4) AS cur_pct,
            ROUND((cur_n / CAST(ct AS DOUBLE) - ref_n / CAST(rt AS DOUBLE))
-                 * ln((cur_n / CAST(ct AS DOUBLE))
-                      / (ref_n / CAST(rt AS DOUBLE))), 4) AS psi_term
+                 * ln(GREATEST(cur_n / CAST(ct AS DOUBLE), 0.000001)
+                      / GREATEST(ref_n / CAST(rt AS DOUBLE), 0.000001)),
+                 4) AS psi_term
     FROM tot
     ORDER BY bin_idx
     """,
@@ -614,7 +615,10 @@ def column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "to catch source shifts before retraining: decile bins calibrated "
     "on the REFERENCE snapshot (even o_orderkey half), both snapshots "
     "counted into those fixed bins, per-bin PSI terms (sum >= 0.2 is "
-    "the conventional 'significant drift' flag). Bin edges are exact "
+    "the conventional 'significant drift' flag; the log's operands are "
+    "epsilon-floored at 1e-6 — standard PSI smoothing — so a bin fully "
+    "drained in one snapshot contributes a large FINITE term instead "
+    "of ln(0)). Bin edges are exact "
     "ref-half deciles ROUND(4)-pinned on both engines so boundary "
     "comparisons see identical doubles; PSI terms compute from exact "
     "integer bin counts, so the doubles fold identically. Scale: one "
@@ -672,6 +676,12 @@ def feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ref_pct = F.col("ref_n") / F.col("rt").cast("double")
     cur_pct = F.col("cur_n") / F.col("ct").cast("double")
+    # Epsilon-floor the log's operands (standard PSI smoothing): a bin
+    # fully drained in one snapshot is the STRONGEST drift evidence —
+    # ln(0) would turn it into NULL (Spark) / -inf (DuckDB) and a
+    # NaN-skipping sum would silently understate total PSI.
+    eps = F.lit(1e-6)
+    log_ratio = F.log(F.greatest(cur_pct, eps) / F.greatest(ref_pct, eps))
     return tot.select(
         "bin_idx",
         "lo",
@@ -680,7 +690,5 @@ def feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cur_n",
         F.round(ref_pct, 4).alias("ref_pct"),
         F.round(cur_pct, 4).alias("cur_pct"),
-        F.round((cur_pct - ref_pct) * F.log(cur_pct / ref_pct), 4).alias(
-            "psi_term"
-        ),
+        F.round((cur_pct - ref_pct) * log_ratio, 4).alias("psi_term"),
     ).orderBy("bin_idx")
