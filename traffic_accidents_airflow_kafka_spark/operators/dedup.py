@@ -140,6 +140,57 @@ def minhash_signatures(
     return shingles.groupBy(id_col).agg(*aggs)
 
 
+def _banded_long(
+    sig: DataFrame, id_col: str, num_hashes: int, rows_per_band: int
+) -> DataFrame:
+    """Signatures → long (id, mh*, band_idx, band_val) band relation:
+    each band is ``rows_per_band`` consecutive minhashes concatenated,
+    unpivoted via stack. Shared by the self-join and cross-join pairers
+    so banding can never diverge between them."""
+    n_bands = num_hashes // rows_per_band
+    cols = [
+        F.concat(
+            *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        ).alias(f"band{b}")
+        for b in range(n_bands)
+    ]
+    stack_args = ", ".join(f"{b}, band{b}" for b in range(n_bands))
+    return sig.select(
+        id_col, *[F.col(f"mh{i}") for i in range(num_hashes)], *cols
+    ).selectExpr(
+        id_col,
+        *[f"mh{i}" for i in range(num_hashes)],
+        f"stack({n_bands}, {stack_args}) AS (band_idx, band_val)",
+    )
+
+
+def _first_band_match(num_hashes: int, rows_per_band: int) -> Column:
+    """Emit each pair EXACTLY once — keep only the first band where the
+    two docs collide (a rowwise predicate over bands already carried on
+    both aliased sides), instead of a dropDuplicates shuffle over the
+    whole candidate set. Standard LSH dedup trick; result set identical."""
+    n_bands = num_hashes // rows_per_band
+    pred = F.lit(True)
+    for j in range(n_bands - 1):
+        parts_a = F.concat(
+            *[F.col(f"a.mh{j * rows_per_band + r}") for r in range(rows_per_band)]
+        )
+        parts_b = F.concat(
+            *[F.col(f"b.mh{j * rows_per_band + r}") for r in range(rows_per_band)]
+        )
+        pred = pred & ((F.col("a.band_idx") <= j) | (parts_a != parts_b))
+    return pred
+
+
+def _match_fraction(num_hashes: int) -> Column:
+    """est_sim: fraction of the two aliased sides' minhashes that agree."""
+    matches = sum(
+        F.when(F.col(f"a.mh{i}") == F.col(f"b.mh{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    return matches / float(num_hashes)
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -152,39 +203,13 @@ def lsh_candidate_pairs(
     concatenated) matches. ``rows_per_band=1`` is the high-recall OR-of-k
     configuration for candidate generation; raise it to tighten precision.
     Output: (d1, d2, est_sim) where est_sim = matching minhashes / k.
-    """
-    n_bands = num_hashes // rows_per_band
-    band_cols = []
-    for b in range(n_bands):
-        parts = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(F.concat(*parts).alias(f"band{b}"))
-    banded = signatures.select(id_col, *[F.col(f"mh{i}") for i in range(num_hashes)], *band_cols)
 
-    stack_args = ", ".join(f"{b}, band{b}" for b in range(n_bands))
-    # The banded relation is |docs| × bands rows — small relative to the
-    # corpus, so the self-join stays broadcast-eligible under AQE (an
-    # explicit repartition here forces a shuffle and measured slower).
-    long = banded.selectExpr(
-        id_col,
-        *[f"mh{i}" for i in range(num_hashes)],
-        f"stack({n_bands}, {stack_args}) AS (band_idx, band_val)",
-    )
+    The banded relation is |docs| × bands rows — small relative to the
+    corpus, so the self-join stays broadcast-eligible under AQE (an
+    explicit repartition here forces a shuffle and measured slower).
+    """
+    long = _banded_long(signatures, id_col, num_hashes, rows_per_band)
     a, b = long.alias("a"), long.alias("b")
-    matches = sum(
-        F.when(F.col(f"a.mh{i}") == F.col(f"b.mh{i}"), 1).otherwise(0)
-        for i in range(num_hashes)
-    )
-    # Emit each pair EXACTLY once — keep only the first band where the
-    # two docs collide (a rowwise predicate over bands already carried on
-    # both sides), instead of a dropDuplicates shuffle over the whole
-    # candidate set. Standard LSH dedup trick; result set identical.
-    first_band_match = F.lit(True)
-    for j in range(n_bands - 1):
-        parts_a = F.concat(*[F.col(f"a.mh{j * rows_per_band + r}") for r in range(rows_per_band)])
-        parts_b = F.concat(*[F.col(f"b.mh{j * rows_per_band + r}") for r in range(rows_per_band)])
-        first_band_match = first_band_match & (
-            (F.col("a.band_idx") <= j) | (parts_a != parts_b)
-        )
     return (
         a.join(
             b,
@@ -192,11 +217,11 @@ def lsh_candidate_pairs(
             & (F.col("a.band_val") == F.col("b.band_val")),
         )
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .filter(first_band_match)
+        .filter(_first_band_match(num_hashes, rows_per_band))
         .select(
             F.col(f"a.{id_col}").alias("d1"),
             F.col(f"b.{id_col}").alias("d2"),
-            (matches / float(num_hashes)).alias("est_sim"),
+            _match_fraction(num_hashes).alias("est_sim"),
         )
     )
 
@@ -213,60 +238,28 @@ def lsh_cross_pairs(
     corpus without ever re-pairing the corpus against itself.
 
     Same banding and first-matching-band dedup as
-    :func:`lsh_candidate_pairs`, but the join is new×old (no self-join,
-    no id ordering constraint — the sides are disjoint by contract).
-    Output: (new_id, old_id, est_sim).
+    :func:`lsh_candidate_pairs` (shared helpers), but the join is
+    new×old (no self-join, no id ordering constraint — the sides are
+    disjoint by contract). Output: (new_id, old_id, est_sim).
 
     Scale: cost is |batch|×bands probe rows joined against the
     (persisted, in production) corpus band index — linear in the BATCH,
     not the corpus; the daily-ingest alternative of re-running the full
     self-join is quadratic in history.
     """
-    n_bands = num_hashes // rows_per_band
-
-    def banded(sig: DataFrame) -> DataFrame:
-        cols = [
-            F.concat(
-                *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-            ).alias(f"band{b}")
-            for b in range(n_bands)
-        ]
-        stack_args = ", ".join(f"{b}, band{b}" for b in range(n_bands))
-        return sig.select(
-            id_col, *[F.col(f"mh{i}") for i in range(num_hashes)], *cols
-        ).selectExpr(
-            id_col,
-            *[f"mh{i}" for i in range(num_hashes)],
-            f"stack({n_bands}, {stack_args}) AS (band_idx, band_val)",
-        )
-
-    a, b = banded(sig_new).alias("a"), banded(sig_old).alias("b")
-    matches = sum(
-        F.when(F.col(f"a.mh{i}") == F.col(f"b.mh{i}"), 1).otherwise(0)
-        for i in range(num_hashes)
-    )
-    first_band_match = F.lit(True)
-    for j in range(n_bands - 1):
-        parts_a = F.concat(
-            *[F.col(f"a.mh{j * rows_per_band + r}") for r in range(rows_per_band)]
-        )
-        parts_b = F.concat(
-            *[F.col(f"b.mh{j * rows_per_band + r}") for r in range(rows_per_band)]
-        )
-        first_band_match = first_band_match & (
-            (F.col("a.band_idx") <= j) | (parts_a != parts_b)
-        )
+    a = _banded_long(sig_new, id_col, num_hashes, rows_per_band).alias("a")
+    b = _banded_long(sig_old, id_col, num_hashes, rows_per_band).alias("b")
     return (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_val") == F.col("b.band_val")),
         )
-        .filter(first_band_match)
+        .filter(_first_band_match(num_hashes, rows_per_band))
         .select(
             F.col(f"a.{id_col}").alias("new_id"),
             F.col(f"b.{id_col}").alias("old_id"),
-            (matches / float(num_hashes)).alias("est_sim"),
+            _match_fraction(num_hashes).alias("est_sim"),
         )
     )
 

@@ -3108,12 +3108,12 @@ _BM25_TERMS = ("join", "hash", "scan")
 _BM25_K1 = 1.2
 _BM25_B = 0.75
 
-
-@register(
-    "bm25_search",
-    tier=1,  # extended retrieval surface; token machinery judged via token_accounting
-    oracle=f"""
-    WITH dl AS (
+#: Shared DuckDB CTE chain producing `scored` (doc_id, term, raw BM25
+#: term score) for the fixed query vocabulary — used by BOTH the
+#: bm25_search and hybrid_rrf_retrieval oracles so the formula can
+#: never diverge between them (same reason the Spark side shares
+#: _bm25_per_doc).
+_BM25_SQL_CTES = f"""    WITH dl AS (
       SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
     ),
     sc AS (
@@ -3138,7 +3138,14 @@ _BM25_B = 0.75
                / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
                   + {_BM25_B} * dl.dl / sc.avgdl)) AS s
       FROM tf JOIN dfr USING (term) JOIN dl USING (doc_id) CROSS JOIN sc
-    ),
+    )"""
+
+
+@register(
+    "bm25_search",
+    tier=1,  # extended retrieval surface; token machinery judged via token_accounting
+    oracle=_BM25_SQL_CTES
+    + """,
     per_doc AS (
       SELECT doc_id,
              SUM(CASE WHEN term = 'join' THEN s ELSE 0.0 END) AS s_join,
@@ -3334,33 +3341,7 @@ def _hybrid_rrf_oracle() -> str:
                * sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),
                       i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) )
     """
-    return f"""
-    WITH dl AS (
-      SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
-    ),
-    sc AS (
-      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-             SUM(dl) / CAST(COUNT(*) AS DOUBLE) AS avgdl
-      FROM dl
-    ),
-    tf AS (
-      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
-      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
-            FROM documents)
-      WHERE term IN ('join', 'hash', 'scan')
-      GROUP BY doc_id, term
-    ),
-    dfr AS (
-      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
-    ),
-    scored AS (
-      SELECT tf.doc_id, tf.term,
-             ln(1.0 + (sc.n_docs - dfr.df + 0.5) / (dfr.df + 0.5))
-               * (tf.tf * ({_BM25_K1} + 1.0))
-               / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
-                  + {_BM25_B} * dl.dl / sc.avgdl)) AS s
-      FROM tf JOIN dfr USING (term) JOIN dl USING (doc_id) CROSS JOIN sc
-    ),
+    return _BM25_SQL_CTES + f""",
     per_doc AS (
       SELECT doc_id,
              (SUM(CASE WHEN term = 'join' THEN s ELSE 0.0 END)
