@@ -87,3 +87,48 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
     return dfs
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema, multiline: bool = False
+) -> DataFrame:
+    """JSON-lines source with an EXPLICIT schema and corrupt-record
+    capture — the third ingest format after CSV (S1) and parquet (S2);
+    web-scale corpus dumps (Common-Crawl-style WET/WARC derivatives,
+    API exports) overwhelmingly arrive as JSONL.
+
+    Schema inference is disabled by design: at 100 TB an inference pass
+    is a full extra scan, and a drifting input schema should FAIL LOUDLY
+    into ``_corrupt_record`` (PERMISSIVE mode) rather than silently
+    reshape the table. Callers audit rejects via
+    :func:`corrupt_record_audit` and route them to a quarantine sink.
+    """
+    return (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("multiLine", str(multiline).lower())
+        .json(path)
+    )
+
+
+def corrupt_record_audit(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split a PERMISSIVE read into (clean, quarantine).
+
+    ``quarantine`` carries the raw offending line (``_corrupt_record``)
+    for replay after a parser fix — the production alternative to both
+    FAILFAST (one bad line kills a 100 TB job) and DROPMALFORMED
+    (silent data loss). The split is two lazy filters over ONE scan —
+    Catalyst shares it when both sides are consumed in the same action.
+
+    Spark restriction: an action whose projection prunes down to ONLY
+    ``_corrupt_record`` (e.g. ``quarantine.count()``) raises
+    UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN on a raw scan —
+    consume quarantine with at least one data column in the projection
+    (a sink write of all columns, or ``len(collect())``).
+    """
+    if "_corrupt_record" not in df.columns:
+        return df, df.limit(0)
+    clean = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    quarantine = df.filter(F.col("_corrupt_record").isNotNull())
+    return clean, quarantine
