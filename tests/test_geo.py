@@ -81,3 +81,43 @@ def test_radius_join_plans_equi_join_not_theta(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_radius_join_on_reference_osm_nodes(spark):
+    """Domain integration on the reference's REAL coordinates: schools
+    within 5 km of a hospital in one bbox (the nearest school-hospital
+    pair there is ~2.8 km), cross-checked against a brute-force
+    haversine over the same rows."""
+    import os
+
+    import pytest
+
+    path = "/root/reference/data/raw/bbox_41.5_-88.5_osm.csv"
+    if not os.path.exists(path):
+        pytest.skip("reference raw data not available")
+    from traffic_accidents_airflow_kafka_spark.pipeline.osm import read_osm_raw
+
+    raw = read_osm_raw(spark, path).select(
+        "category",
+        F.col("latitude").cast("double").alias("latitude"),
+        F.col("longitude").cast("double").alias("longitude"),
+    )
+    schools = raw.filter(F.col("category") == "school").select(
+        F.col("latitude").alias("lat"), F.col("longitude").alias("lon")
+    )
+    hospitals = raw.filter(F.col("category") == "hospital").select(
+        F.col("latitude").alias("c_lat"), F.col("longitude").alias("c_lon")
+    )
+    got = geo.radius_join(schools, hospitals, 5.0).collect()
+
+    s_rows = [(r["lat"], r["lon"]) for r in schools.collect()]
+    h_rows = [(r["c_lat"], r["c_lon"]) for r in hospitals.collect()]
+    assert s_rows and h_rows, "bbox fixture lost its schools/hospitals"
+    want = sum(
+        1
+        for sla, slo in s_rows
+        for hla, hlo in h_rows
+        if _hav_py(sla, slo, hla, hlo) <= 5.0
+    )
+    assert len(got) == want > 0
+    assert all(r["distance_km"] <= 5.0 for r in got)
