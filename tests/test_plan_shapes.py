@@ -32,6 +32,10 @@ CROSS_JOIN_OK = {
     # mergeable_uniques: the global HLL-union estimate is a ONE-ROW
     # broadcast scalar crossJoined onto the |days|-row relation.
     "mergeable_uniques",
+    # temporal_split_audit: the percentile cutoff and the straddle-user
+    # count are ONE-ROW broadcast scalars crossJoined onto the events
+    # tag pass / the 2-row split rollup.
+    "temporal_split_audit",
 }
 
 #: Streaming entries build a streaming plan — skipped here (their shape is

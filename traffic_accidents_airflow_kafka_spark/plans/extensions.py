@@ -1810,3 +1810,142 @@ def mergeable_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(glob))
         .orderBy("day")
     )
+
+
+@register(
+    "temporal_split_audit",
+    tier=1,  # extended curation surface; complements the cluster-keyed leakfree_split
+    oracle="""
+    WITH cut AS (
+      SELECT CAST(FLOOR(quantile_cont(CAST(epoch_us(ts) AS DOUBLE), 0.8))
+                  AS BIGINT) AS cutoff_us
+      FROM events
+    ),
+    tagged AS (
+      SELECT e.user_id,
+             CASE WHEN CAST(epoch_us(e.ts) AS BIGINT) < c.cutoff_us
+                  THEN 'train' ELSE 'test' END AS split
+      FROM events e CROSS JOIN cut c
+    ),
+    per_split AS (
+      SELECT split,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM tagged GROUP BY split
+    ),
+    straddle AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_straddle_users FROM (
+        SELECT user_id FROM tagged GROUP BY user_id
+        HAVING COUNT(DISTINCT split) = 2
+      )
+    )
+    SELECT split, n_events, n_users, n_straddle_users,
+           ROUND(n_straddle_users / CAST(n_users AS DOUBLE), 4)
+             AS straddle_share
+    FROM per_split CROSS JOIN straddle
+    ORDER BY split
+    """,
+    doc="Temporal split + entity-leakage audit — the TIME-based twin of "
+    "leakfree_split_stats: train/test cut at the exact 80th-percentile "
+    "event time (epoch-microsecond quantile, floored to an integer so "
+    "both engines compare the same cutoff), with the leakage read a "
+    "forecasting/recommendation split needs — how many users have "
+    "events on BOTH sides of the cutoff (their test rows are "
+    "behaviorally entangled with training history; user-keyed or "
+    "gap-buffered splits are the mitigations). Scale: the cutoff is "
+    "one percentile aggregate (percentile_approx at 100 TB) broadcast "
+    "as a one-row scalar; the tag pass is map-side; the audit is two "
+    "user-keyed hash aggregates.",
+)
+def temporal_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    cut = events.agg(
+        F.floor(
+            F.percentile(F.unix_micros(F.col("ts").cast("timestamp")).cast("double"), F.lit(0.8))
+        )
+        .cast("bigint")
+        .alias("cutoff_us")
+    )
+    tagged = events.crossJoin(F.broadcast(cut)).select(
+        "user_id",
+        F.when(
+            F.unix_micros(F.col("ts").cast("timestamp")) < F.col("cutoff_us"),
+            "train",
+        )
+        .otherwise("test")
+        .alias("split"),
+    )
+    per_split = tagged.groupBy("split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+    )
+    straddle = (
+        tagged.groupBy("user_id")
+        .agg(F.count_distinct("split").alias("ns"))
+        .filter(F.col("ns") == 2)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_straddle_users"))
+    )
+    return (
+        per_split.crossJoin(F.broadcast(straddle))
+        .select(
+            "split",
+            "n_events",
+            "n_users",
+            "n_straddle_users",
+            F.round(
+                F.col("n_straddle_users") / F.col("n_users").cast("double"), 4
+            ).alias("straddle_share"),
+        )
+        .orderBy("split")
+    )
+
+
+@register(
+    "user_event_sequences",
+    tier=1,  # extended training-data surface; the behavioral-sequence dataset build
+    oracle="""
+    WITH seqs AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             md5(string_agg(event_type, '|' ORDER BY ts, event_id))
+               AS seq_digest
+      FROM events
+      WHERE user_id < 50
+      GROUP BY user_id
+    )
+    SELECT user_id, n_events, seq_digest
+    FROM seqs ORDER BY user_id
+    """,
+    doc="Per-user ordered event sequences — the dataset-assembly step "
+    "for behavioral/sequence models (session-based recommendation, "
+    "next-event prediction): each user's full event-type sequence in "
+    "exact (ts, event_id) order, emitted as length + an md5 digest of "
+    "the '|'-joined sequence so the ORDER ITSELF is value-hash-checked "
+    "cross-engine without shipping megabyte rows to the driver. "
+    "Spark side builds the order inside the aggregate — "
+    "collect_list(struct(ts, event_id, event_type)) then array_sort + "
+    "transform (one user-keyed shuffle, no window pass); the sort is "
+    "per-user in memory, bounded by per-user event counts (sessionize "
+    "first when a single entity's history outgrows a task). Scale: "
+    "ONE hash aggregate keyed on the entity; the digest keeps shuffle "
+    "rows small no matter the sequence length.",
+)
+def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    grouped = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ).alias("evs"),
+    )
+    seq = F.array_join(
+        F.transform(F.col("evs"), lambda e: e.getField("event_type")), "|"
+    )
+    return (
+        grouped.select(
+            "user_id",
+            "n_events",
+            F.md5(seq.cast("binary")).alias("seq_digest"),
+        )
+        .orderBy("user_id")
+    )
