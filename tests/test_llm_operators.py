@@ -733,3 +733,43 @@ def test_leakfree_split_keeps_neardup_family_together(spark, tmp_path):
     # 13 docs, 11 clusters (the family collapses 3 -> 1).
     assert sum(r["n_docs"] for r in rows) == 13
     assert sum(r["n_clusters"] for r in rows) == 11
+
+
+def test_triangle_stats_on_planted_graph(spark):
+    """Triangle (1,2,3) plus pendant node 4 hanging off 1: hand-computed
+    degrees, per-node triangle counts, and clustering coefficients.
+    Duplicate and reversed input pairs must not double-count."""
+    from traffic_accidents_airflow_kafka_spark.operators.graph import triangle_stats
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (4, 1), (2, 1), (1, 3)],  # dups + reversal
+        "d1 long, d2 long",
+    )
+    got = {
+        r["id"]: (r["degree"], r["n_triangles"], r["clustering_coeff"])
+        for r in triangle_stats(pairs).collect()
+    }
+    assert got == {
+        1: (3, 1, 0.3333),  # 1 triangle of C(3,2)=3 possible
+        2: (2, 1, 1.0),
+        3: (2, 1, 1.0),
+        4: (1, 0, 0.0),
+    }
+
+
+def test_triangle_stats_clique_vs_chain(spark):
+    """A 4-clique is all coefficient 1.0 (safe to collapse); a 4-chain
+    has zero triangles everywhere (needs pairwise review)."""
+    from traffic_accidents_airflow_kafka_spark.operators.graph import triangle_stats
+
+    clique = [(a, b) for a in range(4) for b in range(4) if a < b]
+    chain = [(10, 11), (11, 12), (12, 13)]
+    got = triangle_stats(
+        spark.createDataFrame(clique + chain, "d1 long, d2 long")
+    ).collect()
+    for r in got:
+        if r["id"] < 4:
+            assert r["degree"] == 3 and r["n_triangles"] == 3
+            assert r["clustering_coeff"] == 1.0
+        else:
+            assert r["n_triangles"] == 0 and r["clustering_coeff"] == 0.0

@@ -3456,3 +3456,86 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "rank_lex", "rank_sem", F.round("rrf_raw", 6).alias("rrf")
         )
     )
+
+
+def _triangle_oracle() -> str:
+    return (
+        _SHINGLE_CTE
+        + """,
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    jpairs AS (
+      SELECT i.d1 AS a, i.d2 AS b
+      FROM inter i
+      JOIN sizes s1 ON i.d1 = s1.doc_id
+      JOIN sizes s2 ON i.d2 = s2.doc_id
+      WHERE i.n_common / CAST(s1.sz + s2.sz - i.n_common AS DOUBLE) >= 0.5
+    ),
+    tris AS (
+      SELECT e1.a, e1.b, e2.b AS c
+      FROM jpairs e1
+      JOIN jpairs e2 ON e1.b = e2.a
+      JOIN jpairs e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    tri_nodes AS (
+      SELECT id, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+        SELECT a AS id FROM tris
+        UNION ALL SELECT b FROM tris
+        UNION ALL SELECT c FROM tris
+      ) GROUP BY id
+    ),
+    degrees AS (
+      SELECT id, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+        SELECT a AS id FROM jpairs UNION ALL SELECT b FROM jpairs
+      ) GROUP BY id
+    )
+    SELECT d.id AS doc_id, d.degree,
+           CAST(COALESCE(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+           ROUND(CASE WHEN d.degree >= 2
+                      THEN COALESCE(t.n_triangles, 0)
+                           / (d.degree * (d.degree - 1) / 2.0)
+                      ELSE 0.0 END, 4) AS clustering_coeff
+    FROM degrees d LEFT JOIN tri_nodes t ON d.id = t.id
+    ORDER BY n_triangles DESC, doc_id
+    LIMIT 30
+    """
+    )
+
+
+@register(
+    "dedup_triangle_stats",
+    tier=1,  # extended graph surface; CC/pagerank judge the shared pair machinery
+    oracle=_triangle_oracle(),
+    min_rows=0,  # a corpus with no near-dup pairs has no graph to measure
+    doc="Triangle counts + local clustering coefficients over the "
+    "near-dup graph (operators/graph.py:triangle_stats) — the density "
+    "read that separates duplicate FAMILIES (near-cliques, coefficient "
+    "~1: every copy matches every copy) from fragile chains of "
+    "borderline pairs (coefficient ~0: A~B~C but A!~C), which decides "
+    "whether a cluster can be safely collapsed to one canonical or "
+    "needs pairwise review. Node-iterator enumeration over "
+    "id-canonical edges: two equi-join legs form ordered wedges "
+    "a<b<c, a third closes them — every triangle exactly once, no "
+    "theta join; at skewed scale orient edges by DEGREE instead of id "
+    "(same plan, O(m^1.5) wedge bound). Oracle replays the identical "
+    "enumeration in SQL.",
+)
+def dedup_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.word_shingles(docs, "doc_id", "text", n=3)
+    pairs = dedup.jaccard_pairs(sh, "doc_id").filter(F.col("jaccard") >= 0.5)
+    stats = graph.triangle_stats(pairs, "d1", "d2")
+    return (
+        stats.select(
+            F.col("id").alias("doc_id"),
+            "degree",
+            "n_triangles",
+            "clustering_coeff",
+        )
+        .orderBy(F.desc("n_triangles"), "doc_id")
+        .limit(30)
+    )
