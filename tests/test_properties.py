@@ -336,12 +336,7 @@ def test_radius_join_equals_bruteforce(spark, pts, cens, r_km):
     conservative cell sizing may only add candidates, never lose pairs."""
     from traffic_accidents_airflow_kafka_spark.operators import geo
 
-    def hav(lat1, lon1, lat2, lon2):
-        rl1, rl2 = math.radians(lat1), math.radians(lat2)
-        dla = math.radians(lat2 - lat1) / 2
-        dlo = math.radians(lon2 - lon1) / 2
-        a = math.sin(dla) ** 2 + math.cos(rl1) * math.cos(rl2) * math.sin(dlo) ** 2
-        return 2 * geo.EARTH_RADIUS_KM * math.atan2(math.sqrt(a), math.sqrt(1 - a))
+    from .test_geo import _hav_py as hav  # single shared brute-force reference
 
     pdf = spark.createDataFrame(
         [(i, la, lo) for i, (la, lo) in enumerate(pts)],

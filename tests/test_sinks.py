@@ -156,11 +156,14 @@ def test_jsonl_permissive_read_splits_clean_and_quarantine(spark, tmp_path):
     ]
     with open(path, "w") as f:
         f.write("\n".join(lines))
+    # No _corrupt_record field here on purpose: read_jsonl must inject
+    # it (Spark only populates the corrupt column when the explicit
+    # schema contains it — omitting it would turn malformed lines into
+    # silent all-null "clean" rows).
     schema = StructType(
         [
             StructField("doc_id", LongType()),
             StructField("text", StringType()),
-            StructField("_corrupt_record", StringType()),
         ]
     )
     # Cache the parsed batch before auditing: Spark disallows actions

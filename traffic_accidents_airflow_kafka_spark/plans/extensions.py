@@ -1817,7 +1817,9 @@ def mergeable_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
     tier=1,  # extended curation surface; complements the cluster-keyed leakfree_split
     oracle="""
     WITH cut AS (
-      SELECT CAST(FLOOR(quantile_cont(CAST(epoch_us(ts) AS DOUBLE), 0.8))
+      SELECT CAST(MIN(epoch_us(ts))
+                  + FLOOR(0.8 * CAST(MAX(epoch_us(ts)) - MIN(epoch_us(ts))
+                                     AS DOUBLE))
                   AS BIGINT) AS cutoff_us
       FROM events
     ),
@@ -1852,19 +1854,23 @@ def mergeable_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
     "forecasting/recommendation split needs — how many users have "
     "events on BOTH sides of the cutoff (their test rows are "
     "behaviorally entangled with training history; user-keyed or "
-    "gap-buffered splits are the mitigations). Scale: the cutoff is "
-    "one percentile aggregate (percentile_approx at 100 TB) broadcast "
-    "as a one-row scalar; the tag pass is map-side; the audit is two "
-    "user-keyed hash aggregates.",
+    "gap-buffered splits are the mitigations). The cutoff is 80% of "
+    "the TIME RANGE (min + floor(0.8*(max-min)) on exact integer "
+    "epoch-us): min/max are exact, the one float product is the "
+    "IDENTICAL expression in both engines, so no interpolated-"
+    "percentile formula difference can shift the boundary by an ulp "
+    "and flip boundary events between splits. Scale: the cutoff is "
+    "one min/max aggregate broadcast as a one-row scalar; the tag "
+    "pass is map-side; the audit is two user-keyed hash aggregates.",
 )
 def temporal_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
     cut = events.agg(
-        F.floor(
-            F.percentile(F.unix_micros(F.col("ts").cast("timestamp")).cast("double"), F.lit(0.8))
-        )
-        .cast("bigint")
-        .alias("cutoff_us")
+        (
+            F.min(us)
+            + F.floor(0.8 * (F.max(us) - F.min(us)).cast("double")).cast("bigint")
+        ).alias("cutoff_us")
     )
     tagged = events.crossJoin(F.broadcast(cut)).select(
         "user_id",

@@ -102,7 +102,19 @@ def read_jsonl(
     into ``_corrupt_record`` (PERMISSIVE mode) rather than silently
     reshape the table. Callers audit rejects via
     :func:`corrupt_record_audit` and route them to a quarantine sink.
+
+    The ``_corrupt_record`` field is appended to the schema when absent:
+    Spark only POPULATES columnNameOfCorruptRecord if the explicit
+    schema contains it — without this, malformed lines would silently
+    surface as all-null "clean" rows, the exact failure mode this
+    reader exists to prevent.
     """
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    if "_corrupt_record" not in schema.fieldNames():
+        schema = StructType(
+            list(schema.fields) + [StructField("_corrupt_record", StringType())]
+        )
     return (
         spark.read.schema(schema)
         .option("mode", "PERMISSIVE")
