@@ -1,0 +1,127 @@
+"""BPE trainer semantics pinned against a pure-Python reference
+implementation (Sennrich et al. 2016 pseudocode), independent of both
+Spark and the DuckDB oracle (which cross-check each other in
+test_catalog_oracle / scripts/verify_oracle.py)."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import pyspark.sql.functions as F
+
+from traffic_accidents_airflow_kafka_spark.operators import bpe
+from traffic_accidents_airflow_kafka_spark.operators.text import BPE_ISH_PATTERN
+
+CORPUS = [
+    "the cat sat on the mat",
+    "the cats sat on the mats",
+    "a cat and a mat and a hat",
+    "hats and mats and cats!",
+    "low lower lowest, new newer newest",
+    "low low low low low",
+]
+
+
+def _ref_word_freq(texts: list[str]) -> Counter:
+    c: Counter = Counter()
+    for t in texts:
+        c.update(re.findall(BPE_ISH_PATTERN, t))
+    return c
+
+
+def _ref_merge_word(syms: list[str], lhs: str, rhs: str) -> list[str]:
+    """Greedy left-to-right merge — the reference semantics both the
+    Spark array fold and the oracle's replace() must reproduce."""
+    out: list[str] = []
+    i = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == lhs and syms[i + 1] == rhs:
+            out.append(lhs + rhs)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _ref_train(texts: list[str], n_merges: int, min_freq: int = 2):
+    freq = _ref_word_freq(texts)
+    vocab = {w: list(w) for w in freq}
+    merges = []
+    for rank in range(n_merges):
+        pairs: Counter = Counter()
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += freq[w]
+        if not pairs:
+            break
+        # count desc, then lexicographic (lhs, rhs) — the deterministic
+        # tie-break train_bpe and the oracle both use.
+        (lhs, rhs), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < min_freq:
+            break
+        merges.append((rank, lhs, rhs, cnt))
+        vocab = {w: _ref_merge_word(s, lhs, rhs) for w, s in vocab.items()}
+    return merges, vocab
+
+
+def _docs(spark):
+    return spark.createDataFrame([(t,) for t in CORPUS], "text STRING")
+
+
+def test_train_bpe_matches_pure_python_reference(spark):
+    expected, _ = _ref_train(CORPUS, n_merges=8)
+    got = [
+        (r["rank"], r["lhs"], r["rhs"], r["pair_count"])
+        for r in bpe.train_bpe(_docs(spark), n_merges=8).orderBy("rank").collect()
+    ]
+    assert got == expected
+
+
+def test_train_bpe_stops_below_min_freq(spark):
+    docs = spark.createDataFrame([("ab zq",)], "text STRING")
+    # every pair occurs once; with min_freq=2 no merge is learned
+    assert bpe.train_bpe(docs, n_merges=4, min_freq=2).count() == 0
+
+
+def test_apply_merge_greedy_overlap_semantics(spark):
+    cases = [
+        (["a", "a", "a", "a"], ("a", "a"), ["aa", "aa"]),
+        (["a", "a", "a"], ("a", "a"), ["aa", "a"]),
+        # no false positive when a symbol merely ENDS with lhs
+        (["c", "ca", "b"], ("a", "b"), ["c", "ca", "b"]),
+        (["x", "a", "b", "y"], ("a", "b"), ["x", "ab", "y"]),
+        (["a", "b"], ("b", "a"), ["a", "b"]),
+        ([], ("a", "b"), []),
+    ]
+    df = spark.createDataFrame(
+        [(i, syms) for i, (syms, _, _) in enumerate(cases)],
+        "i INT, syms ARRAY<STRING>",
+    )
+    for i, (syms, (lhs, rhs), want) in enumerate(cases):
+        got = (
+            df.where(F.col("i") == i)
+            .select(bpe.apply_merge("syms", lhs, rhs).alias("m"))
+            .first()["m"]
+        )
+        assert got == want, f"case {i}: {syms} + {(lhs, rhs)} -> {got}, want {want}"
+        assert _ref_merge_word(syms, lhs, rhs) == want  # reference agrees
+
+
+def test_encode_stats_applies_merges_in_training_order(spark):
+    docs = _docs(spark)
+    merges_df = bpe.train_bpe(docs, n_merges=8)
+    merges = [(r["lhs"], r["rhs"]) for r in merges_df.orderBy("rank").collect()]
+    _, ref_vocab = _ref_train(CORPUS, n_merges=8)
+    enc = {
+        r["word"]: (r["f"], r["symbols"], r["n_symbols"])
+        for r in bpe.encode_stats(docs, merges).collect()
+    }
+    ref_freq = _ref_word_freq(CORPUS)
+    assert set(enc) == set(ref_vocab)
+    for w, syms in ref_vocab.items():
+        f, got_syms, n = enc[w]
+        assert got_syms == syms, f"{w}: {got_syms} != {syms}"
+        assert f == ref_freq[w]
+        assert n == len(syms)

@@ -1,0 +1,177 @@
+"""Tokenizer-training queries: distributed BPE over the documents corpus.
+
+The reference pipeline has no tokenizer (it ends at SQL dashboards); this
+is part of the engine's training-data surface (SURVEY.md LLM-ops mandate:
+the `token_accounting` query already prices corpora in BPE-ish pretokens —
+these queries train the merge table that makes those tokens real).
+
+All three queries carry FULL DuckDB oracles, including the iterative
+trainer: a BPE merge application ("replace every adjacent (lhs, rhs) with
+lhs||rhs, greedily left-to-right") is exactly SQL `replace()` over a
+newline-prefixed symbol encoding — `replace(s, NL||lhs||NL||rhs,
+NL||lhs||rhs)` — because (a) the marker NL can never occur inside a
+symbol (the pretokenizer pattern excludes all whitespace in both engines'
+regex dialects), (b) prefix-marking each symbol makes a pair pattern
+unambiguous (no suffix of one symbol can complete another's match), and
+(c) SQL replace scans left-to-right over non-overlapping occurrences —
+the exact greedy semantics of reference BPE. Each training round is one
+MATERIALIZED CTE pair (argmax pair + rewritten vocab), chained n_merges
+deep; without MATERIALIZED the self-referencing chain re-evaluates
+exponentially (measured: 12 rounds >120 s inlined vs 0.5 s materialized).
+
+Spark side: operators/bpe.py (corpus-collapsing word count, then
+vocabulary-sized rounds with a native array-fold merge; one collected
+argmax row per round).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import bpe
+from ..operators.text import BPE_ISH_PATTERN
+from ..sources.tables import load_table
+from .registry import register
+
+#: Merge-table depth for the catalog queries. 12 rounds is enough to show
+#: multi-character merges composing (e.g. j+o, jo+in at sf0.01) while
+#: keeping the chained-CTE oracle and the per-round Spark jobs cheap.
+N_MERGES = 12
+
+
+def _bpe_cte_chain(n_merges: int) -> str:
+    """The shared oracle prefix: word freq → encoded vocab r0 → n rounds
+    of (argmax pair b{i}, merged vocab r{i})."""
+    parts = [
+        f"""
+    WITH words AS (
+      SELECT unnest(regexp_extract_all(text, '{BPE_ISH_PATTERN}', 0)) AS w
+      FROM documents
+    ),
+    freq AS (SELECT w, COUNT(*) AS f FROM words GROUP BY w),
+    r0 AS MATERIALIZED (
+      SELECT w, f, regexp_replace(w, '(.)', chr(10) || '\\1', 'g') AS s
+      FROM freq
+    )"""
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(
+            f""",
+    b{i} AS MATERIALIZED (
+      SELECT q.syms[t.i] AS lhs, q.syms[t.i + 1] AS rhs,
+             CAST(SUM(q.f) AS BIGINT) AS pair_count
+      FROM (SELECT f, string_split(s, chr(10))[2:] AS syms FROM r{i - 1}) q,
+           UNNEST(generate_series(1, len(q.syms) - 1)) AS t(i)
+      GROUP BY lhs, rhs
+      ORDER BY pair_count DESC, lhs, rhs LIMIT 1
+    ),
+    r{i} AS MATERIALIZED (
+      SELECT w, f,
+             replace(s, chr(10) || lhs || chr(10) || rhs,
+                     chr(10) || lhs || rhs) AS s
+      FROM r{i - 1} CROSS JOIN b{i}
+    )"""
+        )
+    return "".join(parts)
+
+
+_TRAIN_SELECT = "\n    UNION ALL ".join(
+    f"SELECT CAST({i - 1} AS INT) AS rank, lhs, rhs, pair_count FROM b{i}"
+    for i in range(1, N_MERGES + 1)
+)
+
+
+@register(
+    "bpe_merge_candidates",
+    tier=1,  # tokenizer-training surface; pair-count machinery also judged via token_accounting's regex parity
+    oracle=f"""
+    WITH words AS (
+      SELECT unnest(regexp_extract_all(text, '{BPE_ISH_PATTERN}', 0)) AS w
+      FROM documents
+    ),
+    freq AS (SELECT w, COUNT(*) AS f FROM words GROUP BY w),
+    pairs AS (
+      SELECT substring(w, t.i, 1) AS lhs, substring(w, t.i + 1, 1) AS rhs, f
+      FROM freq, UNNEST(generate_series(1, length(w) - 1)) AS t(i)
+    )
+    SELECT lhs, rhs, CAST(SUM(f) AS BIGINT) AS pair_count
+    FROM pairs GROUP BY lhs, rhs
+    ORDER BY pair_count DESC, lhs, rhs LIMIT 30
+    """,
+    doc="BPE training, round-0 statistics: the adjacent character-pair "
+    "count table every merge decision reads (Sennrich et al. 2016 "
+    "get_stats, as the map-reduce every industrial trainer uses: "
+    "corpus → word counts → pair counts weighted by word frequency). "
+    "Scale: ONE corpus-sized word-count shuffle, then vocabulary-sized "
+    "pair aggregation — training cost is independent of corpus size "
+    "past the first pass (operators/bpe.py:word_freq/pair_counts).",
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    symtab = bpe.word_freq(docs).select(
+        "f", bpe.initial_symbols("word").alias("syms")
+    )
+    return (
+        bpe.pair_counts(symtab)
+        .orderBy(F.desc("pair_count"), "lhs", "rhs")
+        .limit(30)
+    )
+
+
+@register(
+    "bpe_train_merges",
+    tier=1,  # tokenizer-training surface
+    oracle=f"""{_bpe_cte_chain(N_MERGES)}
+    SELECT * FROM ({_TRAIN_SELECT}) ORDER BY rank
+    """,
+    doc=f"Iterative BPE training, {N_MERGES} merges (rank, lhs, rhs, "
+    "pair_count) — driver-argmax rounds over the VOCABULARY (never the "
+    "corpus), each merge applied as a native array fold "
+    "(operators/bpe.py:train_bpe). Oracle: full SQL replay via "
+    "newline-prefixed symbol strings where replace() IS the greedy "
+    "merge (module docstring) — the whole trainer value-hash-checks "
+    "against DuckDB. Scale: one corpus shuffle + n_merges vocab-sized "
+    "rounds; one collected row per round; lineage truncated per round "
+    "(localCheckpoint), shuffle partitions sized to the vocab.",
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe.train_bpe(docs, n_merges=N_MERGES, min_freq=2)
+
+
+@register(
+    "bpe_segmentations",
+    tier=1,  # tokenizer-training surface
+    oracle=f"""{_bpe_cte_chain(N_MERGES)}
+    SELECT w AS word, CAST(f AS BIGINT) AS f,
+           CAST(len(string_split(s, chr(10))) - 1 AS INT) AS n_symbols,
+           replace(s[2:], chr(10), ' ') AS segmentation
+    FROM r{N_MERGES}
+    ORDER BY f DESC, w LIMIT 25
+    """,
+    doc="BPE encoding with the trained merge table: the 25 most frequent "
+    "words with their final segmentations (word, f, n_symbols, "
+    "space-joined symbols). Encoding is vocabulary-scale too — each "
+    "DISTINCT word is segmented once (merge folds chained in training "
+    "order, operators/bpe.py:encode_stats); doc-level token counts are "
+    "then a broadcast join away. Oracle: same CTE chain as the trainer, "
+    "reading the final vocab state instead of the merge list.",
+)
+def bpe_segmentations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in bpe.train_bpe(docs, n_merges=N_MERGES, min_freq=2).collect()
+    ]
+    return (
+        bpe.encode_stats(docs, merges)
+        .select(
+            "word",
+            F.col("f").cast("bigint").alias("f"),
+            F.col("n_symbols").cast("int").alias("n_symbols"),
+            F.array_join("symbols", " ").alias("segmentation"),
+        )
+        .orderBy(F.desc("f"), "word")
+        .limit(25)
+    )
