@@ -1955,3 +1955,92 @@ def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "variant_shredding",
+    tier=1,  # extended semi-structured surface; JSON-path machinery judged via map_parse_expand
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+             AS sum_k,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS INT)
+             AS min_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INT)
+             AS max_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Semi-structured VARIANT path (Spark 4): parse_json → VariantType "
+    "→ typed variant_get('$.k') extraction, aggregated per event_type. "
+    "The modern alternative to from_json-with-declared-schema "
+    "(map_parse_expand) when payload schemas drift: VARIANT keeps the "
+    "full document in a shredded binary encoding, path access is "
+    "O(path) without reparsing, and unknown fields survive ingestion "
+    "instead of being dropped by a stale schema. Scale: parse once per "
+    "row (codegen'd), |event_type| groups shuffle; at 100 TB prefer "
+    "writing the parsed VARIANT column to parquet so downstream readers "
+    "skip the parse entirely.",
+)
+def variant_shredding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "overpass_pyds_rollup",
+    tier=1,  # extended source surface; REST ingestion also covered by pipeline/overpass.py (driver-side job)
+    oracle="""
+    SELECT * FROM (VALUES
+      ('crossing',        CAST(72 AS BIGINT), CAST(36 AS BIGINT)),
+      ('hospital',        CAST(72 AS BIGINT), CAST(36 AS BIGINT)),
+      ('school',          CAST(72 AS BIGINT), CAST(36 AS BIGINT)),
+      ('traffic_signals', CAST(72 AS BIGINT), CAST(36 AS BIGINT))
+    ) AS t(category, n_nodes, n_bboxes)
+    ORDER BY category
+    """,
+    doc="S8 through the Spark 4 Python DataSource API (sources/pyds.py): "
+    "the Overpass REST source as an executor-parallel scan — one input "
+    "partition per bbox (36), bbox_label equality/IN pushdown pruning "
+    "partitions before any fetch happens, transport injected by dotted "
+    "path. This query reads the deterministic offline transport "
+    "(8 md5-seeded nodes per bbox, category round-robin), so the "
+    "expected rollup is a closed-form constant — the oracle pins it as "
+    "a fixture (36 bboxes x 2 nodes per category), checking the whole "
+    "source machinery end to end. Scale: ingestion parallelism = "
+    "|bboxes|; per-bbox task retry; against the rate-limited public "
+    "endpoint use the driver-side paced job instead "
+    "(pipeline/overpass.py — documented tradeoff).",
+)
+def overpass_pyds_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.pyds import OverpassDataSource
+
+    try:
+        spark.dataSource.register(OverpassDataSource)
+    except Exception:
+        pass  # already registered in this session
+    # Runtime conf, set here so the pushdown works under ANY session
+    # (the engine's get_spark also defaults it on).
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    nodes = spark.read.format("overpass").load()
+    return (
+        nodes.groupBy("category")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.countDistinct("bbox_label").alias("n_bboxes"),
+        )
+        .orderBy("category")
+    )

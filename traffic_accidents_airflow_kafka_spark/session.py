@@ -82,6 +82,9 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Let Python DataSources (sources/pyds.py) receive pushFilters —
+        # partition pruning at the source, off by default in 4.1.
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # Local-mode niceties; harmless on a cluster.
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")

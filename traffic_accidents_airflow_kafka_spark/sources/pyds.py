@@ -1,0 +1,172 @@
+"""Overpass REST ingestion as a Spark 4 Python DataSource (SURVEY.md
+§2.1 S8, the executor-parallel variant).
+
+The reference fetches 36 bboxes in a serial, 5s-paced driver loop
+(dags/etl_crash_traffic.py:187-228) — the right shape against the
+rate-limited PUBLIC Overpass endpoint, and `pipeline/overpass.py` keeps
+that job. Against a self-hosted Overpass mirror (the only option at real
+scale anyway), ingestion should instead be a PARALLEL scan — this module
+expresses it through the Python DataSource API (SPARK-44076, 4.0+):
+
+- ``partitions()`` → one :class:`InputPartition` per bbox, so fetches
+  run concurrently across executors and a failed bbox retries alone
+  (task retry = per-bbox retry, vs the driver loop's all-or-nothing).
+- ``pushFilters()`` (4.1+) → ``bbox_label = …`` / ``IN`` predicates
+  prune partitions BEFORE any HTTP happens: `WHERE bbox_label =
+  'bbox_35.0_-81.0'` fetches exactly one bbox. Equality on the
+  partition-defining column is exact, so handled filters are fully
+  absorbed (not re-evaluated by Spark).
+- The HTTP transport stays injectable and out of this package: the
+  ``fetch`` option is a ``"module:callable"`` dotted path resolved on
+  executors (tests inject a fake; production injects its HTTP client).
+  The default ``synthetic`` transport generates deterministic md5-seeded
+  nodes per bbox — the source works offline out of the box.
+
+Rows come out in the canonical downstream shape: ``bbox_label`` is the
+``bbox_{lat}_{lon}`` str(float)-rendered form the merge pipeline joins on
+(F13 parity; pipeline/osm.py derives the same from extract filenames).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import re
+from collections.abc import Iterable, Iterator, Sequence
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    In,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+from ..pipeline.overpass import BBOXES, Node, node_category, overpass_query
+
+OVERPASS_SCHEMA = (
+    "bbox_label STRING, category STRING, latitude DOUBLE, "
+    "longitude DOUBLE, tags MAP<STRING,STRING>"
+)
+
+_BBOX_RE = re.compile(r"\(([-\d.]+),([-\d.]+),([-\d.]+),([-\d.]+)\)")
+
+_SYNTH_CATEGORIES = (
+    ("amenity", "school"),
+    ("amenity", "hospital"),
+    ("highway", "traffic_signals"),
+    ("highway", "crossing"),
+)
+
+
+def synthetic_fetch(query: str, nodes_per_bbox: int = 8) -> Iterable[Node]:
+    """Offline stand-in transport: deterministic nodes seeded by the
+    bbox embedded in the QL query (md5 → position within the bbox,
+    category round-robin). Same ``FetchFn`` contract as production."""
+    m = _BBOX_RE.search(query)
+    if not m:
+        return []
+    min_lat, min_lon, max_lat, max_lon = (float(g) for g in m.groups())
+    out: list[Node] = []
+    for i in range(nodes_per_bbox):
+        d = hashlib.md5(f"{min_lat},{min_lon}:{i}".encode()).digest()
+        u_lat = int.from_bytes(d[:4], "big") / 2**32
+        u_lon = int.from_bytes(d[4:8], "big") / 2**32
+        key, val = _SYNTH_CATEGORIES[i % len(_SYNTH_CATEGORIES)]
+        out.append(
+            (
+                round(min_lat + u_lat * (max_lat - min_lat), 6),
+                round(min_lon + u_lon * (max_lon - min_lon), 6),
+                {key: val, "name": f"node_{i}"},
+            )
+        )
+    return out
+
+
+def _resolve_fetch(spec: str):
+    """'synthetic' or a picklable-by-path 'module:callable' resolved at
+    read time ON THE EXECUTOR — the transport never ships through the
+    plan, only its import path does."""
+    if spec == "synthetic":
+        return synthetic_fetch
+    mod_name, _, attr = spec.partition(":")
+    if not attr:
+        raise ValueError(f"fetch spec {spec!r} is not 'module:callable'")
+    import importlib
+
+    return getattr(importlib.import_module(mod_name), attr)
+
+
+@dataclass
+class BboxPartition(InputPartition):
+    min_lat: float
+    min_lon: float
+
+
+def _label(min_lat: float, min_lon: float) -> str:
+    return f"bbox_{min_lat}_{min_lon}"
+
+
+class OverpassReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.options = dict(options)
+        raw = self.options.get("bboxes")
+        self.bboxes: list[tuple[float, float]] = (
+            [(float(a), float(b)) for a, b in json.loads(raw)] if raw else list(BBOXES)
+        )
+        self.size = float(self.options.get("size", "0.5"))
+        #: None = no pushed predicate; else the exact label set to keep.
+        self.kept_labels: set[str] | None = None
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        for f in filters:
+            values = None
+            if isinstance(f, EqualTo) and f.attribute == ("bbox_label",):
+                values = [f.value]
+            elif isinstance(f, In) and f.attribute == ("bbox_label",):
+                values = list(f.value)
+            if values is not None and all(isinstance(v, str) for v in values):
+                new = set(values)
+                # AND semantics across pushed filters → intersect.
+                self.kept_labels = (
+                    new if self.kept_labels is None else self.kept_labels & new
+                )
+            else:
+                yield f  # unsupported — Spark evaluates it post-scan
+
+    def partitions(self) -> Sequence[InputPartition]:
+        return [
+            BboxPartition(lat, lon)
+            for lat, lon in self.bboxes
+            if self.kept_labels is None or _label(lat, lon) in self.kept_labels
+        ]
+
+    def read(self, partition: BboxPartition) -> Iterator[tuple]:
+        fetch = _resolve_fetch(self.options.get("fetch", "synthetic"))
+        label = _label(partition.min_lat, partition.min_lon)
+        query = overpass_query(partition.min_lat, partition.min_lon, self.size)
+        for lat, lon, tags in fetch(query):
+            yield (label, node_category(tags), float(lat), float(lon), dict(tags))
+
+
+class OverpassDataSource(DataSource):
+    """``spark.read.format("overpass")`` after
+    ``spark.dataSource.register(OverpassDataSource)``.
+
+    Options: ``fetch`` ('synthetic' | 'module:callable'), ``bboxes``
+    (JSON ``[[lat, lon], ...]``; default: the reference's 36), ``size``
+    (bbox edge degrees, default 0.5).
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "overpass"
+
+    def schema(self) -> str:
+        return OVERPASS_SCHEMA
+
+    def reader(self, schema: StructType) -> OverpassReader:
+        return OverpassReader(self.options)
