@@ -2044,3 +2044,54 @@ def overpass_pyds_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("category")
     )
+
+
+@register(
+    "target_encoding_oof",
+    tier=1,  # extended feature-engineering surface; md5-fold machinery judged via dataset-split twins
+    oracle="""
+    WITH folds AS (
+      SELECT o_orderpriority AS category,
+             CAST(list_reduce(
+                    list_transform(generate_series(1, 13),
+                      j -> CAST(instr('0123456789abcdef',
+                             substr(md5('te-folds-v1|' || CAST(o_orderkey AS VARCHAR)), j, 1)
+                           ) - 1 AS BIGINT)),
+                    (a, b) -> a * 16 + b) % 5 AS INT) AS fold,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS t
+      FROM orders
+    ),
+    cf AS (
+      SELECT category, fold, COUNT(*) AS n_cf, SUM(t) AS s_cf
+      FROM folds GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT category, SUM(n_cf) AS n_c, SUM(s_cf) AS s_c
+      FROM cf GROUP BY 1
+    ),
+    g AS (SELECT CAST(SUM(t) AS DOUBLE) / COUNT(*) AS gmean FROM folds)
+    SELECT cf.category, cf.fold, CAST(cf.n_cf AS BIGINT) AS n_rows,
+           (CAST(c.s_c - cf.s_cf AS DOUBLE) + 20.0 * g.gmean)
+             / (CAST(c.n_c - cf.n_cf AS DOUBLE) + 20.0) AS oof_encoding
+    FROM cf JOIN c USING (category), g
+    ORDER BY category, fold
+    """,
+    doc="Out-of-fold target encoding (operators/encoding.py): the "
+    "leakage-safe categorical feature — each (category, fold) cell's "
+    "encoding is the smoothed target mean over the OTHER folds, so no "
+    "row's encoding ever saw its own label. Folds are md5-mod-k "
+    "(deterministic, partition-independent); target sums are exact "
+    "decimals; the final float expression applies the identical IEEE "
+    "operation order in both engines, so encodings are bit-identical "
+    "WITHOUT rounding. Scale: one hash aggregate over the fact table -> "
+    "a |categories|x k stats table; the row-level transform "
+    "(encode_rows) broadcasts it back — no second corpus shuffle.",
+)
+def target_encoding_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import encoding
+
+    orders = load_table(spark, sf_dir, "orders")
+    return encoding.oof_encoding_table(
+        orders, "o_orderpriority", "o_totalprice", "o_orderkey",
+        k=5, smoothing=20.0, seed="te-folds-v1",
+    ).orderBy("category", "fold")
