@@ -773,3 +773,46 @@ def test_triangle_stats_clique_vs_chain(spark):
             assert r["clustering_coeff"] == 1.0
         else:
             assert r["n_triangles"] == 0 and r["clustering_coeff"] == 0.0
+
+
+def test_pagerank_fixedpoint_matches_integer_reference(spark):
+    """The quantized iteration must replay EXACTLY in pure-Python int
+    arithmetic (the property that makes its SQL oracle possible), and
+    its ranking must agree with the float variant on a star graph."""
+    from traffic_accidents_airflow_kafka_spark.operators.graph import (
+        pagerank,
+        pagerank_fixedpoint,
+    )
+
+    raw_pairs = [(1, 2), (1, 3), (1, 4), (1, 5), (4, 5)]
+    pairs = spark.createDataFrame(raw_pairs, "d1 long, d2 long")
+    iters, scale, dn, dd = 10, 10**12, 85, 100
+    got = {
+        r["id"]: r["rank_u"]
+        for r in pagerank_fixedpoint(pairs, iters=iters, scale=scale).collect()
+    }
+
+    # Pure-Python replay of the documented recurrence.
+    edges = set()
+    for a, b in raw_pairs:
+        edges.add((a, b))
+        edges.add((b, a))
+    nodes = sorted({a for a, _ in edges})
+    deg = {n: sum(1 for a, _ in edges if a == n) for n in nodes}
+    init = scale // len(nodes)
+    base = ((dd - dn) * init) // dd
+    ranks = {n: init for n in nodes}
+    for _ in range(iters):
+        s = {n: 0 for n in nodes}
+        for a, b in edges:
+            s[b] += ranks[a] // deg[a]
+        ranks = {n: base + (dn * s[n]) // dd for n in nodes}
+    assert got == ranks
+
+    # Ranking parity with the float variant (hub >> leaves).
+    fl = {r["id"]: r["rank"] for r in pagerank(pairs, iters=iters).collect()}
+    order_int = sorted(got, key=lambda n: (-got[n], n))
+    order_fl = sorted(fl, key=lambda n: (-fl[n], n))
+    assert order_int == order_fl
+    # Quantized mass stays within iters * |V| micro-units of 1.0.
+    assert scale - sum(got.values()) <= iters * len(nodes) * max(deg.values())

@@ -199,3 +199,89 @@ def triangle_stats(
             ).alias("clustering_coeff"),
         )
     )
+
+
+def pagerank_fixedpoint(
+    pairs: DataFrame,
+    src: str = "d1",
+    dst: str = "d2",
+    iters: int = 10,
+    scale: int = 10**12,
+    damp_num: int = 85,
+    damp_den: int = 100,
+) -> DataFrame:
+    """Quantized (fixed-point) PageRank: the float power iteration of
+    :func:`pagerank`, re-expressed in pure int64 arithmetic so every
+    intermediate — and therefore the final ranking — is BIT-IDENTICAL on
+    any engine, partitioning, or accumulation order. Floats make damped
+    power iteration inherently un-oracle-able (per-engine sum order
+    drifts the last ulps); integers make it exactly replayable SQL.
+
+    Ranks live in micro-units of ``1/scale``; per round, with
+    ``d = damp_num/damp_den``:
+
+        contrib(j)  = rank_u(j) // out_deg(j)           (floor div)
+        rank_u'(i)  = BASE + (damp_num * sum contrib) // damp_den
+        BASE        = (15 * (scale // n)) // 100 generalized to
+                      ((damp_den - damp_num) * (scale // n)) // damp_den
+
+    Quantization floors lose < out_deg(j) + 1 micro-units per node per
+    round — a ~1e-12 relative perturbation at the default scale, far
+    below any ranking decision the float variant could defend. Pairs are
+    symmetrized (undirected near-dup graph), so there are no dangling
+    nodes and no mass-redistribution term. Headroom: damp_num * total
+    mass ~ 85e12 << 2^63.
+
+    Scale shape matches :func:`pagerank`: edge relation materialized
+    once with out-degrees, rounds shuffle (id, int64) pairs, lineage
+    truncated every 3 rounds.
+    """
+    fwd = pairs.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
+    edges = fwd.union(
+        pairs.select(F.col(dst).alias("e_src"), F.col(src).alias("e_dst"))
+    )
+    edges = edges.filter(F.col("e_src") != F.col("e_dst")).distinct().localCheckpoint()
+    nodes = (
+        edges.select(F.col("e_src").alias("id")).distinct().localCheckpoint()
+    )  # symmetrized: src set == node set
+    spark = pairs.sparkSession
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.withColumn("rank_u", F.lit(0).cast("long"))
+
+    init = scale // n_nodes
+    base = ((damp_den - damp_num) * init) // damp_den
+    out_deg = edges.groupBy("e_src").agg(F.count(F.lit(1)).alias("__deg"))
+    edges_deg = edges.join(out_deg, "e_src").localCheckpoint()
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    n_edges = edges_deg.count()
+    loop_parts = max(1, min(int(prev_parts), n_edges // 500_000 + 1))
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    try:
+        ranks = nodes.select("id", F.lit(init).cast("long").alias("rank_u"))
+        checkpoint_every = 3
+        last_ckpt = None
+        for it in range(iters):
+            joined = edges_deg.join(ranks.withColumnRenamed("id", "e_src"), "e_src")
+            contribs = joined.select(
+                F.col("e_dst").alias("id"),
+                F.expr("rank_u div __deg").alias("c"),
+            )
+            new_ranks = contribs.groupBy("id").agg(
+                (
+                    F.lit(base)
+                    + F.expr(f"({damp_num} * sum(c)) div {damp_den}")
+                )
+                .cast("long")
+                .alias("rank_u")
+            )
+            if it % checkpoint_every == checkpoint_every - 1 or it == iters - 1:
+                new_ranks = new_ranks.localCheckpoint()
+                if last_ckpt is not None:
+                    last_ckpt.unpersist()
+                last_ckpt = new_ranks
+            ranks = new_ranks
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return ranks

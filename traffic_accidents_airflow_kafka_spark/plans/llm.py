@@ -955,13 +955,9 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _cluster_oracle() -> str:
-    # The recursive min-label reachability mirrors the Spark loop exactly:
-    # a component's minimum id reaches every member (the r.c < e.dst prune
-    # only blocks labels that could never be the minimum at that node).
-    return (
-        _SHINGLE_CTE.replace("WITH words", "WITH RECURSIVE words")
-        + """,
+#: Near-dup graph edges (word-3-gram Jaccard >= 0.5, symmetrized,
+#: self-loop-free) — shared by the clustering and PageRank oracles.
+_NEARDUP_EDGES_CTE = """,
     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
@@ -979,7 +975,17 @@ def _cluster_oracle() -> str:
       SELECT d1 AS src, d2 AS dst FROM jpairs
       UNION
       SELECT d2 AS src, d1 AS dst FROM jpairs
-    ),
+    )"""
+
+
+def _cluster_oracle() -> str:
+    # The recursive min-label reachability mirrors the Spark loop exactly:
+    # a component's minimum id reaches every member (the r.c < e.dst prune
+    # only blocks labels that could never be the minimum at that node).
+    return (
+        _SHINGLE_CTE.replace("WITH words", "WITH RECURSIVE words")
+        + _NEARDUP_EDGES_CTE
+        + """,
     reach(id, c) AS (
       SELECT src, src FROM edges
       UNION
@@ -1091,6 +1097,81 @@ def dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ranks.select(F.col("id").alias("doc_id"), F.round("rank", 6).alias("rank"))
         .orderBy(F.desc("rank"), "doc_id")
+        .limit(30)
+    )
+
+
+def _pagerank_fp_oracle(iters: int = 10, scale: int = 10**12) -> str:
+    """SQL replay of the FULL 10-round fixed-point PageRank: integer
+    floor-division arithmetic is order-independent, so — unlike the float
+    variant (dedup_pagerank, rows-only by necessity) — every round
+    value-hash-matches. One MATERIALIZED CTE per round; inlined, the
+    linear chain would recompute the shingle join once per round."""
+    dn, dd = 85, 100
+    parts = [
+        _SHINGLE_CTE,
+        _NEARDUP_EDGES_CTE,
+        f""",
+    nc AS MATERIALIZED (SELECT COUNT(DISTINCT src) AS n FROM edges),
+    ed AS MATERIALIZED (
+      SELECT e.src, e.dst, d.deg
+      FROM edges e
+      JOIN (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src) d USING (src)
+    ),
+    r0 AS MATERIALIZED (
+      SELECT DISTINCT src AS id, CAST({scale} // n AS BIGINT) AS rank_u
+      FROM edges, nc
+    )""",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+    r{i} AS MATERIALIZED (
+      SELECT e.dst AS id,
+             CAST((({dd - dn}) * ({scale} // nc.n)) // {dd}
+                  + ({dn} * SUM(r.rank_u // e.deg)) // {dd} AS BIGINT) AS rank_u
+      FROM ed e JOIN r{i - 1} r ON e.src = r.id, nc
+      GROUP BY e.dst, nc.n
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT id AS doc_id, rank_u AS rank_micro
+    FROM r{iters}
+    ORDER BY rank_micro DESC, doc_id
+    LIMIT 30
+    """
+    )
+    return "".join(parts)
+
+
+@register(
+    "dedup_pagerank_exact",
+    tier=1,  # extended clustering surface; the oracle-checkable twin of dedup_pagerank
+    oracle=_pagerank_fp_oracle(),
+    min_rows=0,  # empty near-dup graph -> legitimately no ranks
+    doc="Fixed-point PageRank over the near-dup graph "
+    "(operators/graph.py:pagerank_fixedpoint): the float power "
+    "iteration's oracle-checkable twin — ranks carried as int64 "
+    "micro-units with floor-division damping, so every intermediate is "
+    "bit-identical on any engine/partitioning and the FULL 10-round "
+    "iteration SQL-replays (one MATERIALIZED CTE per round). "
+    "Quantization perturbs ranks ~1e-12 relative — far below any "
+    "ranking decision floats could defend. Scale: identical shape to "
+    "dedup_pagerank (edge relation materialized once with degrees; "
+    "rounds shuffle (id, int64) pairs; lineage truncated every 3 "
+    "rounds; shuffle partitions sized to the graph).",
+)
+def dedup_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.word_shingles(docs, "doc_id", "text", n=3)
+    pairs = dedup.jaccard_pairs(sh, "doc_id").filter(F.col("jaccard") >= 0.5)
+    ranks = graph.pagerank_fixedpoint(pairs, "d1", "d2", iters=10)
+    return (
+        ranks.select(
+            F.col("id").alias("doc_id"), F.col("rank_u").alias("rank_micro")
+        )
+        .orderBy(F.desc("rank_micro"), "doc_id")
         .limit(30)
     )
 
