@@ -604,3 +604,45 @@ def stream_sessions_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 if _has_tws_runtime():
     stream_sessions_tws = _register_tws_query()(stream_sessions_tws)
+
+
+@register(
+    "stream_pyds_replay",
+    tier=1,  # source-API twin; the windowed-agg semantics are judged via stream_window_counts
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    doc="The windowed-count plan of stream_window_counts fed through a "
+    "PYTHON STREAMING DATA SOURCE (sources/pyds.py:EventReplayDataSource, "
+    "Spark 4 SimpleDataSourceStreamReader): real offset bookkeeping — "
+    "initialOffset / read / readBetweenOffsets over a (ts, event_id) "
+    "total order — so checkpoint recovery replays EXACTLY the committed "
+    "row ranges. Same oracle as the file-source twin: the source "
+    "mechanism changes, the answer must not. Scale: the simple-reader "
+    "API ships rows driver->executors (the rate-source idiom, right for "
+    "replay/testing harnesses); production volumes use the file/Kafka "
+    "readStream paths.",
+)
+def stream_pyds_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..sources.pyds import EventReplayDataSource
+
+    try:
+        spark.dataSource.register(EventReplayDataSource)
+    except Exception:
+        pass  # already registered in this session
+    raw = (
+        spark.readStream.format("eventreplay")
+        .option("path", os.path.join(sf_dir, "events.parquet"))
+        .load()
+    )
+    windowed = streaming.windowed_event_counts(raw, "1 hour", "2 hours")
+    result = streaming.run_available_now(windowed, spark, state_partitions=8)
+    return result.orderBy("window_start", "event_type")
