@@ -125,3 +125,32 @@ def test_encode_stats_applies_merges_in_training_order(spark):
         assert got_syms == syms, f"{w}: {got_syms} != {syms}"
         assert f == ref_freq[w]
         assert n == len(syms)
+
+
+def test_apply_merge_random_cases_match_reference(spark):
+    """300 seeded-random symbol arrays × 3 merge pairs, evaluated in ONE
+    Spark job, each compared against the pure-Python greedy scan —
+    covers overlap runs, absent pairs, and merged-token collisions the
+    handcrafted cases can't enumerate."""
+    import random
+
+    rng = random.Random(20260814)
+    alphabet = ["a", "b", "ab", "ba", "c"]
+    pairs = [("a", "b"), ("a", "a"), ("ab", "c")]
+    cases = [
+        [rng.choice(alphabet) for _ in range(rng.randint(0, 12))]
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(
+        [(i, syms) for i, syms in enumerate(cases)], "i INT, syms ARRAY<STRING>"
+    )
+    cols = [
+        bpe.apply_merge("syms", lhs, rhs).alias(f"m{j}")
+        for j, (lhs, rhs) in enumerate(pairs)
+    ]
+    rows = {r["i"]: r for r in df.select("i", *cols).collect()}
+    for i, syms in enumerate(cases):
+        for j, (lhs, rhs) in enumerate(pairs):
+            assert rows[i][f"m{j}"] == _ref_merge_word(syms, lhs, rhs), (
+                f"case {i} pair {j}: {syms}"
+            )

@@ -26,6 +26,9 @@ CROSS_JOIN_OK = {
     # scalar crossJoined onto the snapshot union; binning is a map-side
     # fold over that array, never a range join.
     "feature_drift_psi",
+    # target_encoding_oof: the global target mean is a ONE-ROW broadcast
+    # scalar crossJoined onto the |categories| x k stats table.
+    "target_encoding_oof",
     # hybrid_rrf_retrieval: the semantic list reuses cosine_topk's
     # broadcast bounded-query crossJoin (here a SINGLE query vector).
     "hybrid_rrf_retrieval",
