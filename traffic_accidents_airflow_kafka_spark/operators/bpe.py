@@ -117,12 +117,26 @@ def apply_merge(syms_col: str | Column, lhs: str, rhs: str) -> Column:
     )
 
 
+#: Trained merge lists keyed on the corpus PLAN (semanticHash) + params —
+#: the FAISS-index idiom the IVF centroid cache also follows: a tokenizer
+#: is trained once and reused across encodes/searches. Like any index, it
+#: goes stale if the table's files change under the same plan — call
+#: :func:`clear_bpe_merge_cache` after a data refresh.
+_BPE_MERGE_CACHE: dict[tuple, list[tuple[int, str, str, int]]] = {}
+
+
+def clear_bpe_merge_cache() -> None:
+    """Drop every cached merge table (explicit tokenizer rebuild)."""
+    _BPE_MERGE_CACHE.clear()
+
+
 def train_bpe(
     docs: DataFrame,
     text_col: str = "text",
     n_merges: int = 12,
     min_freq: int = 2,
     vocab_partitions: int = 4,
+    use_cache: bool = True,
 ) -> DataFrame:
     """Train ``n_merges`` BPE merges; returns (rank, lhs, rhs, pair_count).
 
@@ -132,8 +146,17 @@ def train_bpe(
     pinned to ``vocab_partitions`` for the vocabulary-sized rounds (the
     corpus-sized word count keeps the session default) and restored
     after.
+
+    Trained merge tables memoize on (corpus plan, params) — a tokenizer,
+    like an ANN index, is trained once and reused by every encode
+    (see ``_BPE_MERGE_CACHE`` / :func:`clear_bpe_merge_cache`);
+    ``use_cache=False`` forces a retrain.
     """
     spark = docs.sparkSession
+    schema = "rank INT, lhs STRING, rhs STRING, pair_count BIGINT"
+    cache_key = (docs.semanticHash(), text_col, n_merges, min_freq)
+    if use_cache and cache_key in _BPE_MERGE_CACHE:
+        return spark.createDataFrame(_BPE_MERGE_CACHE[cache_key], schema)
     symtab = (
         word_freq(docs, text_col)
         .select("f", initial_symbols("word").alias("syms"))
@@ -163,9 +186,9 @@ def train_bpe(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         last_ckpt.unpersist()
-    return spark.createDataFrame(
-        merges, "rank INT, lhs STRING, rhs STRING, pair_count BIGINT"
-    )
+    if use_cache:
+        _BPE_MERGE_CACHE[cache_key] = merges
+    return spark.createDataFrame(merges, schema)
 
 
 def encode_stats(
