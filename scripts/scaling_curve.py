@@ -20,8 +20,22 @@ import sys
 
 sys.path.insert(0, ".")
 
+from traffic_accidents_airflow_kafka_spark.operators.bpe import (  # noqa: E402
+    clear_bpe_merge_cache,
+)
+from traffic_accidents_airflow_kafka_spark.operators.similarity import (  # noqa: E402
+    clear_ivf_centroid_cache,
+)
 from traffic_accidents_airflow_kafka_spark.plans import QUERY_REGISTRY  # noqa: E402
 from traffic_accidents_airflow_kafka_spark.session import get_spark  # noqa: E402
+
+
+def _clear_memo_caches() -> None:
+    """Scaling curves measure the REAL per-SF cost — trained-index memo
+    caches (BPE merges, IVF centroids) would otherwise hide the train
+    step behind the first warmup."""
+    clear_bpe_merge_cache()
+    clear_ivf_centroid_cache()
 
 SF_DIRS = [
     ("0.001", "/root/testdata/sf0.001"),
@@ -44,6 +58,11 @@ REPRESENTATIVES = [
     "snapshot_diff_report",
     "stream_window_counts",
     "mergeable_uniques",
+    # round-3 additions: tokenizer training (corpus-once/vocab-rounds),
+    # one-aggregate feature encoding, integer iterative graph.
+    "bpe_train_merges",
+    "target_encoding_oof",
+    "dedup_pagerank_exact",
 ]
 
 
@@ -58,6 +77,7 @@ def main() -> None:
             spec.fn(spark, sf_dir).collect()  # warmup (codegen, broadcast)
             best = float("inf")
             for _ in range(2):
+                _clear_memo_caches()  # measure the real train/index cost
                 t0 = time.perf_counter()
                 spec.fn(spark, sf_dir).collect()
                 best = min(best, time.perf_counter() - t0)

@@ -154,3 +154,32 @@ def test_apply_merge_random_cases_match_reference(spark):
             assert rows[i][f"m{j}"] == _ref_merge_word(syms, lhs, rhs), (
                 f"case {i} pair {j}: {syms}"
             )
+
+
+def test_replace_encoding_equals_greedy_merge_property():
+    """The DuckDB oracle applies merges as string replace() over a
+    two-marker symbol encoding: each symbol rendered as NL+s+TAB (both
+    markers are whitespace, which the pretokenizer excludes from
+    symbols). Property-check that trick against the greedy reference
+    scan in pure Python (no engines): for any symbol list and pair,
+    decode(replace(encode(syms))) == greedy merge.
+
+    Both markers are required. A prefix-only encoding is ambiguous:
+    ['a', 'aa'] with pair (a, a) encodes to NL+a+NL+aa whose prefix
+    NL+a+NL+a falsely matches — the pattern may end mid-symbol when a
+    symbol prefix-extends rhs (hypothesis found exactly this)."""
+    from hypothesis import given, settings, strategies as st
+
+    sym = st.text(alphabet="abc", min_size=1, max_size=3)
+
+    @settings(max_examples=500, deadline=None)
+    @given(st.lists(sym, max_size=12), sym, sym)
+    def check(syms, lhs, rhs):
+        encoded = "".join("\n" + s + "\t" for s in syms)
+        replaced = encoded.replace(
+            "\n" + lhs + "\t\n" + rhs + "\t", "\n" + lhs + rhs + "\t"
+        )
+        decoded = replaced[1:-1].split("\t\n") if replaced else []
+        assert decoded == _ref_merge_word(syms, lhs, rhs), (syms, lhs, rhs)
+
+    check()

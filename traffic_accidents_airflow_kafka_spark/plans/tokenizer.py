@@ -8,16 +8,22 @@ these queries train the merge table that makes those tokens real).
 All three queries carry FULL DuckDB oracles, including the iterative
 trainer: a BPE merge application ("replace every adjacent (lhs, rhs) with
 lhs||rhs, greedily left-to-right") is exactly SQL `replace()` over a
-newline-prefixed symbol encoding — `replace(s, NL||lhs||NL||rhs,
-NL||lhs||rhs)` — because (a) the marker NL can never occur inside a
-symbol (the pretokenizer pattern excludes all whitespace in both engines'
-regex dialects), (b) prefix-marking each symbol makes a pair pattern
-unambiguous (no suffix of one symbol can complete another's match), and
-(c) SQL replace scans left-to-right over non-overlapping occurrences —
-the exact greedy semantics of reference BPE. Each training round is one
-MATERIALIZED CTE pair (argmax pair + rewritten vocab), chained n_merges
-deep; without MATERIALIZED the self-referencing chain re-evaluates
-exponentially (measured: 12 rounds >120 s inlined vs 0.5 s materialized).
+TWO-MARKER symbol encoding — each symbol rendered as NL||s||TAB, merge =
+`replace(s, NL||lhs||TAB||NL||rhs||TAB, NL||lhs||rhs||TAB)` — because
+(a) neither marker can occur inside a symbol (both are whitespace, which
+the pretokenizer pattern excludes in both engines' regex dialects),
+(b) bracketing EVERY symbol with both markers makes a pair pattern match
+exactly two complete adjacent symbols — a prefix-only encoding is
+ambiguous: in [a, aa] with pair (a, a), NL+a+NL+a falsely matches with
+the pattern ending mid-symbol whenever a symbol prefix-extends rhs
+(caught by the hypothesis property in tests/test_bpe.py) — and
+(c) SQL replace scans left-to-right over non-overlapping occurrences,
+and each symbol carries its OWN markers, so adjacent matches share no
+characters — the exact greedy semantics of reference BPE. Each training
+round is one MATERIALIZED CTE pair (argmax pair + rewritten vocab),
+chained n_merges deep; without MATERIALIZED the self-referencing chain
+re-evaluates exponentially (measured: 12 rounds >120 s inlined vs 0.5 s
+materialized).
 
 Spark side: operators/bpe.py (corpus-collapsing word count, then
 vocabulary-sized rounds with a native array-fold merge; one collected
@@ -51,25 +57,29 @@ def _bpe_cte_chain(n_merges: int) -> str:
     ),
     freq AS (SELECT w, COUNT(*) AS f FROM words GROUP BY w),
     r0 AS MATERIALIZED (
-      SELECT w, f, regexp_replace(w, '(.)', chr(10) || '\\1', 'g') AS s
+      SELECT w, f,
+             regexp_replace(w, '(.)', chr(10) || '\\1' || chr(9), 'g') AS s
       FROM freq
     )"""
     ]
+    # Symbol list from the two-marker encoding: strip the outer lead NL /
+    # trail TAB, split on the TAB+NL inter-symbol boundary.
+    syms = "string_split(substr(s, 2, length(s) - 2), chr(9) || chr(10))"
     for i in range(1, n_merges + 1):
         parts.append(
             f""",
     b{i} AS MATERIALIZED (
       SELECT q.syms[t.i] AS lhs, q.syms[t.i + 1] AS rhs,
              CAST(SUM(q.f) AS BIGINT) AS pair_count
-      FROM (SELECT f, string_split(s, chr(10))[2:] AS syms FROM r{i - 1}) q,
+      FROM (SELECT f, {syms} AS syms FROM r{i - 1}) q,
            UNNEST(generate_series(1, len(q.syms) - 1)) AS t(i)
       GROUP BY lhs, rhs
       ORDER BY pair_count DESC, lhs, rhs LIMIT 1
     ),
     r{i} AS MATERIALIZED (
       SELECT w, f,
-             replace(s, chr(10) || lhs || chr(10) || rhs,
-                     chr(10) || lhs || rhs) AS s
+             replace(s, chr(10) || lhs || chr(9) || chr(10) || rhs || chr(9),
+                     chr(10) || lhs || rhs || chr(9)) AS s
       FROM r{i - 1} CROSS JOIN b{i}
     )"""
         )
@@ -146,7 +156,8 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""{_bpe_cte_chain(N_MERGES)}
     SELECT w AS word, CAST(f AS BIGINT) AS f,
            CAST(len(string_split(s, chr(10))) - 1 AS INT) AS n_symbols,
-           replace(s[2:], chr(10), ' ') AS segmentation
+           replace(substr(s, 2, length(s) - 2), chr(9) || chr(10), ' ')
+             AS segmentation
     FROM r{N_MERGES}
     ORDER BY f DESC, w LIMIT 25
     """,
