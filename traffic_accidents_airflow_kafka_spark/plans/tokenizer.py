@@ -5,7 +5,7 @@ is part of the engine's training-data surface (SURVEY.md LLM-ops mandate:
 the `token_accounting` query already prices corpora in BPE-ish pretokens —
 these queries train the merge table that makes those tokens real).
 
-All three queries carry FULL DuckDB oracles, including the iterative
+All four queries carry FULL DuckDB oracles, including the iterative
 trainer: a BPE merge application ("replace every adjacent (lhs, rhs) with
 lhs||rhs, greedily left-to-right") is exactly SQL `replace()` over a
 TWO-MARKER symbol encoding — each symbol rendered as NL||s||TAB, merge =
@@ -139,7 +139,7 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pair_count) — driver-argmax rounds over the VOCABULARY (never the "
     "corpus), each merge applied as a native array fold "
     "(operators/bpe.py:train_bpe). Oracle: full SQL replay via "
-    "newline-prefixed symbol strings where replace() IS the greedy "
+    "two-marker symbol strings where replace() IS the greedy "
     "merge (module docstring) — the whole trainer value-hash-checks "
     "against DuckDB. Scale: one corpus shuffle + n_merges vocab-sized "
     "rounds; one collected row per round; lineage truncated per round "
@@ -185,4 +185,60 @@ def bpe_segmentations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("f"), "word")
         .limit(25)
+    )
+
+
+@register(
+    "bpe_doc_token_counts",
+    tier=1,  # tokenizer-training surface
+    oracle=f"""{_bpe_cte_chain(N_MERGES)},
+    seg AS (
+      SELECT w, CAST(len(string_split(s, chr(10))) - 1 AS BIGINT) AS n_symbols
+      FROM r{N_MERGES}
+    ),
+    dwords AS (
+      SELECT doc_id, lang,
+             unnest(regexp_extract_all(text, '{BPE_ISH_PATTERN}', 0)) AS w
+      FROM documents
+    )
+    SELECT d.doc_id, d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(seg.n_symbols) AS BIGINT) AS bpe_tokens
+    FROM dwords d JOIN seg ON d.w = seg.w
+    GROUP BY d.doc_id, d.lang
+    ORDER BY d.doc_id
+    LIMIT 100
+    """,
+    doc="Doc-level accounting with the TRAINED tokenizer — the step that "
+    "turns merge tables into corpus budgets: per document, whitespace-"
+    "free pretoken count and the real post-merge BPE token count, via a "
+    "broadcast join of the encoded vocabulary (word -> n_symbols) onto "
+    "the exploded corpus. The scale path every budgeting rollup uses: "
+    "segment each DISTINCT word once (vocab-sized), never re-segment "
+    "per occurrence; the vocab is broadcast, so the corpus never "
+    "shuffles. Oracle: same merge-chain CTE, same join, in SQL.",
+)
+def bpe_doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in bpe.train_bpe(docs, n_merges=N_MERGES, min_freq=2).collect()
+    ]
+    seg = bpe.encode_stats(docs, merges).select(
+        "word", F.col("n_symbols").cast("bigint").alias("n_symbols")
+    )
+    words = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(bpe.bpe_ish_tokens("text")).alias("word"),
+    )
+    return (
+        words.join(F.broadcast(seg), "word")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_symbols").alias("bpe_tokens"),
+        )
+        .orderBy("doc_id")
+        .limit(100)
     )
