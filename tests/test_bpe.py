@@ -183,3 +183,28 @@ def test_replace_encoding_equals_greedy_merge_property():
         assert decoded == _ref_merge_word(syms, lhs, rhs), (syms, lhs, rhs)
 
     check()
+
+
+def test_tokenizer_cli_train_and_export(spark, sf_dir, tmp_path):
+    """The spark-submit CLI body: writes merges + segmentations parquet
+    and reports a coherent fertility summary (symbols per word between 1
+    and chars per word; compression >= 1)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "train_tokenizer",
+        os.path.join(os.path.dirname(__file__), "..", "scripts", "train_tokenizer.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    out = str(tmp_path / "tok")
+    summary = mod.train_and_export(spark, sf_dir, out, n_merges=8)
+    assert summary["n_merges"] == 8
+    merges = spark.read.parquet(os.path.join(out, "merges"))
+    assert merges.count() == 8
+    segs = spark.read.parquet(os.path.join(out, "segmentations"))
+    assert segs.count() == summary["vocab_size"] > 0
+    assert 1.0 <= summary["symbols_per_word"] <= summary["chars_per_word"]
+    assert summary["compression_vs_chars"] >= 1.0
