@@ -1263,3 +1263,41 @@ def pq_rerank_topk(
         .filter(F.col("rank") <= k)
         .select("qid", "nid", "rank", F.round("cosine", 4).alias("cosine"))
     )
+
+
+def jl_project(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    out_dim: int = 16,
+    seed: int = 11,
+    dim: int = 64,
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection: (id, proj array<double>)
+    with ``proj_j = dot(vec, g_j) / sqrt(out_dim)`` over seeded Gaussian
+    rows (reusing :func:`hyperplane_planes` as the projection matrix).
+
+    The dimensionality-reduction step embedding pipelines run before
+    ANN/clustering when vectors are fat: pairwise distances are
+    preserved within (1±eps) w.h.p. for out_dim = O(log n / eps^2),
+    and downstream distance arithmetic shrinks dim/out_dim-fold.
+
+    Exactness contract: sequential-fold dots over doubles and a
+    power-of-two default scale (1/sqrt(16) = 0.25 exactly), so
+    projections — and any distance computed from them the same way —
+    are bit-identical in the SQL oracle. Scale: a pure map (out_dim
+    folds per row), no shuffle; the matrix is literals in the plan.
+    """
+    planes = hyperplane_planes(dim, out_dim, seed)
+    scale = 1.0 / float(out_dim) ** 0.5
+    v = F.col(vec_col)
+    proj = F.array(
+        *[
+            (
+                _dot_double(v, F.array(*[F.lit(float(x)) for x in p]))
+                * F.lit(scale)
+            )
+            for p in planes
+        ]
+    )
+    return df.select(F.col(id_col), proj.alias("proj"))

@@ -3620,3 +3620,108 @@ def dedup_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_triangles"), "doc_id")
         .limit(30)
     )
+
+
+def _jl_distortion_oracle(
+    out_dim: int = 16, dim: int = 64, seed: int = 11, n_pairs: int = 100
+) -> str:
+    """Consecutive-id embedding pairs, original vs JL-projected squared
+    distance — the projection matrix inlines as SQL literals and every
+    float op (sequential folds, exact 0.25 scale, one division) applies
+    in the same order as the Spark side, so distortions ROUND-match."""
+    planes = similarity.hyperplane_planes(dim, out_dim, seed)
+    scale = repr(1.0 / float(out_dim) ** 0.5)
+
+    def dot(vec: str, lits: list[float]) -> str:
+        lit = "[" + ", ".join(repr(float(x)) for x in lits) + "]"
+        return (
+            f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            f"list_transform(generate_series(1, {dim}), "
+            f"j -> CAST({vec}[j] AS DOUBLE) * ({lit})[j])), (a, b) -> a + b)"
+        )
+
+    def proj(vec: str) -> str:
+        return (
+            "list_value("
+            + ", ".join(f"{dot(vec, p)} * {scale}" for p in planes)
+            + ")"
+        )
+
+    return f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             a.embedding AS va, b.embedding AS vb,
+             {proj('a.embedding')} AS pa, {proj('b.embedding')} AS pb
+      FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+      WHERE a.vec_id < {n_pairs}
+    )
+    SELECT id_a, id_b,
+           ROUND(d2_orig, 4) AS d2_orig,
+           ROUND(d2_proj, 4) AS d2_proj,
+           ROUND(d2_proj / d2_orig, 4) AS distortion
+    FROM (
+      SELECT id_a, id_b,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(generate_series(1, {dim}),
+                 j -> (CAST(va[j] AS DOUBLE) - CAST(vb[j] AS DOUBLE))
+                    * (CAST(va[j] AS DOUBLE) - CAST(vb[j] AS DOUBLE)))),
+               (a, b) -> a + b) AS d2_orig,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(generate_series(1, {out_dim}),
+                 j -> (pa[j] - pb[j]) * (pa[j] - pb[j]))),
+               (a, b) -> a + b) AS d2_proj
+      FROM pairs
+    )
+    ORDER BY id_a
+    """
+
+
+@register(
+    "jl_projection_distortion",
+    tier=1,  # extended embedding surface; fold/literal machinery judged via embedding_topk/lsh
+    oracle=_jl_distortion_oracle(),
+    doc="Johnson-Lindenstrauss random projection, distortion-audited "
+    "(operators/similarity.py:jl_project): 64-d embeddings projected to "
+    "16-d by a seeded Gaussian matrix, then per consecutive-id pair the "
+    "original vs projected squared distance and their ratio — the check "
+    "a pipeline runs before swapping fat vectors for projected ones in "
+    "ANN/clustering. Fully oracle-checked (plane literals + sequential "
+    "folds + an exactly-representable 1/sqrt(16) scale). Scale: the "
+    "projection is a shuffle-free map with the matrix inlined in the "
+    "plan; downstream distance math shrinks dim/out_dim-fold.",
+)
+def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = similarity.jl_project(emb, "vec_id", "embedding", out_dim=16, seed=11)
+    a = emb.where(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+    )
+    b = emb.select((F.col("vec_id") - 1).alias("id_a"),
+                   F.col("vec_id").alias("id_b"),
+                   F.col("embedding").alias("vb"))
+    pa = proj.select(F.col("vec_id").alias("id_a"), F.col("proj").alias("pa"))
+    pb = proj.select(F.col("vec_id").alias("id_b"), F.col("proj").alias("pb"))
+    sq = lambda x, y: (x.cast("double") - y.cast("double")) * (  # noqa: E731
+        x.cast("double") - y.cast("double")
+    )
+    d2_orig = F.aggregate(
+        F.zip_with("va", "vb", sq), F.lit(0.0), lambda acc, x: acc + x
+    )
+    d2_proj = F.aggregate(
+        F.zip_with("pa", "pb", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, "id_a")
+        .join(pa, "id_a")
+        .join(pb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(d2_orig, 4).alias("d2_orig"),
+            F.round(d2_proj, 4).alias("d2_proj"),
+            F.round(d2_proj / d2_orig, 4).alias("distortion"),
+        )
+        .orderBy("id_a")
+    )
