@@ -14,6 +14,9 @@ from traffic_accidents_airflow_kafka_spark.plans import QUERY_REGISTRY
 #: denominator) onto an O(|sources|) relation.
 CROSS_JOIN_OK = {
     "embedding_topk",
+    # jl_ann_topk: cosine_topk's broadcast bounded-query crossJoin, over
+    # the 16-d projected vectors.
+    "jl_ann_topk",
     "multimodal_embed_ann",
     "mixture_plan",
     # hard_negatives: cosine_topk's broadcast bounded-query crossJoin with

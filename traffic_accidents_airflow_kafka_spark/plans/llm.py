@@ -3725,3 +3725,85 @@ def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a")
     )
+
+
+def _jl_ann_oracle(
+    out_dim: int = 16, dim: int = 64, seed: int = 11, k: int = 3, max_qid: int = 30
+) -> str:
+    """Exact top-k in the PROJECTED space: the projection matrix inlines
+    as literals and cosine uses the same sequential folds as the Spark
+    side (dot via zip-order fold, norm via sqrt of self-dot)."""
+    planes = similarity.hyperplane_planes(dim, out_dim, seed)
+    scale = repr(1.0 / float(out_dim) ** 0.5)
+
+    def dot(vec: str, lits: list[float]) -> str:
+        lit = "[" + ", ".join(repr(float(x)) for x in lits) + "]"
+        return (
+            f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            f"list_transform(generate_series(1, {dim}), "
+            f"j -> CAST({vec}[j] AS DOUBLE) * ({lit})[j])), (a, b) -> a + b)"
+        )
+
+    proj = (
+        "list_value("
+        + ", ".join(f"{dot('embedding', p)} * {scale}" for p in planes)
+        + ")"
+    )
+    fold16 = (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {out_dim}), j -> {{}})), "
+        "(a, b) -> a + b)"
+    )
+    pair_dot = fold16.format("q.qvec[j] * e.pv[j]")
+    qnorm = "sqrt(" + fold16.format("qvec[j] * qvec[j]") + ")"
+    nnorm = "sqrt(" + fold16.format("pv[j] * pv[j]") + ")"
+    return f"""
+    WITH pe AS (
+      SELECT vec_id, {proj} AS pv FROM embeddings
+    ),
+    nn AS (SELECT vec_id, pv, {nnorm.replace('qvec', 'pv')} AS nrm FROM pe),
+    q AS (
+      SELECT vec_id AS qid, pv AS qvec, {qnorm.replace('qvec[j]', 'pv[j]')} AS qnrm
+      FROM pe WHERE vec_id < {max_qid}
+    ),
+    sims AS (
+      SELECT q.qid, e.vec_id AS nid,
+             {pair_dot} / (q.qnrm * e.nrm) AS cosine
+      FROM q JOIN nn e ON e.vec_id <> q.qid
+    )
+    SELECT qid, nid, rank, ROUND(cosine, 4) AS cosine FROM (
+      SELECT qid, nid, cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS INT) AS rank
+      FROM sims
+    )
+    WHERE rank <= {k}
+    ORDER BY qid, rank
+    """
+
+
+@register(
+    "jl_ann_topk",
+    tier=1,  # extended embedding surface; exact/LSH tiers carry the broader judged machinery
+    oracle=_jl_ann_oracle(),
+    doc="Nearest-neighbor search IN THE PROJECTED SPACE — the payoff of "
+    "jl_projection_distortion: 30 queries ranked by cosine over 16-d "
+    "JL projections instead of the 64-d originals, cutting distance "
+    "arithmetic 4x (operators/similarity.py:jl_project + cosine_topk). "
+    "The ranking fully oracle-checks (plane literals + sequential "
+    "folds). Honesty note: on this STRUCTURELESS synthetic corpus, "
+    "top-k recall vs 64-d exact is near-chance — i.i.d. Gaussian "
+    "vectors have near-equidistant neighbors, a ranking JL cannot (and "
+    "does not promise to) preserve. What JL guarantees — distances "
+    "within (1 +/- eps), planted-similar pairs staying separated from "
+    "background — is pinned by unit tests (signal preservation on the "
+    "planted near-dup pairs; distortion concentration as out_dim "
+    "grows). Scale: project once (shuffle-free map); real clustered "
+    "corpora retain their neighborhood structure.",
+)
+def jl_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = similarity.jl_project(emb, "vec_id", "embedding", out_dim=16, seed=11)
+    qids = proj.select("vec_id").filter(F.col("vec_id") < 30)
+    return similarity.cosine_topk(proj, qids, "vec_id", "proj", k=3).orderBy(
+        "qid", "rank"
+    )
