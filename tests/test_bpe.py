@@ -208,3 +208,42 @@ def test_tokenizer_cli_train_and_export(spark, sf_dir, tmp_path):
     assert segs.count() == summary["vocab_size"] > 0
     assert 1.0 <= summary["symbols_per_word"] <= summary["chars_per_word"]
     assert summary["compression_vs_chars"] >= 1.0
+
+
+def test_oracle_chain_stops_early_like_trainer(spark):
+    """On a corpus whose best remaining pair drops below min_freq before
+    n_merges rounds, the SQL oracle must stop exactly where train_bpe
+    stops (HAVING-empty rounds pass the vocab through) — and never empty
+    the vocabulary via the old CROSS JOIN."""
+    import duckdb
+
+    from traffic_accidents_airflow_kafka_spark.plans import tokenizer
+
+    texts = ["aa bb", "aa bb zq"]  # (a,a)=2, (b,b)=2, then best pair is 1
+    expected, ref_vocab = _ref_train(texts, n_merges=12)
+    assert len(expected) == 2  # sanity: training stops after two merges
+
+    got = [
+        (r["rank"], r["lhs"], r["rhs"], r["pair_count"])
+        for r in bpe.train_bpe(
+            spark.createDataFrame([(t,) for t in texts], "text STRING"),
+            n_merges=12,
+        ).orderBy("rank").collect()
+    ]
+    assert got == expected
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?)", [(t,) for t in texts])
+    sql = f"""{tokenizer._bpe_cte_chain(12)}
+    SELECT * FROM ({tokenizer._TRAIN_SELECT}) ORDER BY rank
+    """
+    oracle_rows = [tuple(r) for r in con.execute(sql).fetchall()]
+    assert oracle_rows == expected
+    # vocab survives the empty rounds intact
+    seg_sql = f"""{tokenizer._bpe_cte_chain(12)}
+    SELECT w, replace(substr(s, 2, length(s) - 2), chr(9) || chr(10), ' ') AS seg
+    FROM r12 ORDER BY w
+    """
+    segs = dict(con.execute(seg_sql).fetchall())
+    assert segs == {w: " ".join(syms) for w, syms in ref_vocab.items()}

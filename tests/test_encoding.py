@@ -86,3 +86,18 @@ def test_folds_are_deterministic_and_in_range(spark, df):
     for r in rows:
         assert r["fold"] == _ref_fold(r["id"])
         assert 0 <= r["fold"] < K
+
+
+def test_encode_rows_null_category_falls_back_to_global_mean(spark):
+    """NULL-keyed rows must survive the transform (row count preserved)
+    with the smoothed-global-mean fallback, not silently drop."""
+    rows = ROWS + [(9, None, 50.0)]
+    df = spark.createDataFrame(rows, "id LONG, cat STRING, target DOUBLE")
+    out = encoding.encode_rows(df, "cat", "target", "id", k=K, smoothing=M, seed=SEED)
+    got = {r["id"]: r["te_cat"] for r in out.collect()}
+    assert len(got) == len(rows)  # nothing dropped
+    gmean = sum(t for _, _, t in rows) / len(rows)
+    assert got[9] == pytest.approx(gmean, abs=1e-9)
+    # non-null rows keep their out-of-fold cell encodings (now computed
+    # over the corpus INCLUDING the null-category row's target in gmean)
+    assert all(v is not None for v in got.values())

@@ -195,6 +195,7 @@ def encode_stats(
     docs: DataFrame,
     merges: list[tuple[str, str]],
     text_col: str = "text",
+    materialize_every: int = 64,
 ) -> DataFrame:
     """Apply a trained merge list to the corpus vocabulary and report
     per-word segmentations: (word, f, n_symbols, symbols).
@@ -203,13 +204,31 @@ def encode_stats(
     segmented once (chained merge folds, applied in training order),
     then doc-level token counts are a (word → n_symbols) broadcast join
     away. Merge application order matters and is preserved.
+
+    Fold chains materialize every ``materialize_every`` merges: one
+    unbounded expression chain blows the JVM stack around ~1000 nested
+    folds (measured: StackOverflowError in the column converter), and
+    production merge tables are 10^4-10^5 deep. Chunked checkpoints keep
+    expression depth constant while staying vocabulary-sized; merge
+    lists at or below the chunk size (the catalog queries) build exactly
+    the old single-chain plan.
     """
     tab = word_freq(docs, text_col).select(
         "word", "f", initial_symbols("word").alias("syms")
     )
     col: Column = F.col("syms")
+    pending = 0
+    prev_ckpt = None
     for lhs, rhs in merges:
+        if pending == materialize_every:
+            tab = tab.withColumn("syms", col).localCheckpoint()
+            if prev_ckpt is not None:
+                prev_ckpt.unpersist()
+            prev_ckpt = tab
+            col = F.col("syms")
+            pending = 0
         col = apply_merge(col, lhs, rhs)
+        pending += 1
     return tab.select(
         "word",
         "f",

@@ -88,12 +88,20 @@ def encode_rows(
     seed: str = "te-folds-v1",
     out_col: str | None = None,
 ) -> DataFrame:
-    """Row-level transform: attach the out-of-fold encoding to every row
-    (broadcast join against the |categories|xk stats table). Unseen-at-
-    join categories can't occur (the table derives from the same rows);
-    at serving time, join this table with a global-mean fallback."""
+    """Row-level transform: attach the out-of-fold encoding to EVERY row
+    (broadcast LEFT join against the |categories|xk stats table, row
+    count preserved). Rows whose category or id is NULL can never match
+    a join key — SQL NULL-equality — so they (like genuinely unseen
+    serving-time categories) fall back to the smoothed global mean
+    rather than silently dropping out of the training set."""
     out_col = out_col or f"te_{cat_col}"
     enc = oof_encoding_table(df, cat_col, target_col, id_col, k, smoothing, seed)
+    g = df.agg(
+        (
+            F.sum(F.col(target_col).cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("__gmean")
+    )
     keyed = df.withColumn("__fold", fold_assign(id_col, k, seed))
     return (
         keyed.join(
@@ -105,6 +113,9 @@ def encode_rows(
                 )
             ),
             [cat_col, "__fold"],
+            "left",
         )
-        .drop("__fold")
+        .crossJoin(F.broadcast(g))
+        .withColumn(out_col, F.coalesce(F.col(out_col), F.col("__gmean")))
+        .drop("__fold", "__gmean")
     )

@@ -1289,14 +1289,20 @@ def jl_project(
     folds per row), no shuffle; the matrix is literals in the plan.
     """
     planes = hyperplane_planes(dim, out_dim, seed)
-    scale = 1.0 / float(out_dim) ** 0.5
     v = F.col(vec_col)
+    # Fail FAST on a dim mismatch instead of silently null-padding:
+    # zip_with pads the shorter side with NULLs, which would turn every
+    # projection into NULL without an error. The assert is fused into the
+    # (used) scale factor — assert_true yields NULL on success, so
+    # `scale + 0.0` is exact and the guard can't be pruned as unused.
+    guard = F.assert_true(
+        F.size(v) == F.lit(dim),
+        F.lit(f"jl_project: expected {dim}-d vectors in column {vec_col!r}"),
+    ).cast("double")
+    scale = F.lit(1.0 / float(out_dim) ** 0.5) + F.coalesce(guard, F.lit(0.0))
     proj = F.array(
         *[
-            (
-                _dot_double(v, F.array(*[F.lit(float(x)) for x in p]))
-                * F.lit(scale)
-            )
+            _dot_double(v, F.array(*[F.lit(float(x)) for x in p])) * scale
             for p in planes
         ]
     )

@@ -2030,10 +2030,14 @@ def overpass_pyds_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     try:
         spark.dataSource.register(OverpassDataSource)
-    except Exception:
-        pass  # already registered in this session
-    # Runtime conf, set here so the pushdown works under ANY session
-    # (the engine's get_spark also defaults it on).
+    except Exception as exc:  # tolerate ONLY double-registration
+        if "EXISTS" not in str(exc).upper():
+            raise
+    # Runtime conf, set here so the pushdown works under ANY session (the
+    # engine's get_spark also defaults it on). Deliberately NOT restored:
+    # the scan plans lazily, so the flag must still hold when the caller
+    # first executes the returned DataFrame — and it only affects Python
+    # data sources, all of which in this engine implement pushFilters.
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     nodes = spark.read.format("overpass").load()
     return (

@@ -33,6 +33,20 @@ from .registry import register
 
 _NUM_HASHES = 8
 
+def _sql_dot(vec: str, lits: list[float], dim: int) -> str:
+    """Sequential-fold dot product of a DuckDB vector column against
+    literal plane coefficients — the SQL mirror of
+    operators/similarity._dot_double (same fold order, same double
+    promotion, repr-round-tripped literals). Shared by every
+    plane-literal oracle in this module."""
+    lit = "[" + ", ".join(repr(float(x)) for x in lits) + "]"
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {dim}), "
+        f"j -> CAST({vec}[j] AS DOUBLE) * ({lit})[j])), (a, b) -> a + b)"
+    )
+
+
 _SHINGLE_CTE = """
     WITH words AS (
       SELECT doc_id, string_split(text, ' ') AS w FROM documents
@@ -331,12 +345,7 @@ def _lsh_oracle(n_planes: int = 6, dim: int = 64, seed: int = 7, k: int = 3) -> 
     planes = similarity.hyperplane_planes(dim, n_planes, seed)
 
     def dot(vec: str, lits: list[float]) -> str:
-        lit = "[" + ", ".join(repr(float(x)) for x in lits) + "]"
-        return (
-            f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
-            f"list_transform(generate_series(1, {dim}), "
-            f"j -> CAST({vec}[j] AS DOUBLE) * ({lit})[j])), (a, b) -> a + b)"
-        )
+        return _sql_dot(vec, lits, dim)
 
     bucket = " + ".join(
         f"(CASE WHEN {dot('embedding', p)} > 0 THEN {1 << i} ELSE 0 END)"
@@ -405,12 +414,7 @@ def _lsh_multiprobe_oracle(
     planes = similarity.hyperplane_planes(dim, n_planes, seed)
 
     def dot(vec: str, lits: list[float]) -> str:
-        lit = "[" + ", ".join(repr(float(x)) for x in lits) + "]"
-        return (
-            f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
-            f"list_transform(generate_series(1, {dim}), "
-            f"j -> CAST({vec}[j] AS DOUBLE) * ({lit})[j])), (a, b) -> a + b)"
-        )
+        return _sql_dot(vec, lits, dim)
 
     bucket = " + ".join(
         f"(CASE WHEN {dot('embedding', p)} > 0 THEN {1 << i} ELSE 0 END)"
@@ -534,12 +538,7 @@ def _cosine_neardup_oracle(
     planes = similarity.hyperplane_planes(dim, n_planes, seed)
 
     def dot(vec: str, lits: list[float]) -> str:
-        lit = "[" + ", ".join(repr(float(x)) for x in lits) + "]"
-        return (
-            f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
-            f"list_transform(generate_series(1, {dim}), "
-            f"j -> CAST({vec}[j] AS DOUBLE) * ({lit})[j])), (a, b) -> a + b)"
-        )
+        return _sql_dot(vec, lits, dim)
 
     bucket = " + ".join(
         f"(CASE WHEN {dot('embedding', p)} > 0 THEN {1 << i} ELSE 0 END)"
@@ -1695,12 +1694,7 @@ def _semantic_dedup_oracle(
     planes = similarity.hyperplane_planes(dim, n_planes, seed)
 
     def dot(vec: str, lits: list[float]) -> str:
-        lit = "[" + ", ".join(repr(float(x)) for x in lits) + "]"
-        return (
-            f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
-            f"list_transform(generate_series(1, {dim}), "
-            f"j -> CAST({vec}[j] AS DOUBLE) * ({lit})[j])), (a, b) -> a + b)"
-        )
+        return _sql_dot(vec, lits, dim)
 
     bucket = " + ".join(
         f"(CASE WHEN {dot('embedding', p)} > 0 THEN {1 << i} ELSE 0 END)"
@@ -2006,12 +2000,7 @@ def _semantic_quality_oracle(
     planes = similarity.hyperplane_planes(dim, n_planes, seed)
 
     def dot(vec: str, lits: list[float]) -> str:
-        lit = "[" + ", ".join(repr(float(x)) for x in lits) + "]"
-        return (
-            f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
-            f"list_transform(generate_series(1, {dim}), "
-            f"j -> CAST({vec}[j] AS DOUBLE) * ({lit})[j])), (a, b) -> a + b)"
-        )
+        return _sql_dot(vec, lits, dim)
 
     bucket = " + ".join(
         f"(CASE WHEN {dot('embedding', p)} > 0 THEN {1 << i} ELSE 0 END)"
@@ -2437,12 +2426,7 @@ def _positive_pairs_oracle(
     planes = similarity.hyperplane_planes(dim, n_planes, seed)
 
     def dot(vec: str, lits: list[float]) -> str:
-        lit = "[" + ", ".join(repr(float(x)) for x in lits) + "]"
-        return (
-            f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
-            f"list_transform(generate_series(1, {dim}), "
-            f"j -> CAST({vec}[j] AS DOUBLE) * ({lit})[j])), (a, b) -> a + b)"
-        )
+        return _sql_dot(vec, lits, dim)
 
     bucket = " + ".join(
         f"(CASE WHEN {dot('embedding', p)} > 0 THEN {1 << i} ELSE 0 END)"
@@ -3633,12 +3617,7 @@ def _jl_distortion_oracle(
     scale = repr(1.0 / float(out_dim) ** 0.5)
 
     def dot(vec: str, lits: list[float]) -> str:
-        lit = "[" + ", ".join(repr(float(x)) for x in lits) + "]"
-        return (
-            f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
-            f"list_transform(generate_series(1, {dim}), "
-            f"j -> CAST({vec}[j] AS DOUBLE) * ({lit})[j])), (a, b) -> a + b)"
-        )
+        return _sql_dot(vec, lits, dim)
 
     def proj(vec: str) -> str:
         return (
@@ -3737,12 +3716,7 @@ def _jl_ann_oracle(
     scale = repr(1.0 / float(out_dim) ** 0.5)
 
     def dot(vec: str, lits: list[float]) -> str:
-        lit = "[" + ", ".join(repr(float(x)) for x in lits) + "]"
-        return (
-            f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
-            f"list_transform(generate_series(1, {dim}), "
-            f"j -> CAST({vec}[j] AS DOUBLE) * ({lit})[j])), (a, b) -> a + b)"
-        )
+        return _sql_dot(vec, lits, dim)
 
     proj = (
         "list_value("

@@ -636,8 +636,9 @@ def stream_pyds_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     try:
         spark.dataSource.register(EventReplayDataSource)
-    except Exception:
-        pass  # already registered in this session
+    except Exception as exc:  # tolerate ONLY double-registration
+        if "EXISTS" not in str(exc).upper():
+            raise
     raw = (
         spark.readStream.format("eventreplay")
         .option("path", os.path.join(sf_dir, "events.parquet"))

@@ -46,9 +46,17 @@ from .registry import register
 N_MERGES = 12
 
 
-def _bpe_cte_chain(n_merges: int) -> str:
+def _bpe_cte_chain(n_merges: int, min_freq: int = 2) -> str:
     """The shared oracle prefix: word freq → encoded vocab r0 → n rounds
-    of (argmax pair b{i}, merged vocab r{i})."""
+    of (argmax pair b{i}, merged vocab r{i}).
+
+    The stop rule is STRUCTURAL, not data-dependent: b{i} keeps only
+    pairs with count >= min_freq (HAVING), and r{i} LEFT-joins its best
+    pair so an empty b{i} passes the vocab through unchanged — once a
+    round is empty every later round is too (nothing changed), exactly
+    train_bpe's early break. Without this, a corpus whose best remaining
+    pair dips below min_freq before n_merges would make the oracle keep
+    merging (and a bare CROSS JOIN would silently EMPTY the vocab)."""
     parts = [
         f"""
     WITH words AS (
@@ -74,13 +82,17 @@ def _bpe_cte_chain(n_merges: int) -> str:
       FROM (SELECT f, {syms} AS syms FROM r{i - 1}) q,
            UNNEST(generate_series(1, len(q.syms) - 1)) AS t(i)
       GROUP BY lhs, rhs
+      HAVING SUM(q.f) >= {min_freq}
       ORDER BY pair_count DESC, lhs, rhs LIMIT 1
     ),
     r{i} AS MATERIALIZED (
-      SELECT w, f,
-             replace(s, chr(10) || lhs || chr(9) || chr(10) || rhs || chr(9),
-                     chr(10) || lhs || rhs || chr(9)) AS s
-      FROM r{i - 1} CROSS JOIN b{i}
+      SELECT r.w, r.f,
+             CASE WHEN b.lhs IS NULL THEN r.s
+                  ELSE replace(r.s,
+                               chr(10) || b.lhs || chr(9) || chr(10) || b.rhs || chr(9),
+                               chr(10) || b.lhs || b.rhs || chr(9))
+             END AS s
+      FROM r{i - 1} r LEFT JOIN b{i} b ON TRUE
     )"""
         )
     return "".join(parts)

@@ -210,14 +210,16 @@ class EventReplayStreamReader(SimpleDataSourceStreamReader):
 
             # ns → µs timestamp truncation matches the batch path's
             # `ts div 1000` floor; the total (ts, event_id) order makes
-            # every offset range replay-identical.
-            self._rows = duckdb.sql(
-                f"""
+            # every offset range replay-identical. Path goes through a
+            # bind parameter — quotes in paths must not become SQL.
+            self._rows = duckdb.execute(
+                """
                 SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
                        event_type, value, props
-                FROM read_parquet('{self.path}')
+                FROM read_parquet(?)
                 ORDER BY ts, event_id
-                """
+                """,
+                [self.path],
             ).fetchall()
         return self._rows
 

@@ -134,6 +134,23 @@ def segment_batch(
     return closed, open_session
 
 
+def session_frame(user_id, sessions) -> pd.DataFrame:
+    """One output frame per group call in the _SESSION_US_SCHEMA layout —
+    shared by BOTH stateful APIs (sessionize here, tws.SessionProcessor)
+    so the twins cannot drift in the exact layer their cross-check test
+    pins. ``sessions``: (start_us, end_us, n_events, sum_value, closed_by)."""
+    return pd.DataFrame(
+        {
+            "user_id": user_id,
+            "start_us": [s[0] for s in sessions],
+            "end_us": [s[1] for s in sessions],
+            "n_events": [s[2] for s in sessions],
+            "sum_value": [s[3] for s in sessions],
+            "closed_by": [s[4] for s in sessions],
+        }
+    )
+
+
 def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
     """Group a (user_id, ts, value) stream into gap-delimited sessions.
 
@@ -153,7 +170,7 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
         if state.hasTimedOut:
             start_us, last_us, n, total = state.get
             state.remove()
-            yield _session_frame(user_id, [(start_us, last_us, n, total, "timeout")])
+            yield session_frame(user_id, [(start_us, last_us, n, total, "timeout")])
             return
 
         # Drop empty frames before concat: pandas deprecated concatenating
@@ -187,21 +204,9 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
             # user can close thousands of sessions in a single backfill
             # batch, and per-session single-row frames dominate runtime
             # (measured ~8× on the bench replay).
-            yield _session_frame(
+            yield session_frame(
                 user_id, [(s, e, n, t, "gap") for s, e, n, t in closed]
             )
-
-    def _session_frame(user_id, sessions):
-        return pd.DataFrame(
-            {
-                "user_id": user_id,
-                "start_us": [s[0] for s in sessions],
-                "end_us": [s[1] for s in sessions],
-                "n_events": [s[2] for s in sessions],
-                "sum_value": [s[3] for s in sessions],
-                "closed_by": [s[4] for s in sessions],
-            }
-        )
 
     # The watermarked event-time column ('ts') stays in the grouped input
     # so the stateful operator tracks the watermark; the UDF itself reads

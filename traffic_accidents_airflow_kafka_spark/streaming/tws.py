@@ -37,7 +37,7 @@ from pyspark.sql.streaming.stateful_processor import (
     TimerValues,
 )
 
-from .stateful import _SESSION_US_SCHEMA, STATE_SCHEMA, segment_batch
+from .stateful import _SESSION_US_SCHEMA, STATE_SCHEMA, segment_batch, session_frame
 
 _US = 1_000_000
 
@@ -55,16 +55,7 @@ class SessionProcessor(StatefulProcessor):
         self._state = handle.getValueState("session", STATE_SCHEMA)
 
     def _frame(self, user_id, sessions) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "user_id": user_id,
-                "start_us": [s[0] for s in sessions],
-                "end_us": [s[1] for s in sessions],
-                "n_events": [s[2] for s in sessions],
-                "sum_value": [s[3] for s in sessions],
-                "closed_by": [s[4] for s in sessions],
-            }
-        )
+        return session_frame(user_id, sessions)
 
     def _rearm_timer(self, last_us: int) -> None:
         # Timers accumulate (unlike setTimeoutTimestamp, which replaced);
