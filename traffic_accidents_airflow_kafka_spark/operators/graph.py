@@ -17,7 +17,52 @@ aggregate per round (one row to the driver, never data).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _edge_relation(
+    pairs: DataFrame, src: str, dst: str, symmetrize: bool
+) -> DataFrame:
+    """Self-loop-free distinct edge relation (optionally symmetrized),
+    materialized ONCE via localCheckpoint: nodes, degrees, and every
+    round derive from this checkpoint, so the (possibly expensive)
+    upstream candidate-pair plan never replays (measured 44 s → ~6 s at
+    sf0.1 on the Jaccard-pair input). Shared by both PageRank variants."""
+    fwd = pairs.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
+    edges = fwd
+    if symmetrize:
+        edges = fwd.union(
+            pairs.select(F.col(dst).alias("e_src"), F.col(src).alias("e_dst"))
+        )
+    return edges.filter(F.col("e_src") != F.col("e_dst")).distinct().localCheckpoint()
+
+
+def _loop_partitions(spark: SparkSession, n_edges: int) -> tuple[str, int]:
+    """(previous setting, loop-sized shuffle-partition count): candidate-
+    pair graphs are orders of magnitude smaller than the corpus that
+    produced them, so iteration rounds shuffle on a graph-sized count,
+    not the session default. Shared by both PageRank variants."""
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    return prev_parts, max(1, min(int(prev_parts), n_edges // 500_000 + 1))
+
+
+class _RoundCheckpointer:
+    """Truncate loop lineage every ``every`` rounds (each localCheckpoint
+    is an eager job; rounds in between stay lazy and fuse), releasing the
+    previous checkpoint once the next lands. Shared loop bookkeeping for
+    both PageRank variants."""
+
+    def __init__(self, every: int = 3):
+        self.every = every
+        self._last: DataFrame | None = None
+
+    def maybe(self, df: DataFrame, it: int, iters: int) -> DataFrame:
+        if it % self.every == self.every - 1 or it == iters - 1:
+            df = df.localCheckpoint()
+            if self._last is not None:
+                self._last.unpersist()
+            self._last = df
+        return df
 
 
 def pagerank(
@@ -41,18 +86,7 @@ def pagerank(
     GRAPH (like the CC loop): candidate-pair graphs are orders of
     magnitude smaller than the corpus that produced them.
     """
-    fwd = pairs.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
-    edges = fwd
-    if symmetrize:
-        edges = fwd.union(
-            pairs.select(F.col(dst).alias("e_src"), F.col(src).alias("e_dst"))
-        )
-    # Materialize the (possibly expensive) upstream pair plan FIRST —
-    # nodes, degrees, and the edge-degree relation all derive from this
-    # checkpoint; without it the candidate-pair pipeline replays once per
-    # derivation AND once per round in the dangling probe (measured 44 s
-    # → ~6 s at sf0.1 on the Jaccard-pair input).
-    edges = edges.filter(F.col("e_src") != F.col("e_dst")).distinct().localCheckpoint()
+    edges = _edge_relation(pairs, src, dst, symmetrize)
 
     nodes = (
         edges.select(F.col("e_src").alias("id"))
@@ -77,23 +111,19 @@ def pagerank(
     ).localCheckpoint()
     has_dangling = dangling_nodes.count() > 0
 
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    n_edges = edges_deg.count()
-    loop_parts = max(1, min(int(prev_parts), n_edges // 500_000 + 1))
+    prev_parts, loop_parts = _loop_partitions(spark, edges_deg.count())
     spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
     try:
         base = (1.0 - damping) / n_nodes
         ranks = nodes.select("id", F.lit(1.0 / n_nodes).alias("rank"))
-        # Lineage is truncated every CHECKPOINT_EVERY rounds, not every
-        # round: each localCheckpoint is an eager job, and on a
-        # dangling-free graph (every symmetrized near-dup graph) the
-        # rounds in between stay lazy — 3 rounds fuse into one
-        # materialization, cutting scheduler round-trips ~3x while the
-        # stacked plan stays 3 joins deep (well inside analyzer budget).
-        # A dangling graph materializes every round anyway via the
+        # Lineage truncated every 3 rounds (_RoundCheckpointer): each
+        # localCheckpoint is an eager job, and on a dangling-free graph
+        # (every symmetrized near-dup graph) the rounds in between stay
+        # lazy — 3 rounds fuse into one materialization, cutting
+        # scheduler round-trips ~3x while the stacked plan stays 3 joins
+        # deep. A dangling graph materializes every round anyway via the
         # scalar mass probe, so the cadence only changes job count.
-        checkpoint_every = 3
-        last_ckpt = None  # previous checkpointed ranks, released on the next one
+        ckpt = _RoundCheckpointer(3)
         for it in range(iters):
             joined = edges_deg.join(
                 ranks.withColumnRenamed("id", "e_src"), "e_src"
@@ -128,12 +158,7 @@ def pagerank(
                     * (F.coalesce("__in", F.lit(0.0)) + F.lit(dangling / n_nodes))
                 ).alias("rank"),
             )
-            if it % checkpoint_every == checkpoint_every - 1 or it == iters - 1:
-                new_ranks = new_ranks.localCheckpoint()
-                if last_ckpt is not None:
-                    last_ckpt.unpersist()
-                last_ckpt = new_ranks
-            ranks = new_ranks
+            ranks = ckpt.maybe(new_ranks, it, iters)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return ranks
@@ -245,11 +270,7 @@ def pagerank_fixedpoint(
     once with out-degrees, rounds shuffle (id, int64) pairs, lineage
     truncated every 3 rounds.
     """
-    fwd = pairs.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
-    edges = fwd.union(
-        pairs.select(F.col(dst).alias("e_src"), F.col(src).alias("e_dst"))
-    )
-    edges = edges.filter(F.col("e_src") != F.col("e_dst")).distinct().localCheckpoint()
+    edges = _edge_relation(pairs, src, dst, symmetrize=True)
     nodes = (
         edges.select(F.col("e_src").alias("id")).distinct().localCheckpoint()
     )  # symmetrized: src set == node set
@@ -263,14 +284,11 @@ def pagerank_fixedpoint(
     out_deg = edges.groupBy("e_src").agg(F.count(F.lit(1)).alias("__deg"))
     edges_deg = edges.join(out_deg, "e_src").localCheckpoint()
 
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    n_edges = edges_deg.count()
-    loop_parts = max(1, min(int(prev_parts), n_edges // 500_000 + 1))
+    prev_parts, loop_parts = _loop_partitions(spark, edges_deg.count())
     spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
     try:
         ranks = nodes.select("id", F.lit(init).cast("long").alias("rank_u"))
-        checkpoint_every = 3
-        last_ckpt = None
+        ckpt = _RoundCheckpointer(3)
         for it in range(iters):
             joined = edges_deg.join(ranks.withColumnRenamed("id", "e_src"), "e_src")
             contribs = joined.select(
@@ -285,12 +303,7 @@ def pagerank_fixedpoint(
                 .cast("long")
                 .alias("rank_u")
             )
-            if it % checkpoint_every == checkpoint_every - 1 or it == iters - 1:
-                new_ranks = new_ranks.localCheckpoint()
-                if last_ckpt is not None:
-                    last_ckpt.unpersist()
-                last_ckpt = new_ranks
-            ranks = new_ranks
+            ranks = ckpt.maybe(new_ranks, it, iters)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return ranks
