@@ -11,7 +11,9 @@ Noise caveat (measured, round 3): queries late in the shared session can
 read up to ~2-3x their isolated time from accumulated JVM/GC session
 pressure (e.g. rollup_status_priority: 2.7 s in-catalog vs 0.7-1.0 s
 isolated; pricing_summary read 2.0 s in round 2's catalog run vs 1.2-1.3 s
-isolated in rounds 1 and 3 with identical plans), and ambient host load
+isolated in rounds 1 and 3 with identical plans; largely mitigated by the
+per-query clearCache+gc hygiene below — 227.7 s -> 164.7 s catalog total
+at sf0.1, same code, same host), and ambient host load
 moves the catalog total by ~±20% between back-to-back runs (38.2 s vs
 53.7 s observed same-day with identical code; ~40 s on a quiet machine).
 Cross-round comparisons of individual queries should re-measure in
@@ -21,6 +23,7 @@ amortizes per-query noise but not host load.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import time
@@ -51,6 +54,14 @@ def main() -> None:
             spec.fn(spark, sf_dir).collect()
             best = min(best, time.perf_counter() - start)
         timings[name] = round(best, 4)
+        # Session hygiene between queries: drop cached relations and force
+        # Python GC so the JVM ContextCleaner can free checkpointed RDD
+        # blocks / broadcast vars whose Python handles just went out of
+        # scope. Measured at sf0.1: without this, queries late in the
+        # 151-entry session read 2-4x their isolated time (catalog total
+        # 227.7 s vs 164.7 s with hygiene, same code, same host).
+        spark.catalog.clearCache()
+        gc.collect()
 
     total = round(sum(timings.values()), 4)
     print(
