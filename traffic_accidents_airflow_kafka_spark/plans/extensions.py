@@ -1812,6 +1812,221 @@ def mergeable_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: DuckDB replay of `operators/sketch.py:cms_bucket`: fold the 13-hex
+#: md5 prefix to a 52-bit integer (the _HEX52 idiom), mod the width.
+#: The md5 seed carries the depth — 'cms-v1-{depth}|{key}' — exactly the
+#: string Spark's split_key(key, f"cms-v1-{i}") digests.
+_CMS_BUCKET = (
+    "CAST(list_reduce(list_transform(generate_series(1, 13), "
+    "j -> CAST(instr('0123456789abcdef', substr(md5('cms-v1-' "
+    "|| CAST(depth AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)), j, 1)) "
+    "- 1 AS BIGINT)), (a, b) -> a * 16 + b) AS BIGINT) % 256"
+)
+
+
+@register(
+    "cms_heavy_hitters",
+    tier=1,  # extended sketch surface; UNLIKE the HLL twin this one carries a full oracle
+    oracle=f"""
+    WITH keyed AS (
+      SELECT user_id, date_trunc('day', ts) AS day FROM events
+    ),
+    depths AS (SELECT UNNEST(generate_series(0, 3)) AS depth),
+    cells AS (
+      SELECT day, depth, {_CMS_BUCKET} AS bucket
+      FROM keyed CROSS JOIN depths
+    ),
+    daily AS (
+      SELECT day, depth, bucket, COUNT(*) AS w FROM cells GROUP BY 1, 2, 3
+    ),
+    merged AS (
+      SELECT depth, bucket, SUM(w) AS w FROM daily GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT user_id, COUNT(*) AS true_count FROM keyed GROUP BY 1
+    ),
+    probes AS (
+      SELECT t.user_id, t.true_count, depth, {_CMS_BUCKET} AS bucket
+      FROM truth t CROSS JOIN depths
+    ),
+    est AS (
+      SELECT p.user_id, p.true_count, MIN(COALESCE(m.w, 0)) AS est
+      FROM probes p LEFT JOIN merged m USING (depth, bucket)
+      GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(est AS BIGINT) AS est_count,
+           CAST(true_count AS BIGINT) AS true_count,
+           CAST(est - true_count AS BIGINT) AS overestimate
+    FROM est
+    ORDER BY est_count DESC, user_id
+    LIMIT 20
+    """,
+    doc="Count-min sketch heavy hitters — the FREQUENCY member of the "
+    "mergeable-sketch family (operators/sketch.py; mergeable_uniques is "
+    "the distinct-count member). Per-day sketches of the user activity "
+    "stream (depth 4 x width 256 cells, md5-parity buckets) are merged "
+    "BY ADDITION into a range sketch, then the exact key set probes it: "
+    "top-20 users by estimated count, with true count and the CMS "
+    "overestimate (est >= true always; collisions only inflate). Unlike "
+    "the builtin seeded-xxhash count_min_sketch aggregate, the md5 "
+    "bucket hash replays in ANSI SQL, so the ENTIRE sketch — build, "
+    "merge, probe — sits on the exact value-hash gate. Scale: map-side "
+    "partials collapse every task to <= depth*width cells before the "
+    "shuffle; per-day sketches persist at ~KB and answer any day-range "
+    "frequency question by addition, never rescanning history; probing "
+    "joins candidates against the BROADCAST kilobyte sketch.",
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import cms_estimate, cms_merge, cms_sketch
+
+    keyed = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    )
+    daily = cms_sketch(keyed, "user_id", by=["day"])
+    merged = cms_merge(daily)
+    truth = keyed.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("true_count")
+    )
+    est = cms_estimate(merged, truth.select("user_id"), "user_id")
+    return (
+        truth.join(est, "user_id")
+        .select(
+            "user_id",
+            F.col("est").alias("est_count"),
+            "true_count",
+            (F.col("est") - F.col("true_count")).alias("overestimate"),
+        )
+        .orderBy(F.desc("est_count"), "user_id")
+        .limit(20)
+    )
+
+
+#: DuckDB replay of `operators/sketch.py:bloom_bit_positions` for one
+#: hash row ``i`` over the arrival/history digest: fold the 13-hex md5
+#: prefix (the _HEX52 idiom) mod the 2048-bit filter width.
+_BLOOM_BIT = (
+    "CAST(list_reduce(list_transform(generate_series(1, 13), "
+    "j -> CAST(instr('0123456789abcdef', substr(md5('bloom-v1-' "
+    "|| CAST(i AS VARCHAR) || '|' || digest), j, 1)) "
+    "- 1 AS BIGINT)), (a, b) -> a * 16 + b) AS BIGINT) % 2048"
+)
+
+
+@register(
+    "bloom_dedup_prefilter",
+    tier=1,  # extended sketch surface (membership member of the mergeable family)
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source, md5(text) AS digest FROM documents
+    ),
+    hist AS (SELECT * FROM d WHERE doc_id % 5 <> 0),
+    arrivals AS (
+      SELECT * FROM d WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT * FROM d WHERE doc_id % 7 = 0 AND doc_id % 5 <> 0
+    ),
+    hashes AS (SELECT UNNEST(generate_series(0, 2)) AS i),
+    bloom AS (
+      SELECT DISTINCT {_BLOOM_BIT} AS bit FROM hist CROSS JOIN hashes
+    ),
+    probe_bits AS (
+      SELECT DISTINCT doc_id, source, digest, {_BLOOM_BIT} AS bit
+      FROM arrivals CROSS JOIN hashes
+    ),
+    probed AS (
+      SELECT p.doc_id, p.source, p.digest,
+             MIN(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END) = 1
+               AS maybe_member
+      FROM probe_bits p LEFT JOIN bloom b ON p.bit = b.bit
+      GROUP BY 1, 2, 3
+    ),
+    member AS (SELECT DISTINCT digest FROM hist),
+    final AS (
+      SELECT p.source, p.maybe_member, m.digest IS NOT NULL AS is_member
+      FROM probed p LEFT JOIN member m ON p.digest = m.digest
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_arrivals,
+           CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_true_member,
+           CAST(SUM(CASE WHEN maybe_member THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bloom_positive,
+           CAST(SUM(CASE WHEN maybe_member AND NOT is_member THEN 1 ELSE 0
+                END) AS BIGINT) AS n_false_positive,
+           CAST(SUM(CASE WHEN is_member AND NOT maybe_member THEN 1 ELSE 0
+                END) AS BIGINT) AS n_false_negative,
+           CAST(SUM(CASE WHEN NOT maybe_member THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_definitely_new
+    FROM final GROUP BY source ORDER BY source
+    """,
+    doc="Bloom-filter dedup pre-filter — the MEMBERSHIP member of the "
+    "mergeable-sketch family (operators/sketch.py:bloom_build/probe; HLL "
+    "covers distinct counts, CMS frequencies). The incremental-ingest "
+    "shape: an arrival batch (docs with doc_id%5=0 standing in for "
+    "today's partition, plus the %7=0 re-submissions whose text IS "
+    "already indexed) probes the history's exact-dup digest set through "
+    "a 2048-bit / 3-hash Bloom filter. Per-source rollup reports true "
+    "members, bloom positives, FALSE POSITIVES (the fpp tail the exact "
+    "check must still vet), false negatives (structurally ZERO — the "
+    "one-sided guarantee, visible in the output), and definitely-new "
+    "docs that skip the exact check entirely. md5-parity bit positions "
+    "make build+probe replay in ANSI SQL — the whole filter sits on the "
+    "exact value-hash gate. Scale: at 10^10 history keys the exact "
+    "digest set is tens of GB (unbroadcastable) while ~10 bits/key of "
+    "Bloom broadcasts fine; the probe is map-side (corpus never "
+    "shuffles), and only bloom-positives reach the history anti-join — "
+    "Spark's own runtime bloom-filter join pruning, made explicit and "
+    "persistable (per-partition filters merge by bitwise OR).",
+)
+def bloom_dedup_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import bloom_build, bloom_probe
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5(F.col("text").cast("binary")).alias("digest")
+    )
+    hist = d.filter(F.col("doc_id") % 5 != 0)
+    arrivals = d.filter(F.col("doc_id") % 5 == 0).unionByName(
+        hist.filter(F.col("doc_id") % 7 == 0)
+    )
+    bloom = bloom_build(hist.select("digest"), "digest")
+    probed = bloom_probe(arrivals, "digest", bloom)
+    flagged = probed.join(
+        hist.select("digest").distinct().withColumn("_m", F.lit(1)),
+        "digest",
+        "left",
+    ).withColumn("is_member", F.col("_m").isNotNull())
+    t, f = F.lit(1), F.lit(0)
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_arrivals"),
+            F.sum(F.when(F.col("is_member"), t).otherwise(f))
+            .cast("bigint")
+            .alias("n_true_member"),
+            F.sum(F.when(F.col("maybe_member"), t).otherwise(f))
+            .cast("bigint")
+            .alias("n_bloom_positive"),
+            F.sum(
+                F.when(F.col("maybe_member") & ~F.col("is_member"), t)
+                .otherwise(f)
+            )
+            .cast("bigint")
+            .alias("n_false_positive"),
+            F.sum(
+                F.when(F.col("is_member") & ~F.col("maybe_member"), t)
+                .otherwise(f)
+            )
+            .cast("bigint")
+            .alias("n_false_negative"),
+            F.sum(F.when(~F.col("maybe_member"), t).otherwise(f))
+            .cast("bigint")
+            .alias("n_definitely_new"),
+        )
+        .orderBy("source")
+    )
+
+
 @register(
     "temporal_split_audit",
     tier=1,  # extended curation surface; complements the cluster-keyed leakfree_split
