@@ -42,6 +42,11 @@ CROSS_JOIN_OK = {
     # count are ONE-ROW broadcast scalars crossJoined onto the events
     # tag pass / the 2-row split rollup.
     "temporal_split_audit",
+    # mergeable_quantiles: the min/max calibration bounds are a ONE-ROW
+    # broadcast scalar crossJoined onto events (binning is then a
+    # map-side expression), and bracket extraction theta-joins the
+    # 4-row quantile targets against the <= 64-row cumulative histogram.
+    "mergeable_quantiles",
 }
 
 #: Streaming entries build a streaming plan — skipped here (their shape is

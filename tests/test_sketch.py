@@ -16,6 +16,7 @@ from traffic_accidents_airflow_kafka_spark.operators.sketch import (
     cms_estimate,
     cms_merge,
     cms_sketch,
+    histogram_sketch,
 )
 from traffic_accidents_airflow_kafka_spark.sources.tables import load_table
 
@@ -87,6 +88,57 @@ def test_absent_key_estimate_is_collision_mass_only(spark, sf_dir):
     ghost = spark.createDataFrame([(123_456_789,)], "user_id long")
     [row] = cms_estimate(sketch, ghost, "user_id").collect()
     assert 0 <= row.est <= keyed.count()
+
+
+def test_histogram_partials_merge_exactly(spark, sf_dir):
+    """Sum of per-day histograms == the one-pass global histogram —
+    the addition-mergeability that answers day-range quantiles from
+    persisted daily partials."""
+    ev = _keyed_values(spark, sf_dir)
+    bounds = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    w = ev.crossJoin(F.broadcast(bounds))
+    merged = (
+        histogram_sketch(w, "value", F.col("lo"), F.col("hi"), by=["day"])
+        .groupBy("bin")
+        .agg(F.sum("w").alias("w"))
+    )
+    direct = histogram_sketch(w, "value", F.col("lo"), F.col("hi"))
+    assert merged.exceptAll(direct).isEmpty()
+    assert merged.count() == direct.count()
+
+
+def test_quantile_brackets_bound_the_exact_quantile(spark, sf_dir):
+    """Each bracket's DETERMINISTIC guarantee: the target rank falls
+    inside the bin (n_below < rank <= n_below + n_in_bin), and the
+    exact q-quantile value lies within [bin_lo, bin_hi]."""
+    from traffic_accidents_airflow_kafka_spark.plans import QUERY_REGISTRY
+
+    rows = QUERY_REGISTRY["mergeable_quantiles"].fn(spark, sf_dir).collect()
+    assert len(rows) == 4
+    vals = sorted(
+        r.value
+        for r in _keyed_values(spark, sf_dir).select("value").collect()
+    )
+    for r in rows:
+        assert r.n_below < r.target_rank <= r.n_below + r.n_in_bin
+        exact_q = vals[r.target_rank - 1]  # rank-ceil(qN) order statistic
+        assert r.bin_lo <= exact_q <= r.bin_hi
+
+
+def test_histogram_degenerate_domain_single_bin(spark):
+    """lo == hi (all values identical) must not divide by zero — the
+    whole mass lands in bin 0."""
+    df = spark.range(100).select(F.lit(7.5).alias("value"))
+    hist = histogram_sketch(
+        df, "value", F.lit(7.5), F.lit(7.5)
+    ).collect()
+    assert [(r.bin, r.w) for r in hist] == [(0, 100)]
+
+
+def _keyed_values(spark, sf_dir):
+    return load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("day"), "value"
+    )
 
 
 def _doc_digests(spark, sf_dir):

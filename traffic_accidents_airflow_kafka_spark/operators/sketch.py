@@ -51,7 +51,7 @@ m/64 int64 words with bit_or() — same semantics, denser transport.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 from .sampling import split_key
 
@@ -135,6 +135,82 @@ def cms_estimate(
         .withColumn("w", F.coalesce("w", F.lit(0)))
         .groupBy(key_col)
         .agg(F.min("w").alias("est"))
+    )
+
+
+def histogram_bin(
+    value_col: Column, lo: Column, hi: Column, n_bins: int
+) -> Column:
+    """Equi-width bin index in [0, n_bins): floor(((v-lo)/(hi-lo)) *
+    n_bins), clamped so v == hi lands in the last bin. The EXACT IEEE
+    operation order is part of the contract — the DuckDB replay performs
+    the identical (v-lo), (hi-lo), divide, multiply, floor sequence, so
+    bin assignment is bit-identical cross-engine (the same discipline as
+    the PSI decile edges and the BM25 fixed-order sums). A degenerate
+    lo == hi domain (all values equal) collapses to bin 0."""
+    ratio = (value_col - lo) / (hi - lo)
+    binned = F.least(F.lit(n_bins - 1), F.floor(ratio * F.lit(float(n_bins))))
+    return F.when(lo == hi, F.lit(0)).otherwise(binned).cast("int")
+
+
+def histogram_sketch(
+    df: DataFrame,
+    value_col: str,
+    lo: Column,
+    hi: Column,
+    by: list[str] | None = None,
+    n_bins: int = 64,
+) -> DataFrame:
+    """(``by``*, bin, w): equi-width histogram counts per group — the
+    QUANTILE member of the mergeable family. Against t-digest/KLL the
+    trade is explicit: fixed edges cost a calibration pass (or a known
+    domain) and bound quantile error by one bin width DETERMINISTICALLY,
+    while staying exact-integer mergeable-by-addition and replayable in
+    ANSI SQL. One hash aggregate, key space |groups| x n_bins — the
+    map-side partial collapse bounds shuffle output by sketch size."""
+    by = list(by or [])
+    bins = df.select(
+        *by, histogram_bin(F.col(value_col), lo, hi, n_bins).alias("bin")
+    )
+    return bins.groupBy(*by, "bin").agg(F.count(F.lit(1)).alias("w"))
+
+
+def histogram_quantile_brackets(
+    hist: DataFrame, quantiles: list[float], n_bins: int = 64
+) -> DataFrame:
+    """(q, target_rank, bin, n_below, n_in_bin) for each requested
+    quantile: the first bin whose cumulative count reaches
+    ceil(q * N). Runs entirely on the <= n_bins-row merged histogram —
+    a driver-scale relation; the corpus is long gone."""
+    n = hist.agg(F.sum("w").alias("n"))
+    cum = hist.select(
+        "bin",
+        F.col("w").alias("n_in_bin"),
+        (
+            F.sum("w").over(
+                Window.orderBy("bin").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            )
+        ).alias("n_below"),
+    ).na.fill({"n_below": 0})
+    qs = F.array(*[F.lit(q) for q in quantiles])
+    targets = n.select(
+        F.explode(qs).alias("q"), F.col("n")
+    ).select(
+        "q", F.ceil(F.col("q") * F.col("n").cast("double")).alias("target_rank")
+    )
+    return (
+        targets.join(
+            cum,
+            (F.col("n_below") + F.col("n_in_bin")) >= F.col("target_rank"),
+            "inner",
+        )
+        .groupBy("q", "target_rank")
+        .agg(
+            F.min_by(F.struct("bin", "n_below", "n_in_bin"), "bin").alias("_b")
+        )
+        .select("q", "target_rank", "_b.bin", "_b.n_below", "_b.n_in_bin")
     )
 
 

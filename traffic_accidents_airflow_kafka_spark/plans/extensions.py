@@ -1902,6 +1902,102 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "mergeable_quantiles",
+    tier=1,  # extended sketch surface (quantile member of the mergeable family)
+    oracle="""
+    WITH ev AS (SELECT date_trunc('day', ts) AS day, value FROM events),
+    b AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM ev),
+    binned AS (
+      SELECT day,
+             CAST(CASE WHEN lo = hi THEN 0
+                       ELSE LEAST(63, FLOOR(((value - lo) / (hi - lo))
+                                            * 64.0))
+                  END AS INT) AS bin
+      FROM ev CROSS JOIN b
+    ),
+    daily AS (SELECT day, bin, COUNT(*) AS w FROM binned GROUP BY 1, 2),
+    merged AS (
+      SELECT bin, CAST(SUM(w) AS BIGINT) AS w FROM daily GROUP BY 1
+    ),
+    n AS (SELECT CAST(SUM(w) AS BIGINT) AS n FROM merged),
+    cum AS (
+      SELECT bin, w AS n_in_bin,
+             CAST(COALESCE(SUM(w) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS n_below
+      FROM merged
+    ),
+    targets AS (
+      SELECT q, CAST(CEIL(q * CAST(n AS DOUBLE)) AS BIGINT) AS target_rank
+      FROM (SELECT UNNEST([0.25, 0.5, 0.9, 0.99]) AS q) CROSS JOIN n
+    ),
+    hit AS (
+      SELECT t.q, t.target_rank, MIN(c.bin) AS bin
+      FROM targets t JOIN cum c ON c.n_below + c.n_in_bin >= t.target_rank
+      GROUP BY 1, 2
+    )
+    SELECT h.q, h.target_rank, h.bin,
+           lo + ((hi - lo) * (CAST(h.bin AS DOUBLE) / 64.0)) AS bin_lo,
+           lo + ((hi - lo) * (CAST(h.bin + 1 AS DOUBLE) / 64.0)) AS bin_hi,
+           c.n_below, c.n_in_bin
+    FROM hit h JOIN cum c ON h.bin = c.bin CROSS JOIN b
+    ORDER BY h.q
+    """,
+    doc="Mergeable histogram quantiles — the QUANTILE member of the "
+    "mergeable-sketch family (operators/sketch.py:histogram_sketch; "
+    "HLL: distinct, CMS: frequency, Bloom: membership). Per-day "
+    "equi-width histograms (64 bins calibrated by one exact min/max "
+    "scan, bin edges in a pinned IEEE operation order so assignment is "
+    "bit-identical cross-engine) merge BY ADDITION into a range "
+    "histogram; p25/p50/p90/p99 read off as exact BRACKETS — first bin "
+    "whose cumulative count reaches ceil(q*N), with the bin's bounds "
+    "and the exact ranks below/inside it. Against t-digest/KLL the "
+    "trade is explicit and honest: a calibration pass (or known "
+    "domain) buys a DETERMINISTIC one-bin-width error bound and full "
+    "SQL replayability, where the streaming sketches give probabilistic "
+    "bounds and engine-opaque state. Scale: the histogram build's "
+    "map-side partials collapse every task to <= |days| x 64 cells "
+    "before the shuffle; persisted daily histograms answer any "
+    "day-range quantile by integer addition, never rescanning history; "
+    "bracket extraction runs on the 64-row merged relation. The "
+    "min/max calibration scalar and the 4 x 64 bracket probe are "
+    "sanctioned ONE-ROW/bounded broadcast joins.",
+)
+def mergeable_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import histogram_quantile_brackets, histogram_sketch
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("day"), "value"
+    )
+    bounds = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    daily = histogram_sketch(
+        ev.crossJoin(F.broadcast(bounds)),
+        "value",
+        F.col("lo"),
+        F.col("hi"),
+        by=["day"],
+    )
+    merged = daily.groupBy("bin").agg(F.sum("w").alias("w"))
+    brackets = histogram_quantile_brackets(merged, [0.25, 0.5, 0.9, 0.99])
+    lo, hi, b = F.col("lo"), F.col("hi"), F.col("bin")
+    return (
+        brackets.crossJoin(F.broadcast(bounds))
+        .select(
+            "q",
+            "target_rank",
+            "bin",
+            (lo + ((hi - lo) * (b.cast("double") / F.lit(64.0))))
+            .alias("bin_lo"),
+            (lo + ((hi - lo) * ((b + 1).cast("double") / F.lit(64.0))))
+            .alias("bin_hi"),
+            "n_below",
+            "n_in_bin",
+        )
+        .orderBy("q")
+    )
+
+
 #: DuckDB replay of `operators/sketch.py:bloom_bit_positions` for one
 #: hash row ``i`` over the arrival/history digest: fold the 13-hex md5
 #: prefix (the _HEX52 idiom) mod the 2048-bit filter width.
