@@ -63,6 +63,11 @@ REPRESENTATIVES = [
     "bpe_train_merges",
     "target_encoding_oof",
     "dedup_pagerank_exact",
+    # Fixed-size-summary family: shuffle output is bounded by sketch
+    # size (depth x width cells / set bits / bins), not data size — the
+    # curve should be the per-row hash cost only, never the output.
+    "cms_heavy_hitters",
+    "mergeable_quantiles",
 ]
 
 
