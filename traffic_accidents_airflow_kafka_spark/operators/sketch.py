@@ -80,7 +80,7 @@ def cms_sketch(
     depth: int = DEFAULT_DEPTH,
     width: int = DEFAULT_WIDTH,
     seed: str = "cms-v1",
-) -> Column | DataFrame:
+) -> DataFrame:
     """(``by``*, depth, bucket, w): the cell counts of a count-min
     sketch of ``key_col``, one sketch per ``by`` group.
 
