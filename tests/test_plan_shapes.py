@@ -47,6 +47,10 @@ CROSS_JOIN_OK = {
     # map-side expression), and bracket extraction theta-joins the
     # 4-row quantile targets against the <= 64-row cumulative histogram.
     "mergeable_quantiles",
+    # bloom_dedup_prefilter: the whole filter is a ONE-ROW broadcast
+    # set-bit array crossJoined onto the arrival batch; the probe is a
+    # per-row array lookup, so the probed corpus never shuffles.
+    "bloom_dedup_prefilter",
 }
 
 #: Streaming entries build a streaming plan — skipped here (their shape is

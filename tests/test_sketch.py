@@ -125,6 +125,22 @@ def test_quantile_brackets_bound_the_exact_quantile(spark, sf_dir):
         assert r.bin_lo <= exact_q <= r.bin_hi
 
 
+def test_histogram_known_domain_clamps_both_edges(spark):
+    """Known-domain calibration (fixed lo/hi, no min/max scan) must keep
+    out-of-domain values inside [0, n_bins): below-lo rows clamp to bin
+    0, above-hi rows to the last bin — never negative or overflow bins."""
+    df = spark.createDataFrame(
+        [(-5.0,), (0.0,), (50.0,), (100.0,), (250.0,)], "value double"
+    )
+    hist = histogram_sketch(
+        df, "value", F.lit(0.0), F.lit(100.0), n_bins=64
+    ).collect()
+    bins = {r.bin: r.w for r in hist}
+    assert set(bins) == {0, 32, 63}
+    assert bins[0] == 2  # -5.0 clamps up, 0.0 is genuine
+    assert bins[63] == 2  # 100.0 (v == hi) and 250.0 both clamp down
+
+
 def test_histogram_degenerate_domain_single_bin(spark):
     """lo == hi (all values identical) must not divide by zero — the
     whole mass lands in bin 0."""
@@ -180,11 +196,14 @@ def test_bloom_merge_is_bitwise_or(spark, sf_dir):
 
 def test_bloom_probe_handles_duplicate_keys(spark, sf_dir):
     """Regression: a member key appearing on MULTIPLE probe rows must
-    still read maybe_member=true on every row (bit matches are counted
-    over distinct (key, bit) pairs, not probe rows)."""
-    members = _doc_digests(spark, sf_dir).limit(50)
+    still read maybe_member=true on every row (membership is a per-row
+    array check, never a hit COUNT a duplicate could inflate)."""
+    # Deterministic subset — limit() without order re-evaluates
+    # differently per plan and would probe keys the filter never saw.
+    members = _doc_digests(spark, sf_dir).filter(F.col("doc_id") < 50)
     bloom = bloom_build(members.select("digest"), "digest")
+    n = members.count()
     doubled = members.union(members)  # every key twice
     probed = bloom_probe(doubled, "digest", bloom)
-    assert probed.count() == 100
+    assert probed.count() == 2 * n
     assert probed.filter(~F.col("maybe_member")).isEmpty()

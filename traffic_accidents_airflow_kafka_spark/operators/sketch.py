@@ -146,10 +146,19 @@ def histogram_bin(
     operation order is part of the contract — the DuckDB replay performs
     the identical (v-lo), (hi-lo), divide, multiply, floor sequence, so
     bin assignment is bit-identical cross-engine (the same discipline as
-    the PSI decile edges and the BM25 fixed-order sums). A degenerate
-    lo == hi domain (all values equal) collapses to bin 0."""
+    the PSI decile edges and the BM25 fixed-order sums). Both edges
+    clamp — with a KNOWN-domain calibration (fixed lo/hi instead of a
+    min/max scan), out-of-domain values land in the first/last bin
+    rather than escaping [0, n_bins). A degenerate lo == hi domain
+    (all values equal) collapses to bin 0. NULL values are the caller's
+    job to filter first: least/greatest SKIP nulls (identically in
+    Spark and DuckDB), so a NULL value would silently clamp into the
+    last bin instead of staying NULL."""
     ratio = (value_col - lo) / (hi - lo)
-    binned = F.least(F.lit(n_bins - 1), F.floor(ratio * F.lit(float(n_bins))))
+    binned = F.greatest(
+        F.lit(0),
+        F.least(F.lit(n_bins - 1), F.floor(ratio * F.lit(float(n_bins)))),
+    )
     return F.when(lo == hi, F.lit(0)).otherwise(binned).cast("int")
 
 
@@ -176,7 +185,7 @@ def histogram_sketch(
 
 
 def histogram_quantile_brackets(
-    hist: DataFrame, quantiles: list[float], n_bins: int = 64
+    hist: DataFrame, quantiles: list[float]
 ) -> DataFrame:
     """(q, target_rank, bin, n_below, n_in_bin) for each requested
     quantile: the first bin whose cumulative count reaches
@@ -257,21 +266,26 @@ def bloom_probe(
 ) -> DataFrame:
     """``df`` + ``maybe_member``: true iff ALL the key's bits are set.
     No false negatives ever (a member's bits were all inserted); false
-    positives at the documented fpp. The set-bit relation broadcasts, so
-    probing is map-side: explode k bits per row, hit-count against the
-    broadcast bits, compare to k — the corpus never shuffles."""
+    positives at the documented fpp.
+
+    Fully map-side: the filter collapses to ONE row holding its set-bit
+    array (<= m elements), broadcast-crossJoined onto ``df``, and each
+    row's k positions check membership with an array lookup — the
+    probed corpus NEVER shuffles, which is the entire point of a Bloom
+    pre-filter at 10^10 keys. The demo-scale lookup is a linear
+    array_contains over the set bits; the production packing is the
+    same plan with m/64 bit_or-packed int64 words and an O(1)
+    element_at + bit test per position."""
     bits = bloom_bit_positions(key_col, n_hashes, m, seed)
-    # Distinct (key, bit): duplicate probe rows and i != j hash rows
-    # landing on the same position must not double-count — membership is
-    # "EVERY distinct position set", not "k matches".
-    probes = df.select(key_col, F.explode(bits).alias("bit")).distinct()
-    verdicts = (
-        probes.join(
-            F.broadcast(bloom.withColumn("_set", F.lit(1))), "bit", "left"
+    # One-row scalar: the whole filter as an array of its set bits
+    # (order irrelevant for containment). The sanctioned ONE-ROW
+    # broadcast crossJoin idiom — see tests/test_plan_shapes.py.
+    filter_row = bloom.agg(F.collect_set("bit").alias("_bloom_bits"))
+    return (
+        df.crossJoin(F.broadcast(filter_row))
+        .withColumn(
+            "maybe_member",
+            F.forall(bits, lambda b: F.array_contains("_bloom_bits", b)),
         )
-        .groupBy(key_col)
-        .agg(
-            (F.min(F.coalesce("_set", F.lit(0))) == 1).alias("maybe_member")
-        )
+        .drop("_bloom_bits")
     )
-    return df.join(verdicts, key_col, "left")

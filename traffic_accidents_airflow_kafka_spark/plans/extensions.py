@@ -1813,14 +1813,16 @@ def mergeable_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: DuckDB replay of `operators/sketch.py:cms_bucket`: fold the 13-hex
-#: md5 prefix to a 52-bit integer (the _HEX52 idiom), mod the width.
-#: The md5 seed carries the depth — 'cms-v1-{depth}|{key}' — exactly the
-#: string Spark's split_key(key, f"cms-v1-{i}") digests.
+#: md5 prefix to a 52-bit integer (the shared _HEX52 template), mod the
+#: width. The md5 seed carries the depth — 'cms-v1-{depth}|{key}' —
+#: exactly the string Spark's split_key(key, f"cms-v1-{i}") digests.
 _CMS_BUCKET = (
-    "CAST(list_reduce(list_transform(generate_series(1, 13), "
-    "j -> CAST(instr('0123456789abcdef', substr(md5('cms-v1-' "
-    "|| CAST(depth AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)), j, 1)) "
-    "- 1 AS BIGINT)), (a, b) -> a * 16 + b) AS BIGINT) % 256"
+    "CAST("
+    + _HEX52.format(
+        md5="md5('cms-v1-' || CAST(depth AS VARCHAR) || '|' "
+        "|| CAST(user_id AS VARCHAR))"
+    )
+    + " AS BIGINT) % 256"
 )
 
 
@@ -1929,7 +1931,10 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM merged
     ),
     targets AS (
-      SELECT q, CAST(CEIL(q * CAST(n AS DOUBLE)) AS BIGINT) AS target_rank
+      -- CAST q: the bare list literal is DECIMAL(3,2); Spark emits
+      -- DOUBLE, and decimal->pandas mapping is client-version-dependent.
+      SELECT CAST(q AS DOUBLE) AS q,
+             CAST(CEIL(q * CAST(n AS DOUBLE)) AS BIGINT) AS target_rank
       FROM (SELECT UNNEST([0.25, 0.5, 0.9, 0.99]) AS q) CROSS JOIN n
     ),
     hit AS (
@@ -2000,12 +2005,11 @@ def mergeable_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: DuckDB replay of `operators/sketch.py:bloom_bit_positions` for one
 #: hash row ``i`` over the arrival/history digest: fold the 13-hex md5
-#: prefix (the _HEX52 idiom) mod the 2048-bit filter width.
+#: prefix (the shared _HEX52 template) mod the 2048-bit filter width.
 _BLOOM_BIT = (
-    "CAST(list_reduce(list_transform(generate_series(1, 13), "
-    "j -> CAST(instr('0123456789abcdef', substr(md5('bloom-v1-' "
-    "|| CAST(i AS VARCHAR) || '|' || digest), j, 1)) "
-    "- 1 AS BIGINT)), (a, b) -> a * 16 + b) AS BIGINT) % 2048"
+    "CAST("
+    + _HEX52.format(md5="md5('bloom-v1-' || CAST(i AS VARCHAR) || '|' || digest)")
+    + " AS BIGINT) % 2048"
 )
 
 
