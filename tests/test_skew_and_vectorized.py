@@ -60,6 +60,24 @@ def test_two_phase_agg_matches_single_phase(spark, skewed):
     assert direct == two
 
 
+def test_join_cardinality_prediction_matches_reality(spark):
+    """The guard's join_rows must equal the ACTUAL row count of the
+    join it predicts — exact, not an estimate — including a planted
+    hot-key blowup and keys private to each side."""
+    left = spark.createDataFrame(
+        [(k,) for k in [1] * 100 + [2] * 3 + [7]], "k long"
+    )
+    right = spark.createDataFrame(
+        [(k,) for k in [1] * 50 + [2] * 2 + [9]], "k long"
+    )
+    [st] = skew.join_cardinality_stats("t", left, "k", right, "k").collect()
+    actual = left.join(right, "k").count()
+    assert st.join_rows == actual == 100 * 50 + 3 * 2
+    assert st.top_pair_rows == 100 * 50
+    assert st.n_left == 104 and st.n_right == 53  # private keys counted
+    assert st.n_common_keys == 2
+
+
 def test_vectorized_cosine_matches_fold(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     qids = emb.select("vec_id").filter(F.col("vec_id") < 5)

@@ -71,3 +71,55 @@ def two_phase_agg(
     return partial.groupBy(*keys).agg(
         *[F.sum(f"__p_{name}").alias(name) for name in aggs]
     )
+
+
+def join_cardinality_stats(
+    name: str, left: DataFrame, left_key: str, right: DataFrame, right_key: str
+) -> DataFrame:
+    """ONE row predicting an equi-join's EXACT output size before running
+    it: for shared key k with c_l(k) x c_r(k) rows per side, the join
+    emits sum(c_l * c_r) rows — computable from the two key-cardinality
+    relations alone. The pre-flight guard for N:M explosions: an
+    amplification (join rows / larger input) far above 1 means the join
+    multiplies data and needs rethinking (pre-aggregate a side, bucket,
+    or the key is wrong), BEFORE a 100 TB shuffle discovers it the hard
+    way.
+
+    Scale: two hash aggregates to key-cardinality relations, one
+    key-keyed full-outer join of those (so disjoint keys still count
+    into the side totals), one scalar rollup. Nothing corpus-sized
+    survives past the first aggregates.
+    """
+    lc = left.groupBy(F.col(left_key).alias("k")).agg(
+        F.count(F.lit(1)).alias("c_l")
+    )
+    rc = right.groupBy(F.col(right_key).alias("k")).agg(
+        F.count(F.lit(1)).alias("c_r")
+    )
+    both = F.col("c_l").isNotNull() & F.col("c_r").isNotNull()
+    pair_rows = F.when(both, F.col("c_l") * F.col("c_r")).otherwise(F.lit(0))
+    stats = (
+        lc.join(rc, "k", "full_outer")
+        .agg(
+            F.sum(F.coalesce("c_l", F.lit(0))).cast("bigint").alias("n_left"),
+            F.sum(F.coalesce("c_r", F.lit(0))).cast("bigint").alias("n_right"),
+            F.sum(both.cast("int")).cast("bigint").alias("n_common_keys"),
+            F.sum(pair_rows).cast("bigint").alias("join_rows"),
+            F.coalesce(F.max(F.when(both, F.col("c_l") * F.col("c_r"))), F.lit(0))
+            .cast("bigint")
+            .alias("top_pair_rows"),
+        )
+    )
+    return stats.select(
+        F.lit(name).alias("join_name"),
+        "n_left",
+        "n_right",
+        "n_common_keys",
+        "join_rows",
+        F.round(
+            F.col("join_rows").cast("double")
+            / F.greatest("n_left", "n_right").cast("double"),
+            4,
+        ).alias("amplification"),
+        "top_pair_rows",
+    )

@@ -1512,6 +1512,107 @@ def table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("table_name")
 
 
+#: One join candidate's oracle CTE pair + rollup (DuckDB replay of
+#: `operators/skew.py:join_cardinality_stats`).
+def _join_card_cte(
+    tag: str, name: str, lsql: str, rsql: str
+) -> str:
+    return f"""
+    lc{tag} AS (SELECT k, COUNT(*) AS c_l FROM ({lsql}) GROUP BY 1),
+    rc{tag} AS (SELECT k, COUNT(*) AS c_r FROM ({rsql}) GROUP BY 1),
+    p{tag} AS (
+      SELECT '{name}' AS join_name,
+             CAST(SUM(COALESCE(c_l, 0)) AS BIGINT) AS n_left,
+             CAST(SUM(COALESCE(c_r, 0)) AS BIGINT) AS n_right,
+             CAST(SUM(CASE WHEN c_l IS NOT NULL AND c_r IS NOT NULL
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_common_keys,
+             CAST(SUM(CASE WHEN c_l IS NOT NULL AND c_r IS NOT NULL
+                      THEN c_l * c_r ELSE 0 END) AS BIGINT) AS join_rows,
+             CAST(COALESCE(MAX(CASE WHEN c_l IS NOT NULL AND c_r IS NOT
+                      NULL THEN c_l * c_r END), 0) AS BIGINT)
+               AS top_pair_rows
+      FROM lc{tag} FULL OUTER JOIN rc{tag} USING (k)
+    )"""
+
+
+@register(
+    "join_explosion_guard",
+    tier=1,  # extended diagnostics surface; key_skew_report's pairwise twin
+    oracle="WITH "
+    + ",".join(
+        [
+            _join_card_cte(
+                "1",
+                "events*events@user_id",
+                "SELECT user_id AS k FROM events",
+                "SELECT user_id AS k FROM events",
+            ),
+            _join_card_cte(
+                "2",
+                "lineitem*orders@orderkey",
+                "SELECT l_orderkey AS k FROM lineitem",
+                "SELECT o_orderkey AS k FROM orders",
+            ),
+            _join_card_cte(
+                "3",
+                "orders*customer@custkey",
+                "SELECT o_custkey AS k FROM orders",
+                "SELECT c_custkey AS k FROM customer",
+            ),
+        ]
+    )
+    + """
+    SELECT join_name, n_left, n_right, n_common_keys, join_rows,
+           ROUND(CAST(join_rows AS DOUBLE)
+                 / CAST(GREATEST(n_left, n_right) AS DOUBLE), 4)
+             AS amplification,
+           top_pair_rows
+    FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2
+          UNION ALL SELECT * FROM p3)
+    ORDER BY join_name
+    """,
+    doc="Join-explosion guard — key_skew_report's PAIRWISE twin "
+    "(operators/skew.py:join_cardinality_stats): for each candidate "
+    "equi-join, the EXACT output cardinality computed BEFORE the join "
+    "from the two key-count relations (sum over shared keys of "
+    "c_l x c_r), with amplification (join rows / larger input) and the "
+    "hottest key pair's contribution. The events self-join on user_id "
+    "reads amplification ~N/users (the N:M blowup a naive "
+    "sessionize-by-join would hit); the two FK joins read ~1.0 "
+    "(key-unique dim side). This is the pre-flight check that decides "
+    "pre-aggregate vs bucket vs salt BEFORE a 100 TB shuffle discovers "
+    "the blowup; the cost is two hash aggregates per pair to "
+    "key-cardinality relations, one key-keyed join of those, and a "
+    "scalar rollup.",
+)
+def join_explosion_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import join_cardinality_stats
+
+    events = load_table(spark, sf_dir, "events")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    pairs = [
+        join_cardinality_stats(
+            "events*events@user_id", events, "user_id", events, "user_id"
+        ),
+        join_cardinality_stats(
+            "lineitem*orders@orderkey",
+            lineitem,
+            "l_orderkey",
+            orders,
+            "o_orderkey",
+        ),
+        join_cardinality_stats(
+            "orders*customer@custkey", orders, "o_custkey", customer, "c_custkey"
+        ),
+    ]
+    out = pairs[0]
+    for p in pairs[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("join_name")
+
+
 @register(
     "key_skew_report",
     tier=1,  # extended diagnostics surface; the pre-salting read
