@@ -478,3 +478,57 @@ def test_temperature_mixture_stable_under_repartitioning(spark):
             ).collect()
         }
         assert again == base  # exact float equality, not isclose
+
+
+def test_pack_context_blocks_hand_computed(spark):
+    """B=10, three docs of 3 tokens (+1 EOD = 4 each): stream is 12
+    tokens, so doc 2 must SPLIT across the block boundary — exact
+    hand-computed manifest."""
+    docs = spark.createDataFrame(
+        [(0, 3), (1, 3), (2, 3)], "doc_id long, n_tok long"
+    )
+    rows = sorted(
+        sampling.pack_context_blocks(
+            docs, "doc_id", "n_tok", block_tokens=10
+        ).collect(),
+        key=lambda r: (r.block_idx, r.doc_id),
+    )
+    got = [
+        (r.block_idx, r.doc_id, r.start_in_block, r.end_in_block, r.is_whole)
+        for r in rows
+    ]
+    assert got == [
+        (0, 0, 0, 4, True),
+        (0, 1, 4, 8, True),
+        (0, 2, 8, 10, False),  # head of the straddler
+        (1, 2, 0, 2, False),  # its tail
+    ]
+
+
+def test_pack_context_blocks_reassembles_every_doc(spark, sf_dir):
+    """Per doc: its block spans sum to exactly tokens+sep and every
+    block is full except the last — packing loses and pads nothing."""
+    from traffic_accidents_airflow_kafka_spark.operators import text as text_ops
+    from traffic_accidents_airflow_kafka_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", text_ops.bpe_ish_token_count("text").cast("long").alias("n_tok")
+    )
+    cells = sampling.pack_context_blocks(
+        docs, "doc_id", "n_tok", block_tokens=512
+    )
+    per_doc = (
+        cells.groupBy("doc_id")
+        .agg(F.sum(F.col("end_in_block") - F.col("start_in_block")).alias("got"))
+        .join(docs, "doc_id")
+        .filter(F.col("got") != F.col("n_tok") + 1)
+    )
+    assert per_doc.isEmpty()
+    fills = (
+        cells.groupBy("block_idx")
+        .agg(F.sum(F.col("end_in_block") - F.col("start_in_block")).alias("fill"))
+        .orderBy("block_idx")
+        .collect()
+    )
+    assert all(r.fill == 512 for r in fills[:-1])
+    assert 0 < fills[-1].fill <= 512

@@ -168,6 +168,63 @@ def token_shards(
     )
 
 
+def pack_context_blocks(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    block_tokens: int,
+    sep_tokens: int = 1,
+) -> DataFrame:
+    """GPT-style sequence packing manifest: docs concatenate in ``id_col``
+    order (each followed by ``sep_tokens`` end-of-document markers) into
+    one token stream, cut into fixed ``block_tokens`` context windows.
+    One output row per (doc, block) the doc occupies — a boundary-
+    crossing doc SPLITS into head/tail rows; nothing pads, nothing
+    drops, so every block except the final one is exactly full (the
+    training-efficiency property packing exists for; `token_shards` is
+    the coarser file-granularity cousin that never splits docs).
+
+    Columns: ``block_idx``, ``id_col``, ``start_in_block`` /
+    ``end_in_block`` (the block-local token span), ``is_whole`` (doc fits
+    this single block). Offsets use ``div`` integer arithmetic end to
+    end — exact past 2^53 tokens where float floor-division would drift.
+
+    Scale: the only shuffle is `global_cumsum`'s range exchange; the
+    block expansion is a map-side sequence/explode emitting
+    1 + boundary-crossings rows per doc.
+    """
+    b = F.lit(block_tokens)
+    sized = df.select(
+        id_col, (F.col(token_col) + F.lit(sep_tokens)).cast("long").alias("_len")
+    )
+    pos = global_cumsum(sized, id_col, "_len", out_col="_start")
+    spans = pos.select(
+        id_col,
+        "_len",
+        "_start",
+        F.explode(
+            F.sequence(
+                F.expr(f"_start div {block_tokens}"),
+                F.expr(f"(_start + _len - 1) div {block_tokens}"),
+            )
+        ).alias("block_idx"),
+    )
+    return spans.select(
+        "block_idx",
+        id_col,
+        F.greatest(F.lit(0), F.col("_start") - F.col("block_idx") * b)
+        .cast("long")
+        .alias("start_in_block"),
+        F.least(b.cast("long"), F.col("_start") + F.col("_len") - F.col("block_idx") * b)
+        .cast("long")
+        .alias("end_in_block"),
+        (
+            F.expr(f"_start div {block_tokens}")
+            == F.expr(f"(_start + _len - 1) div {block_tokens}")
+        ).alias("is_whole"),
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     stratum_col: str,

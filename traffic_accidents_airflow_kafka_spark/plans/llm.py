@@ -1417,6 +1417,80 @@ def token_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "context_packing_blocks",
+    tier=1,  # extended training-data surface; token_shards' block-granular twin
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '{text_ops.BPE_ISH_PATTERN}', 0))
+               + 1 AS tlen
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, tlen,
+             CAST(COALESCE(SUM(tlen) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS s0
+      FROM toks
+    ),
+    spans AS (
+      SELECT doc_id, tlen, s0,
+             UNNEST(generate_series(s0 // 2048, (s0 + tlen - 1) // 2048))
+               AS block_idx
+      FROM pos
+    ),
+    cells AS (
+      SELECT block_idx, doc_id,
+             GREATEST(s0, block_idx * 2048) AS s,
+             LEAST(s0 + tlen, (block_idx + 1) * 2048) AS e,
+             s0 // 2048 = (s0 + tlen - 1) // 2048 AS whole
+      FROM spans
+    )
+    SELECT CAST(block_idx AS BIGINT) AS block_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN whole THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_whole_docs,
+           CAST(SUM(e - s) AS BIGINT) AS n_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc_id
+    FROM cells GROUP BY 1 ORDER BY 1
+    """,
+    doc="GPT-style context-window packing (operators/sampling.py:"
+    "pack_context_blocks) — the block-granular twin of token_shards: "
+    "docs concatenate in doc_id order (BPE-ish token counts + 1 EOD "
+    "marker each) into one stream cut into 2048-token training windows; "
+    "boundary-crossing docs SPLIT rather than pad, so every block but "
+    "the last reads n_tokens = 2048 IN THE OUTPUT — the packing "
+    "efficiency invariant is value-hash-checked, not just asserted. "
+    "Per-block rollup: docs touching, whole docs, token fill, doc-id "
+    "range. Offsets are div integer arithmetic end to end (exact past "
+    "2^53 tokens); the doc stream position comes from global_cumsum's "
+    "range-partitioned scan — no single-task global window; the block "
+    "expansion is map-side sequence/explode.",
+)
+def context_packing_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", text_ops.bpe_ish_token_count("text").cast("long").alias("n_tok")
+    )
+    cells = sampling.pack_context_blocks(
+        docs, "doc_id", "n_tok", block_tokens=2048, sep_tokens=1
+    )
+    return (
+        cells.groupBy("block_idx")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.col("is_whole").cast("int")).cast("bigint").alias("n_whole_docs"),
+            F.sum(F.col("end_in_block") - F.col("start_in_block"))
+            .cast("bigint")
+            .alias("n_tokens"),
+            F.min("doc_id").alias("first_doc_id"),
+            F.max("doc_id").alias("last_doc_id"),
+        )
+        .orderBy("block_idx")
+    )
+
+
+@register(
     "embedding_centroids",
     tier=1,  # extended surface; vector-agg shape shares the judged hash-agg machinery
     oracle="""
