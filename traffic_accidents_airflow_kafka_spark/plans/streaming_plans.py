@@ -647,3 +647,66 @@ def stream_pyds_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     windowed = streaming.windowed_event_counts(raw, "1 hour", "2 hours")
     result = streaming.run_available_now(windowed, spark, state_partitions=8)
     return result.orderBy("window_start", "event_type")
+
+
+@register(
+    "stream_cms_cells",
+    tier=1,  # extended streaming surface; windowed-agg machinery judged via stream_window_counts
+    oracle="""
+    WITH depths AS (SELECT UNNEST(generate_series(0, 3)) AS depth),
+    cells AS (
+      SELECT date_trunc('hour', ts) AS window_start, depth,
+             CAST(list_reduce(list_transform(generate_series(1, 13),
+               j -> CAST(instr('0123456789abcdef', substr(md5('cms-v1-'
+               || CAST(depth AS VARCHAR) || '|'
+               || CAST(user_id AS VARCHAR)), j, 1)) - 1 AS BIGINT)),
+               (a, b) -> a * 16 + b) AS BIGINT) % 256 AS bucket
+      FROM events CROSS JOIN depths
+    ),
+    grid AS (
+      SELECT window_start, depth, bucket, COUNT(*) AS wt
+      FROM cells GROUP BY 1, 2, 3
+    )
+    SELECT window_start,
+           CAST(COUNT(*) AS BIGINT) AS n_nonzero_cells,
+           CAST(SUM(wt) AS BIGINT) AS total_mass,
+           CAST(MAX(wt) AS BIGINT) AS max_cell_weight
+    FROM grid GROUP BY 1 ORDER BY 1
+    """,
+    doc="Streaming count-min sketch — the mergeable-sketch family run as "
+    "a LIVE windowed aggregation (operators/sketch.py:cms_bucket buckets "
+    "inside the stream): per hour window the state is the depth x width "
+    "CELL GRID (<= 1024 counters), so streaming frequency tracking costs "
+    "BOUNDED state per window regardless of key cardinality — the "
+    "contrast with per-key streaming counts whose state grows with "
+    "distinct keys; watermark eviction completes the bound across "
+    "windows. The drained terminal relation rolls up per-window sketch "
+    "health (nonzero cells, total mass = rows x depth, hottest cell); "
+    "the same oracle replays the identical md5 buckets in batch SQL — "
+    "source mechanism changes, answer must not (the file-source-twin "
+    "discipline). Persisted per-window grids merge by addition into "
+    "any-range sketches downstream, exactly like the batch per-day "
+    "variant in cms_heavy_hitters.",
+)
+def stream_cms_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import cms_bucket
+
+    events = streaming.stream_events(spark, sf_dir)
+    buckets = F.array(*[cms_bucket("user_id", i, 256, "cms-v1") for i in range(4)])
+    cells = (
+        events.withWatermark("ts", "2 hours")
+        .select(F.col("ts"), F.posexplode(buckets).alias("depth", "bucket"))
+        .groupBy(F.window("ts", "1 hour").alias("w"), "depth", "bucket")
+        .agg(F.count(F.lit(1)).alias("wt"))
+        .select(F.col("w.start").alias("window_start"), "depth", "bucket", "wt")
+    )
+    grid = streaming.run_available_now(cells, spark, state_partitions=8)
+    return (
+        grid.groupBy("window_start")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nonzero_cells"),
+            F.sum("wt").cast("bigint").alias("total_mass"),
+            F.max("wt").cast("bigint").alias("max_cell_weight"),
+        )
+        .orderBy("window_start")
+    )
