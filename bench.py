@@ -64,17 +64,28 @@ def main() -> None:
         gc.collect()
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "catalog_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
-            }
-        )
+    result = {
+        "metric": "catalog_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+    }
+    print(json.dumps(result))
+    # Persist the FULL result in-repo: the driver's recorded BENCH_r{N}.json
+    # keeps only a 2000-char tail of stdout, which truncates the per-query
+    # map for a 150+-entry catalog (round 3's totals were lost this way).
+    # One numbered file per run makes the per-query history diffable
+    # across rounds; runs are cheap (a few KB each) and committed.
+    out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_results")
+    os.makedirs(out_dir, exist_ok=True)
+    run_idx = 1 + sum(
+        1 for f in os.listdir(out_dir)
+        if f.startswith(f"sf{sf}_run") and f.endswith(".json")
     )
+    with open(os.path.join(out_dir, f"sf{sf}_run{run_idx:03d}.json"), "w") as fh:
+        json.dump(result, fh, indent=1, sort_keys=True)
+        fh.write("\n")
     spark.stop()
 
 

@@ -88,3 +88,44 @@ def test_publisher_array_envelope_mode(spark):
     [msg] = plans["accidents_by_time"].collect()
     payload = json.loads(msg["value"])
     assert isinstance(payload, list) and len(payload) > 10  # one message, list of dicts
+
+
+def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
+    """REAL JDBC round-trip — no stub: Spark ships embedded Apache Derby
+    (derby*.jar in pyspark/jars), so the connector's write path (batched
+    INSERTs, table auto-create on append) and read path (partitioned scan
+    + predicate pushdown to the database) genuinely move rows over JDBC.
+    The same reader/writer config targets PostgreSQL in production — only
+    the URL and driver change."""
+    import pyspark.sql.functions as F
+
+    url = f"jdbc:derby:{tmp_path}/rtdb;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+
+    rows = spark.range(0, 100).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("bucket"),
+        F.concat(F.lit("name_"), F.col("id")).alias("name"),
+    )
+    jdbc.jdbc_writer(rows, url, "people", mode="append", batch_size=25,
+                     properties=props).save()
+    # Idempotence contract of plain append: a second save doubles rows
+    # (upsert composes an anti-join upstream — sinks.py:70).
+    jdbc.jdbc_writer(rows.filter(F.col("id") < 10), url, "people",
+                     mode="append", batch_size=25, properties=props).save()
+
+    back = jdbc.jdbc_reader(
+        spark, url, "people",
+        partition_column="id", lower_bound=0, upper_bound=100,
+        num_partitions=4, properties=props,
+    ).load()
+    assert back.count() == 110
+    assert back.rdd.getNumPartitions() == 4  # partitioned read, not 1 connection
+
+    filtered = back.filter(F.col("id") >= 90).select("id", "bucket")
+    got = sorted(r["id"] for r in filtered.collect())
+    assert got == list(range(90, 100))
+    # The range predicate must reach the database as SQL, not a Spark
+    # post-filter over a full-table read.
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(id,90" in plan, plan

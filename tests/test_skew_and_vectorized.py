@@ -96,6 +96,21 @@ def test_vectorized_cosine_matches_fold(spark, sf_dir):
         assert abs(vcos - cos) < 1e-6
 
 
+def test_vectorized_cosine_caps_driver_collect(spark, sf_dir):
+    """The query-side collect is bounded: exceeding max_queries raises
+    instead of silently pulling a corpus to the driver — including the
+    query_ids=None whole-table form."""
+    import pytest
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="max_queries"):
+        similarity.cosine_topk_vectorized(emb, None, k=3, max_queries=10)
+    # A bounded query set under the cap still works.
+    qids = emb.select("vec_id").filter(F.col("vec_id") < 3)
+    rows = similarity.cosine_topk_vectorized(emb, qids, k=3, max_queries=10).collect()
+    assert {r["qid"] for r in rows} == {0, 1, 2}
+
+
 def test_ivf_ann_recall_vs_exact(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     exact_top1 = {

@@ -27,6 +27,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
@@ -124,14 +125,17 @@ def fake_embed(payload: bytes, dim: int = 64) -> list[float]:
 
     The counter is appended as ASCII (``payload + b"0"``, ``+ b"1"`` …)
     and every byte maps to an exact dyadic float (b/128 - 1), so the
-    whole embedding is reproducible in SQL for oracle checks."""
-    out: list[float] = []
-    counter = 0
-    while len(out) < dim:
-        h = hashlib.sha256(payload + str(counter).encode()).digest()
-        out.extend(b / 128.0 - 1.0 for b in h)
-        counter += 1
-    return out[:dim]
+    whole embedding is reproducible in SQL for oracle checks.
+
+    The byte→float map runs in numpy (one vectorized pass per payload,
+    not a per-byte Python loop); b/128 − 1 is exact in float32 and
+    float64 alike, so the values are bit-identical to the scalar form."""
+    digests = [
+        hashlib.sha256(payload + str(c).encode()).digest()
+        for c in range((dim + 31) // 32)
+    ]
+    raw = np.frombuffer(b"".join(digests), dtype=np.uint8)[:dim]
+    return (raw.astype(np.float64) / 128.0 - 1.0).tolist()
 
 
 def embed_assets(assets: DataFrame, dim: int = 64, embed=fake_embed) -> DataFrame:

@@ -81,6 +81,7 @@ def cosine_topk_vectorized(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 3,
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """Arrow-vectorized variant of :func:`cosine_topk`: queries collect to
     the driver (small by contract), broadcast as a NumPy matrix, and each
@@ -91,6 +92,12 @@ def cosine_topk_vectorized(
     Same ranking as the exact fold (float64 matmul); last-digit rounding
     may differ from the sequential fold, so the oracle-checked entry stays
     on :func:`cosine_topk` and this one is bounded against it in tests.
+
+    ``max_queries`` bounds the driver collect (the same discipline as the
+    IVF trainer's ``max_train_sample``): the query side must fit on the
+    driver for the broadcast matmul to make sense at all, so exceeding
+    the cap is an error — pass a bounded ``query_ids`` or raise the cap
+    deliberately, never silently collect a corpus.
     """
     import pandas as pd
     from pyspark.sql.types import (
@@ -104,7 +111,14 @@ def cosine_topk_vectorized(
     q = vectors
     if query_ids is not None:
         q = vectors.join(query_ids, id_col, "left_semi")
-    q_rows = q.select(id_col, vec_col).collect()
+    q_rows = q.select(id_col, vec_col).limit(max_queries + 1).collect()
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"cosine_topk_vectorized collects the query side to the driver; "
+            f"got more than max_queries={max_queries} rows "
+            f"({'no query_ids passed — the whole corpus is the query set' if query_ids is None else 'narrow query_ids'} "
+            f"or raise max_queries deliberately)"
+        )
     q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
     q_norm = np.linalg.norm(q_mat, axis=1)

@@ -95,22 +95,48 @@ def rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_aggregates",
-    tier=1,  # rows-only (HLL/KLL sketches are engine-specific); judged slot ceded to a full-oracle query
-    oracle=None,
+    tier=1,
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT user_id) AS exact_users,
+           COUNT(DISTINCT event_id) AS exact_events,
+           TRUE AS users_within_10pct,
+           TRUE AS events_within_10pct,
+           TRUE AS median_in_p49_p51
+    FROM events
+    """,
     doc="Approximate aggregates — the 100 TB substitutes for exact "
     "count-distinct and percentiles: approx_count_distinct (HLL++, fixed "
-    "memory vs a full dedup shuffle) and percentile_approx (t-digest-"
-    "style sketch, mergeable across partitions). Rows-only: approximation "
-    "is engine-specific by construction; the unit test bounds the error "
-    "against exact values (tests/test_extensions.py).",
+    "memory vs a full dedup shuffle) and percentile_approx (KLL-style "
+    "sketch, mergeable across partitions). BANDED oracle: the sketch "
+    "estimates are engine-specific, so the query emits within-bound "
+    "BOOLEANS (|HLL - exact| <= 10% — 2x the default 5% rsd; approx "
+    "median inside the exact p49..p51 bracket — rank error at accuracy "
+    "10k is n/10k = 0.01% of ranks) alongside the exact values; the "
+    "oracle replays the exacts and pins the booleans TRUE, so an "
+    "out-of-bound sketch hash-mismatches. The exact twins make this the "
+    "calibration/audit query you run at small SF before trusting the "
+    "sketch at 100 TB.",
 )
 def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return events.agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.approx_count_distinct("event_id").alias("approx_events"),
-        F.percentile_approx("value", 0.5, 10_000).alias("approx_median_value"),
         F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.countDistinct("event_id").alias("exact_events"),
+        (
+            F.abs(F.approx_count_distinct("user_id") - F.countDistinct("user_id"))
+            <= 0.10 * F.countDistinct("user_id")
+        ).alias("users_within_10pct"),
+        (
+            F.abs(F.approx_count_distinct("event_id") - F.countDistinct("event_id"))
+            <= 0.10 * F.countDistinct("event_id")
+        ).alias("events_within_10pct"),
+        F.percentile_approx("value", 0.5, 10_000)
+        .between(
+            F.expr("percentile(value, 0.49)"), F.expr("percentile(value, 0.51)")
+        )
+        .alias("median_in_p49_p51"),
     )
 
 
@@ -2007,7 +2033,7 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mergeable_quantiles",
-    tier=1,  # extended sketch surface (quantile member of the mergeable family)
+    # r4 rotation: promoted to the judged window (mergeable-sketch family rep)
     oracle="""
     WITH ev AS (SELECT date_trunc('day', ts) AS day, value FROM events),
     b AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM ev),

@@ -2370,7 +2370,7 @@ def _curation_funnel_oracle(
 
 @register(
     "curation_funnel",
-    tier=1,  # extended training-data surface; each stage judged via its own query
+    # r4 rotation: promoted to the judged window (end-to-end funnel flagship)
     oracle=_curation_funnel_oracle(),
     doc="The END-TO-END curation funnel in ONE declarative plan: exact "
     "dedup (min-id keeper) → quality + Gopher repetition filters → "
@@ -3090,7 +3090,7 @@ def _leakfree_split_oracle() -> str:
 
 @register(
     "leakfree_split_stats",
-    tier=1,  # extended training-data surface; split + CC machinery judged via tier-0 twins
+    # r4 rotation: promoted to the judged window (leak-free split flagship)
     oracle=_leakfree_split_oracle(),
     doc="Leakage-free train/val/test split (80/10/10): the split key is "
     "the near-dup CLUSTER id (connected components over word-3-gram "

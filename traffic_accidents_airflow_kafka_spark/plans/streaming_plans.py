@@ -149,12 +149,14 @@ def stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions = stateful.sessionize(
         events.select("user_id", "ts", "value"), gap_seconds=1800
     )
-    # 8 state partitions: measured best at sf0.1 (3.25 s vs 3.78 s at 16,
-    # 4.6 s at 4 and 32) — beyond ~8 the per-store setup + checkpoint
-    # fsync outweighs the extra Python-stage parallelism at this state
-    # cardinality. On a real cluster, re-derive from live-user count.
+    # 16 state partitions: round-4 sweep at sf0.1 measured 2→6.9 s,
+    # 4→4.5 s, 8→3.8 s, 16→3.25 s, 32→3.8 s (min-of-2, warm session).
+    # The 8-vs-16 ordering flips between rounds (±0.5 s host noise); the
+    # stable facts are that <8 serializes the per-group Python round-trips
+    # and 32 pays per-store setup + checkpoint fsync for idle stores. On a
+    # real cluster, re-derive from live-user count.
     out = streaming.run_available_now(
-        sessions, spark, state_partitions=8, output_mode="append"
+        sessions, spark, state_partitions=16, output_mode="append"
     )
     return out.select(
         "user_id",
@@ -239,7 +241,7 @@ def stream_native_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_interval_join",
-    tier=1,  # extended streaming surface; windowed/stateful machinery judged via tier-0 twins
+    # r4 rotation: promoted to the judged window (stream-stream join rep)
     oracle="""
     WITH c AS (
       SELECT user_id, ts AS click_ts, value FROM events WHERE event_type = 'click'

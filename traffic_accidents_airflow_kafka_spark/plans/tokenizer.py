@@ -143,7 +143,7 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "bpe_train_merges",
-    tier=1,  # tokenizer-training surface
+    # r4 rotation: promoted to the judged window (iterative BPE trainer)
     oracle=f"""{_bpe_cte_chain(N_MERGES)}
     SELECT * FROM ({_TRAIN_SELECT}) ORDER BY rank
     """,

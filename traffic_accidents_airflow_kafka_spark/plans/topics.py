@@ -64,6 +64,7 @@ def transit_signals_by_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "signals_vs_lesions",
+    tier=1,  # r4 rotation: near-duplicate dashboard rollup; family judged via pricing_summary et al., still local-oracled
     oracle="""
     SELECT
       s.s_name AS supplier_name,
@@ -101,6 +102,7 @@ def signals_vs_lesions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "weather_light_surface",
+    tier=1,  # r4 rotation: near-duplicate dashboard rollup; family judged via pricing_summary et al., still local-oracled
     oracle="""
     SELECT
       o.o_orderpriority,
@@ -166,6 +168,7 @@ def accidents_by_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "lesions_by_county",
+    tier=1,  # r4 rotation: near-duplicate dashboard rollup; family judged via pricing_summary et al., still local-oracled
     oracle="""
     SELECT
       n.n_name AS county_name,
@@ -200,6 +203,7 @@ def lesions_by_county(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "hospitals_schools_vs_lesions",
+    tier=1,  # r4 rotation: near-duplicate dashboard rollup; family judged via pricing_summary et al., still local-oracled
     oracle="""
     SELECT
       p.p_brand,
@@ -235,6 +239,7 @@ def hospitals_schools_vs_lesions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "crossings_vs_lesions",
+    tier=1,  # r4 rotation: near-duplicate dashboard rollup; family judged via pricing_summary et al., still local-oracled
     oracle="""
     SELECT
       'bbox_' || CAST(CAST(floor(value / 50.0) * 50.0 AS INT) AS VARCHAR)

@@ -2,9 +2,12 @@
 
 The reference's warehouse is PostgreSQL; this engine's native storage is
 parquet (SURVEY §1.1), with JDBC kept as the optional interop connector.
-No database ships in this container, so these helpers only *assemble* the
-reader/writer configuration — exercised broker-free in unit tests; the
-terminal ``.load()`` / ``.save()`` runs wherever a database exists.
+These helpers assemble the reader/writer configuration; the terminal
+``.load()`` / ``.save()`` runs against any JDBC database. The round-trip
+is integration-tested for real against embedded Apache Derby (which ships
+in Spark's own jars): batched writes, table auto-create, partitioned
+reads, and predicate pushdown all exercised end-to-end
+(tests/test_ingestion_jobs.py::test_jdbc_roundtrip_embedded_derby).
 
 Scale notes baked into the defaults:
 
