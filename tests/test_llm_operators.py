@@ -816,3 +816,43 @@ def test_pagerank_fixedpoint_matches_integer_reference(spark):
     assert order_int == order_fl
     # Quantized mass stays within iters * |V| micro-units of 1.0.
     assert scale - sum(got.values()) <= iters * len(nodes) * max(deg.values())
+
+
+def test_repeated_spans_planted_boilerplate(spark):
+    """ExactSubstr semantics on a planted fixture: two docs share an
+    8-word boilerplate block at DIFFERENT positions; a third doc is
+    disjoint. Span bounds are exact 1-based inclusive token indices and
+    only the shared block is reported."""
+    block = "the quick brown fox jumps over the lazy"  # 8 words
+    d0 = block + " unique0 tail0 words0 here0"  # block at tokens 1..8
+    d1 = "pre1 pre2 " + block + " post1"  # block at tokens 3..10
+    d2 = "totally different content with no overlap at all nine ten"
+    docs = spark.createDataFrame(
+        [(0, d0), (1, d1), (2, d2)], "doc_id long, text string"
+    )
+    spans = {
+        r["doc_id"]: r
+        for r in dedup.repeated_spans(docs, "doc_id", "text", k=8).collect()
+    }
+    assert set(spans) == {0, 1}
+    assert (spans[0]["span_start"], spans[0]["span_end"]) == (1, 8)
+    assert (spans[1]["span_start"], spans[1]["span_end"]) == (3, 10)
+    for r in spans.values():
+        assert r["span_tokens"] == 8 and r["max_doc_support"] == 2
+
+
+def test_repeated_spans_merge_overlapping_windows(spark):
+    """Two docs share a 10-word block: the three consecutive duplicated
+    8-grams (positions 1, 2, 3) must merge into ONE 10-token span, not
+    three overlapping ones — span_tokens is exact coverage."""
+    block = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    docs = spark.createDataFrame(
+        [(0, block + " xa xb"), (1, "ya yb " + block)],
+        "doc_id long, text string",
+    )
+    rows = dedup.repeated_spans(docs, "doc_id", "text", k=8).collect()
+    by_doc = {r["doc_id"]: r for r in rows}
+    assert len(rows) == 2  # one merged span per doc
+    assert (by_doc[0]["span_start"], by_doc[0]["span_end"]) == (1, 10)
+    assert (by_doc[1]["span_start"], by_doc[1]["span_end"]) == (3, 12)
+    assert by_doc[0]["span_tokens"] == by_doc[1]["span_tokens"] == 10

@@ -646,3 +646,87 @@ def bloom_incremental_dedup(
             F.coalesce("is_duplicate", F.lit(False)).alias("is_duplicate"),
         )
     )
+
+
+def positional_ngrams(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8
+) -> DataFrame:
+    """EVERY word k-gram occurrence with its 1-based token position —
+    the positional twin of :func:`word_shingles` (which distincts and
+    drops positions). Rows: (id, pos, __gh) where ``__gh`` is the
+    xxhash64 of the k-gram string; each token starts at most one gram,
+    so the relation is corpus-token-sized, and the shuffle carries
+    8-byte hashes, never gram text. Docs shorter than ``k`` words yield
+    no rows."""
+    words = F.split(F.col(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - (k - 1)),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i, k))),
+    )
+    return (
+        df.filter(F.size(words) >= k)
+        .select(F.col(id_col), F.posexplode(grams).alias("pos0", "__gh"))
+        .select(id_col, (F.col("pos0") + 1).cast("long").alias("pos"), "__gh")
+    )
+
+
+def repeated_spans(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8, min_docs: int = 2
+) -> DataFrame:
+    """Within-corpus repeated-span mining — the ExactSubstr dedup shape
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): find the maximal token spans of each document that are
+    covered by word k-grams appearing in >= ``min_docs`` DISTINCT
+    documents. Exact doc-level dedup misses partial copies; doc-level
+    Jaccard finds WHICH docs overlap but not WHERE — this finds the
+    boilerplate/quotation/mirror spans themselves, the unit a span-level
+    excision pass removes.
+
+    Pipeline (all relational, no UDFs): positional k-grams → per-gram
+    distinct-doc support (groupBy on the 8-byte gram hash) → semi-join
+    back the duplicated occurrences (one row per occurrence, no blowup)
+    → per-doc gaps-and-islands merge. Two duplicated gram positions merge
+    into one span when their windows overlap or touch (gap <= k), so
+    output spans are DISJOINT in token space and ``span_tokens`` sums to
+    the doc's duplicated-token coverage without double counting.
+
+    Scale: the support groupBy shuffles (hash, id) pairs once; corpus
+    text never shuffles. Universally-shared grams (true boilerplate) make
+    big support counts, not big joins — the occurrence join stays one
+    row per occurrence. The per-doc window sort keys on (doc, pos) —
+    partition-local after the hash join's shuffle. A 64-bit gram-hash
+    collision needs ~2^32 distinct grams to become likely (birthday
+    bound); the oracle groups by the gram STRING and agrees, which is
+    itself the empirical collision check.
+
+    Returns (id, span_start, span_end, span_tokens, max_doc_support)
+    with 1-based inclusive token indices.
+    """
+    from pyspark.sql import Window
+
+    grams = positional_ngrams(df, id_col, text_col, k)
+    support = (
+        grams.groupBy("__gh")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    dup = grams.join(support, "__gh")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    runs = dup.withColumn(
+        "__new",
+        F.when(F.col("pos") - F.lag("pos").over(w) <= k, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    ).withColumn("__run", F.sum("__new").over(w))
+    return (
+        runs.groupBy(id_col, "__run")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (k - 1)).alias("span_end"),
+            (F.max("pos") + k - F.min("pos")).alias("span_tokens"),
+            F.max("n_docs").alias("max_doc_support"),
+        )
+        .select(
+            id_col, "span_start", "span_end", "span_tokens", "max_doc_support"
+        )
+    )

@@ -3855,3 +3855,125 @@ def jl_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(proj, qids, "vec_id", "proj", k=3).orderBy(
         "qid", "rank"
     )
+
+
+_REPEATED_SPAN_CTES = """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, u.pos AS pos, u.gram AS gram FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(t) - 7),
+                      i -> struct_pack(pos := i,
+                                       gram := array_to_string(t[i:i+7], ' ')))) AS u
+        FROM toks WHERE len(t) >= 8
+      )
+    ),
+    support AS (
+      SELECT gram, COUNT(DISTINCT doc_id) AS n_docs
+      FROM grams GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    dup AS (
+      SELECT g.doc_id, g.pos, s.n_docs FROM grams g JOIN support s USING (gram)
+    ),
+    runs AS (
+      SELECT doc_id, pos, n_docs,
+             CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+                  THEN 0 ELSE 1 END AS is_new
+      FROM dup
+    ),
+    rid AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM runs
+    ),
+    spans AS (
+      SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 7 AS span_end,
+             MAX(pos) + 8 - MIN(pos) AS span_tokens,
+             MAX(n_docs) AS max_doc_support
+      FROM rid GROUP BY doc_id, run_id
+    )"""
+
+
+@register(
+    "repeated_span_report",
+    tier=1,  # span-level dedup family; doc-level dedup machinery judged via tier-0 twins
+    min_rows=0,  # a boilerplate-free corpus legitimately reports no spans
+    oracle=_REPEATED_SPAN_CTES
+    + """
+    SELECT doc_id, span_start, span_end, span_tokens, max_doc_support
+    FROM spans
+    ORDER BY doc_id, span_start
+    """,
+    doc="Within-corpus repeated-span mining (operators/dedup.py:"
+    "repeated_spans) — the ExactSubstr dedup shape (Lee et al. 2022): "
+    "maximal token spans covered by word 8-grams shared by >= 2 distinct "
+    "docs. Doc-level dedup answers WHICH docs overlap; this answers "
+    "WHERE — the boilerplate/quotation/mirror spans a span-excision "
+    "pass removes. Gaps-and-islands merge (windows overlapping or "
+    "touching fuse), so spans are disjoint and span_tokens never double "
+    "counts. Full oracle: DuckDB groups by the literal gram string while "
+    "Spark groups by xxhash64(gram) — agreement doubles as the empirical "
+    "collision check. Scale: one (hash, id) shuffle for support, one "
+    "occurrence join (no blowup), one per-doc window.",
+)
+def repeated_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.repeated_spans(docs, "doc_id", "text", k=8, min_docs=2).orderBy(
+        "doc_id", "span_start"
+    )
+
+
+@register(
+    "repeated_span_stats",
+    tier=1,  # rollup twin of repeated_span_report
+    oracle=_REPEATED_SPAN_CTES
+    + """,
+    per_doc AS (
+      SELECT doc_id, SUM(span_tokens) AS dup_tokens FROM spans GROUP BY doc_id
+    ),
+    base AS (
+      SELECT d.lang, len(string_split(d.text, ' ')) AS n_tokens, p.dup_tokens
+      FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           COUNT(dup_tokens) AS n_docs_with_repeats,
+           CAST(SUM(COALESCE(dup_tokens, 0)) AS BIGINT) AS dup_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           ROUND(SUM(COALESCE(dup_tokens, 0)) / CAST(SUM(n_tokens) AS DOUBLE), 4)
+             AS dup_token_pct
+    FROM base
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="Corpus-accounting rollup of repeated_span_report: per language, "
+    "how many docs carry cross-doc repeated spans and what fraction of "
+    "tokens is duplicated — the number that decides whether span-level "
+    "dedup is worth a pass at all (filter-or-not triage before the "
+    "expensive excision). Disjoint spans make dup_tokens an exact "
+    "coverage count, not an overestimate.",
+)
+def repeated_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    spans = dedup.repeated_spans(docs, "doc_id", "text", k=8, min_docs=2)
+    per_doc = spans.groupBy("doc_id").agg(F.sum("span_tokens").alias("dup_tokens"))
+    base = docs.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    ).join(per_doc, "doc_id", "left")
+    return (
+        base.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("dup_tokens").alias("n_docs_with_repeats"),
+            F.sum(F.coalesce("dup_tokens", F.lit(0))).alias("dup_tokens"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(
+                F.sum(F.coalesce("dup_tokens", F.lit(0)))
+                / F.sum("n_tokens").cast("double"),
+                4,
+            ).alias("dup_token_pct"),
+        )
+        .orderBy("lang")
+    )
