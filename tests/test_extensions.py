@@ -556,10 +556,12 @@ def test_table_fingerprint_order_invariant_and_change_sensitive(
 
 
 def test_mergeable_uniques_error_and_mergeability(spark, sf_dir):
-    """Per-day and global HLL estimates land within 5% of exact distinct
-    counts, and the union of per-day sketches estimates the SAME value
-    as one corpus-wide sketch (mergeability — the property that lets
-    persisted per-partition sketches replace history rescans)."""
+    """The banded query's exact twins match independent distinct counts,
+    every within-bound boolean holds, and — at this SF's sparse-mode
+    cardinality — the union of per-day sketches estimates EXACTLY the
+    same value as one corpus-wide sketch (mergeability; at dense-mode
+    cardinalities the union's HLL_8 gadget drifts <1%, which the
+    query's 2% band covers — measured 0.73% at sf0.1)."""
     import pyspark.sql.functions as F
 
     from traffic_accidents_airflow_kafka_spark.plans.extensions import (
@@ -576,11 +578,20 @@ def test_mergeable_uniques_error_and_mergeability(spark, sf_dir):
     }
     assert len(out) == len(exact) > 0
     for r in out.itertuples():
-        assert abs(r.est_uniques - exact[r.day]) <= max(1, 0.05 * exact[r.day])
+        assert r.exact_uniques == exact[r.day]
+        assert r.est_within_5pct
+        assert r.global_within_5pct
+        assert r.union_within_2pct_of_single
     g_exact = events.select("user_id").distinct().count()
-    g_est = out["global_uniques"].iloc[0]
-    assert abs(g_est - g_exact) <= max(1, 0.05 * g_exact)
+    assert out["global_exact"].iloc[0] == g_exact
+    # Sparse-mode exact mergeability (stronger than the query's band).
+    union_est = (
+        events.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")))
+        .first()[0]
+    )
     single = events.agg(
         F.hll_sketch_estimate(F.hll_sketch_agg("user_id"))
     ).first()[0]
-    assert g_est == single  # union of day sketches ≡ one global sketch
+    assert union_est == single

@@ -1904,9 +1904,19 @@ def snapshot_diff_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mergeable_uniques",
-    tier=1,  # extended sketch surface; exactness-bounded by unit test, no DuckDB HLL analog
-    oracle=None,  # Apache DataSketches HLL has no DuckDB twin; error and
-    # mergeability bounds are pinned in test_extensions.py instead
+    tier=1,  # extended sketch surface
+    oracle="""
+    WITH d AS (
+      SELECT date_trunc('day', ts) AS day,
+             COUNT(DISTINCT user_id) AS exact_uniques
+      FROM events GROUP BY 1
+    ),
+    g AS (SELECT COUNT(DISTINCT user_id) AS global_exact FROM events)
+    SELECT day, exact_uniques, TRUE AS est_within_5pct,
+           global_exact, TRUE AS global_within_5pct,
+           TRUE AS union_within_2pct_of_single
+    FROM d, g ORDER BY day
+    """,
     doc="Mergeable distinct-count sketches — the pattern that makes "
     "incremental uniques POSSIBLE at 100 TB: per-day HLL sketches of "
     "the user set (Spark 4 datasketches hll_sketch_agg), each day's "
@@ -1914,27 +1924,57 @@ def snapshot_diff_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hll_union_agg over the day sketches — the union of persisted "
     "per-partition sketches replaces any rescan of history (exact "
     "count_distinct over a year of days must re-shuffle the year; "
-    "sketch union touches |days| kilobyte-sized states). Rows-only by "
-    "design: DataSketches HLL has no DuckDB analog; the test pins "
-    "per-day and global estimates within 5% of exact and pins "
-    "union-of-days == single global sketch (mergeability). Scale: one "
-    "day-keyed partial-aggregating shuffle builds all sketches; the "
-    "union is a scalar over |days| rows, broadcast back (sanctioned "
-    "one-row crossJoin).",
+    "sketch union touches |days| kilobyte-sized states). BANDED oracle "
+    "(the approx_aggregates pattern): DataSketches HLL has no DuckDB "
+    "twin, so the query emits within-bound booleans — per-day and "
+    "global estimates within 5% of the exact twins (hash-checked "
+    "values), and union-of-days within 2% of the single-global-sketch "
+    "estimate (mergeability: the union's HLL_8 gadget and a direct "
+    "sketch agree exactly in sparse mode — pinned by unit test at "
+    "sf0.001 — and to well under 1% once dense, measured 0.73% at "
+    "sf0.1) — and the oracle pins every boolean TRUE. Scale: one day-keyed partial-aggregating shuffle "
+    "builds all sketches; the union is a scalar over |days| rows, "
+    "broadcast back (sanctioned one-row crossJoin); the exact twins "
+    "exist for the audit — production reads only the sketches.",
 )
 def mergeable_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    daily = events.groupBy(
-        F.date_trunc("day", "ts").alias("day")
-    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    daily = events.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("exact_uniques"),
+    )
     glob = daily.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("global_uniques")
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("g_union_est")
+    )
+    g_exact = events.agg(
+        F.countDistinct("user_id").alias("global_exact"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("g_single_est"),
     )
     return (
         daily.select(
-            "day", F.hll_sketch_estimate("sk").alias("est_uniques")
+            "day",
+            "exact_uniques",
+            (
+                F.abs(F.hll_sketch_estimate("sk") - F.col("exact_uniques"))
+                <= 0.05 * F.col("exact_uniques")
+            ).alias("est_within_5pct"),
         )
         .crossJoin(F.broadcast(glob))
+        .crossJoin(F.broadcast(g_exact))
+        .select(
+            "day",
+            "exact_uniques",
+            "est_within_5pct",
+            "global_exact",
+            (
+                F.abs(F.col("g_union_est") - F.col("global_exact"))
+                <= 0.05 * F.col("global_exact")
+            ).alias("global_within_5pct"),
+            (
+                F.abs(F.col("g_union_est") - F.col("g_single_est"))
+                <= 0.02 * F.col("g_single_est")
+            ).alias("union_within_2pct_of_single"),
+        )
         .orderBy("day")
     )
 
