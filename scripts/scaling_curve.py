@@ -68,6 +68,10 @@ REPRESENTATIVES = [
     # curve should be the per-row hash cost only, never the output.
     "cms_heavy_hitters",
     "mergeable_quantiles",
+    # round-4 addition: positional-gram span mining — token-sized hash
+    # relation, one support shuffle; the curve should track corpus
+    # token count linearly.
+    "repeated_span_report",
 ]
 
 
