@@ -3977,3 +3977,95 @@ def repeated_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "quality_threshold_sweep",
+    tier=1,  # triage twin of quality_quantile_filter / curation_funnel
+    oracle="""
+    WITH q AS (
+      SELECT ROUND(LEAST(len(string_split(text, ' ')) / 64.0, 1.0)
+                   * (len(list_distinct(string_split(text, ' ')))
+                      / CAST(len(string_split(text, ' ')) AS DOUBLE)), 4) AS q,
+             len(string_split(text, ' ')) AS toks
+      FROM documents
+    ),
+    b AS (
+      SELECT LEAST(CAST(floor(q * 10) AS INT), 9) AS bucket,
+             COUNT(*) AS n, CAST(SUM(toks) AS BIGINT) AS t
+      FROM q GROUP BY 1
+    ),
+    spine AS (SELECT CAST(i AS INT) AS bucket FROM generate_series(0, 9) g(i)),
+    filled AS (
+      SELECT s.bucket, COALESCE(b.n, 0) AS n, COALESCE(b.t, 0) AS t
+      FROM spine s LEFT JOIN b USING (bucket)
+    ),
+    cum AS (
+      SELECT bucket,
+             SUM(n) OVER (ORDER BY bucket DESC ROWS UNBOUNDED PRECEDING)
+               AS n_docs_kept,
+             SUM(t) OVER (ORDER BY bucket DESC ROWS UNBOUNDED PRECEDING)
+               AS tokens_kept,
+             SUM(n) OVER () AS total_n,
+             SUM(t) OVER () AS total_t
+      FROM filled
+    )
+    SELECT bucket / 10.0 AS threshold,
+           CAST(n_docs_kept AS BIGINT) AS n_docs_kept,
+           CAST(tokens_kept AS BIGINT) AS tokens_kept,
+           ROUND(n_docs_kept / CAST(total_n AS DOUBLE), 4) AS pct_docs_kept,
+           ROUND(tokens_kept / CAST(total_t AS DOUBLE), 4) AS pct_tokens_kept
+    FROM cum ORDER BY threshold
+    """,
+    doc="Quality-threshold sweep — the triage curve consulted BEFORE "
+    "setting a curation cut: for each threshold t in {0.0 .. 0.9}, how "
+    "many docs and tokens survive quality_score >= t, absolute and as a "
+    "corpus fraction. One corpus scan + one 10-bucket aggregate; the "
+    "curve itself is a reverse cumulative sum over the bucket relation "
+    "(a 10-row window — bounded, never corpus-sized), so sweeping 10 "
+    "thresholds costs the same as testing one. Cross-engine float note: "
+    "bucket = floor(round(q,4)*10) is computed in IEEE double by both "
+    "engines from identical inputs, so boundary values land in the same "
+    "bucket on both sides. Scale: the per-doc quality pass is pure "
+    "codegen; the shuffle carries 10 rows.",
+)
+def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        text_ops.quality_score("text").alias("q"),
+        text_ops.token_count("text").cast("long").alias("toks"),
+    )
+    bucketed = per_doc.groupBy(
+        F.least(F.floor(F.col("q") * 10), F.lit(9)).cast("int").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("toks").alias("t"))
+    spine = spark.range(10).select(F.col("id").cast("int").alias("bucket"))
+    filled = (
+        spine.join(bucketed, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.coalesce("t", F.lit(0)).alias("t"),
+        )
+    )
+    # 10-row relation: the single-partition windows below are bounded by
+    # construction (threshold grid size), never by data volume.
+    w_desc = Window.orderBy(F.desc("bucket")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    return (
+        filled.select(
+            (F.col("bucket") / 10.0).alias("threshold"),
+            F.sum("n").over(w_desc).alias("n_docs_kept"),
+            F.sum("t").over(w_desc).alias("tokens_kept"),
+            F.round(
+                F.sum("n").over(w_desc) / F.sum("n").over(w_all).cast("double"), 4
+            ).alias("pct_docs_kept"),
+            F.round(
+                F.sum("t").over(w_desc) / F.sum("t").over(w_all).cast("double"), 4
+            ).alias("pct_tokens_kept"),
+        )
+        .orderBy("threshold")
+    )
