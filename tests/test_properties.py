@@ -360,3 +360,75 @@ def test_radius_join_equals_bruteforce(spark, pts, cens, r_km):
     for pid, cid in got.symmetric_difference(want):
         d = hav(*pts[pid], *cens[cid])
         assert abs(d - r_km) < 1e-5, (pid, cid, d, r_km)
+
+
+def _spans_reference(docs: list[tuple[int, str]], k: int, min_docs: int):
+    """Brute-force repeated_spans: literal k-gram strings, dict support
+    counting, linear gaps-and-islands merge (gap <= k fuses)."""
+    from collections import defaultdict
+
+    occ = {}
+    support = defaultdict(set)
+    for did, text in docs:
+        words = text.split(" ")
+        positions = []
+        for i in range(len(words) - k + 1):
+            gram = " ".join(words[i : i + k])
+            support[gram].add(did)
+            positions.append((i + 1, gram))
+        occ[did] = positions
+    out = []
+    for did, positions in occ.items():
+        dup = [
+            (pos, len(support[g])) for pos, g in positions
+            if len(support[g]) >= min_docs
+        ]
+        run: list[tuple[int, int]] = []
+        for pos, nd in dup:
+            if run and pos - run[-1][0] <= k:
+                run.append((pos, nd))
+            else:
+                if run:
+                    out.append(_close_run(did, run, k))
+                run = [(pos, nd)]
+        if run:
+            out.append(_close_run(did, run, k))
+    return sorted(out)
+
+
+def _close_run(did, run, k):
+    start = run[0][0]
+    end = run[-1][0] + k - 1
+    return (did, start, end, end - start + 1, max(nd for _, nd in run))
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=12
+        ).map(" ".join),
+        min_size=2,
+        max_size=6,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_repeated_spans_matches_python_reference(spark, texts):
+    """repeated_spans over random tiny-alphabet docs (duplicate grams are
+    likely) equals the brute-force string-gram reference: same docs, same
+    span bounds, same coverage, same support."""
+    from traffic_accidents_airflow_kafka_spark.operators import dedup
+
+    k = 3
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(
+        (
+            r["doc_id"],
+            r["span_start"],
+            r["span_end"],
+            r["span_tokens"],
+            r["max_doc_support"],
+        )
+        for r in dedup.repeated_spans(df, "doc_id", "text", k=k).collect()
+    )
+    assert got == _spans_reference(docs, k, 2)
