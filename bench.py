@@ -79,10 +79,16 @@ def main() -> None:
     # across rounds; runs are cheap (a few KB each) and committed.
     out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_results")
     os.makedirs(out_dir, exist_ok=True)
-    run_idx = 1 + sum(
-        1 for f in os.listdir(out_dir)
+    # max existing index + 1 (NOT a file count: a gap in the sequence —
+    # e.g. an uncommitted run deleted — would make a count collide with
+    # and overwrite the newest committed result).
+    existing = [
+        int(f[len(f"sf{sf}_run"):-len(".json")])
+        for f in os.listdir(out_dir)
         if f.startswith(f"sf{sf}_run") and f.endswith(".json")
-    )
+        and f[len(f"sf{sf}_run"):-len(".json")].isdigit()
+    ]
+    run_idx = max(existing, default=0) + 1
     with open(os.path.join(out_dir, f"sf{sf}_run{run_idx:03d}.json"), "w") as fh:
         json.dump(result, fh, indent=1, sort_keys=True)
         fh.write("\n")

@@ -32,6 +32,9 @@ sys.path.insert(0, ".")
 
 import pandas as pd  # noqa: E402
 
+#: Bump when gen_csv's content changes — keys the /tmp cache filename.
+GEN_VERSION = "v1"
+
 WEATHER = ["CLEAR", "RAIN", "SNOW", "CLOUDY/OVERCAST", "UNKNOWN", "FOG/SMOKE/HAZE"]
 LIGHTING = ["DAYLIGHT", "DARKNESS", "DARKNESS, LIGHTED ROAD", "DUSK", "DAWN"]
 CONTROL = ["SIGNAL", "STOP SIGN", "NO CONTROLS", "YIELD", "OTHER"]
@@ -144,7 +147,10 @@ def pandas_run(csv_path: str) -> tuple[dict, float]:
         ],
         "parse_failures": [(int(df["crash_parse_failed"].sum()),)],
     }
-    return _normalize(results), time.perf_counter() - t0
+    elapsed = time.perf_counter() - t0  # before _normalize — same clock
+    # boundary as spark_run, so the comparison shares no Python-side
+    # sort/round cost on either side.
+    return _normalize(results), elapsed
 
 
 def spark_run(spark, csv_path: str) -> tuple[dict, float]:
@@ -206,7 +212,9 @@ def main() -> None:
         "after a warmup run, pandas likewise"
     )}
     for n in sizes:
-        csv_path = f"/tmp/acc_bench_{n}.csv"
+        # GEN_VERSION in the filename: a cached /tmp file from an older
+        # generator would silently misattribute the numbers.
+        csv_path = f"/tmp/acc_bench_{GEN_VERSION}_{n}.csv"
         if not os.path.exists(csv_path):
             gen_csv(csv_path, n)
         p_res, _ = pandas_run(csv_path)  # warmup (page cache, imports)

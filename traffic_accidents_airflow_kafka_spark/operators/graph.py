@@ -59,8 +59,13 @@ class _RoundCheckpointer:
         self._last: DataFrame | None = None
         self._prev: DataFrame | None = None
 
+    def is_boundary(self, it: int, iters: int) -> bool:
+        """Whether round ``it`` materializes — the single source of truth
+        for the cadence, shared with callers' convergence probes."""
+        return it % self.every == self.every - 1 or it == iters - 1
+
     def maybe(self, df: DataFrame, it: int, iters: int) -> DataFrame:
-        if it % self.every == self.every - 1 or it == iters - 1:
+        if self.is_boundary(it, iters):
             df = df.localCheckpoint()
             if self._prev is not None:
                 self._prev.unpersist()
@@ -176,7 +181,7 @@ def pagerank(
                     * (F.coalesce("__in", F.lit(0.0)) + F.lit(dangling / n_nodes))
                 ).alias("rank"),
             )
-            was_ckpt = it % ckpt.every == ckpt.every - 1 or it == iters - 1
+            was_ckpt = ckpt.is_boundary(it, iters)
             ranks = ckpt.maybe(new_ranks, it, iters)
             # Convergence probe at checkpoint boundaries only: both sides
             # are materialized relations, so the probe is one in-memory

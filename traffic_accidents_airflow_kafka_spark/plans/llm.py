@@ -1081,10 +1081,13 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(operators/graph.py:pagerank): inside every duplicate family, the "
     "most-linked-to node is the natural canonical keeper (and on "
     "citation/link graphs the same operator weights documents for "
-    "sampling). Damped power iteration, 10 fixed rounds, driver-"
-    "coordinated like the CC loop: per round one edges x ranks join "
-    "keyed on 8-byte node ids plus a groupBy-sum; dangling mass "
-    "redistributes via one scalar row; lineage truncated per round. "
+    "sampling). Damped power iteration, a 10-round budget with a "
+    "convergence early-exit probed at the every-3-rounds checkpoint "
+    "boundaries (tol=1e-9 default; pass tol=None for fixed rounds), "
+    "driver-coordinated like the CC loop: per round one edges x ranks "
+    "join keyed on 8-byte node ids plus a groupBy-sum; symmetrized "
+    "graphs skip dangling-mass bookkeeping entirely (no dangling nodes "
+    "by construction); lineage truncated at checkpoint boundaries. "
     "Scale: rounds shuffle (id, double) pairs over a graph that is "
     "orders of magnitude smaller than the corpus.",
 )
