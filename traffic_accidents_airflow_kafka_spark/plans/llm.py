@@ -4072,3 +4072,62 @@ def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold")
     )
+
+
+@register(
+    "ivf_nprobe_recall_curve",
+    tier=1,  # ANN tuning surface; judged ANN machinery lives in embedding_topk/lsh
+    oracle="""
+    SELECT * FROM (VALUES
+      (1,  true, true),
+      (2,  true, true),
+      (4,  true, true),
+      (8,  true, true),
+      (16, true, true)
+    ) AS t(n_probe, meets_floor, recall_monotone)
+    ORDER BY n_probe
+    """,
+    doc="IVF nprobe tuning curve — the FAISS-style recall/cost sweep run "
+    "BEFORE picking a probe count: recall@3 of ivf_ann_topk vs the exact "
+    "brute-force top-k at n_probe in {1,2,4,8,16} over 16 cells. Banded "
+    "oracle: recall values depend on the k-means quantizer (not SQL-"
+    "replayable), so the query emits per-probe floor booleans (floors "
+    "0.1/0.25/0.5/0.7/1.0 — measured minima across sf0.001-0.1 are "
+    "0.2/0.35/0.58/0.8/1.0) and a monotonicity boolean the oracle pins "
+    "TRUE. Monotone recall is GUARANTEED, not empirical: probing more "
+    "cells grows the candidate set, and a true top-k member in the "
+    "candidate set always survives the final ranking (only globally-"
+    "better vectors can outrank it); n_probe = n_centroids degenerates "
+    "to brute force, hence the 1.0 anchor. Scale: the five searches are "
+    "the documented IVF shape (bounded driver-side quantizer, broadcast "
+    "centroids, per-cell join); the curve assembly is five scalar "
+    "counts to the driver — the same bounded pattern as the BPE round "
+    "argmax.",
+)
+def ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = emb.select("vec_id").filter(F.col("vec_id") < 20)
+    exact_pairs = similarity.cosine_topk(emb, qids, "vec_id", "embedding", k=3).select(
+        "qid", "nid"
+    )
+    total = exact_pairs.count()
+    floors = [(1, 0.1), (2, 0.25), (4, 0.5), (8, 0.7), (16, 1.0)]
+    rows = []
+    prev_recall = -1.0
+    for n_probe, floor in floors:
+        approx = similarity.ivf_ann_topk(
+            emb,
+            "vec_id",
+            "embedding",
+            n_centroids=16,
+            n_probe=n_probe,
+            k=3,
+            query_ids=qids,
+        )
+        hits = approx.join(exact_pairs, ["qid", "nid"], "left_semi").count()
+        recall = hits / total if total else 1.0
+        rows.append((n_probe, recall >= floor, recall >= prev_recall))
+        prev_recall = recall
+    return spark.createDataFrame(
+        rows, "n_probe int, meets_floor boolean, recall_monotone boolean"
+    ).orderBy("n_probe")
