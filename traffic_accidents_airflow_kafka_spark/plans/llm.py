@@ -4131,3 +4131,55 @@ def ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "n_probe int, meets_floor boolean, recall_monotone boolean"
     ).orderBy("n_probe")
+
+
+@register(
+    "pq_recall_audit",
+    tier=1,  # ANN tuning surface; the three PQ searches themselves stay rows-only
+    oracle="""
+    SELECT * FROM (VALUES
+      ('pq_adc',    true, true),
+      ('ivf_pq',    true, true),
+      ('pq_rerank', true, true)
+    ) AS t(variant, meets_floor, rerank_dominates_pq)
+    ORDER BY variant
+    """,
+    doc="PQ-family recall audit — the banded-oracle companion to the "
+    "three rows-only compressed-index searches (embedding_pq_ann, "
+    "embedding_ivfpq_ann, embedding_pq_rerank): recall@3 vs exact brute "
+    "force for each variant, reported as floor booleans (pq 0.2, ivf-pq "
+    "0.15, rerank 0.7 — measured 0.33-0.37 / 0.27-0.30 / 0.90-0.97 "
+    "across sf0.001-0.1) plus the STRUCTURAL invariant "
+    "rerank_dominates_pq: the exact re-rank reads a 50-candidate ADC "
+    "shortlist that contains ADC's own top-3, and a true neighbor in "
+    "the shortlist always survives exact re-ranking, so rerank recall "
+    ">= plain-PQ recall by construction. The oracle pins every boolean "
+    "TRUE — a quantizer regression that drops recall below its floor "
+    "hash-mismatches. Scale: three documented PQ search shapes + one "
+    "exact bounded-Q baseline; curve assembly is three scalar counts.",
+)
+def pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = emb.select("vec_id").filter(F.col("vec_id") < 20)
+    exact_pairs = similarity.cosine_topk(emb, qids, "vec_id", "embedding", k=3).select(
+        "qid", "nid"
+    )
+    total = exact_pairs.count()
+
+    def recall(df) -> float:
+        hits = df.select("qid", "nid").join(
+            exact_pairs, ["qid", "nid"], "left_semi"
+        ).count()
+        return hits / total if total else 1.0
+
+    r_pq = recall(similarity.pq_ann_topk(emb, qids, k=3))
+    r_ivfpq = recall(similarity.ivf_pq_ann_topk(emb, qids, k=3))
+    r_rerank = recall(similarity.pq_rerank_topk(emb, qids, k=3))
+    rows = [
+        ("pq_adc", r_pq >= 0.2, r_rerank >= r_pq),
+        ("ivf_pq", r_ivfpq >= 0.15, r_rerank >= r_pq),
+        ("pq_rerank", r_rerank >= 0.7, r_rerank >= r_pq),
+    ]
+    return spark.createDataFrame(
+        rows, "variant string, meets_floor boolean, rerank_dominates_pq boolean"
+    ).orderBy("variant")
