@@ -856,3 +856,35 @@ def test_repeated_spans_merge_overlapping_windows(spark):
     assert (by_doc[0]["span_start"], by_doc[0]["span_end"]) == (1, 10)
     assert (by_doc[1]["span_start"], by_doc[1]["span_end"]) == (3, 12)
     assert by_doc[0]["span_tokens"] == by_doc[1]["span_tokens"] == 10
+
+
+def test_incremental_repeated_spans_equals_full_rescan(spark, sf_dir):
+    """The incremental miner's contract: history-index + arrival batch
+    produces EXACTLY the full-corpus repeated_spans output restricted to
+    arrival docs (support still counted over everything)."""
+    from traffic_accidents_airflow_kafka_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    history = docs.filter(F.col("doc_id") % 5 != 4)
+    arrivals = docs.filter(F.col("doc_id") % 5 == 4)
+    inc = sorted(
+        tuple(r) for r in dedup.incremental_repeated_spans(
+            history, arrivals, "doc_id", "text", k=8
+        ).collect()
+    )
+    full = sorted(
+        tuple(r) for r in dedup.repeated_spans(docs, "doc_id", "text", k=8)
+        .filter(F.col("doc_id") % 5 == 4)
+        .collect()
+    )
+    assert inc == full and len(inc) > 0
+
+
+def test_incremental_repeated_spans_rejects_id_overlap(spark):
+    """Disjoint doc ids are what make the support index mergeable — an
+    overlap must raise, not silently double-count."""
+    d = spark.createDataFrame(
+        [(1, "a b c d e f g h i")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="share doc ids"):
+        dedup.incremental_repeated_spans(d, d, "doc_id", "text", k=8)

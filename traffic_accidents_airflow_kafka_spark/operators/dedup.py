@@ -670,6 +670,33 @@ def positional_ngrams(
     )
 
 
+def _merge_gram_runs(dup: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Shared gaps-and-islands merge for both repeated-span miners: fuse
+    duplicated gram positions whose k-windows overlap or touch (gap <= k)
+    into disjoint maximal spans. Input: (id, pos, n_docs) occurrence rows."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    runs = dup.withColumn(
+        "__new",
+        F.when(F.col("pos") - F.lag("pos").over(w) <= k, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    ).withColumn("__run", F.sum("__new").over(w))
+    return (
+        runs.groupBy(id_col, "__run")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (k - 1)).alias("span_end"),
+            (F.max("pos") + k - F.min("pos")).alias("span_tokens"),
+            F.max("n_docs").alias("max_doc_support"),
+        )
+        .select(
+            id_col, "span_start", "span_end", "span_tokens", "max_doc_support"
+        )
+    )
+
+
 def repeated_spans(
     df: DataFrame, id_col: str, text_col: str, k: int = 8, min_docs: int = 2
 ) -> DataFrame:
@@ -702,31 +729,75 @@ def repeated_spans(
     Returns (id, span_start, span_end, span_tokens, max_doc_support)
     with 1-based inclusive token indices.
     """
-    from pyspark.sql import Window
-
     grams = positional_ngrams(df, id_col, text_col, k)
     support = (
         grams.groupBy("__gh")
         .agg(F.countDistinct(id_col).alias("n_docs"))
         .filter(F.col("n_docs") >= min_docs)
     )
-    dup = grams.join(support, "__gh")
-    w = Window.partitionBy(id_col).orderBy("pos")
-    runs = dup.withColumn(
-        "__new",
-        F.when(F.col("pos") - F.lag("pos").over(w) <= k, F.lit(0)).otherwise(
-            F.lit(1)
-        ),
-    ).withColumn("__run", F.sum("__new").over(w))
+    return _merge_gram_runs(grams.join(support, "__gh"), id_col, k)
+
+
+def gram_support_index(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8
+) -> DataFrame:
+    """The persistable half of incremental repeated-span mining: per-gram
+    distinct-doc counts over a corpus — (``__gh``, ``n_docs``). Built once
+    over history, written to parquet, and MERGED with each arrival
+    batch's own counts (distinct-doc counts over disjoint doc sets add),
+    so daily span mining never rescans history."""
     return (
-        runs.groupBy(id_col, "__run")
-        .agg(
-            F.min("pos").alias("span_start"),
-            (F.max("pos") + (k - 1)).alias("span_end"),
-            (F.max("pos") + k - F.min("pos")).alias("span_tokens"),
-            F.max("n_docs").alias("max_doc_support"),
-        )
-        .select(
-            id_col, "span_start", "span_end", "span_tokens", "max_doc_support"
-        )
+        positional_ngrams(df, id_col, text_col, k)
+        .groupBy("__gh")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
     )
+
+
+def incremental_repeated_spans(
+    history: DataFrame,
+    arrivals: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Repeated-span mining for a daily-ingest shape (the incremental
+    twin of :func:`repeated_spans`, same output contract, arrival docs
+    only): a span in an ARRIVAL document is reported when its k-grams
+    appear in >= ``min_docs`` distinct documents across history + the
+    arrival batch — partial copies of historical docs AND same-batch
+    mirror pairs both surface.
+
+    Scale (the point of the incremental form): the historical side
+    reduces to :func:`gram_support_index` — a (hash, count) relation
+    that is precomputable, persistable, and mergeable (doc sets are
+    disjoint, so distinct-doc counts ADD). Per batch, the index is
+    semi-joined down to grams the batch actually contains before the
+    merge, so the per-day cost is linear in the arrival batch, never in
+    corpus history. Doc ids must be disjoint between the two inputs
+    (enforced here — overlapping ids would double-count support).
+    """
+    overlap = history.select(id_col).join(arrivals.select(id_col), id_col).limit(1)
+    if overlap.count() > 0:
+        raise ValueError(
+            "incremental_repeated_spans: history and arrivals share doc ids; "
+            "support counts over disjoint doc sets are what make the index mergeable"
+        )
+    batch_grams = positional_ngrams(arrivals, id_col, text_col, k)
+    batch_gram_keys = batch_grams.select("__gh").distinct()
+    # History index pruned to the batch's grams BEFORE the merge: the
+    # persisted index is corpus-vocabulary-sized; the batch only ever
+    # touches its own gram set.
+    hist_support = gram_support_index(history, id_col, text_col, k).join(
+        batch_gram_keys, "__gh", "left_semi"
+    )
+    batch_support = (
+        batch_grams.groupBy("__gh").agg(F.countDistinct(id_col).alias("n_docs"))
+    )
+    support = (
+        hist_support.unionByName(batch_support)
+        .groupBy("__gh")
+        .agg(F.sum("n_docs").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    return _merge_gram_runs(batch_grams.join(support, "__gh"), id_col, k)

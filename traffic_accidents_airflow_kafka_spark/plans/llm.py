@@ -4183,3 +4183,68 @@ def pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "variant string, meets_floor boolean, rerank_dominates_pq boolean"
     ).orderBy("variant")
+
+
+@register(
+    "incremental_repeated_spans",
+    tier=1,  # daily-ingest twin of repeated_span_report
+    min_rows=0,  # an arrival batch with no cross-doc repeats reports nothing
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, u.pos AS pos, u.gram AS gram FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(t) - 7),
+                      i -> struct_pack(pos := i,
+                                       gram := array_to_string(t[i:i+7], ' ')))) AS u
+        FROM toks WHERE len(t) >= 8
+      )
+    ),
+    support AS (
+      SELECT gram, COUNT(DISTINCT doc_id) AS n_docs
+      FROM grams GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    dup AS (
+      SELECT g.doc_id, g.pos, s.n_docs FROM grams g JOIN support s USING (gram)
+      WHERE g.doc_id % 5 = 4
+    ),
+    runs AS (
+      SELECT doc_id, pos, n_docs,
+             CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+                  THEN 0 ELSE 1 END AS is_new
+      FROM dup
+    ),
+    rid AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM runs
+    )
+    SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 7 AS span_end,
+           MAX(pos) + 8 - MIN(pos) AS span_tokens,
+           MAX(n_docs) AS max_doc_support
+    FROM rid GROUP BY doc_id, run_id
+    ORDER BY doc_id, span_start
+    """,
+    doc="Repeated-span mining for the daily-ingest shape "
+    "(operators/dedup.py:incremental_repeated_spans): the 20% of docs "
+    "with doc_id %% 5 == 4 play today's arrival batch; their spans are "
+    "mined against a historical gram-support INDEX "
+    "(gram_support_index — a persistable (hash, distinct-doc-count) "
+    "relation) merged with the batch's own counts, which is sound "
+    "because distinct-doc counts over disjoint doc sets ADD. Per-day "
+    "cost is linear in the batch: the index is semi-joined down to the "
+    "batch's gram set before the merge, and history text is never "
+    "rescanned once the index is persisted. Output contract and oracle "
+    "semantics are EXACTLY repeated_span_report restricted to arrival "
+    "docs with support counted over the full corpus — pinned by the "
+    "equivalence test in test_llm_operators.",
+)
+def incremental_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    history = docs.filter(F.col("doc_id") % 5 != 4)
+    arrivals = docs.filter(F.col("doc_id") % 5 == 4)
+    return dedup.incremental_repeated_spans(
+        history, arrivals, "doc_id", "text", k=8, min_docs=2
+    ).orderBy("doc_id", "span_start")
