@@ -60,3 +60,67 @@ def test_checkpoint_continuity_and_late_data_drop(spark, tmp_path):
     # — the closed window is never re-emitted with a bumped count.
     assert out2.get(t0.replace(hour=13)) == 2
     assert out2[t0] == 3  # still the batch-1 emission, not 4
+
+def test_gram_index_stream_maintenance_matches_batch_build(spark, sf_dir, tmp_path):
+    """Streamed maintenance of the gram-support index (foreachBatch,
+    batch-id-guarded merges) converges to EXACTLY the index a one-shot
+    batch build produces over the same documents."""
+    import pyspark.sql.functions as F
+
+    from traffic_accidents_airflow_kafka_spark.operators import dedup
+    from traffic_accidents_airflow_kafka_spark.sources.tables import load_table
+    from traffic_accidents_airflow_kafka_spark.streaming import maintenance
+
+    docs = load_table(spark, sf_dir, "documents")
+    index_path = str(tmp_path / "gram_index")
+
+    # Two arrival waves -> several files -> maxFilesPerTrigger=1 forces
+    # multiple micro-batches through the applier.
+    docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text").coalesce(
+        1
+    ).write.mode("append").parquet(str(tmp_path / "stream_in"))
+    docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text").coalesce(
+        1
+    ).write.mode("append").parquet(str(tmp_path / "stream_in"))
+    schema = docs.select("doc_id", "text").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path / "stream_in"))
+    )
+
+    maintenance.maintain_gram_index(stream, index_path, spark)
+
+    streamed = {
+        r["__gh"]: r["n_docs"] for r in spark.read.parquet(index_path).collect()
+    }
+    batch = {
+        r["__gh"]: r["n_docs"]
+        for r in dedup.gram_support_index(docs, "doc_id", "text", k=8).collect()
+    }
+    assert streamed == batch and len(batch) > 0
+
+
+def test_gram_index_applier_drops_redelivered_batch(spark, sf_dir, tmp_path):
+    """foreachBatch is at-least-once; the applier's batch-id marker makes
+    the count-sum merge exactly-once — redelivering an applied batch id
+    must change nothing."""
+    from traffic_accidents_airflow_kafka_spark.sources.tables import load_table
+    from traffic_accidents_airflow_kafka_spark.streaming import maintenance
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    index_path = str(tmp_path / "gram_index")
+    apply_fn = maintenance.gram_index_applier(spark, index_path)
+
+    apply_fn(docs, 0)
+    first = sorted(
+        (r["__gh"], r["n_docs"]) for r in spark.read.parquet(index_path).collect()
+    )
+    apply_fn(docs, 0)  # redelivery — must be a no-op, not a double count
+    second = sorted(
+        (r["__gh"], r["n_docs"]) for r in spark.read.parquet(index_path).collect()
+    )
+    assert first == second
+    apply_fn(docs, 1)  # a genuinely new batch WITH the same docs doubles
+    third = {r["__gh"]: r["n_docs"] for r in spark.read.parquet(index_path).collect()}
+    assert all(third[g] == n * 2 for g, n in first)
