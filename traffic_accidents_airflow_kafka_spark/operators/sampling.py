@@ -423,3 +423,37 @@ def pack_sequences(
         ).alias("span_tokens"),
         "is_split",
     )
+
+
+def quota_cap(
+    df: DataFrame,
+    key_col: str,
+    order_col,
+    max_per_key: int,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Per-key quota capping — the domain-share limiter every curation
+    run applies so no single source/domain dominates the training mix
+    (the classic "cap any one domain at N documents" rule): keep the top
+    ``max_per_key`` rows per ``key_col`` ranked by ``order_col``
+    DESCENDING (quality first), deterministic under ties via
+    ``tiebreak_col`` ASCENDING.
+
+    Scale: one hash-partitioned window per key — the shuffle carries the
+    rows once, keyed on the (bounded-cardinality) domain key; heavily
+    skewed mega-domains rank within their own partition. Returns the
+    input rows that survive the cap (no flag column: downstream unions
+    never need the dropped side — recompute with a larger cap instead).
+    """
+    from pyspark.sql import Window
+
+    order_c = F.col(order_col) if isinstance(order_col, str) else order_col
+    ordering = [order_c.desc()]
+    if tiebreak_col is not None:
+        ordering.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(key_col).orderBy(*ordering)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_per_key)
+        .drop("__rn")
+    )

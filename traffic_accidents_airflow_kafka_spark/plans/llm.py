@@ -4248,3 +4248,61 @@ def incremental_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.incremental_repeated_spans(
         history, arrivals, "doc_id", "text", k=8, min_docs=2
     ).orderBy("doc_id", "span_start")
+
+
+@register(
+    "source_quota_cap",
+    tier=1,  # curation-mix surface; window machinery judged via tier-0 twins
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, source,
+             ROUND(LEAST(len(string_split(text, ' ')) / 64.0, 1.0)
+                   * (len(list_distinct(string_split(text, ' ')))
+                      / CAST(len(string_split(text, ' ')) AS DOUBLE)), 4) AS q,
+             len(string_split(text, ' ')) AS toks
+      FROM documents
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                   ORDER BY q DESC, doc_id ASC) AS rn
+      FROM scored
+    ),
+    kept AS (SELECT * FROM ranked WHERE rn <= 50)
+    SELECT source,
+           COUNT(*) AS n_kept,
+           CAST(SUM(toks) AS BIGINT) AS tokens_kept,
+           ROUND(AVG(q), 4) AS avg_quality_kept,
+           MIN(doc_id) AS first_doc_id
+    FROM kept
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="Per-source quota capping (operators/sampling.py:quota_cap) — "
+    "the domain-share limiter of every curation mix: keep at most 50 "
+    "docs per source, best quality_score first (doc_id tiebreak makes "
+    "the cut deterministic), then account what survived. Scale: ONE "
+    "window shuffle keyed on the bounded-cardinality source key; a "
+    "mega-domain ranks inside its own partition and everything past "
+    "rank N drops before any downstream stage sees it.",
+)
+def source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        text_ops.quality_score("text").alias("q"),
+        text_ops.token_count("text").cast("long").alias("toks"),
+    )
+    kept = sampling.quota_cap(
+        scored, "source", "q", max_per_key=50, tiebreak_col="doc_id"
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("toks").alias("tokens_kept"),
+            F.round(F.avg("q"), 4).alias("avg_quality_kept"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+        .orderBy("source")
+    )
