@@ -63,8 +63,11 @@ def test_checkpoint_continuity_and_late_data_drop(spark, tmp_path):
 
 def test_gram_index_stream_maintenance_matches_batch_build(spark, sf_dir, tmp_path):
     """Streamed maintenance of the gram-support index (foreachBatch,
-    batch-id-guarded merges) converges to EXACTLY the index a one-shot
-    batch build produces over the same documents."""
+    batch-id-guarded merges, durable checkpoint) converges to EXACTLY
+    the index a one-shot batch build produces — including across TWO
+    separate maintenance runs with files arriving in between (the
+    daily-cron shape: the durable checkpoint keeps batch ids monotone
+    and stops the source re-reading day-1 files on day 2)."""
     import pyspark.sql.functions as F
 
     from traffic_accidents_airflow_kafka_spark.operators import dedup
@@ -73,23 +76,27 @@ def test_gram_index_stream_maintenance_matches_batch_build(spark, sf_dir, tmp_pa
 
     docs = load_table(spark, sf_dir, "documents")
     index_path = str(tmp_path / "gram_index")
+    ckpt = str(tmp_path / "ckpt")
+    src_dir = str(tmp_path / "stream_in")
+    schema = docs.select("doc_id", "text").schema
 
-    # Two arrival waves -> several files -> maxFilesPerTrigger=1 forces
-    # multiple micro-batches through the applier.
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+
+    # Day 1: even docs arrive; drain run 1.
     docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text").coalesce(
         1
-    ).write.mode("append").parquet(str(tmp_path / "stream_in"))
+    ).write.mode("append").parquet(src_dir)
+    maintenance.maintain_gram_index(stream(), index_path, spark, ckpt)
+    # Day 2: odd docs arrive; drain run 2 against the SAME checkpoint.
     docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text").coalesce(
         1
-    ).write.mode("append").parquet(str(tmp_path / "stream_in"))
-    schema = docs.select("doc_id", "text").schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(str(tmp_path / "stream_in"))
-    )
-
-    maintenance.maintain_gram_index(stream, index_path, spark)
+    ).write.mode("append").parquet(src_dir)
+    maintenance.maintain_gram_index(stream(), index_path, spark, ckpt)
 
     streamed = {
         r["__gh"]: r["n_docs"] for r in spark.read.parquet(index_path).collect()
@@ -99,6 +106,25 @@ def test_gram_index_stream_maintenance_matches_batch_build(spark, sf_dir, tmp_pa
         for r in dedup.gram_support_index(docs, "doc_id", "text", k=8).collect()
     }
     assert streamed == batch and len(batch) > 0
+
+    # The maintained index feeds the incremental miner directly and
+    # reproduces the full-rescan result (support over history = index).
+    arrivals = docs.filter(F.col("doc_id") % 5 == 4)
+    history = docs.filter(F.col("doc_id") % 5 != 4)
+    hist_index = dedup.gram_support_index(history, "doc_id", "text", k=8)
+    via_index = sorted(
+        tuple(r)
+        for r in dedup.incremental_repeated_spans(
+            None, arrivals, "doc_id", "text", k=8, history_index=hist_index
+        ).collect()
+    )
+    via_rescan = sorted(
+        tuple(r)
+        for r in dedup.incremental_repeated_spans(
+            history, arrivals, "doc_id", "text", k=8
+        ).collect()
+    )
+    assert via_index == via_rescan
 
 
 def test_gram_index_applier_drops_redelivered_batch(spark, sf_dir, tmp_path):

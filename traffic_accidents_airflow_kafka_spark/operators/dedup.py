@@ -754,12 +754,13 @@ def gram_support_index(
 
 
 def incremental_repeated_spans(
-    history: DataFrame,
+    history: DataFrame | None,
     arrivals: DataFrame,
     id_col: str,
     text_col: str,
     k: int = 8,
     min_docs: int = 2,
+    history_index: DataFrame | None = None,
 ) -> DataFrame:
     """Repeated-span mining for a daily-ingest shape (the incremental
     twin of :func:`repeated_spans`, same output contract, arrival docs
@@ -774,11 +775,22 @@ def incremental_repeated_spans(
     disjoint, so distinct-doc counts ADD). Per batch, the index is
     semi-joined down to grams the batch actually contains before the
     merge, so the per-day cost is linear in the arrival batch, never in
-    corpus history. Doc ids must be disjoint between the two inputs
-    (enforced here — overlapping ids would double-count support).
+    corpus history. Pass the PERSISTED index as ``history_index``
+    ((__gh, n_docs) — e.g. read back from streaming/maintenance.py's
+    maintained parquet) and history text is genuinely never rescanned;
+    passing ``history`` docs instead rebuilds the index inline. Doc ids
+    must be disjoint between history and arrivals (enforced when history
+    docs are given; the caller guarantees it for a prebuilt index, whose
+    rows carry no ids to check).
     """
-    overlap = history.select(id_col).join(arrivals.select(id_col), id_col).limit(1)
-    if overlap.count() > 0:
+    if (history is None) == (history_index is None):
+        raise ValueError(
+            "incremental_repeated_spans: pass exactly one of history "
+            "(docs to index inline) or history_index (the persisted index)"
+        )
+    if history is not None and not (
+        history.select(id_col).join(arrivals.select(id_col), id_col).isEmpty()
+    ):
         raise ValueError(
             "incremental_repeated_spans: history and arrivals share doc ids; "
             "support counts over disjoint doc sets are what make the index mergeable"
@@ -788,9 +800,12 @@ def incremental_repeated_spans(
     # History index pruned to the batch's grams BEFORE the merge: the
     # persisted index is corpus-vocabulary-sized; the batch only ever
     # touches its own gram set.
-    hist_support = gram_support_index(history, id_col, text_col, k).join(
-        batch_gram_keys, "__gh", "left_semi"
+    index = (
+        history_index
+        if history_index is not None
+        else gram_support_index(history, id_col, text_col, k)
     )
+    hist_support = index.join(batch_gram_keys, "__gh", "left_semi")
     batch_support = (
         batch_grams.groupBy("__gh").agg(F.countDistinct(id_col).alias("n_docs"))
     )

@@ -3860,7 +3860,12 @@ def jl_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_REPEATED_SPAN_CTES = """
+def _repeated_span_ctes(dup_filter: str = "") -> str:
+    """The shared span-mining oracle chain (k=8, min_docs=2), optionally
+    restricting the DUPLICATED-OCCURRENCE side (support always counts
+    over the full corpus) — one template so the batch and incremental
+    oracles cannot drift."""
+    return f"""
     WITH toks AS (
       SELECT doc_id, string_split(text, ' ') AS t FROM documents
     ),
@@ -3879,6 +3884,7 @@ _REPEATED_SPAN_CTES = """
     ),
     dup AS (
       SELECT g.doc_id, g.pos, s.n_docs FROM grams g JOIN support s USING (gram)
+      {dup_filter}
     ),
     runs AS (
       SELECT doc_id, pos, n_docs,
@@ -3899,16 +3905,20 @@ _REPEATED_SPAN_CTES = """
     )"""
 
 
+_REPEATED_SPAN_CTES = _repeated_span_ctes()
+
+_SPAN_REPORT_SELECT = """
+    SELECT doc_id, span_start, span_end, span_tokens, max_doc_support
+    FROM spans
+    ORDER BY doc_id, span_start
+    """
+
+
 @register(
     "repeated_span_report",
     tier=1,  # span-level dedup family; doc-level dedup machinery judged via tier-0 twins
     min_rows=0,  # a boilerplate-free corpus legitimately reports no spans
-    oracle=_REPEATED_SPAN_CTES
-    + """
-    SELECT doc_id, span_start, span_end, span_tokens, max_doc_support
-    FROM spans
-    ORDER BY doc_id, span_start
-    """,
+    oracle=_REPEATED_SPAN_CTES + _SPAN_REPORT_SELECT,
     doc="Within-corpus repeated-span mining (operators/dedup.py:"
     "repeated_spans) — the ExactSubstr dedup shape (Lee et al. 2022): "
     "maximal token spans covered by word 8-grams shared by >= 2 distinct "
@@ -4107,14 +4117,22 @@ def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qids = emb.select("vec_id").filter(F.col("vec_id") < 20)
-    exact_pairs = similarity.cosine_topk(emb, qids, "vec_id", "embedding", k=3).select(
-        "qid", "nid"
+    # 60-row baseline, probed once per curve point: cache it.
+    exact_pairs = (
+        similarity.cosine_topk(emb, qids, "vec_id", "embedding", k=3)
+        .select("qid", "nid")
+        .cache()
     )
     total = exact_pairs.count()
     floors = [(1, 0.1), (2, 0.25), (4, 0.5), (8, 0.7), (16, 1.0)]
     rows = []
     prev_recall = -1.0
     for n_probe, floor in floors:
+        # vectorized=False: the full-probe anchor pins recall EXACTLY 1.0,
+        # which needs the same sequential-fold cosine as the exact
+        # baseline — the matmul path's last-ulp reordering could flip a
+        # near-tie at the rank-k boundary (the cosine_topk_vectorized
+        # docstring's own caveat).
         approx = similarity.ivf_ann_topk(
             emb,
             "vec_id",
@@ -4123,11 +4141,13 @@ def ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_probe=n_probe,
             k=3,
             query_ids=qids,
+            vectorized=False,
         )
         hits = approx.join(exact_pairs, ["qid", "nid"], "left_semi").count()
         recall = hits / total if total else 1.0
         rows.append((n_probe, recall >= floor, recall >= prev_recall))
         prev_recall = recall
+    exact_pairs.unpersist()
     return spark.createDataFrame(
         rows, "n_probe int, meets_floor boolean, recall_monotone boolean"
     ).orderBy("n_probe")
@@ -4161,8 +4181,10 @@ def ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qids = emb.select("vec_id").filter(F.col("vec_id") < 20)
-    exact_pairs = similarity.cosine_topk(emb, qids, "vec_id", "embedding", k=3).select(
-        "qid", "nid"
+    exact_pairs = (
+        similarity.cosine_topk(emb, qids, "vec_id", "embedding", k=3)
+        .select("qid", "nid")
+        .cache()  # 60-row baseline, probed by all three variants
     )
     total = exact_pairs.count()
 
@@ -4175,6 +4197,7 @@ def pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     r_pq = recall(similarity.pq_ann_topk(emb, qids, k=3))
     r_ivfpq = recall(similarity.ivf_pq_ann_topk(emb, qids, k=3))
     r_rerank = recall(similarity.pq_rerank_topk(emb, qids, k=3))
+    exact_pairs.unpersist()
     rows = [
         ("pq_adc", r_pq >= 0.2, r_rerank >= r_pq),
         ("ivf_pq", r_ivfpq >= 0.15, r_rerank >= r_pq),
@@ -4189,44 +4212,8 @@ def pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "incremental_repeated_spans",
     tier=1,  # daily-ingest twin of repeated_span_report
     min_rows=0,  # an arrival batch with no cross-doc repeats reports nothing
-    oracle="""
-    WITH toks AS (
-      SELECT doc_id, string_split(text, ' ') AS t FROM documents
-    ),
-    grams AS (
-      SELECT doc_id, u.pos AS pos, u.gram AS gram FROM (
-        SELECT doc_id,
-               unnest(list_transform(generate_series(1, len(t) - 7),
-                      i -> struct_pack(pos := i,
-                                       gram := array_to_string(t[i:i+7], ' ')))) AS u
-        FROM toks WHERE len(t) >= 8
-      )
-    ),
-    support AS (
-      SELECT gram, COUNT(DISTINCT doc_id) AS n_docs
-      FROM grams GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
-    ),
-    dup AS (
-      SELECT g.doc_id, g.pos, s.n_docs FROM grams g JOIN support s USING (gram)
-      WHERE g.doc_id % 5 = 4
-    ),
-    runs AS (
-      SELECT doc_id, pos, n_docs,
-             CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
-                  THEN 0 ELSE 1 END AS is_new
-      FROM dup
-    ),
-    rid AS (
-      SELECT *, SUM(is_new) OVER (PARTITION BY doc_id ORDER BY pos
-                                  ROWS UNBOUNDED PRECEDING) AS run_id
-      FROM runs
-    )
-    SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 7 AS span_end,
-           MAX(pos) + 8 - MIN(pos) AS span_tokens,
-           MAX(n_docs) AS max_doc_support
-    FROM rid GROUP BY doc_id, run_id
-    ORDER BY doc_id, span_start
-    """,
+    oracle=_repeated_span_ctes("WHERE g.doc_id % 5 = 4")
+    + _SPAN_REPORT_SELECT,
     doc="Repeated-span mining for the daily-ingest shape "
     "(operators/dedup.py:incremental_repeated_spans): the 20% of docs "
     "with doc_id %% 5 == 4 play today's arrival batch; their spans are "
