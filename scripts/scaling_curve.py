@@ -68,10 +68,13 @@ REPRESENTATIVES = [
     # curve should be the per-row hash cost only, never the output.
     "cms_heavy_hitters",
     "mergeable_quantiles",
-    # round-4 addition: positional-gram span mining — token-sized hash
+    # round-4 additions: positional-gram span mining — token-sized hash
     # relation, one support shuffle; the curve should track corpus
-    # token count linearly.
+    # token count linearly. The incremental form mines a fixed 20%
+    # arrival slice against the history index — same linear shape on a
+    # smaller constant.
     "repeated_span_report",
+    "incremental_repeated_spans",
 ]
 
 
