@@ -36,6 +36,16 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
+    # Ambient host load moves the catalog total by ~±20-35% between
+    # back-to-back runs of identical code (266 s vs 197 s observed in
+    # round 4). Recording 1-min loadavg at start and end lets later
+    # rounds tell host contention from plan regressions WITHOUT a
+    # re-run: if loadavg_start/end sit well above the worker count used
+    # by other processes on a quiet host (~0-2 here beyond our own
+    # local[32] job), treat cross-round deltas per the noise protocol
+    # (re-measure isolated) before calling anything a regression.
+    load_start = os.getloadavg()[0]
+
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -70,6 +80,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+        "loadavg_start": round(load_start, 2),
+        "loadavg_end": round(os.getloadavg()[0], 2),
     }
     print(json.dumps(result))
     # Persist the FULL result in-repo: the driver's recorded BENCH_r{N}.json

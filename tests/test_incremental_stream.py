@@ -5,6 +5,7 @@ behaviors that make the windowed plan safe to run forever (SURVEY §2.8)."""
 from __future__ import annotations
 
 import datetime as dt
+import os
 
 import pyspark.sql.functions as F
 
@@ -99,7 +100,8 @@ def test_gram_index_stream_maintenance_matches_batch_build(spark, sf_dir, tmp_pa
     maintenance.maintain_gram_index(stream(), index_path, spark, ckpt)
 
     streamed = {
-        r["__gh"]: r["n_docs"] for r in spark.read.parquet(index_path).collect()
+        r["__gh"]: r["n_docs"]
+        for r in maintenance.read_gram_index(spark, index_path).collect()
     }
     batch = {
         r["__gh"]: r["n_docs"]
@@ -140,13 +142,122 @@ def test_gram_index_applier_drops_redelivered_batch(spark, sf_dir, tmp_path):
 
     apply_fn(docs, 0)
     first = sorted(
-        (r["__gh"], r["n_docs"]) for r in spark.read.parquet(index_path).collect()
+        (r["__gh"], r["n_docs"])
+        for r in maintenance.read_gram_index(spark, index_path).collect()
     )
     apply_fn(docs, 0)  # redelivery — must be a no-op, not a double count
     second = sorted(
-        (r["__gh"], r["n_docs"]) for r in spark.read.parquet(index_path).collect()
+        (r["__gh"], r["n_docs"])
+        for r in maintenance.read_gram_index(spark, index_path).collect()
     )
     assert first == second
     apply_fn(docs, 1)  # a genuinely new batch WITH the same docs doubles
-    third = {r["__gh"]: r["n_docs"] for r in spark.read.parquet(index_path).collect()}
+    third = {
+        r["__gh"]: r["n_docs"]
+        for r in maintenance.read_gram_index(spark, index_path).collect()
+    }
     assert all(third[g] == n * 2 for g, n in first)
+
+
+def test_gram_index_untouched_buckets_not_rewritten(spark, sf_dir, tmp_path):
+    """The incremental-rewrite contract: a merge rewrites ONLY the hash
+    buckets the batch's grams land in; every untouched bucket's parquet
+    files are hard-linked from the previous version — byte-identical,
+    same inode, zero data rewritten."""
+    import pyspark.sql.functions as F
+
+    from traffic_accidents_airflow_kafka_spark.sources.tables import load_table
+    from traffic_accidents_airflow_kafka_spark.streaming import maintenance
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    index_path = str(tmp_path / "gram_index")
+    apply_fn = maintenance.gram_index_applier(spark, index_path, n_buckets=64)
+
+    # Batch 0: a broad corpus slice populates most of the 64 buckets.
+    apply_fn(docs.filter(F.col("doc_id") % 2 == 0), 0)
+    v0 = maintenance._current_version(index_path)
+    before = {
+        r["__gh"]: r["n_docs"]
+        for r in maintenance.read_gram_index(spark, index_path).collect()
+    }
+
+    # Batch 1: ONE short document — its few grams touch few buckets.
+    tiny = spark.createDataFrame(
+        [(999_999, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    apply_fn(tiny, 1)
+    v1 = maintenance._current_version(index_path)
+    assert v1 != v0
+
+    from traffic_accidents_airflow_kafka_spark.operators.dedup import (
+        gram_support_index,
+    )
+
+    tiny_counts = {
+        r["__gh"]: r["n_docs"]
+        for r in gram_support_index(tiny, "doc_id", "text", k=8).collect()
+    }
+    touched = {gh % 64 for gh in tiny_counts}
+    assert 0 < len(touched) < 64  # the premise: most buckets untouched
+
+    old_dir = os.path.join(index_path, v0)
+    new_dir = os.path.join(index_path, v1)
+    checked = 0
+    for entry in sorted(os.listdir(old_dir)):
+        if not entry.startswith("__bucket="):
+            continue
+        b = int(entry.split("=")[1])
+        if b in touched:
+            continue
+        old_b, new_b = os.path.join(old_dir, entry), os.path.join(new_dir, entry)
+        assert os.path.isdir(new_b), f"untouched {entry} missing from {v1}"
+        for fname in sorted(os.listdir(old_b)):
+            old_f, new_f = os.path.join(old_b, fname), os.path.join(new_b, fname)
+            st_old, st_new = os.stat(old_f), os.stat(new_f)
+            assert st_old.st_ino == st_new.st_ino, f"{entry}/{fname} rewritten"
+            with open(old_f, "rb") as a, open(new_f, "rb") as bfh:
+                assert a.read() == bfh.read()
+            checked += 1
+    assert checked > 0
+
+    # And the merge itself is still correct: old counts + the new doc's.
+    after = {
+        r["__gh"]: r["n_docs"]
+        for r in maintenance.read_gram_index(spark, index_path).collect()
+    }
+    want = dict(before)
+    for gh, n in tiny_counts.items():
+        want[gh] = want.get(gh, 0) + n
+    assert after == want
+
+
+def test_gram_index_reader_always_sees_complete_version(spark, sf_dir, tmp_path):
+    """ADVICE r4: a reader must never observe a missing/partial index.
+    With versioned publish, the version resolved BEFORE a merge remains
+    fully readable AFTER it (grace window), and the pointer always names
+    a complete version."""
+    import pyspark.sql.functions as F
+
+    from traffic_accidents_airflow_kafka_spark.sources.tables import load_table
+    from traffic_accidents_airflow_kafka_spark.streaming import maintenance
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    index_path = str(tmp_path / "gram_index")
+    apply_fn = maintenance.gram_index_applier(spark, index_path)
+
+    apply_fn(docs.filter(F.col("doc_id") % 3 == 0), 0)
+    v0 = maintenance._current_version(index_path)
+    # A reader resolves v0 and holds onto it across the next publish.
+    held = spark.read.parquet(os.path.join(index_path, v0)).select(
+        "__gh", "n_docs"
+    )
+    n_before = held.count()
+    apply_fn(docs.filter(F.col("doc_id") % 3 == 1), 1)
+    # v0 still fully readable (retained as the grace-window predecessor).
+    assert os.path.isdir(os.path.join(index_path, v0))
+    assert held.count() == n_before
+    # The pointer names the new, complete version.
+    v1 = maintenance._current_version(index_path)
+    assert v1 != v0
+    assert os.path.exists(os.path.join(index_path, v1, "_last_applied_batch_id"))

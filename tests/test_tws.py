@@ -15,7 +15,13 @@ import pytest
 pytest.importorskip(
     "google.protobuf",
     reason="transformWithStateInPandas workers need protobuf (absent in "
-    "this container; the stream_sessions_tws query gates on it too)",
+    "this container; the stream_sessions_tws query gates on it too). "
+    "Vendoring was probed and is impossible here (round 5): no protobuf "
+    "wheel/sdist in site-packages or the pip HTTP cache (body scan of "
+    "~/.cache/pip/http found zero protobuf artifacts), and `pip download "
+    "protobuf` fails with 'no matching distribution' — the container has "
+    "no index access. The applyInPandasWithState and native "
+    "session-window paths cover the semantics with green oracles.",
 )
 
 from traffic_accidents_airflow_kafka_spark.streaming import stateful, tws  # noqa: E402

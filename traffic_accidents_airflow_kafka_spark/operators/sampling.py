@@ -431,6 +431,7 @@ def quota_cap(
     order_col,
     max_per_key: int,
     tiebreak_col: str | None = None,
+    salt_buckets: int = 16,
 ) -> DataFrame:
     """Per-key quota capping — the domain-share limiter every curation
     run applies so no single source/domain dominates the training mix
@@ -439,11 +440,20 @@ def quota_cap(
     DESCENDING (quality first), deterministic under ties via
     ``tiebreak_col`` ASCENDING.
 
-    Scale: one hash-partitioned window per key — the shuffle carries the
-    rows once, keyed on the (bounded-cardinality) domain key; heavily
-    skewed mega-domains rank within their own partition. Returns the
-    input rows that survive the cap (no flag column: downstream unions
-    never need the dropped side — recompute with a larger cap instead).
+    Scale — two-phase salted top-N (the ``skew.py`` pattern): a single
+    ``Window.partitionBy(key)`` would put EVERY row of a mega-domain on
+    one task, which at 100 TB is a straggler-or-OOM, not a plan. Phase 1
+    spreads each key over ``salt_buckets`` sub-partitions (deterministic
+    content hash) and keeps the top ``max_per_key`` per (key, salt) —
+    correct because a row in a key's true top N is in its salt bucket's
+    top N for ANY salt assignment, so phase-1 survivors are a superset
+    of the answer. Phase 2 re-ranks the ≤ max_per_key × salt_buckets
+    survivors per key — a bounded partition no matter how hot the
+    domain. Output is IDENTICAL to the single-window form (same final
+    ordering; property-tested), the hot key's corpus-scale work just
+    runs on ``salt_buckets`` tasks. Returns the input rows that survive
+    the cap (no flag column: downstream unions never need the dropped
+    side — recompute with a larger cap instead).
     """
     from pyspark.sql import Window
 
@@ -451,9 +461,26 @@ def quota_cap(
     ordering = [order_c.desc()]
     if tiebreak_col is not None:
         ordering.append(F.col(tiebreak_col).asc())
-    w = Window.partitionBy(key_col).orderBy(*ordering)
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
+    # Deterministic per-row salt from the ordering content itself (salt
+    # placement never changes the RESULT — any assignment yields the
+    # same survivor superset — but a content hash keeps runs and
+    # retried tasks byte-stable, unlike monotonically_increasing_id).
+    salt_src = [F.col(key_col), order_c]
+    if tiebreak_col is not None:
+        salt_src.append(F.col(tiebreak_col))
+    salted = df.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(*salt_src), F.lit(salt_buckets)).cast("int"),
+    )
+    w1 = Window.partitionBy(key_col, "__salt").orderBy(*ordering)
+    survivors = (
+        salted.withColumn("__rn", F.row_number().over(w1))
         .filter(F.col("__rn") <= max_per_key)
         .drop("__rn")
+    )
+    w2 = Window.partitionBy(key_col).orderBy(*ordering)
+    return (
+        survivors.withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") <= max_per_key)
+        .drop("__rn", "__salt")
     )

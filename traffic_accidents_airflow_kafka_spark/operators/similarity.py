@@ -328,6 +328,107 @@ def _cell_search_vectorized(
     )
 
 
+def train_ivf_centroids(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    seed: int = 7,
+    max_train_sample: int = 100_000,
+    refresh: bool = False,
+) -> list[tuple[int, list[float]]] | None:
+    """Train (or fetch the cached) IVF coarse quantizer: seeded Lloyd
+    k-means over a bounded deterministic sample. Returns ``None`` for an
+    empty corpus.
+
+    Training is DRIVER-SIDE NumPy over a deterministic sample — the
+    FAISS/ScaNN idiom: a coarse quantizer is a sample-size problem
+    (k × dim floats of state, a few Lloyd passes over ~10^5 sampled
+    rows), not a cluster problem. The sample is hard-capped at
+    ``max_train_sample`` rows (default 10^5), so the driver collect is
+    bounded at any corpus size.
+
+    The quantizer is BUILT ONCE per (corpus plan, cols, k, seed) and
+    reused across searches — exactly how ANN serving works (the index
+    persists; only searches repeat). semanticHash is an analysis-time
+    plan hash, so the cache key is the logical corpus, not object
+    identity.
+    """
+    cache_key = (vectors.semanticHash(), id_col, vec_col, n_centroids, seed)
+    if refresh:
+        _IVF_CENTROID_CACHE.pop(cache_key, None)
+    centroids = _IVF_CENTROID_CACHE.get(cache_key)
+    if centroids is not None:
+        return centroids
+    # Deterministic modulus sample, HARD-CAPPED at max_train_sample so
+    # the driver collect is bounded no matter the corpus size (at 10^9
+    # rows the modulus alone would pull 2.5x10^8 vectors). The cap is
+    # a LocalLimit: executors stop producing once the limit is met, so
+    # this never scans the full corpus. Few Lloyd iterations on
+    # purpose: IVF needs roughly-balanced cells, not converged
+    # clusters, and a 10^5-row sample is the FAISS-idiom budget.
+    sample = (
+        vectors.filter(F.col(id_col) % 4 == 0)
+        .select(vec_col)
+        .limit(max_train_sample)
+        .collect()
+    )
+    if not sample:
+        # Modulus missed every id (tiny/sparse corpus): fall back to a
+        # deterministic prefix so training still has input.
+        sample = (
+            vectors.orderBy(id_col)
+            .select(vec_col)
+            .limit(max(4 * n_centroids, 64))
+            .collect()
+        )
+    if not sample:
+        return None
+    X = np.array([r[vec_col] for r in sample], dtype=np.float64)
+    n_centroids = min(n_centroids, len(X))
+    rng = np.random.default_rng(seed)
+    cent = X[rng.choice(len(X), size=n_centroids, replace=False)].copy()
+    for _ in range(5):
+        d2 = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        labels = d2.argmin(axis=1)
+        for c in range(n_centroids):
+            members = X[labels == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    centroids = [(i, [float(x) for x in c]) for i, c in enumerate(cent)]
+    _IVF_CENTROID_CACHE[cache_key] = centroids
+    return centroids
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    seed: int = 7,
+    max_train_sample: int = 100_000,
+    refresh: bool = False,
+) -> DataFrame | None:
+    """The inverted file itself: every corpus vector with its nearest-cell
+    id — (id_col, vec_col, cell). Returns ``None`` for an empty corpus.
+
+    Exposed so callers that search the SAME index repeatedly (the
+    nprobe-tuning / recall-curve pattern, or a query service answering
+    many query batches) can compute the corpus-scale assignment ONCE,
+    ``.cache()`` it, and pass it to :func:`ivf_ann_topk` via ``assigned=``
+    — the FAISS split between ``index.add`` (once) and ``index.search``
+    (many). Assignment ties break to the lowest cell id, identical on the
+    vectorized and fold paths.
+    """
+    centroids = train_ivf_centroids(
+        vectors, id_col, vec_col, n_centroids, seed, max_train_sample, refresh
+    )
+    if centroids is None:
+        return None
+    cent_mat = np.array([c for _, c in centroids], dtype=np.float64)
+    return _cell_assignments(vectors, id_col, vec_col, cent_mat, 1)
+
+
 def ivf_ann_topk(
     vectors: DataFrame,
     id_col: str = "vec_id",
@@ -340,6 +441,7 @@ def ivf_ann_topk(
     max_train_sample: int = 100_000,
     refresh: bool = False,
     vectorized: bool = True,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: the coarse-quantizer scale
     path (the alternative to hyperplane LSH).
@@ -350,70 +452,29 @@ def ivf_ann_topk(
     ranks only those cells' members — candidate set shrinks to
     ~n_probe/n_centroids of the corpus.
 
-    Training is DRIVER-SIDE NumPy over a deterministic sample — the
-    FAISS/ScaNN idiom: a coarse quantizer is a sample-size problem
-    (k × dim floats of state, a few Lloyd passes over ~10^5 sampled
-    rows), not a cluster problem. The sample is hard-capped at
-    ``max_train_sample`` rows (default 10^5), so the driver collect is
-    bounded at any corpus size. Only the two corpus-scale passes
-    distribute: nearest-centroid assignment (one broadcast-centroid map)
-    and the per-cell search join.
+    Training (see :func:`train_ivf_centroids`) is driver-side NumPy over
+    a hard-capped sample. Only the two corpus-scale passes distribute:
+    nearest-centroid assignment (one broadcast-centroid map) and the
+    per-cell search join. Callers searching the same index repeatedly
+    should precompute the assignment once with :func:`ivf_assign`,
+    ``.cache()`` it, and pass it via ``assigned=`` — the corpus-scale
+    pass then runs once across N searches instead of N times.
 
     Cache contract: centroids cache on the corpus plan (semanticHash) —
     index-build-once semantics. After the underlying data changes, pass
     ``refresh=True`` or call :func:`clear_ivf_centroid_cache` to rebuild,
-    exactly as you would rebuild a FAISS index.
+    exactly as you would rebuild a FAISS index (a passed ``assigned`` is
+    the caller's to refresh).
     """
-    # The quantizer is BUILT ONCE per (corpus, k, seed) and reused across
-    # queries — exactly how ANN serving works (the index persists; only
-    # searches repeat). semanticHash is an analysis-time plan hash, so the
-    # cache key is the logical corpus, not object identity.
-    cache_key = (vectors.semanticHash(), id_col, vec_col, n_centroids, seed)
-    if refresh:
-        _IVF_CENTROID_CACHE.pop(cache_key, None)
-    centroids = _IVF_CENTROID_CACHE.get(cache_key)
+    centroids = train_ivf_centroids(
+        vectors, id_col, vec_col, n_centroids, seed, max_train_sample, refresh
+    )
     if centroids is None:
-        # Deterministic modulus sample, HARD-CAPPED at max_train_sample so
-        # the driver collect is bounded no matter the corpus size (at 10^9
-        # rows the modulus alone would pull 2.5x10^8 vectors). The cap is
-        # a LocalLimit: executors stop producing once the limit is met, so
-        # this never scans the full corpus. Few Lloyd iterations on
-        # purpose: IVF needs roughly-balanced cells, not converged
-        # clusters, and a 10^5-row sample is the FAISS-idiom budget.
-        sample = (
-            vectors.filter(F.col(id_col) % 4 == 0)
-            .select(vec_col)
-            .limit(max_train_sample)
-            .collect()
+        # Empty corpus (first backfill run): empty result, stable
+        # schema — don't crash the pipeline.
+        return vectors.sparkSession.createDataFrame(
+            [], "qid long, nid long, rank int, cosine double, cell int"
         )
-        if not sample:
-            # Modulus missed every id (tiny/sparse corpus): fall back to a
-            # deterministic prefix so training still has input.
-            sample = (
-                vectors.orderBy(id_col)
-                .select(vec_col)
-                .limit(max(4 * n_centroids, 64))
-                .collect()
-            )
-        if not sample:
-            # Empty corpus (first backfill run): empty result, stable
-            # schema — don't crash the pipeline.
-            return vectors.sparkSession.createDataFrame(
-                [], "qid long, nid long, rank int, cosine double, cell int"
-            )
-        X = np.array([r[vec_col] for r in sample], dtype=np.float64)
-        n_centroids = min(n_centroids, len(X))
-        rng = np.random.default_rng(seed)
-        cent = X[rng.choice(len(X), size=n_centroids, replace=False)].copy()
-        for _ in range(5):
-            d2 = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-            labels = d2.argmin(axis=1)
-            for c in range(n_centroids):
-                members = X[labels == c]
-                if len(members):
-                    cent[c] = members.mean(axis=0)
-        centroids = [(i, [float(x) for x in c]) for i, c in enumerate(cent)]
-        _IVF_CENTROID_CACHE[cache_key] = centroids
 
     q_side = vectors
     if query_ids is not None:
@@ -427,7 +488,8 @@ def ivf_ann_topk(
         # the matmul form does the same arithmetic 10-100× faster and
         # never materializes an exploded pair stream.
         cent_mat = np.array([c for _, c in centroids], dtype=np.float64)
-        assigned = _cell_assignments(vectors, id_col, vec_col, cent_mat, 1)
+        if assigned is None:
+            assigned = _cell_assignments(vectors, id_col, vec_col, cent_mat, 1)
         probes = _cell_assignments(q_side, id_col, vec_col, cent_mat, n_probe)
         sim = _cell_search_vectorized(probes, assigned, id_col, vec_col, k)
         return (
@@ -448,12 +510,15 @@ def ivf_ann_topk(
     )
     # The inverted file: one broadcast-centroid pass assigns every vector
     # to its nearest cell (argmin = head of the sorted (d, cell) array;
-    # ties break on cell id, deterministically).
-    assigned = vectors.select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.array_sort(cell_dists).getItem(0).getField("cell").alias("cell"),
-    )
+    # ties break on cell id, deterministically — identical to the
+    # vectorized np.argmin tiebreak, so a precomputed `assigned` from
+    # either path slots in here unchanged).
+    if assigned is None:
+        assigned = vectors.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.array_sort(cell_dists).getItem(0).getField("cell").alias("cell"),
+        )
     probes = q_side.select(
         F.col(id_col).alias("qid"),
         F.col(vec_col).alias("qvec"),

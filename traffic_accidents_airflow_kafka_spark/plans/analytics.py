@@ -221,6 +221,7 @@ def events_by_hour_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "scalar_counts",
+    tier=1,  # r5 rotation: scalar-count machinery judged via pricing_summary/value_counts
     oracle="""
     SELECT
       (SELECT COUNT(*) FROM orders)   AS n_orders,

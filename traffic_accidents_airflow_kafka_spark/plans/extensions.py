@@ -2581,3 +2581,75 @@ def target_encoding_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders, "o_orderpriority", "o_totalprice", "o_orderkey",
         k=5, smoothing=20.0, seed="te-folds-v1",
     ).orderBy("category", "fold")
+
+
+#: Fixed publish path for the CSV round-trip query: the oracle SQL is a
+#: static string, so the Spark side and the DuckDB side must agree on the
+#: location a priori. Overwritten per run; single-writer like every sink
+#: in this repo (don't interleave bench and verify on one host).
+CSV_ROUNDTRIP_PATH = "/tmp/spark_graft_csv_roundtrip"
+
+
+@register(
+    "csv_roundtrip_summary",
+    tier=1,  # S1/S4 sink-source parity surface; judged window already full
+    oracle=f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+           STRFTIME(MIN(o_orderdate), '%Y-%m-%d') AS first_order_date
+    FROM read_csv('{CSV_ROUNDTRIP_PATH}/*.csv', header=true,
+                  columns={{'o_orderkey': 'BIGINT', 'o_custkey': 'BIGINT',
+                           'o_orderstatus': 'VARCHAR', 'o_totalprice': 'DOUBLE',
+                           'o_orderdate': 'DATE'}})
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    doc="CSV sink → CSV scan round-trip (sources/sinks.py:write_csv — "
+    "S4 — then an explicit-schema header CSV read — S1, the "
+    "pipeline/ingest.py:read_accidents_csv discipline): the urgent-"
+    "priority orders slice is WRITTEN to CSV by Spark, read back with "
+    "a declared schema (never inference — the correctness hazard the "
+    "reference hit, SURVEY §1.2), and aggregated; the oracle reads THE "
+    "SAME FILES with DuckDB read_csv under pinned column types, so "
+    "header handling, quoting, float text round-trip (shortest-repr "
+    "doubles re-parse bit-identically), and date formatting are all "
+    "under oracle, not just unit tests. Decimal-before-SUM on both "
+    "sides; the date surfaces as yyyy-MM-dd TEXT to keep dtypes "
+    "engine-neutral. Scale: the sink is a parallel per-partition "
+    "write, the scan a parallel splittable read — the round-trip adds "
+    "no driver hop; CSV itself (row-major, no stats, no pushdown) is "
+    "kept for reference-format parity, with parquet as the engine "
+    "default.",
+)
+def csv_roundtrip_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import sinks
+
+    orders = load_table(spark, sf_dir, "orders")
+    derived = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        F.to_date("o_orderdate").alias("o_orderdate"),
+    )
+    sinks.write_csv(derived, CSV_ROUNDTRIP_PATH)
+    back = (
+        spark.read.schema(
+            "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+            "o_totalprice double, o_orderdate date"
+        )
+        .option("header", "true")
+        .csv(CSV_ROUNDTRIP_PATH)
+    )
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dec_sum("o_totalprice", "total_price"),
+            F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias(
+                "first_order_date"
+            ),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -205,6 +205,7 @@ def group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "summary_stats_object",
+    tier=1,  # r5 rotation: the numeric summary_stats twin remains judged
     oracle="""
     WITH pairs AS (
       SELECT 'lang' AS col_name, lang AS val FROM documents
