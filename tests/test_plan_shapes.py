@@ -76,6 +76,13 @@ ARROW_OK = {
     # Span excision: broadcast work-list + one Arrow pass of imperative
     # token-window surgery (no declarative overlap-resolving form).
     "span_excision_stats",
+    # §2.7 UDTF surface: Arrow-batched Python table function
+    # (ArrowEvalPythonUDTF), pinned row-for-row against the native
+    # word_shingles path in test_pyext.py.
+    "udtf_ngram_topk",
+    # §2.7 applyInArrow surface: per-group numpy rank-weighting
+    # (FlatMapGroupsInArrow) — per-group imperative logic by design.
+    "lang_length_gini",
 }
 
 
@@ -90,9 +97,11 @@ def test_plan_has_no_scale_killers(spark, sf_dir, name):
     # sanctioned.
     assert "BatchEvalPython" not in plan, f"{name} uses a row-at-a-time Python UDF"
     if name not in ARROW_OK:
-        assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan, (
-            f"{name} has an unsanctioned Python stage"
-        )
+        assert (
+            "ArrowEvalPython" not in plan
+            and "MapInPandas" not in plan
+            and "FlatMapGroupsInArrow" not in plan
+        ), f"{name} has an unsanctioned Python stage"
 
 
 #: Dim-join queries that MUST plan broadcast hash joins (SURVEY §2.3

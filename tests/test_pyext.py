@@ -1,0 +1,121 @@
+"""Python-extension surface (plans/pyext.py): the UDTF is pinned
+row-for-row against the native shingle path, the applyInArrow Gini against
+a driver-side brute force, and the ORC/JSONL round-trips against the
+exact rows that were written. Oracle value-hash parity for all four
+queries is covered by test_catalog_oracle.py like every other entry."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from traffic_accidents_airflow_kafka_spark.functions.udtf import register_udtfs
+from traffic_accidents_airflow_kafka_spark.operators.dedup import word_shingles
+from traffic_accidents_airflow_kafka_spark.plans import pyext
+from traffic_accidents_airflow_kafka_spark.sources.tables import load_table
+
+
+def test_udtf_matches_native_shingles(spark, sf_dir):
+    """WordNGrams(_, 3) distinct == operators/dedup.py:word_shingles —
+    the built-in referee for the UDTF's expansion semantics."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    register_udtfs(spark)
+    docs.createOrReplaceTempView("udtf_parity_docs")
+    via_udtf = spark.sql(
+        """
+        SELECT d.doc_id, t.ngram AS shingle
+        FROM udtf_parity_docs d, LATERAL word_ngrams(d.text, 3) t
+        """
+    ).distinct()
+    native = word_shingles(docs, "doc_id", "text", n=3)
+    assert via_udtf.exceptAll(native).count() == 0
+    assert native.exceptAll(via_udtf).count() == 0
+
+
+def test_udtf_positions_are_dense(spark, sf_dir):
+    """Positions enumerate every window 0..len-n with no gaps — per doc,
+    count == max_pos + 1 and min_pos == 0."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    register_udtfs(spark)
+    docs.createOrReplaceTempView("udtf_pos_docs")
+    bad = spark.sql(
+        """
+        SELECT d.doc_id
+        FROM udtf_pos_docs d, LATERAL word_ngrams(d.text, 3) t
+        GROUP BY d.doc_id
+        HAVING COUNT(*) != MAX(t.pos) + 1 OR MIN(t.pos) != 0
+        """
+    )
+    assert bad.count() == 0
+
+
+def test_udtf_null_and_short_inputs(spark):
+    register_udtfs(spark)
+    df = spark.createDataFrame(
+        [(1, None), (2, "one two"), (3, "a b c d")], "id int, txt string"
+    )
+    df.createOrReplaceTempView("udtf_edge_docs")
+    out = spark.sql(
+        """
+        SELECT d.id, t.ngram
+        FROM udtf_edge_docs d, LATERAL word_ngrams(d.txt, 3) t
+        """
+    ).collect()
+    # null text and a 2-token doc expand to nothing; the 4-token doc to 2.
+    assert sorted((r.id, r.ngram) for r in out) == [
+        (3, "a b c"),
+        (3, "b c d"),
+    ]
+
+
+def test_gini_matches_bruteforce(spark, sf_dir):
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .select("lang", "n_chars")
+        .collect()
+    )
+    by_lang: dict[str, list[int]] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r.n_chars)
+    got = {r.lang: r for r in pyext.lang_length_gini(spark, sf_dir).collect()}
+    assert set(got) == set(by_lang)
+    for lang, xs in by_lang.items():
+        xs = sorted(xs)
+        n, s = len(xs), sum(xs)
+        w = sum((i + 1) * x for i, x in enumerate(xs))
+        expect = 2.0 * w / (n * float(s)) - (n + 1.0) / n
+        assert got[lang].n_docs == n
+        assert got[lang].total_chars == s
+        assert abs(got[lang].gini - expect) <= 1e-4, lang
+        # Gini is a [0, 1) inequality index.
+        assert 0.0 <= got[lang].gini < 1.0
+
+
+def test_orc_roundtrip_preserves_rows(spark, sf_dir):
+    """Beyond the aggregate oracle: the ORC scan returns exactly the rows
+    written, column-for-column (timestamps included)."""
+    pyext.orc_roundtrip_summary(spark, sf_dir).collect()  # runs the write
+    events = load_table(spark, sf_dir, "events")
+    derived = events.filter(
+        F.col("event_type").isin("purchase", "click")
+    ).select("event_id", "ts", "user_id", "event_type", "value")
+    back = spark.read.orc(pyext.ORC_ROUNDTRIP_PATH).select(*derived.columns)
+    assert back.exceptAll(derived).count() == 0
+    assert derived.exceptAll(back).count() == 0
+
+
+def test_jsonl_roundtrip_preserves_rows(spark, sf_dir):
+    pyext.jsonl_roundtrip_summary(spark, sf_dir).collect()  # runs the write
+    events = load_table(spark, sf_dir, "events")
+    derived = events.filter(F.col("event_type") == "error").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("value").cast("double").alias("value"),
+        F.date_format("ts", pyext._TS_FMT_SPARK).alias("ts_str"),
+    )
+    back = spark.read.schema(
+        "event_id bigint, user_id bigint, event_type string, "
+        "value double, ts_str string"
+    ).json(pyext.JSONL_ROUNDTRIP_PATH)
+    assert back.exceptAll(derived).count() == 0
+    assert derived.exceptAll(back).count() == 0

@@ -18,3 +18,4 @@ from . import star  # noqa: F401, E402
 from . import streaming_plans  # noqa: F401, E402
 from . import extensions  # noqa: F401, E402
 from . import tokenizer  # noqa: F401, E402
+from . import pyext  # noqa: F401, E402

@@ -254,3 +254,77 @@ def bpe_doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .limit(100)
     )
+
+
+@register(
+    "tokenizer_fertility",
+    tier=1,  # tokenizer-training surface
+    oracle=f"""{_bpe_cte_chain(N_MERGES)},
+    seg AS (
+      SELECT w, CAST(len(string_split(s, chr(10))) - 1 AS BIGINT) AS n_symbols
+      FROM r{N_MERGES}
+    ),
+    dwords AS (
+      SELECT doc_id, lang,
+             unnest(regexp_extract_all(text, '{BPE_ISH_PATTERN}', 0)) AS w
+      FROM documents
+    )
+    SELECT d.lang,
+           CAST(COUNT(DISTINCT d.doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(length(d.w)) AS BIGINT) AS n_chars,
+           CAST(SUM(seg.n_symbols) AS BIGINT) AS bpe_tokens,
+           ROUND(SUM(seg.n_symbols) / CAST(COUNT(*) AS DOUBLE), 4)
+             AS fertility,
+           ROUND(SUM(length(d.w)) / CAST(SUM(seg.n_symbols) AS DOUBLE), 4)
+             AS chars_per_token
+    FROM dwords d JOIN seg ON d.w = seg.w
+    GROUP BY d.lang
+    ORDER BY d.lang
+    """,
+    doc="Tokenizer fertility audit — the per-language efficiency read "
+    "every multilingual tokenizer evaluation publishes (fertility = BPE "
+    "tokens per word, chars-per-token = compression): languages whose "
+    "fertility runs high are under-served by the merge table and "
+    "over-billed in token budgets (the XLM-R / NLLB tokenizer-equity "
+    "analysis). Built from the SAME trained merge table as "
+    "bpe_doc_token_counts: each DISTINCT word is segmented once "
+    "(vocab-sized), the (word -> n_symbols) relation broadcasts onto "
+    "the exploded corpus, and the rollup shuffles |lang| rows. Oracle: "
+    "the shared merge-chain CTE, grouped by language; the two ratios "
+    "divide identical BIGINTs as doubles, so ROUND(x,4) matches "
+    "bit-for-bit. Scale: corpus explodes map-side only — the join is "
+    "broadcast, the aggregate is two-phase, nothing corpus-sized "
+    "shuffles.",
+)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in bpe.train_bpe(docs, n_merges=N_MERGES, min_freq=2).collect()
+    ]
+    seg = bpe.encode_stats(docs, merges).select(
+        "word", F.col("n_symbols").cast("bigint").alias("n_symbols")
+    )
+    words = docs.select(
+        "doc_id", "lang", F.explode(bpe.bpe_ish_tokens("text")).alias("word")
+    )
+    return (
+        words.join(F.broadcast(seg), "word")
+        .groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("word")).alias("n_chars"),
+            F.sum("n_symbols").alias("bpe_tokens"),
+            F.round(
+                F.sum("n_symbols") / F.count(F.lit(1)).cast("double"), 4
+            ).alias("fertility"),
+            F.round(
+                F.sum(F.length("word"))
+                / F.sum("n_symbols").cast("double"),
+                4,
+            ).alias("chars_per_token"),
+        )
+        .orderBy("lang")
+    )

@@ -44,6 +44,22 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).option("header", "true").csv(path)
 
 
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Columnar ORC sink — parquet's Hive-estate sibling (splittable,
+    statistics-bearing, predicate pushdown; stores timestamps at nanos,
+    a superset of Spark's micros). Oracled round-trip:
+    plans/pyext.py:orc_roundtrip_summary."""
+    df.write.mode(mode).orc(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Newline-delimited JSON sink — the event-bus interchange format
+    (the reference's Kafka payload shape, kafka/producer.py:23-27).
+    Ingest/export edge only; convert to parquet at rest. Oracled
+    round-trip: plans/pyext.py:jsonl_roundtrip_summary."""
+    df.write.mode(mode).json(path)
+
+
 def save_bucketed(
     df: DataFrame,
     table: str,
