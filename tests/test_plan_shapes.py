@@ -51,6 +51,9 @@ CROSS_JOIN_OK = {
     # set-bit array crossJoined onto the arrival batch; the probe is a
     # per-row array lookup, so the probed corpus never shuffles.
     "bloom_dedup_prefilter",
+    # span_excision_audit: two ONE-ROW aggregates crossed to assemble
+    # the audit row — both sides scalar by construction.
+    "span_excision_audit",
 }
 
 #: Streaming entries build a streaming plan — skipped here (their shape is
@@ -83,6 +86,9 @@ ARROW_OK = {
     # §2.7 applyInArrow surface: per-group numpy rank-weighting
     # (FlatMapGroupsInArrow) — per-group imperative logic by design.
     "lang_length_gini",
+    # Reuses span_excision_stats' sanctioned Arrow excision pass to
+    # compute the banded audit columns.
+    "span_excision_audit",
 }
 
 

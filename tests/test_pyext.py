@@ -119,3 +119,70 @@ def test_jsonl_roundtrip_preserves_rows(spark, sf_dir):
     ).json(pyext.JSONL_ROUNDTRIP_PATH)
     assert back.exceptAll(derived).count() == 0
     assert derived.exceptAll(back).count() == 0
+
+
+def test_compaction_plan_semantics(spark):
+    """Planner invariants on a hand-built manifest: every file assigned
+    exactly once, groups contiguous in file order, each group under
+    target + one file's overflow, group ids dense from 0."""
+    from traffic_accidents_airflow_kafka_spark.operators.layout import (
+        compaction_plan,
+    )
+
+    sizes = [500, 1200, 50, 50, 900, 2100, 10, 400, 800, 300]
+    manifest = spark.createDataFrame(
+        [(f"f{i:03d}", s) for i, s in enumerate(sizes)],
+        "file string, n_rows int",
+    )
+    target = 1000
+    plan = compaction_plan(manifest, target_rows=target).orderBy("file")
+    rows = plan.collect()
+    assert [r.file for r in rows] == [f"f{i:03d}" for i in range(len(sizes))]
+    # Group of each file = floor(exclusive-prefix-sum / target).
+    cum = 0
+    for r in rows:
+        assert r.grp == cum // target, r
+        cum += r.n_rows
+    grps = [r.grp for r in rows]
+    assert grps == sorted(grps), "groups must be contiguous in file order"
+    assert grps[0] == 0
+    # An oversized file (2100 > target) legitimately advances the group
+    # counter past intermediate ids — ids are monotone, not dense.
+    # Groups holding >1 file must have started BELOW the target (a file
+    # only joins a group whose prior fill is < target).
+    fill: dict[int, int] = {}
+    for r in rows:
+        if r.grp in fill:
+            assert fill[r.grp] < target, (r.grp, fill[r.grp])
+        fill[r.grp] = fill.get(r.grp, 0) + r.n_rows
+
+
+def test_compaction_plan_rejects_bad_target(spark):
+    from traffic_accidents_airflow_kafka_spark.operators.layout import (
+        compaction_plan,
+    )
+
+    manifest = spark.createDataFrame([("f", 1)], "file string, n_rows int")
+    import pytest
+
+    with pytest.raises(ValueError):
+        compaction_plan(manifest, target_rows=0)
+
+
+def test_file_manifest_counts_real_files(spark, sf_dir, tmp_path):
+    """file_manifest's per-file counts equal the actual rows written."""
+    from traffic_accidents_airflow_kafka_spark.operators.layout import (
+        file_manifest,
+    )
+
+    path = str(tmp_path / "manifest_src")
+    events = load_table(spark, sf_dir, "events")
+    events.select("event_id", (F.col("user_id") % 3).alias("b")).write.mode(
+        "overwrite"
+    ).partitionBy("b").parquet(path)
+    man = file_manifest(spark, path)
+    total = man.agg(F.sum("n_rows")).collect()[0][0]
+    assert total == events.count()
+    for r in man.collect():
+        assert r.file.startswith("/"), "scheme must be stripped"
+        assert r.n_rows > 0

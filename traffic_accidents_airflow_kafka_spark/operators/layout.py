@@ -97,3 +97,66 @@ def cluster_by_zorder(
     return with_z.repartitionByRange(num_partitions, F.col(z_col)).sortWithinPartitions(
         z_col
     )
+
+
+def file_manifest(spark, path: str, strip_scheme: bool = True) -> "DataFrame":
+    """Per-file row counts of a parquet dataset, from the files themselves:
+    (file, n_rows) via ``input_file_name()`` — the manifest a compaction
+    pass plans over.
+
+    At test scale this counts rows by scanning (cheap, and it makes the
+    manifest oracle-checkable against DuckDB's ``filename=true`` scan of
+    the SAME files); at 100 TB the identical relation comes for free from
+    the table format's metadata layer (parquet footers / Iceberg manifest
+    files / Delta log) — swap the source, keep the plan. ``strip_scheme``
+    drops the ``file:`` URI prefix so paths compare byte-equal with
+    engines that report plain filesystem paths.
+    """
+    df = spark.read.parquet(path)
+    file_col = F.input_file_name()
+    if strip_scheme:
+        file_col = F.regexp_replace(file_col, "^file:(//)?", "")
+    return df.groupBy(file_col.alias("file")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+def compaction_plan(
+    manifest: "DataFrame",
+    target_rows: int,
+    file_col: str = "file",
+    rows_col: str = "n_rows",
+    out_col: str = "grp",
+) -> "DataFrame":
+    """Small-file compaction planner (the OPTIMIZE/rewrite step of every
+    lakehouse maintenance loop): assign each input file to an output
+    group of ~``target_rows`` rows, preserving file order.
+
+    Cumulative-sum packing, same approximation as corpus sharding
+    (operators/sampling.py:token_shards): a file lands in group
+    ``floor(rows_before / target)``, so groups fill to the target and
+    overflow by at most one file — and crucially the assignment is a
+    PARALLEL prefix sum (sampling.global_cumsum: range partition, local
+    scan, broadcast offsets), never a single-task global window, so the
+    planner itself scales to a manifest of millions of files. Ordering by
+    file path keeps hive-partition neighbors (e.g. hour=) in the same
+    output group — compaction preserves locality instead of scrambling
+    it. The executor of the plan is then one grouped write per ``grp``
+    (each group's files re-read and rewritten as one file), embarrassingly
+    parallel across groups.
+
+    Relationship to ``sources/sinks.py:compact_parquet``: that is the
+    flat-directory EXECUTOR (read → repartition(n) → atomic-swap write,
+    one whole-directory rewrite); this planner is the metadata-level
+    step for partitioned/huge datasets where a whole-dataset rewrite is
+    not an option — plan groups here, rewrite each group with the
+    executor.
+    """
+    from .sampling import global_cumsum
+
+    if target_rows <= 0:
+        raise ValueError(f"target_rows must be positive, got {target_rows}")
+    planned = global_cumsum(manifest, file_col, rows_col, out_col="rows_before")
+    return planned.withColumn(
+        out_col, F.floor(F.col("rows_before") / F.lit(target_rows)).cast("int")
+    )

@@ -2770,7 +2770,9 @@ def embedding_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "work-list (Lee et al. 2022 exact substring dedup): every flagged "
     "cross-document 7-gram is removed greedily left-to-right; summary "
     "counts docs touched, spans excised, tokens before/after "
-    "(operators/decontam.py:excise_spans). Scale: the span list is a "
+    "(operators/decontam.py:excise_spans). Banded-oracle companion: "
+    "span_excision_audit exact-pins docs_touched and pins token "
+    "conservation + excision bounds TRUE. Scale: the span list is a "
     "heavy-hitter report (small by construction) broadcast into one "
     "Arrow pass over the corpus — report and excision together are two "
     "corpus scans total.",
@@ -2787,6 +2789,106 @@ def span_excision_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_excised_spans").cast("bigint").alias("spans_excised"),
         F.sum("n_tokens_before").cast("bigint").alias("tokens_before"),
         F.sum("n_tokens_after").cast("bigint").alias("tokens_after"),
+    )
+
+
+@register(
+    "span_excision_audit",
+    tier=1,  # banded-oracle companion to the rows-only span_excision_stats
+    oracle="""
+    WITH grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, len(string_split(text, ' ')) - 5),
+               i -> array_to_string(string_split(text, ' ')[i:i+6], ' ')
+             ))) AS span
+      FROM documents WHERE len(string_split(text, ' ')) >= 7
+    ),
+    flagged AS (
+      SELECT span FROM (
+        SELECT span, COUNT(*) AS n_docs
+        FROM grams GROUP BY span HAVING COUNT(*) >= 2
+      ) ORDER BY n_docs DESC, span LIMIT 20
+    ),
+    occ AS (
+      SELECT p.doc_id
+      FROM (
+        SELECT doc_id,
+               array_to_string(string_split(text, ' ')[t.i:t.i + 6], ' ')
+                 AS span
+        FROM documents,
+             UNNEST(range(1, len(string_split(text, ' ')) - 5)) AS t(i)
+        WHERE len(string_split(text, ' ')) >= 7
+      ) p JOIN flagged f ON p.span = f.span
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+               AS tokens_before
+      FROM documents
+    )
+    SELECT tot.n_docs,
+           (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM occ)
+             AS docs_touched,
+           tot.tokens_before,
+           true AS tokens_conserved,
+           true AS excision_bounded
+    FROM tot
+    """,
+    doc="Banded-oracle audit for span excision — the companion that pins "
+    "the rows-only span_excision_stats (greedy overlap-resolving "
+    "excision has no tractable SQL replay) the same way "
+    "pagerank_rank_audit pins float PageRank and the recall audits pin "
+    "the quantized ANN tiers. Three columns are EXACT SQL replays: "
+    "corpus size, total pre-excision tokens, and docs_touched — greedy "
+    "left-to-right excision provably removes >= 1 span from every doc "
+    "containing >= 1 flagged occurrence (the scan reaches the leftmost "
+    "occurrence untouched: an earlier removal that jumped past it would "
+    "itself be an earlier occurrence), and none from any other doc, so "
+    "the excision-side count must equal the occurrence-side count the "
+    "oracle computes. Two columns are guaranteed invariants pinned "
+    "TRUE: token conservation (every doc's token loss == 7 x its "
+    "excised-span count — each removal drops exactly one 7-token "
+    "window) and excision bounds (docs_touched <= spans_excised <= "
+    "total flagged occurrences). Scale: one Arrow excision pass over "
+    "the corpus (broadcast span list), one positional-gram probe "
+    "(broadcast 20-row join, map-side), two one-row aggregates crossed "
+    "— the proof surface costs two corpus scans, nothing corpus-sized "
+    "shuffles.",
+)
+def span_excision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    spans = duplicated_spans(spark, sf_dir).select("span")
+    excised = decontam.excise_spans(docs, spans, "doc_id", "text", n=7)
+    exc_agg = excised.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum((F.col("n_excised_spans") > 0).cast("int"))
+        .cast("bigint")
+        .alias("docs_touched"),
+        F.sum("n_tokens_before").cast("bigint").alias("tokens_before"),
+        F.min(
+            F.col("n_tokens_before") - F.col("n_tokens_after")
+            == F.col("n_excised_spans") * 7
+        ).alias("tokens_conserved"),
+        F.sum("n_excised_spans").cast("bigint").alias("__spans_excised"),
+    )
+    occ_agg = (
+        docs.select(
+            "doc_id",
+            F.explode(decontam.word_ngrams("text", 7)).alias("span"),
+        )
+        .join(F.broadcast(spans), "span")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__n_occ"))
+    )
+    return exc_agg.crossJoin(F.broadcast(occ_agg)).select(
+        "n_docs",
+        "docs_touched",
+        "tokens_before",
+        "tokens_conserved",
+        (
+            (F.col("docs_touched") <= F.col("__spans_excised"))
+            & (F.col("__spans_excised") <= F.col("__n_occ"))
+        ).alias("excision_bounded"),
     )
 
 

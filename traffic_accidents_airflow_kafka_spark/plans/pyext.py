@@ -1,6 +1,7 @@
-"""Python-extension and format-coverage queries (round 5).
+"""Python-extension, format-coverage, and lakehouse-maintenance queries
+(round 5).
 
-Two families beyond the reference's surface, both graded as first-class:
+Three families beyond the reference's surface, all graded as first-class:
 
 1. The remaining Spark-4 Python extension points — a user-defined TABLE
    function (functions/udtf.py, SQL ``LATERAL``) and a grouped
@@ -16,6 +17,11 @@ Two families beyond the reference's surface, both graded as first-class:
    export; the reference itself ships JSON payloads through Kafka,
    kafka/producer.py:23-27). CSV is already covered by
    csv_roundtrip_summary; parquet by every other query's scan.
+
+3. Lakehouse file maintenance: the small-file compaction planner
+   (operators/layout.py:file_manifest/compaction_plan) run over REAL
+   parquet files — both engines list and count the same files, so file
+   discovery itself is under oracle.
 
 Everything here is batch, deterministic, and value-hash-oracled.
 """
@@ -216,7 +222,8 @@ def orc_roundtrip_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "— the event-bus export format; the reference ships exactly this "
     "payload shape through Kafka, kafka/producer.py:23-27): the error-"
     "events slice is written as newline-delimited JSON by Spark, read "
-    "back with a DECLARED schema (never inference — same S1 discipline "
+    "back through sources/tables.py:read_jsonl (DECLARED schema, never "
+    "inference; PERMISSIVE corrupt-record capture — same S1 discipline "
     "as CSV), and aggregated. The oracle reads THE SAME FILES with "
     "DuckDB read_json under pinned column types, putting JSON quoting, "
     "double shortest-repr text round-trip, and field naming under "
@@ -237,10 +244,18 @@ def jsonl_roundtrip_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", _TS_FMT_SPARK).alias("ts_str"),
     )
     sinks.write_jsonl(derived, JSONL_ROUNDTRIP_PATH)
-    back = spark.read.schema(
-        "event_id bigint, user_id bigint, event_type string, "
-        "value double, ts_str string"
-    ).json(JSONL_ROUNDTRIP_PATH)
+    from pyspark.sql.types import StructType
+
+    from ..sources.tables import read_jsonl
+
+    back = read_jsonl(
+        spark,
+        JSONL_ROUNDTRIP_PATH,
+        StructType.fromDDL(
+            "event_id bigint, user_id bigint, event_type string, "
+            "value double, ts_str string"
+        ),
+    )
     return (
         back.groupBy("event_type")
         .agg(
@@ -249,4 +264,91 @@ def jsonl_roundtrip_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ts_str").alias("last_ts"),
         )
         .orderBy("event_type")
+    )
+
+
+#: Compaction demo dataset: the events slice written partitioned by hour
+#: WITHOUT a pre-shuffle, so every scan task writes a file into every hour
+#: directory it touches — the small-files problem, manufactured honestly.
+COMPACTION_SRC_PATH = "/tmp/spark_graft_compaction_src"
+
+#: Output-group fill target for the compaction plan (rows per rewritten
+#: file). ~2k keeps the plan multi-group from sf0.01 up.
+COMPACTION_TARGET_ROWS = 2000
+
+
+@register(
+    "compaction_plan",
+    tier=1,  # lakehouse-maintenance surface; judged window full
+    min_rows=1,
+    oracle=f"""
+    WITH manifest AS (
+      SELECT filename AS file, COUNT(*) AS n_rows
+      FROM read_parquet('{COMPACTION_SRC_PATH}/*/*.parquet', filename=true)
+      GROUP BY filename
+    ),
+    planned AS (
+      SELECT file, n_rows,
+             CAST(COALESCE(SUM(n_rows) OVER (
+               ORDER BY file ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) // {COMPACTION_TARGET_ROWS} AS INT) AS grp,
+             CAST(regexp_extract(file, 'p_hour=(\\d+)', 1) AS INT) AS hour
+      FROM manifest
+    )
+    SELECT grp,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+           MIN(hour) AS first_hour,
+           MAX(hour) AS last_hour
+    FROM planned GROUP BY grp ORDER BY grp
+    """,
+    doc="Small-file compaction planner over REAL FILES (operators/"
+    "layout.py:file_manifest/compaction_plan — the OPTIMIZE step of "
+    "every lakehouse maintenance loop): the events slice is first "
+    "written hive-partitioned by hour with NO pre-shuffle, so each scan "
+    "task fans out a file per hour directory — the small-files problem, "
+    "manufactured honestly — then the planner reads the manifest from "
+    "the files themselves (input_file_name row counts) and packs files "
+    "into ~2000-row output groups by an EXCLUSIVE parallel prefix sum "
+    "over the path order (sampling.global_cumsum: range partition + "
+    "local scan + broadcast offsets — never a single-task global "
+    "window, so a manifest of millions of files still plans in "
+    "parallel). Path order keeps lexicographic hive neighbors in the "
+    "same group (files of one partition directory are never scattered "
+    "across groups); the rollup reports each group's [first_hour, "
+    "last_hour] so the grouping is auditable. Oracle: DuckDB scans THE "
+    "SAME FILES with filename=true and replays the identical cumsum "
+    "packing — file discovery, per-file counts, and group assignment "
+    "all under value-hash. Scale: the executor of this plan is one "
+    "grouped rewrite per grp, embarrassingly parallel; at 100 TB the "
+    "manifest comes from table-format metadata instead of a scan "
+    "(docstring contract in file_manifest).",
+)
+def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import layout
+
+    events = load_table(spark, sf_dir, "events")
+    (
+        events.select(
+            "event_id", "user_id", "value", F.hour("ts").alias("p_hour")
+        )
+        .write.mode("overwrite")
+        .partitionBy("p_hour")
+        .parquet(COMPACTION_SRC_PATH)
+    )
+    manifest = layout.file_manifest(spark, COMPACTION_SRC_PATH)
+    planned = layout.compaction_plan(
+        manifest, target_rows=COMPACTION_TARGET_ROWS
+    ).withColumn(
+        "hour", F.regexp_extract("file", r"p_hour=(\d+)", 1).cast("int")
+    )
+    return (
+        planned.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("n_rows").alias("total_rows"),
+            F.min("hour").alias("first_hour"),
+            F.max("hour").alias("last_hour"),
+        )
+        .orderBy("grp")
     )
