@@ -888,3 +888,38 @@ def test_incremental_repeated_spans_rejects_id_overlap(spark):
     )
     with pytest.raises(ValueError, match="share doc ids"):
         dedup.incremental_repeated_spans(d, d, "doc_id", "text", k=8)
+
+
+def test_margin_bitext_planted_pair(spark):
+    """A planted near-identical cross-pool pair must be mined and
+    accepted; an isotropic decoy must not outrank it."""
+    import pyspark.sql.functions as F
+
+    from traffic_accidents_airflow_kafka_spark.operators import similarity
+
+    dim = 8
+    base = [1.0, 0.5, -0.25, 0.75, -1.0, 0.3, 0.9, -0.6]
+    near = [x * 1.01 + (0.001 if i == 0 else 0.0) for i, x in enumerate(base)]
+    rows = [
+        (0, base),            # src: the planted anchor (even id)
+        (2, [1.0] * dim),     # src: flat decoy
+        (4, [-0.8, 0.1, 0.4, -0.3, 0.2, -0.9, 0.5, 0.7]),
+        (1, near),            # tgt: the planted translation (odd id)
+        (3, [0.9] * dim),     # tgt: hub-ish flat vector
+        (5, [0.2, -0.4, 0.8, 0.1, -0.5, 0.6, -0.2, 0.3]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    src = emb.filter(F.col("vec_id") % 2 == 0)
+    tgt = emb.filter(F.col("vec_id") % 2 == 1)
+    out = {
+        r.src_id: r
+        for r in similarity.margin_bitext_pairs(
+            src, tgt, None, k=2, threshold=1.0
+        ).collect()
+    }
+    assert out[0].tgt_id == 1, "planted pair must be the argmax"
+    assert out[0].accepted and out[0].margin > 1.0
+    assert out[0].cosine > 0.999
+    # Every mined row's margin is positive and consistent with accept.
+    for r in out.values():
+        assert (r.margin >= 1.0) == bool(r.accepted) or abs(r.margin - 1.0) < 1e-3

@@ -54,6 +54,9 @@ CROSS_JOIN_OK = {
     # span_excision_audit: two ONE-ROW aggregates crossed to assemble
     # the audit row — both sides scalar by construction.
     "span_excision_audit",
+    # bitext_mining_pairs: two bounded broadcast-query crossJoins (the
+    # cosine_topk pattern, pool-to-pool); scale path is LSH/IVF-bucketed.
+    "bitext_mining_pairs",
 }
 
 #: Streaming entries build a streaming plan — skipped here (their shape is

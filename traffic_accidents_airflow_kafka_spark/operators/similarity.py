@@ -1386,3 +1386,98 @@ def jl_project(
         ]
     )
     return df.select(F.col(id_col), proj.alias("proj"))
+
+
+def margin_bitext_pairs(
+    src: DataFrame,
+    tgt: DataFrame,
+    query_ids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    threshold: float = 1.0,
+) -> DataFrame:
+    """Margin-based parallel-pair mining between two embedding pools —
+    the bitext/translation-pair miner of multilingual corpus construction
+    (Artetxe & Schwenk 2019 "Margin-based Parallel Corpus Mining", the
+    LASER/CCMatrix recipe): a raw cosine threshold over-accepts hubs
+    (vectors close to everything), so each candidate pair (x, y) is
+    scored by its cosine RELATIVE to both endpoints' neighborhoods,
+    margin = cos(x,y) / ((avgk(x→tgt) + avgk(y→src)) / 2), and each
+    source keeps only its best-margin target, accepted iff margin >=
+    ``threshold``.
+
+    Cross-engine determinism: per-pair cosines use the sequential fold
+    (bit-identical to the oracle's list_reduce), then quantize to 1e-4
+    integer units — every downstream sum/average/ratio is arithmetic
+    over exact integers, so the margin, the per-source argmax, and the
+    accept boolean replay exactly in SQL.
+
+    Scale: the bounded query side broadcasts against the target pool and
+    the (<= |queries| x k) candidate-target set broadcasts back against
+    the source pool — two broadcast passes, the big pools never shuffle.
+    For corpus-x-corpus mining swap each broadcast pass for the
+    LSH/IVF-bucketed search (lsh_ann_topk / ivf_ann_topk) exactly as the
+    ANN tiers do; the margin arithmetic is unchanged.
+
+    Output: (src_id, tgt_id, cosine, margin, accepted), one row per
+    mined source.
+    """
+    q = src
+    if query_ids is not None:
+        q = src.join(query_ids, id_col, "left_semi")
+
+    def pool_topk(queries: DataFrame, cands: DataFrame) -> DataFrame:
+        qq = queries.select(
+            F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
+        ).withColumn("qnorm", vector_norm("qvec"))
+        cc = cands.select(
+            F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec")
+        ).withColumn("nnorm", vector_norm("nvec"))
+        sim = cc.crossJoin(F.broadcast(qq)).withColumn(
+            "cosine",
+            _dot_double(F.col("qvec"), F.col("nvec"))
+            / (F.col("qnorm") * F.col("nnorm")),
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+        return (
+            sim.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= k)
+            .select(
+                "qid",
+                "nid",
+                "cosine",
+                F.round(F.col("cosine") * 10000, 0).cast("long").alias("cos_m"),
+            )
+        )
+
+    fwd = pool_topk(q, tgt)
+    xstat = fwd.groupBy("qid").agg(
+        F.sum("cos_m").alias("sx"), F.count(F.lit(1)).alias("cx")
+    )
+    ys = fwd.select(F.col("nid").alias(id_col)).distinct()
+    bwd = pool_topk(tgt.join(ys, id_col, "left_semi"), src)
+    ystat = bwd.groupBy(F.col("qid").alias("nid")).agg(
+        F.sum("cos_m").alias("sy"), F.count(F.lit(1)).alias("cy")
+    )
+    denom = (
+        F.col("sx").cast("double") / F.col("cx")
+        + F.col("sy").cast("double") / F.col("cy")
+    ) / 2.0
+    scored = (
+        fwd.join(xstat, "qid")
+        .join(F.broadcast(ystat), "nid")
+        .withColumn("margin", F.col("cos_m") / denom)
+    )
+    wbest = Window.partitionBy("qid").orderBy(F.desc("margin"), F.asc("nid"))
+    return (
+        scored.withColumn("rr", F.row_number().over(wbest))
+        .filter(F.col("rr") == 1)
+        .select(
+            F.col("qid").alias("src_id"),
+            F.col("nid").alias("tgt_id"),
+            F.round("cosine", 4).alias("cosine"),
+            F.round("margin", 4).alias("margin"),
+            (F.col("margin") >= F.lit(threshold)).alias("accepted"),
+        )
+    )

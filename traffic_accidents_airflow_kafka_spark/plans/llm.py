@@ -4489,3 +4489,96 @@ def source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def _pair_cos_sql(a: str, b: str) -> str:
+    """Sequential-fold cosine between two aliased embedding rows — the
+    SQL mirror of operators/similarity._dot_double / vector_norm (same
+    list_sum fold the green _topk_oracle uses)."""
+    def dot(x: str, y: str) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, len({x}.embedding)), "
+            f"i -> CAST({x}.embedding[i] AS DOUBLE) * CAST({y}.embedding[i] AS DOUBLE)))"
+        )
+
+    return f"{dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)}))"
+
+
+@register(
+    "bitext_mining_pairs",
+    tier=1,  # extended retrieval surface (multilingual pair mining)
+    oracle=f"""
+    WITH src AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+    tgt AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1),
+    q AS (SELECT * FROM src WHERE vec_id < 80),
+    fwd AS (
+      SELECT q.vec_id AS qid, t.vec_id AS nid,
+             {_pair_cos_sql('q', 't')} AS cosine
+      FROM q JOIN tgt t ON TRUE
+    ),
+    fwd_k AS (
+      SELECT qid, nid, cosine,
+             CAST(ROUND(cosine * 10000) AS BIGINT) AS cos_m
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY qid ORDER BY cosine DESC, nid) AS r
+        FROM fwd
+      ) WHERE r <= 4
+    ),
+    xstat AS (SELECT qid, SUM(cos_m) AS sx, COUNT(*) AS cx
+              FROM fwd_k GROUP BY qid),
+    ys AS (SELECT DISTINCT nid FROM fwd_k),
+    bwd AS (
+      SELECT t.vec_id AS nid, s.vec_id AS sid,
+             {_pair_cos_sql('t', 's')} AS cosine
+      FROM tgt t JOIN ys ON t.vec_id = ys.nid JOIN src s ON TRUE
+    ),
+    bwd_k AS (
+      SELECT nid, CAST(ROUND(cosine * 10000) AS BIGINT) AS cos_m
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY nid ORDER BY cosine DESC, sid) AS r
+        FROM bwd
+      ) WHERE r <= 4
+    ),
+    ystat AS (SELECT nid, SUM(cos_m) AS sy, COUNT(*) AS cy
+              FROM bwd_k GROUP BY nid),
+    scored AS (
+      SELECT f.qid, f.nid, f.cosine,
+             f.cos_m / ((x.sx * 1.0 / x.cx + y.sy * 1.0 / y.cy) / 2.0)
+               AS margin
+      FROM fwd_k f JOIN xstat x USING (qid) JOIN ystat y USING (nid)
+    )
+    SELECT qid AS src_id, nid AS tgt_id,
+           ROUND(cosine, 4) AS cosine, ROUND(margin, 4) AS margin,
+           margin >= 1.0 AS accepted
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY qid ORDER BY margin DESC, nid) AS rr
+      FROM scored
+    ) WHERE rr = 1
+    ORDER BY src_id
+    """,
+    doc="Margin-based bitext mining (operators/similarity.py:"
+    "margin_bitext_pairs; Artetxe & Schwenk 2019, the LASER/CCMatrix "
+    "parallel-corpus recipe): even/odd vec_id halves stand in for the "
+    "two language pools (the embedding_drift convention); 40 bounded "
+    "source queries mine their best-margin target, where margin "
+    "normalizes each pair's cosine by BOTH endpoints' top-4 "
+    "neighborhood averages — the hub correction a raw cosine threshold "
+    "lacks. Fully oracled: fold-exact cosines quantize to 1e-4 integer "
+    "units, so every sum/average/ratio downstream is exact-integer "
+    "arithmetic and the margins, argmaxes, and accept booleans replay "
+    "bit-for-bit in SQL. Scale: two broadcast passes (bounded queries "
+    "-> target pool, <= queries x k candidate targets -> source pool); "
+    "the pools never shuffle; corpus-x-corpus mining swaps each pass "
+    "for the LSH/IVF-bucketed search with unchanged margin arithmetic.",
+)
+def bitext_mining_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    src = emb.filter(F.col("vec_id") % 2 == 0).select("vec_id", "embedding")
+    tgt = emb.filter(F.col("vec_id") % 2 == 1).select("vec_id", "embedding")
+    qids = src.select("vec_id").filter(F.col("vec_id") < 80)
+    return similarity.margin_bitext_pairs(
+        src, tgt, qids, "vec_id", "embedding", k=4, threshold=1.0
+    ).orderBy("src_id")
