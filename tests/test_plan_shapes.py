@@ -57,6 +57,9 @@ CROSS_JOIN_OK = {
     # bitext_mining_pairs: two bounded broadcast-query crossJoins (the
     # cosine_topk pattern, pool-to-pool); scale path is LSH/IVF-bucketed.
     "bitext_mining_pairs",
+    # curriculum_phases: the corpus total is a ONE-ROW broadcast scalar
+    # crossJoined onto the ranked (key, count) relation.
+    "curriculum_phases",
 }
 
 #: Streaming entries build a streaming plan — skipped here (their shape is

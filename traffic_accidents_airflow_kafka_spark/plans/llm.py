@@ -4582,3 +4582,103 @@ def bitext_mining_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.margin_bitext_pairs(
         src, tgt, qids, "vec_id", "embedding", k=4, threshold=1.0
     ).orderBy("src_id")
+
+
+@register(
+    "curriculum_phases",
+    tier=1,  # extended training-data surface (curriculum construction)
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    pairs AS (
+      SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(t) - 1),
+                                     i -> t[i] || ' ' || t[i + 1])) AS bg
+        FROM toks
+      )
+    ),
+    c2 AS (SELECT bg, COUNT(*) AS c12 FROM pairs GROUP BY bg),
+    c1 AS (
+      SELECT w1, COUNT(*) AS c1 FROM (
+        SELECT unnest(t) AS w1 FROM toks
+      ) GROUP BY w1
+    ),
+    v AS (SELECT COUNT(*) AS vocab FROM c1),
+    scored AS (
+      SELECT p.doc_id,
+             ln(CAST(c2.c12 + 1 AS DOUBLE) / CAST(c1.c1 + v.vocab AS DOUBLE)) AS logp
+      FROM pairs p JOIN c2 USING (bg) JOIN c1 USING (w1), v
+    ),
+    per_doc AS (
+      SELECT doc_id, ROUND(AVG(logp), 4) AS lm_score
+      FROM scored GROUP BY doc_id
+    ),
+    phased AS (
+      SELECT d.doc_id, d.lm_score,
+             len(string_split(doc.text, ' ')) AS n_tokens,
+             CAST((ROW_NUMBER() OVER (ORDER BY d.lm_score DESC, d.doc_id) - 1)
+                  * 4 // (COUNT(*) OVER ()) + 1 AS INT) AS phase
+      FROM per_doc d JOIN documents doc USING (doc_id)
+    )
+    SELECT phase,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           ROUND(MIN(lm_score), 4) AS hardest_score,
+           ROUND(MAX(lm_score), 4) AS easiest_score
+    FROM phased GROUP BY phase ORDER BY phase
+    """,
+    doc="Curriculum phase schedule — easy-to-hard data ordering for "
+    "training (Bengio et al. 2009 curriculum learning, as production "
+    "pipelines apply it: phase 1 = the most-probable quarter of the "
+    "corpus under the bigram LM, phase 4 = the hardest tail): per-doc "
+    "LM scores (operators/text.py:bigram_lm_scores, the CCNet-style "
+    "filter signal reused as a DIFFICULTY axis) are cut into 4 "
+    "contiguous global-rank quarters (phase = floor(rank x 4 / n) + 1, "
+    "easiest first, doc_id tiebreak), and each phase reports its doc "
+    "count, token budget, and score range — the schedule a phased "
+    "training run consumes. Deterministic: scores are rounded to 4 "
+    "before ranking and the tiebreak is total. Scale: the global rank "
+    "comes from sampling.global_cumsum over a PACKED sort key "
+    "((-score_m) << 40 | doc_id — exact while doc_id < 2^40), i.e. the "
+    "parallel prefix sum (range partition + local scan + broadcast "
+    "offsets) — NOT a single-task NTILE window; only (key, 12-byte "
+    "count) pairs range-exchange, the corpus text never enters the "
+    "sort. The corpus total is a ONE-ROW broadcast scalar "
+    "(allowlisted).",
+)
+def curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scores = text_ops.bigram_lm_scores(docs, "doc_id", "text")
+    toks = docs.select(
+        "doc_id", text_ops.token_count("text").cast("long").alias("n_tokens")
+    )
+    keyed = (
+        scores.join(toks, "doc_id")
+        .withColumn(
+            "__score_m", F.round(F.col("lm_score") * 10000, 0).cast("long")
+        )
+        .withColumn(
+            "__key",
+            (-F.col("__score_m")) * F.lit(1 << 40).cast("long")
+            + F.col("doc_id"),
+        )
+        .withColumn("__one", F.lit(1).cast("long"))
+    )
+    ranked = sampling.global_cumsum(keyed, "__key", "__one", out_col="__rank0")
+    total = keyed.agg(F.count(F.lit(1)).alias("__n"))
+    phased = ranked.crossJoin(F.broadcast(total)).withColumn(
+        "phase",
+        (F.floor(F.col("__rank0") * 4 / F.col("__n")) + 1).cast("int"),
+    )
+    return (
+        phased.groupBy("phase")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.min("lm_score"), 4).alias("hardest_score"),
+            F.round(F.max("lm_score"), 4).alias("easiest_score"),
+        )
+        .orderBy("phase")
+    )
