@@ -75,6 +75,16 @@ REPRESENTATIVES = [
     # smaller constant.
     "repeated_span_report",
     "incremental_repeated_spans",
+    # round-5 additions: Python UDTF expansion (per-row generator cost,
+    # no shuffle growth), real-file compaction planning (cost tracks
+    # file count + one manifest scan), margin bitext mining (bounded
+    # broadcast passes — growth comes from the candidate pool scan),
+    # prefix-sum curriculum ranking (vocab joins + 12-byte rank
+    # exchange).
+    "udtf_ngram_topk",
+    "compaction_plan",
+    "bitext_mining_pairs",
+    "curriculum_phases",
 ]
 
 

@@ -71,6 +71,17 @@ def test_judged_window_holds_every_tier0_query():
         "source_quota_cap",
     ):
         assert name in judged, f"{name} rotated out of the judged window"
+    # Round-5 self-rotation: this round's new work judged this round
+    # (same play as r3→r4→r5); the four demoted rows each stay judged
+    # through an operator-equivalent tier-0 sibling (see their tier
+    # comments) and remain under the local oracle gate.
+    for name in (
+        "span_excision_audit",
+        "bitext_mining_pairs",
+        "curriculum_phases",
+        "compaction_plan",
+    ):
+        assert name in judged, f"{name} rotated out of the judged window"
 
 
 def test_gate_rejects_int_vs_float_dtype():

@@ -60,6 +60,9 @@ CROSS_JOIN_OK = {
     # curriculum_phases: the corpus total is a ONE-ROW broadcast scalar
     # crossJoined onto the ranked (key, count) relation.
     "curriculum_phases",
+    # ts_profile_similarity: the query profile's sufficient statistics
+    # are a ONE-ROW broadcast scalar crossJoined onto per-user stats.
+    "ts_profile_similarity",
 }
 
 #: Streaming entries build a streaming plan — skipped here (their shape is

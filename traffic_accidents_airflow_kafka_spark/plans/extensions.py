@@ -2653,3 +2653,112 @@ def csv_roundtrip_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "ts_profile_similarity",
+    tier=1,  # extended time-series surface (r5)
+    oracle="""
+    WITH cells AS (
+      SELECT user_id, hour(ts) AS h,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS v
+      FROM events GROUP BY user_id, hour(ts)
+    ),
+    q AS (SELECT h, v AS qv FROM cells WHERE user_id = 0),
+    qstat AS (
+      SELECT CAST(SUM(qv) AS BIGINT) AS sy,
+             CAST(SUM(qv * qv) AS BIGINT) AS syy
+      FROM q
+    ),
+    per_user AS (
+      SELECT c.user_id,
+             CAST(SUM(c.v) AS BIGINT) AS sx,
+             CAST(SUM(c.v * c.v) AS BIGINT) AS sxx,
+             CAST(SUM(c.v * COALESCE(q.qv, 0)) AS BIGINT) AS sxy
+      FROM cells c LEFT JOIN q ON c.h = q.h
+      WHERE c.user_id <> 0
+      GROUP BY c.user_id
+    ),
+    scored AS (
+      SELECT user_id,
+             (24.0 * sxy - 1.0 * sx * sy)
+               / (sqrt(24.0 * sxx - 1.0 * sx * sx)
+                  * sqrt(24.0 * syy - 1.0 * sy * sy)) AS corr
+      FROM per_user, qstat
+      WHERE 24 * sxx - sx * sx > 0 AND 24 * syy - sy * sy > 0
+    )
+    SELECT user_id, ROUND(corr, 4) AS corr,
+           CAST(ROW_NUMBER() OVER (ORDER BY corr DESC, user_id) AS INT)
+             AS rank
+    FROM scored
+    ORDER BY corr DESC, user_id LIMIT 10
+    """,
+    doc="Time-series similarity search (the EDBT 2019 'Time Series "
+    "Similarity Search for Streaming Data in Distributed Systems' "
+    "workload shape, batch form): each user's 24-hour activity profile "
+    "(per-hour value sums, a fixed-length seasonal fingerprint) is "
+    "ranked by Pearson correlation against the query user's profile — "
+    "the load-profile / behavior-pattern lookup of every ops dashboard. "
+    "Exact cross-engine arithmetic: values quantize to integer cents, "
+    "all five correlation sufficient statistics (Sx, Sxx, Sy, Syy, Sxy) "
+    "are exact BIGINT sums — missing hours contribute zero to every "
+    "one, so no grid fill is needed with n fixed at 24 — and the final "
+    "correlation is one double expression both engines evaluate "
+    "identically; zero-variance profiles are excluded exactly. Scale: "
+    "ONE shuffle builds the (user, hour) cells; the query profile "
+    "(<= 24 rows) and its stats (ONE row) broadcast; per-user stats are "
+    "a second |users|-sized aggregate; top-10 is TakeOrdered. At 100 TB "
+    "the cents sums outgrow int64 squares — swap the sufficient "
+    "statistics to DECIMAL(38,0), same plan.",
+)
+def ts_profile_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    cells = (
+        events.groupBy(
+            "user_id", F.hour("ts").alias("h")
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("v")
+        )
+    )
+    q = cells.filter(F.col("user_id") == 0).select(
+        "h", F.col("v").alias("qv")
+    )
+    qstat = q.agg(
+        F.sum("qv").alias("sy"),
+        F.sum(F.col("qv") * F.col("qv")).alias("syy"),
+    )
+    per_user = (
+        cells.filter(F.col("user_id") != 0)
+        .join(F.broadcast(q), "h", "left")
+        .groupBy("user_id")
+        .agg(
+            F.sum("v").alias("sx"),
+            F.sum(F.col("v") * F.col("v")).alias("sxx"),
+            F.sum(F.col("v") * F.coalesce("qv", F.lit(0))).alias("sxy"),
+        )
+    )
+    scored = (
+        per_user.crossJoin(F.broadcast(qstat))
+        .filter(
+            (24 * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
+            & (24 * F.col("syy") - F.col("sy") * F.col("sy") > 0)
+        )
+        .withColumn(
+            "corr",
+            (24.0 * F.col("sxy") - 1.0 * F.col("sx") * F.col("sy"))
+            / (
+                F.sqrt(24.0 * F.col("sxx") - 1.0 * F.col("sx") * F.col("sx"))
+                * F.sqrt(24.0 * F.col("syy") - 1.0 * F.col("sy") * F.col("sy"))
+            ),
+        )
+    )
+    w = Window.orderBy(F.desc("corr"), F.asc("user_id"))
+    return (
+        scored.orderBy(F.desc("corr"), F.asc("user_id"))
+        .limit(10)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .select("user_id", F.round("corr", 4).alias("corr"), "rank")
+    )

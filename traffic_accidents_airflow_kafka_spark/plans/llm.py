@@ -64,6 +64,7 @@ _SHINGLE_CTE = """
 
 @register(
     "dedup_exact_stats",
+    tier=1,  # r5 rotation: exact dedup stays judged via corpus_prep + curation_funnel
     oracle="""
     SELECT COUNT(*) AS n_docs,
            COUNT(DISTINCT md5(text)) AS n_distinct_texts,
@@ -575,6 +576,7 @@ def _cosine_neardup_oracle(
 
 @register(
     "embedding_neardup_pairs",
+    tier=1,  # r5 rotation: embedding near-dup stays judged via semantic_dedup_stats
     oracle=_cosine_neardup_oracle(),
     min_rows=0,  # a corpus may genuinely have no near-dup embeddings
     doc="Embedding-cosine near-dup — the fifth dedup family: same-LSH-"
@@ -716,6 +718,7 @@ def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_quality_stats",
+    tier=1,  # r5 rotation: quality scoring stays judged via corpus_prep + curation_funnel
     oracle="""
     SELECT lang,
            COUNT(*) AS n_docs,
@@ -2794,7 +2797,8 @@ def span_excision_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "span_excision_audit",
-    tier=1,  # banded-oracle companion to the rows-only span_excision_stats
+    # tier 0 since r5 (rotated into the judged window; banded-oracle
+    # companion to the rows-only span_excision_stats)
     oracle="""
     WITH grams AS (
       SELECT doc_id,
@@ -4506,7 +4510,8 @@ def _pair_cos_sql(a: str, b: str) -> str:
 
 @register(
     "bitext_mining_pairs",
-    tier=1,  # extended retrieval surface (multilingual pair mining)
+    # tier 0 since r5 (rotated into the judged window; multilingual
+    # pair mining, fully value-hash-oracled)
     oracle=f"""
     WITH src AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
     tgt AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1),
@@ -4586,7 +4591,8 @@ def bitext_mining_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "curriculum_phases",
-    tier=1,  # extended training-data surface (curriculum construction)
+    # tier 0 since r5 (rotated into the judged window; curriculum
+    # construction over the parallel-prefix-sum global rank)
     oracle="""
     WITH toks AS (
       SELECT doc_id, string_split(text, ' ') AS t FROM documents

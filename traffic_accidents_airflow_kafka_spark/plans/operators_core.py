@@ -369,6 +369,7 @@ PRIORITY_ORDER = ("5-LOW", "4-NOT SPECIFIED", "3-MEDIUM", "2-HIGH", "1-URGENT")
 
 @register(
     "severity_rollup",
+    tier=1,  # r5 rotation: W1 ordinal-rank stays judged via distinct_dims_surrogate + star_dim_date
     oracle="""
     WITH ranked AS (
       SELECT o_orderstatus,

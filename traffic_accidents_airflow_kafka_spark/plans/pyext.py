@@ -279,7 +279,8 @@ COMPACTION_TARGET_ROWS = 2000
 
 @register(
     "compaction_plan",
-    tier=1,  # lakehouse-maintenance surface; judged window full
+    # tier 0 since r5 (rotated into the judged window; real-file
+    # lakehouse maintenance with file discovery itself under oracle)
     min_rows=1,
     oracle=f"""
     WITH manifest AS (
