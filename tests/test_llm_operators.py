@@ -923,3 +923,49 @@ def test_margin_bitext_planted_pair(spark):
     # Every mined row's margin is positive and consistent with accept.
     for r in out.values():
         assert (r.margin >= 1.0) == bool(r.accepted) or abs(r.margin - 1.0) < 1e-3
+
+
+def test_sq8_ann_planted_neighbor(spark):
+    """SQ8 quantization noise must not flip a clear planted neighbor, and
+    the quantized cosine must track the exact cosine within the scalar
+    quantizer's error envelope."""
+    import pyspark.sql.functions as F
+
+    from traffic_accidents_airflow_kafka_spark.operators import similarity
+
+    dim = 8
+    base = [0.9, -0.5, 0.25, -0.75, 1.0, 0.3, -0.9, 0.6]
+    near = [x * 0.99 for x in base]
+    rows = [
+        (0, base),
+        (1, near),
+        (2, [1.0] * dim),
+        (3, [-0.8, 0.1, 0.4, -0.3, 0.2, -0.9, 0.5, 0.7]),
+        (4, [0.05 * (i - 4) for i in range(dim)]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qids = emb.select("vec_id").filter(F.col("vec_id") == 0)
+    approx = similarity.sq8_ann_topk(emb, qids, dim=dim, k=3).collect()
+    assert approx[0].nid == 1 and approx[0].rank == 1
+    exact = {
+        r.nid: r.cosine
+        for r in similarity.cosine_topk(emb, qids, k=3).collect()
+    }
+    for r in approx:
+        if r.nid in exact:
+            assert abs(r.sq_cosine - exact[r.nid]) < 0.05, r
+
+
+def test_sq8_flat_dimension_is_exact(spark):
+    """A dimension with zero spread quantizes to code 0 and dequantizes
+    back to exactly its constant — no NaN/Inf from the mx == mn guard."""
+    import math
+
+    from traffic_accidents_airflow_kafka_spark.operators import similarity
+
+    rows = [(i, [1.0, float(i), 0.5]) for i in range(4)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.sq8_ann_topk(emb, None, dim=3, k=2).collect()
+    assert len(out) == 8  # 4 queries x top-2
+    for r in out:
+        assert math.isfinite(r.sq_cosine)

@@ -63,6 +63,9 @@ CROSS_JOIN_OK = {
     # ts_profile_similarity: the query profile's sufficient statistics
     # are a ONE-ROW broadcast scalar crossJoined onto per-user stats.
     "ts_profile_similarity",
+    # embedding_sq8_ann: ONE-ROW broadcast calibration bounds crossJoin
+    # (encode pass) + the bounded-query brute-force crossJoin baseline.
+    "embedding_sq8_ann",
 }
 
 #: Streaming entries build a streaming plan — skipped here (their shape is

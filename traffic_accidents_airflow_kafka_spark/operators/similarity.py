@@ -1481,3 +1481,125 @@ def margin_bitext_pairs(
             (F.col("margin") >= F.lit(threshold)).alias("accepted"),
         )
     )
+
+
+def sq8_bounds(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Per-dimension [min, max] calibration for 8-bit scalar quantization
+    — ONE ROW: (mns array<double>, mxs array<double>).
+
+    Exact corpus-wide extremes (a |dim|-row aggregate — min/max are
+    mergeable, so this is one map-side-combined pass), not a sample: the
+    quantizer is therefore DETERMINISTIC, which is what lets the whole
+    SQ8 tier value-hash against SQL — the property the k-means tiers
+    (IVF/PQ) cannot have.
+    """
+    dims = vectors.select(F.posexplode(F.col(vec_col)).alias("pos", "v"))
+    stats = dims.groupBy("pos").agg(
+        F.min(F.col("v").cast("double")).alias("mn"),
+        F.max(F.col("v").cast("double")).alias("mx"),
+    )
+    return stats.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("pos"), F.col("mn")))
+        ).alias("_mnm"),
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("pos"), F.col("mx")))
+        ).alias("_mxm"),
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)), lambda i: F.col("_mnm")[i]
+        ).alias("mns"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)), lambda i: F.col("_mxm")[i]
+        ).alias("mxs"),
+    )
+
+
+def sq8_ann_topk(
+    vectors: DataFrame,
+    query_ids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 3,
+) -> DataFrame:
+    """Scalar-quantized (SQ8) approximate top-k — the FAISS
+    IndexScalarQuantizer tier: each vector compresses 4x to one uint8
+    code per dimension against per-dimension [min, max] bounds
+    (code = round((x - mn) / (mx - mn) * 255)); search is asymmetric —
+    the full-precision query ranks candidates by cosine against their
+    DEQUANTIZED codes (dq = mn + code * (mx - mn) / 255).
+
+    Unlike PQ/IVF (k-means state, rows-only checkable), the min/max
+    calibration is exact and deterministic, so codes, dequantization,
+    cosines, and ranks all replay bit-for-bit in SQL — the catalog entry
+    is FULLY oracled, recall flags included. Flat (dim == mn) dimensions
+    quantize to code 0 and dequantize back to mn exactly.
+
+    Scale: calibration is a |dim|-row mergeable aggregate; encoding is
+    one broadcast-bounds map pass (at rest the corpus stores CODES —
+    4x fewer bytes scanned per search); search broadcasts the bounded
+    query set like every exact-baseline tier, and composes with the IVF
+    cell pruning the same way PQ does for corpus-scale query sets.
+    """
+    bounds = sq8_bounds(vectors, vec_col, dim)
+    q = vectors
+    if query_ids is not None:
+        q = vectors.join(query_ids, id_col, "left_semi")
+    qq = q.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
+    ).withColumn("qnorm", vector_norm("qvec"))
+
+    seq = F.sequence(F.lit(1), F.lit(dim))
+    enc = vectors.crossJoin(F.broadcast(bounds)).select(
+        F.col(id_col).alias("nid"),
+        F.transform(
+            seq,
+            lambda i: F.when(
+                F.element_at("mxs", i) > F.element_at("mns", i),
+                F.round(
+                    (
+                        F.element_at(F.col(vec_col), i).cast("double")
+                        - F.element_at("mns", i)
+                    )
+                    / (F.element_at("mxs", i) - F.element_at("mns", i))
+                    * 255,
+                    0,
+                ).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        ).alias("codes"),
+        F.col("mns"),
+        F.col("mxs"),
+    )
+    # Dequantize once per candidate (not per pair): dq and its norm are
+    # pair-independent.
+    dq = enc.select(
+        "nid",
+        F.transform(
+            seq,
+            lambda i: F.element_at("mns", i)
+            + F.element_at("codes", i)
+            * (F.element_at("mxs", i) - F.element_at("mns", i))
+            / 255,
+        ).alias("dqvec"),
+    ).withColumn("dqnorm", vector_norm("dqvec"))
+
+    sim = (
+        dq.crossJoin(F.broadcast(qq))
+        .filter(F.col("nid") != F.col("qid"))
+        .withColumn(
+            "sq_cosine",
+            _dot_double(F.col("qvec"), F.col("dqvec"))
+            / (F.col("qnorm") * F.col("dqnorm")),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sq_cosine"), F.asc("nid"))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "rank", "sq_cosine")
+    )

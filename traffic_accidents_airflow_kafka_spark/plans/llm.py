@@ -4688,3 +4688,117 @@ def curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("phase")
     )
+
+
+def _sq8_oracle(dim: int = 64, k: int = 3, n_queries: int = 10) -> str:
+    """The full SQ8 tier in DuckDB: exact per-dimension bounds, the same
+    quantize/dequantize arithmetic (explicit parens pin evaluation
+    order), sequential-fold cosines, and the exact-baseline top-k for
+    the recall flags."""
+    gs = f"generate_series(1, {dim})"
+
+    def fold_dot(x: str, y: str) -> str:
+        return f"list_sum(list_transform({gs}, i -> {x} * {y}))"
+
+    qd = "CAST(q.qvec[i] AS DOUBLE)"
+    ed = "CAST(e.embedding[i] AS DOUBLE)"
+    return f"""
+    WITH stats AS (
+      SELECT t.i AS pos,
+             MIN(CAST(embedding[t.i] AS DOUBLE)) AS mn,
+             MAX(CAST(embedding[t.i] AS DOUBLE)) AS mx
+      FROM embeddings, UNNEST({gs}) AS t(i)
+      GROUP BY t.i
+    ),
+    bounds AS (
+      SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs
+      FROM stats
+    ),
+    dq AS (
+      SELECT e.vec_id AS nid,
+             list_transform({gs}, i ->
+               mns[i] + (CASE WHEN mxs[i] > mns[i]
+                 THEN CAST(round(((CAST(e.embedding[i] AS DOUBLE) - mns[i])
+                                  / (mxs[i] - mns[i])) * 255) AS BIGINT)
+                 ELSE 0 END) * (mxs[i] - mns[i]) / 255) AS dqvec
+      FROM embeddings e, bounds
+    ),
+    q AS (SELECT vec_id AS qid, embedding AS qvec
+          FROM embeddings WHERE vec_id < {n_queries}),
+    sims AS (
+      SELECT q.qid, d.nid,
+             {fold_dot(qd, "d.dqvec[i]")}
+             / ( sqrt({fold_dot(qd, qd)})
+               * sqrt({fold_dot("d.dqvec[i]", "d.dqvec[i]")}) ) AS sq_cosine
+      FROM q JOIN dq d ON d.nid <> q.qid
+    ),
+    approx AS (
+      SELECT qid, nid, sq_cosine, rank FROM (
+        SELECT qid, nid, sq_cosine,
+               CAST(ROW_NUMBER() OVER (
+                 PARTITION BY qid ORDER BY sq_cosine DESC, nid) AS INT)
+                 AS rank
+        FROM sims
+      ) WHERE rank <= {k}
+    ),
+    esims AS (
+      SELECT q.qid, e.vec_id AS nid,
+             {fold_dot(qd, ed)}
+             / ( sqrt({fold_dot(qd, qd)})
+               * sqrt({fold_dot(ed, ed)}) ) AS cosine
+      FROM q JOIN embeddings e ON e.vec_id <> q.qid
+    ),
+    exact AS (
+      SELECT qid, nid FROM (
+        SELECT qid, nid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY qid ORDER BY cosine DESC, nid) AS r
+        FROM esims
+      ) WHERE r <= {k}
+    )
+    SELECT a.qid, a.nid, a.rank, ROUND(a.sq_cosine, 4) AS sq_cosine,
+           (x.nid IS NOT NULL) AS in_exact_top{k}
+    FROM approx a LEFT JOIN exact x ON a.qid = x.qid AND a.nid = x.nid
+    ORDER BY a.qid, a.rank
+    """
+
+
+@register(
+    "embedding_sq8_ann",
+    tier=1,  # quantized-ANN surface — the FIRST fully-oracled quantized tier
+    oracle=_sq8_oracle(),
+    doc="SQ8 scalar-quantized ANN (operators/similarity.py:sq8_ann_topk; "
+    "FAISS IndexScalarQuantizer tier): vectors compress 4x to one "
+    "uint8 code per dimension against EXACT per-dimension [min, max] "
+    "bounds; the full-precision query ranks candidates by cosine "
+    "against their dequantized codes, and each returned neighbor "
+    "carries an in_exact_top3 flag vs the uncompressed brute-force "
+    "baseline. Because the calibration is a deterministic corpus "
+    "aggregate — not k-means — codes, dequantization, cosines, ranks, "
+    "AND the recall flags all value-hash against SQL: the first "
+    "quantized ANN tier under FULL oracle (PQ/IVF stay rows-only with "
+    "banded audits). Scale: |dim|-row mergeable calibration, one "
+    "broadcast-bounds encode pass (4x fewer bytes at rest/scan), "
+    "bounded-query broadcast search; composes with IVF cell pruning "
+    "exactly as PQ does.",
+)
+def embedding_sq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = emb.select("vec_id").filter(F.col("vec_id") < 10)
+    approx = similarity.sq8_ann_topk(emb, qids, "vec_id", "embedding", dim=64, k=3)
+    exact = (
+        similarity.cosine_topk(emb, qids, "vec_id", "embedding", k=3)
+        .select("qid", "nid")
+        .withColumn("__hit", F.lit(True))
+    )
+    return (
+        approx.join(F.broadcast(exact), ["qid", "nid"], "left")
+        .select(
+            "qid",
+            "nid",
+            "rank",
+            F.round("sq_cosine", 4).alias("sq_cosine"),
+            F.coalesce("__hit", F.lit(False)).alias("in_exact_top3"),
+        )
+        .orderBy("qid", "rank")
+    )
