@@ -2762,3 +2762,102 @@ def ts_profile_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .select("user_id", F.round("corr", 4).alias("corr"), "rank")
     )
+
+
+@register(
+    "l_diversity_audit",
+    tier=1,  # extended governance surface (r5; companion to k_anonymity_audit)
+    oracle="""
+    WITH qi AS (
+      SELECT c_nationkey,
+             CAST(FLOOR(c_acctbal / 1000.0) AS INT) AS bal_band,
+             c_mktsegment AS sensitive
+      FROM customer
+    ),
+    g AS (
+      SELECT c_nationkey, bal_band,
+             COUNT(*) AS k,
+             COUNT(DISTINCT sensitive) AS l
+      FROM qi GROUP BY 1, 2
+    ),
+    b AS (
+      SELECT CASE WHEN l = 1 THEN 0 WHEN l = 2 THEN 1 ELSE 2 END AS l_rank,
+             CASE WHEN l = 1 THEN '1 (homogeneous)' WHEN l = 2 THEN '2'
+                  ELSE '3+' END AS l_bucket,
+             k, l
+      FROM g
+    ),
+    agg AS (
+      SELECT l_rank, l_bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_groups,
+             CAST(SUM(k) AS BIGINT) AS n_rows,
+             CAST(MIN(l) AS BIGINT) AS min_l,
+             CAST(MAX(l) AS BIGINT) AS max_l
+      FROM b GROUP BY 1, 2
+    )
+    SELECT l_rank, l_bucket, n_groups, n_rows, min_l, max_l,
+           ROUND(n_rows / CAST(SUM(n_rows) OVER () AS DOUBLE), 4) AS pct_rows
+    FROM agg
+    ORDER BY l_rank
+    """,
+    doc="l-diversity audit — k_anonymity_audit's companion metric "
+    "(Machanavajjhala et al. 2007): a group can be large (high k) yet "
+    "still leak if every member shares the SAME sensitive value — "
+    "homogeneity discloses the attribute without re-identification. "
+    "Customers group by the quasi-identifier pair (nation, "
+    "account-balance band); each group's l = distinct sensitive values "
+    "(market segment stands in for the sensitive attribute), "
+    "histogrammed into homogeneous / l=2 / l>=3 risk buckets with row "
+    "shares. Together the two audits gate a release: k bounds "
+    "re-identification, l bounds attribute disclosure. Scale: one hash "
+    "aggregate over the QI tuple (COUNT DISTINCT is per-group exact — "
+    "at extreme sensitive-cardinality swap in approx_count_distinct, "
+    "same plan), then a 3-row bucket rollup; the fact table never "
+    "re-shuffles.",
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    customer = load_table(spark, sf_dir, "customer")
+    g = (
+        customer.select(
+            "c_nationkey",
+            F.floor(F.col("c_acctbal") / 1000.0).cast("int").alias("bal_band"),
+            F.col("c_mktsegment").alias("sensitive"),
+        )
+        .groupBy("c_nationkey", "bal_band")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.countDistinct("sensitive").alias("l"),
+        )
+    )
+    b = g.select(
+        F.when(F.col("l") == 1, 0)
+        .when(F.col("l") == 2, 1)
+        .otherwise(2)
+        .alias("l_rank"),
+        F.when(F.col("l") == 1, "1 (homogeneous)")
+        .when(F.col("l") == 2, "2")
+        .otherwise("3+")
+        .alias("l_bucket"),
+        "k",
+        "l",
+    )
+    agg = b.groupBy("l_rank", "l_bucket").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("k").alias("n_rows"),
+        F.min("l").alias("min_l"),
+        F.max("l").alias("max_l"),
+    )
+    w = Window.partitionBy()
+    return agg.select(
+        "l_rank",
+        "l_bucket",
+        "n_groups",
+        "n_rows",
+        "min_l",
+        "max_l",
+        F.round(
+            F.col("n_rows") / F.sum("n_rows").over(w).cast("double"), 4
+        ).alias("pct_rows"),
+    ).orderBy("l_rank")

@@ -2862,7 +2862,12 @@ def span_excision_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def span_excision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    spans = duplicated_spans(spark, sf_dir).select("span")
+    # The span work-list is consumed TWICE (the excision broadcast set
+    # and the occurrence probe); mine it once and reuse the collected
+    # 20-row relation — a second consumer of the lazy plan would re-run
+    # the whole corpus-scale gram aggregate.
+    span_rows = duplicated_spans(spark, sf_dir).select("span").collect()
+    spans = spark.createDataFrame(span_rows, "span string")
     excised = decontam.excise_spans(docs, spans, "doc_id", "text", n=7)
     exc_agg = excised.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
