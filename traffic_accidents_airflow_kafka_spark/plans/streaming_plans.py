@@ -712,3 +712,77 @@ def stream_cms_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start")
     )
+
+
+#: Fixed Derby location for the streaming-JDBC round-trip query (static
+#: oracle SQL needs no path, but the reset logic does; single-writer per
+#: host like every sink).
+STREAM_JDBC_DB = "/tmp/spark_graft_stream_derby/db"
+
+
+@register(
+    "stream_jdbc_rollup",
+    tier=1,  # streaming->database delivery surface (r5)
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE user_id % 29 = 0
+    GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Streaming -> JDBC exactly-once delivery, end to end UNDER "
+    "ORACLE (streaming/jdbc_sink.py:exactly_once_jdbc_batch_fn): the "
+    "user_id%29 slice of events is replayed through readStream "
+    "(availableNow), every micro-batch lands in an embedded Apache "
+    "Derby table via the transactional batch-id recipe (marker probe "
+    "-> DELETE leftovers -> executor-parallel batched INSERT -> marker "
+    "commit; crash-injection replay proven in "
+    "tests/test_jdbc_stream_sink.py), the table is read BACK over JDBC "
+    "with a partition-capable reader, and the rollup must value-hash "
+    "against DuckDB aggregating the original parquet — any dropped, "
+    "duplicated, or corrupted row across the stream->DB->scan chain "
+    "breaks the hash. The reference's consumer wrote exactly this "
+    "shape into Postgres (kafka/consumer.py); Derby stands in as the "
+    "in-container database, the recipe is URL-swappable. Scale: "
+    "delivery is per-batch parallel batched INSERTs; the database is "
+    "the bottleneck by design — this entry sizes its slice "
+    "accordingly, the parquet sinks remain the analytics path.",
+)
+def stream_jdbc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..sources import jdbc as jdbc_mod
+    from ..streaming import jdbc_sink
+
+    # Idempotent rerun: shut the cached Derby instance down (the engine
+    # holds booted databases open in-JVM) and clear its files.
+    try:
+        jdbc_sink._driver_connection(
+            spark, f"jdbc:derby:{STREAM_JDBC_DB};shutdown=true"
+        )
+    except Exception:  # noqa: BLE001 — shutdown SUCCESS raises by contract
+        pass
+    shutil.rmtree(STREAM_JDBC_DB, ignore_errors=True)
+
+    url = f"jdbc:derby:{STREAM_JDBC_DB};create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    events = streaming.stream_events(spark, sf_dir)
+    sliced = events.filter(F.col("user_id") % 29 == 0).select(
+        "event_id", "user_id", "event_type", F.col("value").cast("double")
+    )
+    fn = jdbc_sink.exactly_once_jdbc_batch_fn(
+        spark, url, "stream_rows", properties=props
+    )
+    streaming.run_foreach_batch(sliced, spark, fn)
+    back = jdbc_mod.jdbc_reader(spark, url, "stream_rows", properties=props).load()
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -221,6 +221,7 @@ def run_foreach_batch(
     spark: SparkSession,
     batch_fn,
     output_mode: str = "append",
+    checkpoint: str | None = None,
 ) -> None:
     """Execute a streaming plan to completion (availableNow), delivering
     each micro-batch to ``batch_fn(batch_df, batch_id)`` — the
@@ -232,9 +233,14 @@ def run_foreach_batch(
     yields effectively-exactly-once end to end — the standard production
     recipe for streaming into systems without native streaming writers.
     """
-    name = f"feb_{uuid.uuid4().hex[:12]}"
-    ckpt_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    checkpoint = tempfile.mkdtemp(prefix=f"ckpt_{name}_", dir=ckpt_base)
+    # A caller-provided checkpoint persists across invocations — the
+    # crash-recovery contract (replayed batch ids) depends on it; the
+    # default ephemeral checkpoint serves single-shot drains.
+    own_checkpoint = checkpoint is None
+    if own_checkpoint:
+        name = f"feb_{uuid.uuid4().hex[:12]}"
+        ckpt_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+        checkpoint = tempfile.mkdtemp(prefix=f"ckpt_{name}_", dir=ckpt_base)
     try:
         q = (
             result.writeStream.foreachBatch(batch_fn)
@@ -245,7 +251,8 @@ def run_foreach_batch(
         )
         q.awaitTermination()
     finally:
-        shutil.rmtree(checkpoint, ignore_errors=True)
+        if own_checkpoint:
+            shutil.rmtree(checkpoint, ignore_errors=True)
 
 
 def run_foreach_batch_collect(result: DataFrame, spark: SparkSession) -> list:
