@@ -186,3 +186,70 @@ def test_file_manifest_counts_real_files(spark, sf_dir, tmp_path):
     for r in man.collect():
         assert r.file.startswith("/"), "scheme must be stripped"
         assert r.n_rows > 0
+
+
+def test_pyds_writer_two_phase_protocol(spark, tmp_path):
+    """Protocol-level: staged shards publish only via commit; abort and
+    orphan cleanup leave the published directory consistent."""
+    import json
+    import os
+
+    from pyspark.sql import Row
+    from pyspark.sql.types import StructType
+
+    from traffic_accidents_airflow_kafka_spark.sources.pyds import (
+        AuditJsonWriter,
+    )
+
+    path = str(tmp_path / "sink")
+    schema = StructType.fromDDL("id bigint, name string")
+    w = AuditJsonWriter({"path": path}, schema, overwrite=False)
+
+    msg1 = w.write(iter([Row(id=1, name="a"), Row(id=2, name="b")]))
+    msg2 = w.write(iter([Row(id=3, name="c")]))
+    orphan = w.write(iter([Row(id=99, name="zombie")]))  # "failed attempt"
+    assert sorted(os.listdir(path)) == ["_staging"]  # nothing published yet
+
+    w.commit([msg1, msg2])  # orphan's message never reaches the driver
+    files = sorted(os.listdir(path))
+    assert files == ["_MANIFEST.json", "part-00000.json", "part-00001.json"]
+    man = json.load(open(os.path.join(path, "_MANIFEST.json")))
+    assert sum(f["n_rows"] for f in man["files"]) == 3  # zombie rows gone
+    lines = []
+    for f in files[1:]:
+        lines += open(os.path.join(path, f)).read().splitlines()
+    assert sorted(json.loads(ln)["id"] for ln in lines) == [1, 2, 3]
+
+
+def test_pyds_writer_abort_keeps_published(spark, tmp_path):
+    import os
+
+    from pyspark.sql import Row
+    from pyspark.sql.types import StructType
+
+    from traffic_accidents_airflow_kafka_spark.sources.pyds import (
+        AuditJsonWriter,
+    )
+
+    path = str(tmp_path / "sink")
+    schema = StructType.fromDDL("id bigint, name string")
+    w1 = AuditJsonWriter({"path": path}, schema, overwrite=False)
+    w1.commit([w1.write(iter([Row(id=1, name="a")]))])
+    published = sorted(os.listdir(path))
+
+    w2 = AuditJsonWriter({"path": path}, schema, overwrite=True)
+    w2.write(iter([Row(id=2, name="b")]))
+    w2.abort([])  # job failed: staging dies, prior dataset intact
+    assert sorted(os.listdir(path)) == published
+
+
+def test_pyds_writer_requires_path(spark):
+    import pytest
+    from pyspark.sql.types import StructType
+
+    from traffic_accidents_airflow_kafka_spark.sources.pyds import (
+        AuditJsonWriter,
+    )
+
+    with pytest.raises(ValueError, match="path"):
+        AuditJsonWriter({}, StructType.fromDDL("id bigint"), False)

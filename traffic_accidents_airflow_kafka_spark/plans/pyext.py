@@ -353,3 +353,70 @@ def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+#: Fixed publish path for the Python-DataSource writer round-trip.
+PYDS_WRITER_PATH = "/tmp/spark_graft_pyds_writer"
+
+
+@register(
+    "pyds_writer_roundtrip",
+    tier=1,  # Python DataSource WRITE surface (r5)
+    oracle=f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM read_json('{PYDS_WRITER_PATH}/part-*.json',
+                   format='newline_delimited',
+                   columns={{'o_orderkey': 'BIGINT', 'o_custkey': 'BIGINT',
+                            'o_orderstatus': 'VARCHAR',
+                            'o_totalprice': 'DOUBLE'}})
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    doc="Python DataSource WRITE path (sources/pyds.py:"
+    "AuditJsonDataSource, SPARK-45065 — the writer half of the API the "
+    "catalog already exercises for batch + streaming READS): the "
+    "high-priority orders slice is written through "
+    "format('audit_jsonl') — executor tasks stage uniquely-named "
+    "shards under _staging/, the driver-side commit renames them to "
+    "part-NNNNN.json and publishes _MANIFEST.json naming every file "
+    "with its row count, and failed/speculative attempts die in "
+    "staging (abort/orphan-cleanup protocol pinned in "
+    "tests/test_pyext.py). The oracle reads THE COMMITTED FILES with "
+    "DuckDB read_json — serialization, the commit rename, and "
+    "overwrite semantics are all under value-hash. Scale: writes are "
+    "per-partition parallel; commit is O(|tasks|) renames + one "
+    "manifest — the same two-phase shape every production committer "
+    "(Hadoop FileOutputCommitter v1, Iceberg snapshot commit) uses; an "
+    "object store swaps the os calls, not the protocol.",
+)
+def pyds_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.pyds import AuditJsonDataSource
+
+    spark.dataSource.register(AuditJsonDataSource)
+    orders = load_table(spark, sf_dir, "orders")
+    derived = orders.filter(F.col("o_orderpriority") == "2-HIGH").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    (
+        derived.write.format("audit_jsonl")
+        .option("path", PYDS_WRITER_PATH)
+        .mode("overwrite")
+        .save()
+    )
+    back = spark.read.schema(
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double"
+    ).json(f"{PYDS_WRITER_PATH}/part-*.json")
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dec_sum("o_totalprice", "total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

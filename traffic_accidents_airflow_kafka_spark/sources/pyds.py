@@ -38,6 +38,8 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
+    WriterCommitMessage,
     EqualTo,
     Filter,
     In,
@@ -248,3 +250,106 @@ class EventReplayDataSource(DataSource):
 
     def simpleStreamReader(self, schema: StructType) -> EventReplayStreamReader:
         return EventReplayStreamReader(self.options)
+
+
+# ---------------------------------------------------------------------------
+# Python DataSource WRITE path (SPARK-45065, 4.0+): a JSONL sink with the
+# two-phase staged commit every real writer needs.
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class _StagedFile(WriterCommitMessage):
+    """Per-task commit message: where the task staged its shard and how
+    many rows it holds. Only files named in SOME commit message are ever
+    published — output of failed/speculative attempts dies in staging."""
+
+    staged_name: str
+    n_rows: int
+
+
+class AuditJsonWriter(DataSourceWriter):
+    """Executor/driver halves of the two-phase protocol:
+
+    - ``write`` (executor, per partition): serialize rows to a uniquely
+      named file under ``<path>/_staging/`` — NEVER directly into the
+      published directory — and return its name + row count.
+    - ``commit`` (driver, once, only after every task succeeded): clear
+      prior contents when overwriting, rename the staged shards to
+      ``part-NNNNN.json``, and write ``_MANIFEST.json`` naming every
+      published file with its row count — the atomic-enough commit point
+      consumers can validate against.
+    - ``abort`` (driver, on job failure): best-effort staging cleanup;
+      the published directory is untouched, so a failed job leaves the
+      previous dataset intact (the overwrite happens inside commit).
+    """
+
+    def __init__(self, options: dict, schema, overwrite: bool):
+        path = options.get("path")
+        if not path:
+            raise ValueError("audit_jsonl writer requires a 'path' option")
+        self.path = path
+        self.columns = list(schema.fieldNames())
+        self.overwrite = overwrite
+
+    def write(self, rows) -> _StagedFile:
+        import json as _json
+        import os
+        import uuid
+
+        staging = os.path.join(self.path, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        name = f"{uuid.uuid4().hex}.json"
+        n = 0
+        with open(os.path.join(staging, name), "w") as f:
+            for row in rows:
+                d = row.asDict()
+                f.write(
+                    _json.dumps({c: d[c] for c in self.columns}) + "\n"
+                )
+                n += 1
+        return _StagedFile(staged_name=name, n_rows=n)
+
+    def commit(self, messages) -> None:
+        import json as _json
+        import os
+
+        staging = os.path.join(self.path, "_staging")
+        if self.overwrite:
+            for f in os.listdir(self.path):
+                if f.startswith("part-") or f == "_MANIFEST.json":
+                    os.remove(os.path.join(self.path, f))
+        manifest = []
+        for i, msg in enumerate(messages):
+            final = f"part-{i:05d}.json"
+            os.rename(
+                os.path.join(staging, msg.staged_name),
+                os.path.join(self.path, final),
+            )
+            manifest.append({"file": final, "n_rows": msg.n_rows})
+        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
+            _json.dump({"files": manifest}, f)
+        # Orphans of failed/speculative attempts (not in any message).
+        for leftover in os.listdir(staging):
+            os.remove(os.path.join(staging, leftover))
+        os.rmdir(staging)
+
+    def abort(self, messages) -> None:
+        import os
+        import shutil
+
+        shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
+
+
+class AuditJsonDataSource(DataSource):
+    """``format("audit_jsonl")`` — newline-JSON sink through the Python
+    DataSource WRITE path. Local-filesystem staging/rename (this repo's
+    file:// deployment); an object-store deployment swaps the os calls,
+    the protocol (stage → commit-rename → manifest) is unchanged."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "audit_jsonl"
+
+    def writer(self, schema, overwrite: bool) -> AuditJsonWriter:
+        return AuditJsonWriter(self.options, schema, overwrite)
