@@ -66,6 +66,8 @@ CROSS_JOIN_OK = {
     # embedding_sq8_ann: ONE-ROW broadcast calibration bounds crossJoin
     # (encode pass) + the bounded-query brute-force crossJoin baseline.
     "embedding_sq8_ann",
+    # incremental_sq8_arrivals: same two bounded crossJoins, history pool.
+    "incremental_sq8_arrivals",
 }
 
 #: Streaming entries build a streaming plan — skipped here (their shape is

@@ -42,15 +42,19 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 3,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Exact cosine top-k neighbors for each query vector.
 
     ``query_ids``: DataFrame with the query id column (defaults to all
     vectors — full all-pairs; only for tiny sets). The query side is
     broadcast: the big candidate scan never shuffles; ranking is a
-    per-query window over the joined stream.
+    per-query window over the joined stream. ``candidates`` (default:
+    ``vectors``) searches a DIFFERENT pool — the cross-pool/incremental
+    shape.
     """
-    cand = vectors.select(
+    pool = vectors if candidates is None else candidates
+    cand = pool.select(
         F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec")
     ).withColumn("nnorm", vector_norm("nvec"))
     q = vectors
@@ -1526,6 +1530,7 @@ def sq8_ann_topk(
     vec_col: str = "embedding",
     dim: int = 64,
     k: int = 3,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Scalar-quantized (SQ8) approximate top-k — the FAISS
     IndexScalarQuantizer tier: each vector compresses 4x to one uint8
@@ -1545,8 +1550,17 @@ def sq8_ann_topk(
     4x fewer bytes scanned per search); search broadcasts the bounded
     query set like every exact-baseline tier, and composes with the IVF
     cell pruning the same way PQ does for corpus-scale query sets.
+
+    ``candidates`` (default: ``vectors``) is the INDEXED pool — bounds
+    calibrate on it alone, and queries come from ``vectors``/``
+    query_ids``. That is the frozen-index incremental contract: arrival
+    batches search a history-calibrated index without recalibrating it;
+    out-of-range values clamp to [0, 255] exactly as FAISS's scalar
+    quantizer does (a no-op in the self-indexed case, where every value
+    lies inside its own dimension's bounds by construction).
     """
-    bounds = sq8_bounds(vectors, vec_col, dim)
+    pool = vectors if candidates is None else candidates
+    bounds = sq8_bounds(pool, vec_col, dim)
     q = vectors
     if query_ids is not None:
         q = vectors.join(query_ids, id_col, "left_semi")
@@ -1555,21 +1569,27 @@ def sq8_ann_topk(
     ).withColumn("qnorm", vector_norm("qvec"))
 
     seq = F.sequence(F.lit(1), F.lit(dim))
-    enc = vectors.crossJoin(F.broadcast(bounds)).select(
+    enc = pool.crossJoin(F.broadcast(bounds)).select(
         F.col(id_col).alias("nid"),
         F.transform(
             seq,
             lambda i: F.when(
                 F.element_at("mxs", i) > F.element_at("mns", i),
-                F.round(
-                    (
-                        F.element_at(F.col(vec_col), i).cast("double")
-                        - F.element_at("mns", i)
-                    )
-                    / (F.element_at("mxs", i) - F.element_at("mns", i))
-                    * 255,
-                    0,
-                ).cast("long"),
+                F.least(
+                    F.greatest(
+                        F.round(
+                            (
+                                F.element_at(F.col(vec_col), i).cast("double")
+                                - F.element_at("mns", i)
+                            )
+                            / (F.element_at("mxs", i) - F.element_at("mns", i))
+                            * 255,
+                            0,
+                        ).cast("long"),
+                        F.lit(0).cast("long"),
+                    ),
+                    F.lit(255).cast("long"),
+                ),
             ).otherwise(F.lit(0).cast("long")),
         ).alias("codes"),
         F.col("mns"),

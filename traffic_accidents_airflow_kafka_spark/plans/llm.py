@@ -4695,11 +4695,21 @@ def curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sq8_oracle(dim: int = 64, k: int = 3, n_queries: int = 10) -> str:
+def _sq8_oracle(
+    dim: int = 64,
+    k: int = 3,
+    n_queries: int = 10,
+    pool_where: str = "TRUE",
+    query_where: str | None = None,
+) -> str:
     """The full SQ8 tier in DuckDB: exact per-dimension bounds, the same
     quantize/dequantize arithmetic (explicit parens pin evaluation
     order), sequential-fold cosines, and the exact-baseline top-k for
-    the recall flags."""
+    the recall flags. ``pool_where`` restricts the INDEXED pool (bounds
+    calibrate on it; dequantized candidates and the exact baseline come
+    from it); ``query_where`` restricts the query side."""
+    if query_where is None:
+        query_where = f"vec_id < {n_queries}"
     gs = f"generate_series(1, {dim})"
 
     def fold_dot(x: str, y: str) -> str:
@@ -4713,6 +4723,7 @@ def _sq8_oracle(dim: int = 64, k: int = 3, n_queries: int = 10) -> str:
              MIN(CAST(embedding[t.i] AS DOUBLE)) AS mn,
              MAX(CAST(embedding[t.i] AS DOUBLE)) AS mx
       FROM embeddings, UNNEST({gs}) AS t(i)
+      WHERE {pool_where}
       GROUP BY t.i
     ),
     bounds AS (
@@ -4723,13 +4734,16 @@ def _sq8_oracle(dim: int = 64, k: int = 3, n_queries: int = 10) -> str:
       SELECT e.vec_id AS nid,
              list_transform({gs}, i ->
                mns[i] + (CASE WHEN mxs[i] > mns[i]
-                 THEN CAST(round(((CAST(e.embedding[i] AS DOUBLE) - mns[i])
-                                  / (mxs[i] - mns[i])) * 255) AS BIGINT)
+                 THEN LEAST(GREATEST(
+                   CAST(round(((CAST(e.embedding[i] AS DOUBLE) - mns[i])
+                               / (mxs[i] - mns[i])) * 255) AS BIGINT),
+                   0), 255)
                  ELSE 0 END) * (mxs[i] - mns[i]) / 255) AS dqvec
       FROM embeddings e, bounds
+      WHERE {pool_where}
     ),
     q AS (SELECT vec_id AS qid, embedding AS qvec
-          FROM embeddings WHERE vec_id < {n_queries}),
+          FROM embeddings WHERE {query_where}),
     sims AS (
       SELECT q.qid, d.nid,
              {fold_dot(qd, "d.dqvec[i]")}
@@ -4751,7 +4765,7 @@ def _sq8_oracle(dim: int = 64, k: int = 3, n_queries: int = 10) -> str:
              {fold_dot(qd, ed)}
              / ( sqrt({fold_dot(qd, qd)})
                * sqrt({fold_dot(ed, ed)}) ) AS cosine
-      FROM q JOIN embeddings e ON e.vec_id <> q.qid
+      FROM q JOIN embeddings e ON e.vec_id <> q.qid AND ({pool_where})
     ),
     exact AS (
       SELECT qid, nid FROM (
@@ -4793,6 +4807,57 @@ def embedding_sq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = similarity.sq8_ann_topk(emb, qids, "vec_id", "embedding", dim=64, k=3)
     exact = (
         similarity.cosine_topk(emb, qids, "vec_id", "embedding", k=3)
+        .select("qid", "nid")
+        .withColumn("__hit", F.lit(True))
+    )
+    return (
+        approx.join(F.broadcast(exact), ["qid", "nid"], "left")
+        .select(
+            "qid",
+            "nid",
+            "rank",
+            F.round("sq_cosine", 4).alias("sq_cosine"),
+            F.coalesce("__hit", F.lit(False)).alias("in_exact_top3"),
+        )
+        .orderBy("qid", "rank")
+    )
+
+
+@register(
+    "incremental_sq8_arrivals",
+    tier=1,  # incremental-ingest ANN surface (r5)
+    oracle=_sq8_oracle(
+        pool_where="vec_id % 5 <> 4",
+        query_where="vec_id % 5 = 4 AND vec_id < 100",
+    ),
+    doc="Incremental ANN for the daily-ingest shape — the embedding "
+    "twin of incremental_repeated_spans / incremental_neardup_arrivals: "
+    "vec_id%5=4 plays today's arrival batch, searched against the "
+    "SQ8 index of the historical corpus (the other 80%) WITHOUT "
+    "recalibrating it — bounds are frozen on history (the immutable-"
+    "index contract: recalibrating per batch would silently re-encode "
+    "the whole corpus), and arrival values outside a frozen dimension "
+    "range clamp to [0, 255] exactly as FAISS's scalar quantizer does. "
+    "Each arrival's top-3 historical neighbors carry in_exact_top3 "
+    "flags vs the uncompressed brute force over the same history pool "
+    "— and the WHOLE thing, frozen calibration included, value-hashes "
+    "against SQL (operators/similarity.py:sq8_ann_topk with "
+    "candidates=history). Scale: per-day cost is the arrival batch "
+    "times the compressed index — history re-encodes zero times; "
+    "compose with IVF cells for corpus-scale arrival batches.",
+)
+def incremental_sq8_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    history = emb.filter(F.col("vec_id") % 5 != 4)
+    arrivals = emb.filter(F.col("vec_id") % 5 == 4)
+    qids = arrivals.select("vec_id").filter(F.col("vec_id") < 100)
+    approx = similarity.sq8_ann_topk(
+        arrivals, qids, "vec_id", "embedding", dim=64, k=3, candidates=history
+    )
+    exact = (
+        similarity.cosine_topk(
+            arrivals, qids, "vec_id", "embedding", k=3, candidates=history
+        )
         .select("qid", "nid")
         .withColumn("__hit", F.lit(True))
     )
