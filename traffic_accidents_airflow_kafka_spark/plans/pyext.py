@@ -420,3 +420,69 @@ def pyds_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+#: Fixed path for the schema-evolution read (two parquet batches with
+#: different schemas in one directory).
+SCHEMA_EVO_PATH = "/tmp/spark_graft_schema_evo"
+
+
+@register(
+    "schema_evolution_union",
+    tier=1,  # lakehouse schema-evolution surface (r5)
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           CAST(COUNT(quality) AS BIGINT) AS n_with_quality,
+           CAST(SUM(CAST(COALESCE(quality, 0) AS BIGINT)) AS BIGINT)
+             AS sum_quality
+    FROM read_parquet('{SCHEMA_EVO_PATH}/batch=*/*.parquet',
+                      union_by_name=true)
+    GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Schema-evolution read (the ADD COLUMN lakehouse migration, "
+    "done the parquet-native way): an old-schema batch (event_id, "
+    "event_type, value) and a new-schema batch that added a quality "
+    "column land in one dataset; spark.read.option('mergeSchema', "
+    "true) reconciles the footers BY NAME — old rows surface quality "
+    "as NULL, nothing is rewritten — and the rollup separates "
+    "value totals (both generations) from quality coverage (new "
+    "generation only). The oracle reads THE SAME FILES with DuckDB "
+    "union_by_name=true, so footer merging, by-name alignment, and "
+    "null semantics for pre-evolution rows are all under value-hash. "
+    "Scale: mergeSchema costs one footer pass at planning (cache the "
+    "merged schema or declare it explicitly for very wide datasets); "
+    "data files are untouched — the whole point vs a table rewrite. "
+    "NEVER evolve by position: by-name is what keeps old readers "
+    "correct (SURVEY §1.2's schema-inference hazard, same discipline).",
+)
+def schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    events = load_table(spark, sf_dir, "events")
+    shutil.rmtree(SCHEMA_EVO_PATH, ignore_errors=True)
+    old_gen = events.filter(F.col("event_id") % 2 == 0).select(
+        "event_id", "event_type", F.col("value").cast("double")
+    )
+    new_gen = events.filter(F.col("event_id") % 2 == 1).select(
+        "event_id",
+        "event_type",
+        F.col("value").cast("double"),
+        (F.col("user_id") % 5).cast("long").alias("quality"),
+    )
+    old_gen.write.parquet(f"{SCHEMA_EVO_PATH}/batch=0")
+    new_gen.write.parquet(f"{SCHEMA_EVO_PATH}/batch=1")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{SCHEMA_EVO_PATH}/batch=0", f"{SCHEMA_EVO_PATH}/batch=1"
+    )
+    return (
+        merged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum("value", "sum_value"),
+            F.count("quality").alias("n_with_quality"),
+            F.sum(F.coalesce("quality", F.lit(0))).alias("sum_quality"),
+        )
+        .orderBy("event_type")
+    )
