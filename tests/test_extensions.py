@@ -595,3 +595,30 @@ def test_mergeable_uniques_error_and_mergeability(spark, sf_dir):
         F.hll_sketch_estimate(F.hll_sketch_agg("user_id"))
     ).first()[0]
     assert union_est == single
+
+
+def test_bootstrap_ci_brackets_point_mean(spark, sf_dir):
+    """The percentile-bootstrap interval must bracket the point estimate
+    and weights must be genuine Poisson(1) draws (mean ~1)."""
+    import pyspark.sql.functions as F
+
+    from traffic_accidents_airflow_kafka_spark.operators.bootstrap import (
+        replicate_weights,
+    )
+    from traffic_accidents_airflow_kafka_spark.plans.extensions import (
+        bootstrap_value_ci,
+    )
+
+    out = bootstrap_value_ci(spark, sf_dir).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r.ci_lo <= r.point_mean <= r.ci_hi, r
+        assert r.ci_lo < r.ci_hi
+
+    df = spark.range(0, 5000).select(F.col("id").cast("string").alias("k"))
+    w = df.select(F.explode(replicate_weights("k", 8, "t")).alias("w"))
+    stats = w.agg(
+        F.avg("w").alias("m"), F.max("w").alias("mx"), F.min("w").alias("mn")
+    ).collect()[0]
+    assert 0.93 < stats.m < 1.07, "Poisson(1) weights must average ~1"
+    assert stats.mn == 0 and stats.mx <= 8

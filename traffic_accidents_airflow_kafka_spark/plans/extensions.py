@@ -2861,3 +2861,85 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_rows") / F.sum("n_rows").over(w).cast("double"), 4
         ).alias("pct_rows"),
     ).orderBy("l_rank")
+
+
+def _bootstrap_oracle(n_replicates: int = 40, seed: str = "boot-v1") -> str:
+    """SQL replay of the Poisson bootstrap: the SAME cumulative-probability
+    ladder literals (operators/bootstrap.py:POISSON1_CUM) and the same
+    52-bit md5 uniform, per (row, replicate)."""
+    from ..operators.bootstrap import poisson1_weight_sql
+
+    u = (
+        "CAST(list_reduce(list_transform(generate_series(1, 13), "
+        "j -> CAST(instr('0123456789abcdef', "
+        f"substr(md5('{seed}-' || CAST(r.r AS VARCHAR) || '|' "
+        "|| CAST(event_id AS VARCHAR)), j, 1)) - 1 AS BIGINT)), "
+        "(a, b) -> a * 16 + b) AS DOUBLE) / 4503599627370496.0"
+    )
+    return f"""
+    WITH w AS (
+      SELECT event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             r.r AS r,
+             {poisson1_weight_sql(u)} AS wt
+      FROM events, UNNEST(generate_series(0, {n_replicates - 1})) AS r(r)
+    ),
+    rep AS (
+      SELECT event_type, r,
+             CAST(SUM(wt * cents) AS DOUBLE) / SUM(wt) / 100 AS mean_r
+      FROM w GROUP BY event_type, r
+    ),
+    ci AS (
+      SELECT event_type,
+             quantile_cont(mean_r, 0.025) AS lo,
+             quantile_cont(mean_r, 0.975) AS hi
+      FROM rep GROUP BY event_type
+    ),
+    pt AS (
+      SELECT event_type,
+             COUNT(*) AS n_rows,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE)
+               / COUNT(*) / 100 AS pm
+      FROM events GROUP BY event_type
+    )
+    SELECT pt.event_type, pt.n_rows,
+           ROUND(pt.pm, 4) AS point_mean,
+           ROUND(ci.lo, 4) AS ci_lo,
+           ROUND(ci.hi, 4) AS ci_hi
+    FROM pt JOIN ci USING (event_type)
+    ORDER BY event_type
+    """
+
+
+@register(
+    "bootstrap_value_ci",
+    tier=1,  # extended stats surface (r5): one-pass uncertainty
+    oracle=_bootstrap_oracle(),
+    doc="Deterministic Poisson-bootstrap confidence intervals "
+    "(operators/bootstrap.py; Chamandy et al. 2012, the massive-data "
+    "bootstrap): per event type, the mean event value with a 95% "
+    "percentile-bootstrap CI from 40 replicates — computed in ONE data "
+    "pass, because resampling-with-replacement is replaced by "
+    "per-(row, replicate) Poisson(1) weights. Fully deterministic and "
+    "fully oracled: the uniform is the 52-bit md5 hash scaled by 2^-52, "
+    "the inverse-CDF ladder shares its cumulative-probability literals "
+    "between both engines, values aggregate as exact integer cents, "
+    "and the CI percentiles interpolate over identical doubles. "
+    "Scale: weights are map-side expressions; the shuffle carries "
+    "B x |groups| exact partial sums (40 x 5 rows here), never a "
+    "resampled copy of the data — the reason this bootstrap exists. "
+    "The same machinery bounds ANY algebraic statistic (sums, ratios, "
+    "regression coefficients via weighted moments).",
+)
+def bootstrap_value_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bootstrap import bootstrap_mean_ci
+
+    events = load_table(spark, sf_dir, "events")
+    return bootstrap_mean_ci(
+        events,
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("long"),
+        ["event_type"],
+        n_replicates=40,
+        seed="boot-v1",
+    )
