@@ -68,6 +68,9 @@ CROSS_JOIN_OK = {
     "embedding_sq8_ann",
     # incremental_sq8_arrivals: same two bounded crossJoins, history pool.
     "incremental_sq8_arrivals",
+    # retrieval_metrics: cosine_topk's bounded broadcast-query crossJoin
+    # feeding the metric pass.
+    "retrieval_metrics",
 }
 
 #: Streaming entries build a streaming plan — skipped here (their shape is

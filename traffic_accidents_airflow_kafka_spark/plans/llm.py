@@ -4872,3 +4872,102 @@ def incremental_sq8_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid", "rank")
     )
+
+
+@register(
+    "retrieval_metrics",
+    tier=1,  # retrieval-evaluation surface (r5)
+    oracle="""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qvec, label AS qlabel
+               FROM embeddings WHERE vec_id < 30),
+    sims AS (
+      SELECT q.qid, q.qlabel, e.vec_id AS nid, e.label AS nlabel,
+             list_sum(list_transform(generate_series(1, len(q.qvec)),
+                      i -> CAST(q.qvec[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+             / ( sqrt(list_sum(list_transform(generate_series(1, len(q.qvec)),
+                      i -> CAST(q.qvec[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE))))
+               * sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),
+                      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) )
+             AS cosine
+      FROM q JOIN embeddings e ON e.vec_id <> q.qid
+    ),
+    ranked AS (
+      SELECT qid, qlabel, nlabel,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY qid ORDER BY cosine DESC, nid) AS INT) AS rank
+      FROM sims
+    ),
+    topk AS (SELECT * FROM ranked WHERE rank <= 5),
+    per_q AS (
+      SELECT qid,
+             MAX(CASE WHEN nlabel = qlabel THEN 1.0 / rank ELSE 0.0 END)
+               AS rr,
+             SUM(CASE WHEN nlabel = qlabel AND rank <= 3 THEN 1 ELSE 0 END)
+               / 3.0 AS p_at_3,
+             SUM(CASE WHEN nlabel = qlabel THEN 1.0 / ln(rank + 1) ELSE 0.0 END)
+             / (SELECT SUM(1.0 / ln(x + 1))
+                FROM UNNEST(generate_series(1, 5)) AS t(x)) AS ndcg_at_5
+      FROM topk GROUP BY qid
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           ROUND(SUM(rr) / COUNT(*), 4) AS mrr,
+           ROUND(SUM(p_at_3) / COUNT(*), 4) AS mean_p_at_3,
+           ROUND(SUM(ndcg_at_5) / COUNT(*), 4) AS mean_ndcg_at_5
+    FROM per_q
+    """,
+    doc="Distributed retrieval-quality metrics — the evaluation read "
+    "every retrieval stack (BM25, ANN tiers, hybrid RRF) is tuned "
+    "against: for 30 queries, label-match relevance over the exact "
+    "cosine top-5 yields per-query reciprocal rank, precision@3, and "
+    "binary nDCG@5 (ideal DCG = all 5 relevant, a constant both "
+    "engines fold identically), macro-averaged. Deterministic: "
+    "fold-exact cosines, total tiebreaks, and per-query metric sums "
+    "over <= 5 terms in fixed rank order — the macro averages divide "
+    "exact sums, so the whole evaluation value-hashes. Scale: one "
+    "bounded-query broadcast search (swap in any ANN tier for the "
+    "exact baseline — the metric pass is unchanged), then |queries| "
+    "rows of metric arithmetic; nothing corpus-sized shuffles twice.",
+)
+def retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = emb.select("vec_id").filter(F.col("vec_id") < 30)
+    topk = similarity.cosine_topk(emb, qids, "vec_id", "embedding", k=5)
+    labels = emb.select("vec_id", "label")
+    judged = (
+        topk.join(
+            F.broadcast(labels.withColumnRenamed("label", "qlabel")),
+            topk.qid == F.col("vec_id"),
+        )
+        .drop("vec_id")
+        .join(
+            F.broadcast(labels.withColumnRenamed("label", "nlabel")),
+            topk.nid == F.col("vec_id"),
+        )
+        .drop("vec_id")
+    )
+    idcg = sum(1.0 / math.log(x + 1) for x in range(1, 6))
+    rel = F.col("nlabel") == F.col("qlabel")
+    per_q = judged.groupBy("qid").agg(
+        F.max(F.when(rel, 1.0 / F.col("rank")).otherwise(0.0)).alias("rr"),
+        (
+            F.sum(F.when(rel & (F.col("rank") <= 3), 1).otherwise(0)) / 3.0
+        ).alias("p_at_3"),
+        (
+            F.sum(
+                F.when(rel, 1.0 / F.log(F.col("rank") + 1)).otherwise(0.0)
+            )
+            / F.lit(idcg)
+        ).alias("ndcg_at_5"),
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.round(F.sum("rr") / F.count(F.lit(1)), 4).alias("mrr"),
+        F.round(F.sum("p_at_3") / F.count(F.lit(1)), 4).alias(
+            "mean_p_at_3"
+        ),
+        F.round(F.sum("ndcg_at_5") / F.count(F.lit(1)), 4).alias(
+            "mean_ndcg_at_5"
+        ),
+    )
