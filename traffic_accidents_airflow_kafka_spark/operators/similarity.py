@@ -1607,6 +1607,12 @@ def sq8_ann_topk(
             / 255,
         ).alias("dqvec"),
     ).withColumn("dqnorm", vector_norm("dqvec"))
+    # Materialize the dequantized candidates ONCE: dqvec is a 64-element
+    # transform expression, and a lazy projection would re-evaluate it
+    # per (query, candidate) pair inside the search join — |Q|x the
+    # decode cost. localCheckpoint truncates to the computed arrays
+    # (cluster scale: persist(DISK_ONLY), same effect).
+    dq = dq.localCheckpoint(eager=True)
 
     sim = (
         dq.crossJoin(F.broadcast(qq))
