@@ -85,6 +85,12 @@ REPRESENTATIVES = [
     "compaction_plan",
     "bitext_mining_pairs",
     "curriculum_phases",
+    # round-5 late additions: one-pass Poisson-bootstrap CIs (B weights
+    # map-side, shuffle carries B x groups partials — should track the
+    # scan linearly), SQ8 quantized search (decode-once candidates +
+    # bounded-query join).
+    "bootstrap_value_ci",
+    "embedding_sq8_ann",
 ]
 
 

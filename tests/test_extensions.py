@@ -622,3 +622,38 @@ def test_bootstrap_ci_brackets_point_mean(spark, sf_dir):
     ).collect()[0]
     assert 0.93 < stats.m < 1.07, "Poisson(1) weights must average ~1"
     assert stats.mn == 0 and stats.mx <= 8
+
+
+def test_poisson_ladder_matches_inverse_cdf():
+    """The CASE ladder IS the inverse CDF: for any uniform, the weight is
+    the bisect index into the cumulative probabilities (pure reference,
+    no Spark)."""
+    import bisect
+
+    from traffic_accidents_airflow_kafka_spark.operators.bootstrap import (
+        MAX_WEIGHT,
+        POISSON1_CUM,
+        poisson1_weight_sql,
+    )
+
+    assert len(POISSON1_CUM) == 8
+    assert 0.3678 < POISSON1_CUM[0] < 0.368  # e^-1
+    assert POISSON1_CUM == sorted(POISSON1_CUM)
+    assert POISSON1_CUM[-1] < 1.0
+
+    sql = poisson1_weight_sql("U")
+    # Every threshold literal appears verbatim in the SQL ladder — the
+    # shared-literal contract with the Spark expression.
+    for c in POISSON1_CUM:
+        assert repr(c) in sql
+    # Reference semantics: weight(u) = first k with u < cum[k], else cap.
+    for u in [0.0, 0.1, 0.3678, 0.3679, 0.5, 0.73, 0.9, 0.99, 0.9999, 0.99999999, 1.0 - 1e-12]:
+        expect = bisect.bisect_right(POISSON1_CUM, u)
+        expect = expect if expect < len(POISSON1_CUM) else MAX_WEIGHT
+        # The ladder returns k where u < cum[k]; bisect_right gives the
+        # same index because cum is strictly increasing.
+        ladder = next(
+            (k for k in range(len(POISSON1_CUM)) if u < POISSON1_CUM[k]),
+            MAX_WEIGHT,
+        )
+        assert ladder == expect, (u, ladder, expect)
