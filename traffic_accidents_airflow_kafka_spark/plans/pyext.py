@@ -486,3 +486,61 @@ def schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+#: Fixed path for the upsert round-trip (S6 under oracle).
+UPSERT_PATH = "/tmp/spark_graft_upsert_roundtrip"
+
+
+@register(
+    "upsert_idempotence_rollup",
+    tier=1,  # S6/S12 sink-semantics surface (r5)
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM orders
+    WHERE o_orderkey % 3 IN (0, 1)
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    doc="Insert-if-absent under oracle (sources/sinks.py:upsert_append — "
+    "S6, the reference's INSERT .. ON CONFLICT DO NOTHING replacement, "
+    "dags/etl_crash_traffic.py:693-787): batch A (orderkey%3=0) seeds "
+    "the table, then an OVERLAPPING batch A∪B (orderkey%3 in (0,1)) is "
+    "upserted — the anti-join must insert exactly B and drop every "
+    "A-duplicate — and the same A∪B batch is upserted AGAIN, which "
+    "must insert zero rows (idempotent redelivery, the property the "
+    "at-least-once ingest edge needs). The rollup over the final table "
+    "value-hashes against DuckDB aggregating the A∪B slice of the "
+    "source — any duplicate or dropped row breaks the hash. Scale: "
+    "the existing-keys probe reads ONE pruned column; the anti-join "
+    "shuffles keys, not rows; appends are per-partition parallel.",
+)
+def upsert_idempotence_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..sources import sinks
+
+    shutil.rmtree(UPSERT_PATH, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    batch_a = orders.filter(F.col("o_orderkey") % 3 == 0)
+    batch_ab = orders.filter(F.col("o_orderkey") % 3 <= 1)
+    sinks.upsert_append(batch_a, UPSERT_PATH, "o_orderkey", spark)
+    sinks.upsert_append(batch_ab, UPSERT_PATH, "o_orderkey", spark)
+    n_third = sinks.upsert_append(batch_ab, UPSERT_PATH, "o_orderkey", spark)
+    if n_third != 0:
+        raise AssertionError(
+            f"idempotent redelivery inserted {n_third} rows"
+        )
+    back = spark.read.parquet(UPSERT_PATH)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dec_sum("o_totalprice", "total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
