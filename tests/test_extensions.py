@@ -624,6 +624,61 @@ def test_bootstrap_ci_brackets_point_mean(spark, sf_dir):
     assert stats.mn == 0 and stats.mx <= 8
 
 
+def test_bootstrap_tiny_groups_match_oracle(spark):
+    """Singleton groups stress the empty-replicate guard: with 1 row, a
+    replicate's Poisson weight sum is 0 with prob ~0.37 — Spark's guard
+    yields NULL and the oracle's NULLIF yields NULL, so both engines drop
+    those replicates identically (pre-fix, DuckDB's IEEE division gave
+    inf and poisoned quantile_cont; the r5 ADVICE item)."""
+    import duckdb
+    import pandas as pd
+
+    from traffic_accidents_airflow_kafka_spark.operators.bootstrap import (
+        bootstrap_mean_ci,
+    )
+    from traffic_accidents_airflow_kafka_spark.plans.extensions import (
+        _bootstrap_oracle,
+    )
+
+    rows = [
+        (1, "solo", 10.0),  # singleton group — the stress case
+        (2, "pair", 4.0),
+        (3, "pair", 6.0),
+    ]
+    sdf = spark.createDataFrame(
+        rows, "event_id bigint, event_type string, value double"
+    )
+    got = {
+        r.event_type: r
+        for r in bootstrap_mean_ci(
+            sdf,
+            "event_id",
+            F.round(F.col("value") * 100, 0).cast("long"),
+            ["event_type"],
+            n_replicates=40,
+            seed="boot-v1",
+        ).collect()
+    }
+    for r in got.values():
+        assert r.ci_lo is not None and r.ci_hi is not None, r
+        assert r.ci_lo <= r.point_mean <= r.ci_hi, r
+
+    con = duckdb.connect()
+    con.register(
+        "events",
+        pd.DataFrame(rows, columns=["event_id", "event_type", "value"]),
+    )
+    for o in con.execute(_bootstrap_oracle()).fetchall():
+        etype, n_rows, pm, lo, hi = o
+        g = got[etype]
+        assert (g.n_rows, g.point_mean, g.ci_lo, g.ci_hi) == (
+            n_rows,
+            pm,
+            lo,
+            hi,
+        ), (o, g)
+
+
 def test_poisson_ladder_matches_inverse_cdf():
     """The CASE ladder IS the inverse CDF: for any uniform, the weight is
     the bisect index into the cumulative probabilities (pure reference,

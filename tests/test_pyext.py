@@ -221,6 +221,56 @@ def test_pyds_writer_two_phase_protocol(spark, tmp_path):
     assert sorted(json.loads(ln)["id"] for ln in lines) == [1, 2, 3]
 
 
+def test_pyds_writer_append_preserves_prior_commits(spark, tmp_path):
+    """Append mode (overwrite=False): a second commit offsets its part
+    index past existing shards and MERGES the manifest — earlier data
+    survives (the r5 ADVICE clobber bug)."""
+    import json
+    import os
+
+    from pyspark.sql import Row
+    from pyspark.sql.types import StructType
+
+    from traffic_accidents_airflow_kafka_spark.sources.pyds import (
+        AuditJsonWriter,
+    )
+
+    path = str(tmp_path / "sink")
+    schema = StructType.fromDDL("id bigint, name string")
+    w1 = AuditJsonWriter({"path": path}, schema, overwrite=False)
+    w1.commit(
+        [
+            w1.write(iter([Row(id=1, name="a"), Row(id=2, name="b")])),
+            w1.write(iter([Row(id=3, name="c")])),
+        ]
+    )
+
+    w2 = AuditJsonWriter({"path": path}, schema, overwrite=False)
+    w2.commit([w2.write(iter([Row(id=4, name="d")]))])
+
+    files = sorted(os.listdir(path))
+    assert files == [
+        "_MANIFEST.json",
+        "part-00000.json",
+        "part-00001.json",
+        "part-00002.json",
+    ]
+    man = json.load(open(os.path.join(path, "_MANIFEST.json")))
+    assert [f["file"] for f in man["files"]] == [
+        "part-00000.json",
+        "part-00001.json",
+        "part-00002.json",
+    ]
+    assert sum(f["n_rows"] for f in man["files"]) == 4
+    ids = []
+    for f in files[1:]:
+        ids += [
+            json.loads(ln)["id"]
+            for ln in open(os.path.join(path, f)).read().splitlines()
+        ]
+    assert sorted(ids) == [1, 2, 3, 4]
+
+
 def test_pyds_writer_abort_keeps_published(spark, tmp_path):
     import os
 

@@ -20,7 +20,10 @@ pytest.importorskip(
     "wheel/sdist in site-packages or the pip HTTP cache (body scan of "
     "~/.cache/pip/http found zero protobuf artifacts), and `pip download "
     "protobuf` fails with 'no matching distribution' — the container has "
-    "no index access. The applyInPandasWithState and native "
+    "no index access. Re-probed round 6 with the same result (import "
+    "fails, `pip download protobuf --no-deps` downloads nothing) — the "
+    "item is CLOSED as environment-impossible; this skip is permanent "
+    "for this container. The applyInPandasWithState and native "
     "session-window paths cover the semantics with green oracles.",
 )
 

@@ -28,19 +28,25 @@ from pyspark.sql.functions import udtf
 
 @udtf(returnType="pos int, ngram string", useArrow=True)
 class WordNGrams:
-    """Word n-gram expander: one row per n consecutive whitespace tokens.
+    """Word n-gram expander: one row per n consecutive space-separated
+    tokens.
 
     ``eval`` is a generator — each yielded tuple becomes an output row,
     executed per Arrow batch on the executor holding the input partition
-    (no shuffle introduced by the UDTF itself). Whitespace tokenization
-    (str.split) matches the native path's ``F.split(text, '\\s+')`` and
-    the oracle's ``regexp_extract_all(text, '\\S+')``.
+    (no shuffle introduced by the UDTF itself). Tokenization is a
+    SINGLE-SPACE split (``text.split(" ")``) to match the native path
+    ``operators/dedup.py:word_shingles`` (``F.split(text, " ")``)
+    exactly: on runs of whitespace/tabs both paths emit empty tokens, so
+    the row-for-row parity pinned in tests/test_pyext.py holds for any
+    text, not just single-spaced corpora. (Java's split with the default
+    limit=-1 keeps trailing empty strings, as does Python's
+    ``split(" ")`` — the two agree on edge whitespace too.)
     """
 
     def eval(self, text: str, n: int):  # noqa: D102 — contract above
         if text is None or n is None or n <= 0:
             return
-        toks = text.split()
+        toks = text.split(" ")
         for i in range(len(toks) - n + 1):
             yield i, " ".join(toks[i : i + n])
 

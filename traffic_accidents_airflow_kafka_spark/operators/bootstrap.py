@@ -126,12 +126,23 @@ def bootstrap_mean_ci(
             for r in range(n_replicates)
         ],
     )
+    # Empty-replicate guard: for a tiny group, a replicate's Poisson
+    # weight sum can be 0. Spark's Divide would yield NULL here anyway,
+    # but DuckDB (the oracle engine) follows IEEE and yields ±inf, which
+    # poisons quantile_cont. Guarding explicitly on BOTH sides (this
+    # F.when + NULLIF in the oracle SQL) makes both engines drop empty
+    # replicates identically — percentile/quantile_cont skip NULLs.
     rep = sums.select(
         *group_cols,
         F.explode(
             F.array(
                 *[
-                    F.col(f"__s{r}").cast("double") / F.col(f"__n{r}") / 100
+                    F.when(
+                        F.col(f"__n{r}") > 0,
+                        F.col(f"__s{r}").cast("double")
+                        / F.col(f"__n{r}")
+                        / 100,
+                    )
                     for r in range(n_replicates)
                 ]
             )

@@ -115,6 +115,13 @@ def contamination(
     )
 
 
+#: Hard ceiling on the excision work-list. The span relation is, by
+#: contract, the OUTPUT of a heavy-hitter report (small); the cap turns
+#: a caller accidentally passing a corpus-scale relation into a loud
+#: error instead of a silent corpus-through-the-driver OOM.
+MAX_EXCISE_SPANS = 100_000
+
+
 def excise_spans(
     docs: DataFrame,
     spans: DataFrame,
@@ -122,6 +129,7 @@ def excise_spans(
     text_col: str,
     n: int,
     span_col: str = "span",
+    max_spans: int = MAX_EXCISE_SPANS,
 ) -> DataFrame:
     """Span EXCISION — the transform that consumes a duplicated-span
     work-list (Lee et al. 2022 exact substring dedup, span-granular):
@@ -149,7 +157,19 @@ def excise_spans(
         StructType,
     )
 
-    flagged = {r[span_col] for r in spans.select(span_col).distinct().collect()}
+    # Driver-side guard BEFORE collecting: the work-list moves through
+    # the driver to become a broadcast set, so an unbounded span relation
+    # must fail fast, not OOM. limit(max_spans + 1) bounds the probe
+    # itself — it never scans past the cap.
+    probe = spans.select(span_col).distinct().limit(max_spans + 1).collect()
+    if len(probe) > max_spans:
+        raise ValueError(
+            f"excise_spans work-list exceeds max_spans={max_spans}; "
+            "the span relation must be a bounded heavy-hitter report. "
+            "For corpus-scale excision lists, join spans to exploded "
+            "grams distributively instead of broadcasting."
+        )
+    flagged = {r[span_col] for r in probe}
     spark = docs.sparkSession
     bset = spark.sparkContext.broadcast(flagged)
 

@@ -2886,7 +2886,13 @@ def _bootstrap_oracle(n_replicates: int = 40, seed: str = "boot-v1") -> str:
     ),
     rep AS (
       SELECT event_type, r,
-             CAST(SUM(wt * cents) AS DOUBLE) / SUM(wt) / 100 AS mean_r
+             -- NULLIF mirrors the Spark side's F.when(n > 0, ...) guard:
+             -- a replicate whose Poisson weights all drew 0 (possible for
+             -- tiny groups) yields NULL in BOTH engines (DuckDB's IEEE
+             -- float division would otherwise give inf and poison
+             -- quantile_cont), so empty replicates drop identically.
+             CAST(SUM(wt * cents) AS DOUBLE) / NULLIF(SUM(wt), 0) / 100
+               AS mean_r
       FROM w GROUP BY event_type, r
     ),
     ci AS (

@@ -315,13 +315,31 @@ class AuditJsonWriter(DataSourceWriter):
         import os
 
         staging = os.path.join(self.path, "_staging")
+        manifest = []
+        start = 0
         if self.overwrite:
             for f in os.listdir(self.path):
                 if f.startswith("part-") or f == "_MANIFEST.json":
                     os.remove(os.path.join(self.path, f))
-        manifest = []
+        else:
+            # Append mode: a second commit must not clobber previously
+            # committed shards — offset the part index past every
+            # existing part-*.json and MERGE the prior manifest instead
+            # of replacing it, so earlier commits stay listed and valid.
+            existing = [
+                int(f[len("part-") : -len(".json")])
+                for f in os.listdir(self.path)
+                if f.startswith("part-")
+                and f.endswith(".json")
+                and f[len("part-") : -len(".json")].isdigit()
+            ]
+            start = max(existing, default=-1) + 1
+            prior = os.path.join(self.path, "_MANIFEST.json")
+            if os.path.exists(prior):
+                with open(prior) as fh:
+                    manifest = _json.load(fh).get("files", [])
         for i, msg in enumerate(messages):
-            final = f"part-{i:05d}.json"
+            final = f"part-{start + i:05d}.json"
             os.rename(
                 os.path.join(staging, msg.staged_name),
                 os.path.join(self.path, final),
