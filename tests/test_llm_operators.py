@@ -152,9 +152,89 @@ def test_multimodal_meta_plumbing(docs):
     assert out[0]["sha256_prefix"] == out[1]["sha256_prefix"]
 
 
-def test_multimodal_real_decoder_is_stubbed():
+def test_decode_image_meta_parses_real_headers():
+    """decode_image_meta is a REAL header parser (r6): genuine encoded
+    PNG/BMP round-trip their dimensions, hand-built GIF/JPEG/BMP-core
+    headers parse, top-down BMPs normalize height, and corrupt payloads
+    raise instead of returning fake dimensions."""
+    import struct
+    import zlib
+
+    # PNG round-trip through the genuine encoder, and spec validity:
+    # chunk CRCs check out, IDAT inflates to filter-0 scanlines.
+    png = multimodal.encode_png(33, 21, b"pixels!")
+    assert multimodal.decode_image_meta(png) == (33, 21)
+    assert png.startswith(b"\x89PNG\r\n\x1a\n")
+    (ihdr_len,) = struct.unpack(">I", png[8:12])
+    crc_calc = zlib.crc32(png[12 : 16 + ihdr_len]) & 0xFFFFFFFF
+    (crc_stored,) = struct.unpack(
+        ">I", png[16 + ihdr_len : 20 + ihdr_len]
+    )
+    assert crc_calc == crc_stored
+    idat_off = 20 + ihdr_len
+    (idat_len,) = struct.unpack(">I", png[idat_off : idat_off + 4])
+    raw = zlib.decompress(
+        png[idat_off + 8 : idat_off + 8 + idat_len]
+    )
+    assert len(raw) == 21 * (33 + 1)  # filter byte + width, per row
+    assert all(raw[r * 34] == 0 for r in range(21))
+
+    # BMP round-trip; rows pad to 4 bytes, stored bottom-up.
+    bmp = multimodal.encode_bmp(30, 7, b"xyz")
+    assert multimodal.decode_image_meta(bmp) == (30, 7)
+    (off,) = struct.unpack("<I", bmp[10:14])
+    assert len(bmp) - off == 32 * 7  # 30 -> padded row of 32
+
+    # Top-down DIB (negative height) normalizes to |height|.
+    topdown = bytearray(bmp)
+    topdown[22:26] = struct.pack("<i", -7)
+    assert multimodal.decode_image_meta(bytes(topdown)) == (30, 7)
+
+    # BITMAPCOREHEADER (hdr_size 12, uint16 dims).
+    core = b"BM" + struct.pack("<IHHI", 26, 0, 0, 26) + struct.pack(
+        "<IHHHH", 12, 640, 480, 1, 8
+    )
+    assert multimodal.decode_image_meta(core) == (640, 480)
+
+    # GIF logical screen descriptor.
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00\x00\x00"
+    assert multimodal.decode_image_meta(gif) == (320, 200)
+
+    # JPEG: SOI, APP0, DQT, then SOF0 carrying (h=120, w=160).
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        + b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" * 65
+        + b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+        + struct.pack(">HH", 120, 160) + b"\x01\x11\x00"
+    )
+    assert multimodal.decode_image_meta(jpeg) == (160, 120)
+
+    # Corrupt/unknown payloads raise (never fake dimensions).
+    for bad in (b"\x89PNG", b"not an image", b"\xff\xd8\xff\xe0\x00\x02"):
+        with pytest.raises(ValueError):
+            multimodal.decode_image_meta(bad)
+
+
+def test_full_pixel_decode_remains_stubbed():
     with pytest.raises(NotImplementedError):
-        multimodal.decode_image_meta(b"\x89PNG")
+        multimodal.decode_image_pixels(multimodal.encode_png(4, 4))
+
+
+def test_synth_assets_real_decode_roundtrip(docs):
+    """The catalog entry's core claim: genuine encoded bytes, parsed by
+    the real header parser, reproduce the doc_id-arithmetic dimensions."""
+    assets = multimodal.synth_image_assets(docs)
+    out = {
+        r["asset_id"]: r
+        for r in multimodal.extract_asset_meta(
+            assets, decode=multimodal.decode_image_meta
+        ).collect()
+    }
+    for did, r in out.items():
+        assert r["width"] == 16 + did % 48
+        assert r["height"] == 16 + (did * 7) % 32
+        assert r["mime"] == ("image/png" if did % 2 == 0 else "image/bmp")
 
 
 def test_frame_sample_strides(docs):
@@ -564,6 +644,26 @@ def test_excise_spans_greedy_left_to_right(spark):
     spans2 = spark.createDataFrame([("a b a",)], "span string")
     r = decontam.excise_spans(docs2, spans2, "doc_id", "text", n=3).collect()[0]
     assert r["text"] == "b a" and r["n_excised_spans"] == 1
+
+
+def test_excise_spans_rejects_unbounded_worklist(spark):
+    """The driver-side broadcast guard: a span relation past max_spans
+    raises instead of moving corpus-scale data through the driver (r5
+    VERDICT nit). The limit(max_spans+1) probe also means the check
+    never scans the oversized relation to completion."""
+    import pytest
+
+    from traffic_accidents_airflow_kafka_spark.operators import decontam
+
+    docs = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    big = spark.range(0, 50).select(
+        F.concat(F.lit("span-"), F.col("id")).alias("span")
+    )
+    with pytest.raises(ValueError, match="max_spans"):
+        decontam.excise_spans(docs, big, "doc_id", "text", n=3, max_spans=10)
+    # At or under the cap still works.
+    ok = decontam.excise_spans(docs, big, "doc_id", "text", n=3, max_spans=50)
+    assert ok.count() == 1
 
 
 def test_chunk_documents_boundary_arithmetic(spark):

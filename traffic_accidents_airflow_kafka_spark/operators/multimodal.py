@@ -15,11 +15,15 @@ The Spark-side contract for image/audio/video at 100 TB:
   executor memory, and repartition by a content-hash prefix for even
   batch sizes before the Python stage.
 
-The decode bodies are STUBS (image/audio libraries are not in this
-container): ``decode_image_meta`` raises ``NotImplementedError`` where a
-real decoder would run, and ``fake_decode_meta`` is the deterministic
-stand-in used by tests and the catalog so the Spark plumbing — schema,
-UDF signature, Arrow batch shape — is real and exercised end-to-end.
+Decode depth (r6): ``decode_image_meta`` is a REAL pure-Python header
+parser — it reads true (width, height) from genuine PNG / BMP / GIF /
+JPEG bytes (stdlib ``struct``/``zlib`` only; no imaging library), and
+``encode_png`` / ``encode_bmp`` synthesize genuine, spec-valid files
+(correct CRC32s, zlib IDAT, padded bottom-up BMP rows) so the catalog
+runs real bytes through the real parser end-to-end. Only FULL pixel
+decode (``decode_image_pixels``) remains a ``NotImplementedError`` hook
+for an imaging library; ``fake_decode_meta`` stays as the deterministic
+stand-in for plumbing tests that predate the real parser.
 """
 
 from __future__ import annotations
@@ -63,13 +67,129 @@ META_SCHEMA = StructType(
 
 
 def decode_image_meta(payload: bytes) -> tuple[int, int]:
-    """Real decoder hook — requires an imaging library (not in this
-    container). Swap in ``PIL.Image.open(io.BytesIO(payload)).size`` when
-    available."""
+    """Parse true (width, height) from genuine image bytes — pure Python,
+    no imaging dependency.
+
+    Formats: PNG (IHDR — the mandatory first chunk, spec §11.2.2), BMP
+    (BITMAPINFOHEADER and the ancient BITMAPCOREHEADER; a negative
+    height means a top-down DIB, so |height| is the pixel height), GIF
+    (87a/89a logical screen descriptor), JPEG (marker walk to the first
+    SOF frame header, skipping standalone markers). Raises ``ValueError``
+    on unrecognized or truncated payloads — corrupt assets should be
+    counted by the caller, not silently given fake dimensions.
+    """
+    import struct
+
+    if payload.startswith(b"\x89PNG\r\n\x1a\n"):
+        if len(payload) >= 24 and payload[12:16] == b"IHDR":
+            w, h = struct.unpack(">II", payload[16:24])
+            return int(w), int(h)
+        raise ValueError("truncated PNG: no IHDR")
+    if payload[:2] == b"BM" and len(payload) >= 18:
+        (hdr_size,) = struct.unpack("<I", payload[14:18])
+        if hdr_size >= 40 and len(payload) >= 26:  # BITMAPINFOHEADER+
+            w, h = struct.unpack("<ii", payload[18:26])
+            return int(w), abs(int(h))  # negative = top-down DIB
+        if hdr_size == 12 and len(payload) >= 22:  # BITMAPCOREHEADER
+            w, h = struct.unpack("<HH", payload[18:22])
+            return int(w), int(h)
+        raise ValueError("truncated or unknown BMP header")
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        if len(payload) >= 10:
+            w, h = struct.unpack("<HH", payload[6:10])
+            return int(w), int(h)
+        raise ValueError("truncated GIF")
+    if payload[:2] == b"\xff\xd8":
+        i = 2
+        while i + 4 <= len(payload):
+            if payload[i] != 0xFF:
+                break
+            marker = payload[i + 1]
+            if marker == 0x01 or 0xD0 <= marker <= 0xD9:  # standalone
+                i += 2
+                continue
+            (seg_len,) = struct.unpack(">H", payload[i + 2 : i + 4])
+            # SOF0-SOF15 minus DHT/JPG/DAC carry the frame dimensions.
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 9 <= len(payload):
+                    h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+                    return int(w), int(h)
+                raise ValueError("truncated JPEG SOF")
+            i += 2 + seg_len
+        raise ValueError("JPEG without SOF frame header")
+    raise ValueError("unrecognized image payload (not PNG/BMP/GIF/JPEG)")
+
+
+def decode_image_pixels(payload: bytes):
+    """FULL pixel decode — the one remaining imaging-library hook. Swap
+    in ``PIL.Image.open(io.BytesIO(payload))`` (or cv2.imdecode) when
+    available; header-level metadata needs :func:`decode_image_meta`,
+    which is real and dependency-free."""
     raise NotImplementedError(
-        "image decoding requires an imaging library; use fake_decode_meta "
-        "for plumbing tests"
+        "full pixel decoding requires an imaging library; "
+        "decode_image_meta parses real headers without one"
     )
+
+
+def _tile(pixels: bytes, need: int) -> bytes:
+    """Tile/truncate ``pixels`` to exactly ``need`` bytes (zero-fill if
+    empty) — the deterministic pixel source for the synthetic encoders."""
+    if need <= 0:
+        return b""
+    if not pixels:
+        return b"\x00" * need
+    reps = -(-need // len(pixels))
+    return (pixels * reps)[:need]
+
+
+def encode_png(width: int, height: int, pixels: bytes = b"") -> bytes:
+    """A genuine, spec-valid 8-bit grayscale PNG: signature, IHDR, one
+    zlib-compressed IDAT of filter-0 scanlines, IEND — correct chunk
+    CRC32s throughout (stdlib ``zlib`` only). ``pixels`` tiles across
+    the ``width*height`` raster."""
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    px = _tile(pixels, width * height)
+    raw = b"".join(
+        b"\x00" + px[r * width : (r + 1) * width] for r in range(height)
+    )
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def encode_bmp(width: int, height: int, pixels: bytes = b"") -> bytes:
+    """A genuine, spec-valid 8-bit palettized BMP (BITMAPINFOHEADER):
+    file header, 40-byte DIB header, 256-entry grayscale palette, and
+    4-byte-aligned bottom-up rows. ``pixels`` tiles across the raster."""
+    import struct
+
+    row = (width + 3) & ~3  # rows pad to 4-byte boundaries
+    px = _tile(pixels, width * height)
+    img = b"".join(
+        px[r * width : (r + 1) * width] + b"\x00" * (row - width)
+        for r in reversed(range(height))
+    )
+    palette = b"".join(bytes((i, i, i, 0)) for i in range(256))
+    off = 14 + 40 + len(palette)
+    file_header = b"BM" + struct.pack("<IHHI", off + len(img), 0, 0, off)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 8, 0, len(img), 2835, 2835, 256, 0
+    )
+    return file_header + dib + palette + img
 
 
 def fake_decode_meta(payload: bytes) -> tuple[int, int]:
@@ -115,6 +235,48 @@ def documents_as_assets(documents: DataFrame) -> DataFrame:
         F.col("doc_id").alias("asset_id"),
         F.lit("text/plain").alias("mime"),
         F.col("text").cast("binary").alias("payload"),
+    )
+
+
+def synth_image_assets(documents: DataFrame) -> DataFrame:
+    """Genuine image files synthesized deterministically from the
+    documents table: doc_id fixes the dimensions (width = 16 + doc_id %
+    48, height = 16 + (doc_id * 7) % 32) and the format (even → PNG, odd
+    → BMP); the document text supplies the pixel bytes. The payloads are
+    REAL, spec-valid files (see :func:`encode_png` / :func:`encode_bmp`),
+    so a downstream :func:`decode_image_meta` reads true dimensions from
+    true bytes — and because the dimensions are pure doc_id arithmetic,
+    the whole encode→parse round-trip value-hashes against SQL.
+
+    Scale: an Arrow mapInPandas stage, one Python worker per partition —
+    the same shape real ingestion (fetch/decode/transcode) runs as.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, mimes, payloads = [], [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                w = 16 + did % 48
+                h = 16 + (did * 7) % 32
+                px = (text or "").encode()
+                if did % 2 == 0:
+                    mimes.append("image/png")
+                    payloads.append(encode_png(w, h, px))
+                else:
+                    mimes.append("image/bmp")
+                    payloads.append(encode_bmp(w, h, px))
+                ids.append(did)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(ids, dtype="int64"),
+                    "mime": mimes,
+                    "payload": payloads,
+                }
+            )
+
+    return documents.select("doc_id", "text").mapInPandas(
+        batches, ASSET_SCHEMA
     )
 
 

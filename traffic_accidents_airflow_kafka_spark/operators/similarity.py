@@ -1523,51 +1523,27 @@ def sq8_bounds(
     )
 
 
-def sq8_ann_topk(
-    vectors: DataFrame,
-    query_ids: DataFrame | None = None,
+def sq8_decode_pool(
+    pool: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    k: int = 3,
-    candidates: DataFrame | None = None,
 ) -> DataFrame:
-    """Scalar-quantized (SQ8) approximate top-k — the FAISS
-    IndexScalarQuantizer tier: each vector compresses 4x to one uint8
-    code per dimension against per-dimension [min, max] bounds
-    (code = round((x - mn) / (mx - mn) * 255)); search is asymmetric —
-    the full-precision query ranks candidates by cosine against their
-    DEQUANTIZED codes (dq = mn + code * (mx - mn) / 255).
+    """Build the SQ8 index artifact for ``pool`` and return its
+    DEQUANTIZED form: (nid, dqvec array<double>, dqnorm double),
+    eagerly materialized via ``localCheckpoint``.
 
-    Unlike PQ/IVF (k-means state, rows-only checkable), the min/max
-    calibration is exact and deterministic, so codes, dequantization,
-    cosines, and ranks all replay bit-for-bit in SQL — the catalog entry
-    is FULLY oracled, recall flags included. Flat (dim == mn) dimensions
-    quantize to code 0 and dequantize back to mn exactly.
-
-    Scale: calibration is a |dim|-row mergeable aggregate; encoding is
-    one broadcast-bounds map pass (at rest the corpus stores CODES —
-    4x fewer bytes scanned per search); search broadcasts the bounded
-    query set like every exact-baseline tier, and composes with the IVF
-    cell pruning the same way PQ does for corpus-scale query sets.
-
-    ``candidates`` (default: ``vectors``) is the INDEXED pool — bounds
-    calibrate on it alone, and queries come from ``vectors``/``
-    query_ids``. That is the frozen-index incremental contract: arrival
-    batches search a history-calibrated index without recalibrating it;
-    out-of-range values clamp to [0, 255] exactly as FAISS's scalar
-    quantizer does (a no-op in the self-indexed case, where every value
-    lies inside its own dimension's bounds by construction).
+    This is the build-once half of the SQ8 tier, split out of
+    :func:`sq8_ann_topk` so callers that search the same frozen pool
+    repeatedly (the bench's repeat runs; the incremental-arrivals
+    contract, where every daily batch probes the identical history
+    index) pay calibration + encode + decode ONCE and amortize it
+    across searches — exactly how a deployed index behaves (FAISS
+    builds the quantizer once; queries never re-encode the corpus).
+    Cluster scale: swap localCheckpoint for persist(DISK_ONLY) or a
+    parquet table of codes; the artifact is the thing at rest.
     """
-    pool = vectors if candidates is None else candidates
     bounds = sq8_bounds(pool, vec_col, dim)
-    q = vectors
-    if query_ids is not None:
-        q = vectors.join(query_ids, id_col, "left_semi")
-    qq = q.select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
-    ).withColumn("qnorm", vector_norm("qvec"))
-
     seq = F.sequence(F.lit(1), F.lit(dim))
     enc = pool.crossJoin(F.broadcast(bounds)).select(
         F.col(id_col).alias("nid"),
@@ -1612,7 +1588,62 @@ def sq8_ann_topk(
     # per (query, candidate) pair inside the search join — |Q|x the
     # decode cost. localCheckpoint truncates to the computed arrays
     # (cluster scale: persist(DISK_ONLY), same effect).
-    dq = dq.localCheckpoint(eager=True)
+    return dq.localCheckpoint(eager=True)
+
+
+def sq8_ann_topk(
+    vectors: DataFrame,
+    query_ids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 3,
+    candidates: DataFrame | None = None,
+    decoded: DataFrame | None = None,
+) -> DataFrame:
+    """Scalar-quantized (SQ8) approximate top-k — the FAISS
+    IndexScalarQuantizer tier: each vector compresses 4x to one uint8
+    code per dimension against per-dimension [min, max] bounds
+    (code = round((x - mn) / (mx - mn) * 255)); search is asymmetric —
+    the full-precision query ranks candidates by cosine against their
+    DEQUANTIZED codes (dq = mn + code * (mx - mn) / 255).
+
+    Unlike PQ/IVF (k-means state, rows-only checkable), the min/max
+    calibration is exact and deterministic, so codes, dequantization,
+    cosines, and ranks all replay bit-for-bit in SQL — the catalog entry
+    is FULLY oracled, recall flags included. Flat (dim == mn) dimensions
+    quantize to code 0 and dequantize back to mn exactly.
+
+    Scale: calibration is a |dim|-row mergeable aggregate; encoding is
+    one broadcast-bounds map pass (at rest the corpus stores CODES —
+    4x fewer bytes scanned per search); search broadcasts the bounded
+    query set like every exact-baseline tier, and composes with the IVF
+    cell pruning the same way PQ does for corpus-scale query sets.
+
+    ``candidates`` (default: ``vectors``) is the INDEXED pool — bounds
+    calibrate on it alone, and queries come from ``vectors``/``
+    query_ids``. That is the frozen-index incremental contract: arrival
+    batches search a history-calibrated index without recalibrating it;
+    out-of-range values clamp to [0, 255] exactly as FAISS's scalar
+    quantizer does (a no-op in the self-indexed case, where every value
+    lies inside its own dimension's bounds by construction).
+
+    ``decoded``: a prebuilt index from :func:`sq8_decode_pool` (same
+    id_col/vec_col/dim contract). When provided, calibration + encode +
+    decode are skipped entirely — the repeat-search path.
+    """
+    q = vectors
+    if query_ids is not None:
+        q = vectors.join(query_ids, id_col, "left_semi")
+    qq = q.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
+    ).withColumn("qnorm", vector_norm("qvec"))
+
+    if decoded is not None:
+        dq = decoded
+    else:
+        pool = vectors if candidates is None else candidates
+        dq = sq8_decode_pool(pool, id_col, vec_col, dim)
 
     sim = (
         dq.crossJoin(F.broadcast(qq))
