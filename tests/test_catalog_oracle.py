@@ -82,6 +82,19 @@ def test_judged_window_holds_every_tier0_query():
         "compaction_plan",
     ):
         assert name in judged, f"{name} rotated out of the judged window"
+    # Round-6 rotation (VERDICT r5 #3): the round-5 flagships take the
+    # slots of five operator-redundant rows (value_counts,
+    # group_percentiles, skew_two_phase_totals, time_dimension,
+    # enum_pivot — each co-judged by a named tier-0 sibling and still
+    # under the local oracle gate).
+    for name in (
+        "bootstrap_value_ci",
+        "embedding_sq8_ann",
+        "stream_jdbc_rollup",
+        "pyds_writer_roundtrip",
+        "retrieval_metrics",
+    ):
+        assert name in judged, f"{name} rotated out of the judged window"
 
 
 def test_gate_rejects_int_vs_float_dtype():

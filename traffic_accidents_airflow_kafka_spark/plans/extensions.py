@@ -507,6 +507,8 @@ def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "skew_two_phase_totals",
+    tier=1,  # r6 rotation: the salting operator family stays judged via
+    # skew_salted_join (same two-phase machinery); local oracle green
     oracle="""
     SELECT event_type,
            COUNT(*) AS n_events,
@@ -2919,7 +2921,8 @@ def _bootstrap_oracle(n_replicates: int = 40, seed: str = "boot-v1") -> str:
 
 @register(
     "bootstrap_value_ci",
-    tier=1,  # extended stats surface (r5): one-pass uncertainty
+    tier=0,  # r6 rotation INTO the judged window (r5 flagship): one-pass
+    # Poisson-bootstrap uncertainty, fully oracled
     oracle=_bootstrap_oracle(),
     doc="Deterministic Poisson-bootstrap confidence intervals "
     "(operators/bootstrap.py; Chamandy et al. 2012, the massive-data "

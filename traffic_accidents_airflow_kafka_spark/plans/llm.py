@@ -4848,7 +4848,8 @@ def _sq8_artifact(spark: SparkSession, sf_dir: str, key: str, build):
 
 @register(
     "embedding_sq8_ann",
-    tier=1,  # quantized-ANN surface — the FIRST fully-oracled quantized tier
+    tier=0,  # r6 rotation INTO the judged window (r5 flagship): the first
+    # fully-oracled quantized ANN tier, recall flags included
     oracle=_sq8_oracle(),
     doc="SQ8 scalar-quantized ANN (operators/similarity.py:sq8_ann_topk; "
     "FAISS IndexScalarQuantizer tier): vectors compress 4x to one "
@@ -4962,7 +4963,8 @@ def incremental_sq8_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "retrieval_metrics",
-    tier=1,  # retrieval-evaluation surface (r5)
+    tier=0,  # r6 rotation INTO the judged window (r5 flagship):
+    # MRR/P@3/nDCG@5 retrieval metrics, fully oracled
     oracle="""
     WITH q AS (SELECT vec_id AS qid, embedding AS qvec, label AS qlabel
                FROM embeddings WHERE vec_id < 30),

@@ -177,6 +177,8 @@ PIVOT_EVENT_TYPES = ["click", "view", "purchase", "unknown"]
 
 @register(
     "enum_pivot",
+    tier=1,  # r6 rotation: F5/F7 normalization stays judged via the topic
+    # queries; A2 pivot keeps the local oracle + the golden OSM pivot test
     oracle="""
     WITH norm AS (
       SELECT CAST(hour(ts) AS INT) AS event_hour,
@@ -249,6 +251,8 @@ def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "time_dimension",
+    tier=1,  # r6 rotation: F1-F4 timestamp/date-part/day-name machinery
+    # stays judged via star_dim_date and accidents_by_time; oracle green
     oracle="""
     SELECT CAST(year(ts) AS INT) AS y,
            CAST(month(ts) AS INT) AS m,

@@ -311,7 +311,8 @@ COMPACTION_TARGET_ROWS = 2000
     "manufactured honestly — then the planner reads the manifest from "
     "the files themselves (input_file_name row counts) and packs files "
     "into ~2000-row output groups by an EXCLUSIVE parallel prefix sum "
-    "over the path order (sampling.global_cumsum: range partition + "
+    "over the path order (sampling.global_cumsum: range-partition "
+    "fallback for string keys + "
     "local scan + broadcast offsets — never a single-task global "
     "window, so a manifest of millions of files still plans in "
     "parallel). Path order keeps lexicographic hive neighbors in the "
@@ -361,7 +362,8 @@ PYDS_WRITER_PATH = "/tmp/spark_graft_pyds_writer"
 
 @register(
     "pyds_writer_roundtrip",
-    tier=1,  # Python DataSource WRITE surface (r5)
+    tier=0,  # r6 rotation INTO the judged window (r5 flagship): the Python
+    # DataSource two-phase writer, committed files read back by the oracle
     oracle=f"""
     SELECT o_orderstatus,
            COUNT(*) AS n_orders,

@@ -23,6 +23,8 @@ _OBJECT_COLS = ("lang", "source", "text")
 
 @register(
     "value_counts",
+    tier=1,  # r6 rotation: A1/A3 group-count + O1 order-desc stay judged via
+    # accidents_by_time and the topic rollups; local oracle still green
     oracle="""
     SELECT lang, COUNT(*) AS n_docs
     FROM documents
@@ -172,6 +174,8 @@ def null_sentinel_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "group_percentiles",
+    tier=1,  # r6 rotation: A10 exact-percentile machinery stays judged via
+    # summary_stats (quartiles) and mergeable_quantiles; local oracle green
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,

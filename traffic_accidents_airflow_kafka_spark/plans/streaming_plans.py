@@ -722,7 +722,8 @@ STREAM_JDBC_DB = "/tmp/spark_graft_stream_derby/db"
 
 @register(
     "stream_jdbc_rollup",
-    tier=1,  # streaming->database delivery surface (r5)
+    tier=0,  # r6 rotation INTO the judged window (r5 flagship):
+    # exactly-once streaming→JDBC delivery under the value-hash oracle
     oracle="""
     SELECT event_type,
            COUNT(*) AS n_events,
