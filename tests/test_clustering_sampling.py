@@ -246,9 +246,50 @@ class TestGlobalCumsum:
             sampling.global_cumsum(df, "id", "v")
             ._jdf.queryExecution().executedPlan().toString()
         )
-        # The data-path window partitions by __pid; only the tiny offsets
+        # The data-path window partitions by __bkt; only the tiny offsets
         # relation may use an unpartitioned window.
-        assert "windowspecdefinition(__pid" in plan
+        assert "windowspecdefinition(__bkt" in plan
+        # r6 single-shuffle contract for numeric keys: exactly ONE
+        # corpus exchange (the window's hash on __bkt) — no range
+        # exchange, no second full-data shuffle.
+        import re
+
+        assert len(re.findall(r"Exchange rangepartitioning", plan)) == 0
+
+    def test_string_order_falls_back_to_range_partitioning(self, spark):
+        """Non-numeric order keys (compaction's file paths) keep the
+        range-partition bucketing and stay correct."""
+        from pyspark.sql import Window
+
+        df = spark.createDataFrame(
+            [(f"file-{i:04d}", (i % 9) + 1) for i in range(500)],
+            "k string, v long",
+        )
+        two_phase = sampling.global_cumsum(df, "k", "v", out_col="c")
+        w = Window.orderBy("k")
+        naive = df.withColumn("c", F.sum("v").over(w) - F.col("v"))
+        assert sorted(map(tuple, two_phase.collect())) == sorted(
+            map(tuple, naive.collect())
+        )
+
+    def test_skewed_and_negative_numeric_keys(self, spark):
+        """Arithmetic bucketing must stay exact under skewed, negative,
+        and duplicate-free float keys — contiguity relies only on
+        monotonicity of the bucket function."""
+        from pyspark.sql import Window
+
+        vals = (
+            [(-(10 ** 6) + i, 2) for i in range(50)]
+            + [(i * i, 3) for i in range(200, 260)]
+            + [(10 ** 12 + i * 13, 1) for i in range(50)]
+        )
+        df = spark.createDataFrame(vals, "k long, v long")
+        two_phase = sampling.global_cumsum(df, "k", "v", out_col="c")
+        w = Window.orderBy("k")
+        naive = df.withColumn("c", F.sum("v").over(w) - F.col("v"))
+        assert sorted(map(tuple, two_phase.collect())) == sorted(
+            map(tuple, naive.collect())
+        )
 
 
 class TestSplitThresholds:

@@ -136,7 +136,7 @@ def compaction_plan(
     (operators/sampling.py:token_shards): a file lands in group
     ``floor(rows_before / target)``, so groups fill to the target and
     overflow by at most one file — and crucially the assignment is a
-    PARALLEL prefix sum (sampling.global_cumsum: range partition, local
+    PARALLEL prefix sum (sampling.global_cumsum: contiguous buckets, local
     scan, broadcast offsets), never a single-task global window, so the
     planner itself scales to a manifest of millions of files. Ordering by
     file path keeps hive-partition neighbors (e.g. hour=) in the same

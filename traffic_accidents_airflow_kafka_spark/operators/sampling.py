@@ -98,36 +98,70 @@ def global_cumsum(
     """EXCLUSIVE prefix sum over a total order — without the single-task
     global sort a ``Window.orderBy`` with no partition key degenerates to.
 
-    Two-phase: range-partition on the order column (so partition i holds
-    a contiguous key range below partition i+1), cumsum within each
-    partition, then add each partition's broadcast offset (the sum of all
-    earlier partitions). The offset relation is |partitions| rows — the
-    only single-task step operates on that, never on the data. Identical
+    Two-phase (the classic Blelloch scan in DataFrame form): bucket the
+    rows into contiguous order-key ranges, cumsum within each bucket,
+    then add each bucket's broadcast offset (the sum of all earlier
+    buckets). The offset relation is |buckets| rows — the only
+    single-task step operates on that, never on the data. Identical
     output to the naive global window for any unique ``order_col``.
 
-    This is the classic parallel scan (Blelloch) in DataFrame form; the
-    shuffle is the same range exchange a global sort would need, but the
-    sort and the running sum stay per-partition.
+    Bucketing (r6 shuffle-count rework): for NUMERIC order columns the
+    bucket is computed ARITHMETICALLY from a one-pass min/max scalar —
+    ``floor((x - mn) / (mx - mn) * n)`` is monotone, so buckets are
+    contiguous key ranges by construction and the corpus shuffles
+    EXACTLY ONCE (the window's hash exchange on the bucket id). The
+    previous ``repartitionByRange`` + ``spark_partition_id`` form
+    shuffled the corpus twice (range exchange, then the window's hash
+    exchange on ``__pid`` — Catalyst cannot know the physical range
+    partitioning clusters ``__pid``) plus a sampling pass; it remains
+    the fallback for non-numeric order columns (e.g. file-path strings
+    in the compaction planner). Trade-off, documented: arithmetic
+    buckets inherit the key distribution — heavily skewed keys load
+    buckets unevenly (correctness unaffected; the window stays
+    per-bucket), while range partitioning balanced by sampling. The
+    catalog's order keys are dense ids, where the two are equivalent.
     """
+    from pyspark.sql.types import NumericType
+
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n, F.col(order_col))
-    with_pid = ranged.withColumn("__pid", F.spark_partition_id())
-    w = Window.partitionBy("__pid").orderBy(F.col(order_col))
-    local = with_pid.withColumn(
+    if isinstance(df.schema[order_col].dataType, NumericType):
+        # One bounded scalar pass (column-pruned min/max) fixes the
+        # bucket boundaries; double arithmetic is monotone in the key,
+        # which is all contiguity needs.
+        row = df.agg(
+            F.min(order_col).alias("mn"), F.max(order_col).alias("mx")
+        ).first()
+        mn, mx = row["mn"], row["mx"]
+        if mn is None or mn == mx:
+            bucket = F.lit(0)
+        else:
+            pos = (F.col(order_col).cast("double") - F.lit(float(mn))) / (
+                F.lit(float(mx)) - F.lit(float(mn))
+            )
+            bucket = F.least(
+                F.lit(n - 1),
+                F.greatest(F.lit(0), F.floor(pos * n).cast("int")),
+            )
+        keyed = df.withColumn("__bkt", bucket)
+    else:
+        ranged = df.repartitionByRange(n, F.col(order_col))
+        keyed = ranged.withColumn("__bkt", F.spark_partition_id())
+    w = Window.partitionBy("__bkt").orderBy(F.col(order_col))
+    local = keyed.withColumn(
         "__local_cum", F.sum(value_col).over(w) - F.col(value_col)
     )
-    totals = with_pid.groupBy("__pid").agg(F.sum(value_col).alias("__ptotal"))
-    # |partitions| rows: the running offset is a tiny single-task window,
-    # then broadcast back. (Catalyst reuses the range exchange for both
-    # branches via ReuseExchange, so the data shuffles once.)
-    wo = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    # |buckets| rows: map-side partial aggregation means only
+    # (bucket, partial-sum) pairs shuffle here; the running offset is a
+    # tiny single-task window, then broadcast back.
+    totals = keyed.groupBy("__bkt").agg(F.sum(value_col).alias("__ptotal"))
+    wo = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.withColumn(
         "__offset", F.coalesce(F.sum("__ptotal").over(wo), F.lit(0))
-    ).select("__pid", "__offset")
+    ).select("__bkt", "__offset")
     return (
-        local.join(F.broadcast(offsets), "__pid")
+        local.join(F.broadcast(offsets), "__bkt")
         .withColumn(out_col, F.col("__local_cum") + F.col("__offset"))
-        .drop("__pid", "__local_cum")
+        .drop("__bkt", "__local_cum", "__offset")
     )
 
 
@@ -153,7 +187,8 @@ def token_shards(
     by it — per-stratum external sort, no global total order. Without
     one, the naive global window would funnel the whole corpus through a
     single task, so the global path routes through :func:`global_cumsum`
-    (range partition + per-partition scan + broadcast offsets) instead —
+    (contiguous key buckets + per-bucket scan + broadcast offsets;
+    one corpus shuffle for numeric keys) instead —
     same output, fully parallel.
     """
     if partition_col is None:
@@ -385,7 +420,7 @@ def pack_sequences(
     Zero-token docs emit no spans.
 
     Scale: the only global coordination is the EXCLUSIVE prefix sum of
-    token counts, computed by :func:`global_cumsum` (range partition +
+    token counts, computed by :func:`global_cumsum` (contiguous buckets +
     per-partition scan + |partitions|-row broadcast offsets — no
     single-task global window). Span expansion is a per-row
     ``sequence()`` explode: a doc touches ceil(tokens/seq_len)+1
