@@ -216,6 +216,52 @@ def test_decode_image_meta_parses_real_headers():
             multimodal.decode_image_meta(bad)
 
 
+def test_decode_audio_meta_parses_real_wav():
+    """WAV encode→parse round-trip on genuine RIFF bytes: header fields,
+    frame counts, chunk padding, and corrupt-payload rejection."""
+    import struct
+
+    wav = multimodal.encode_wav(16000, 250, b"pcm-bytes", n_channels=2)
+    assert multimodal.decode_audio_meta(wav) == (16000, 2, 16, 250)
+    # File size = 44-byte header + frames * block_align.
+    assert len(wav) == 44 + 250 * 4
+    (riff_size,) = struct.unpack("<I", wav[4:8])
+    assert riff_size == len(wav) - 8
+
+    # Odd-sized chunks pad to even offsets — insert a 3-byte LIST chunk
+    # before data and confirm the walker still finds it.
+    fmt_chunk = wav[12:36]
+    data_chunk = wav[36:]
+    odd = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    body = b"WAVE" + fmt_chunk + odd + data_chunk
+    padded = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert multimodal.decode_audio_meta(padded) == (16000, 2, 16, 250)
+
+    for bad in (b"RIFFxxxx", b"not audio", b"RIFF\x00\x00\x00\x00WAVE"):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            multimodal.decode_audio_meta(bad)
+
+
+def test_synth_audio_assets_roundtrip(docs):
+    out = {
+        r["asset_id"]: r
+        for r in multimodal.extract_audio_meta(
+            multimodal.synth_audio_assets(docs)
+        ).collect()
+    }
+    for did, r in out.items():
+        rate = multimodal.WAV_RATES[did % 4]
+        frames = 100 + (did * 37) % 4000
+        chans = 1 + did % 2
+        assert (r["sample_rate"], r["n_channels"], r["bits"], r["n_frames"]) == (
+            rate, chans, 16, frames,
+        )
+        assert r["n_bytes"] == 44 + frames * chans * 2
+        assert r["duration_ms"] == frames * 1000 // rate
+
+
 def test_full_pixel_decode_remains_stubbed():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image_pixels(multimodal.encode_png(4, 4))

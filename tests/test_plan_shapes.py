@@ -84,9 +84,10 @@ STREAMING = {"stream_window_counts"}
 #: matmul is the scale path for |corpus| × n_centroids arithmetic).
 ARROW_OK = {
     "multimodal_meta",
-    # Real-bytes decode twin: encode + header-parse are both Arrow map
+    # Real-bytes decode twins: encode + header-parse are both Arrow map
     # passes by design (imperative byte surgery).
     "multimodal_real_decode",
+    "multimodal_audio_meta",
     "multimodal_embed_ann",
     "embedding_ivf_ann",
     # PQ encode + ADC search are Arrow map passes by design (the whole

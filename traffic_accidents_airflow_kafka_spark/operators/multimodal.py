@@ -120,6 +120,64 @@ def decode_image_meta(payload: bytes) -> tuple[int, int]:
     raise ValueError("unrecognized image payload (not PNG/BMP/GIF/JPEG)")
 
 
+def decode_audio_meta(payload: bytes) -> tuple[int, int, int, int]:
+    """Parse (sample_rate_hz, n_channels, bits_per_sample, n_frames)
+    from genuine WAV/RIFF bytes — pure Python, no audio dependency.
+
+    Walks RIFF chunks to ``fmt `` (PCM header) and ``data`` (payload
+    size → frame count = data_bytes / block_align). Raises ``ValueError``
+    on non-RIFF or truncated payloads, mirroring
+    :func:`decode_image_meta`'s corrupt-asset contract.
+    """
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("unrecognized audio payload (not RIFF/WAVE)")
+    rate = channels = bits = block_align = None
+    n_data = None
+    i = 12
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        (size,) = struct.unpack("<I", payload[i + 4 : i + 8])
+        if cid == b"fmt " and i + 24 <= len(payload):
+            _, channels, rate, _, block_align, bits = struct.unpack(
+                "<HHIIHH", payload[i + 8 : i + 24]
+            )
+        elif cid == b"data":
+            n_data = size
+        i += 8 + size + (size & 1)  # chunks pad to even offsets
+    if rate is None or n_data is None or not block_align:
+        raise ValueError("truncated WAV: missing fmt/data chunk")
+    return int(rate), int(channels), int(bits), int(n_data // block_align)
+
+
+def encode_wav(
+    sample_rate: int, n_frames: int, pcm: bytes = b"", n_channels: int = 1
+) -> bytes:
+    """A genuine, spec-valid 16-bit PCM WAV: RIFF header, ``fmt `` chunk,
+    ``data`` chunk of ``n_frames`` frames (``pcm`` bytes tile across the
+    payload). Stdlib ``struct`` only."""
+    import struct
+
+    block_align = n_channels * 2  # 16-bit samples
+    data = _tile(pcm, n_frames * block_align)
+    fmt = struct.pack(
+        "<HHIIHH",
+        1,  # PCM
+        n_channels,
+        sample_rate,
+        sample_rate * block_align,
+        block_align,
+        16,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def decode_image_pixels(payload: bytes):
     """FULL pixel decode — the one remaining imaging-library hook. Swap
     in ``PIL.Image.open(io.BytesIO(payload))`` (or cv2.imdecode) when
@@ -278,6 +336,96 @@ def synth_image_assets(documents: DataFrame) -> DataFrame:
     return documents.select("doc_id", "text").mapInPandas(
         batches, ASSET_SCHEMA
     )
+
+
+#: Sample-rate vocabulary for the synthetic audio assets (doc_id % 4
+#: picks one) — shared verbatim with the catalog oracle SQL.
+WAV_RATES = (8000, 16000, 22050, 44100)
+
+#: Output schema of the audio metadata-extraction stage.
+AUDIO_META_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("mime", StringType(), True),
+        StructField("n_bytes", IntegerType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_channels", IntegerType(), True),
+        StructField("bits", IntegerType(), True),
+        StructField("n_frames", IntegerType(), True),
+        StructField("duration_ms", IntegerType(), True),
+    ]
+)
+
+
+def synth_audio_assets(documents: DataFrame) -> DataFrame:
+    """Genuine WAV files synthesized deterministically from the documents
+    table: doc_id fixes sample rate (``WAV_RATES[doc_id % 4]``), frame
+    count (100 + (doc_id * 37) % 4000) and channel count (1 + doc_id %
+    2); the text supplies the PCM bytes. Same contract as
+    :func:`synth_image_assets` — real spec-valid files whose parseable
+    properties are pure doc_id arithmetic, so the encode→parse
+    round-trip value-hashes against SQL."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, mimes, payloads = [], [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                rate = WAV_RATES[did % 4]
+                frames = 100 + (did * 37) % 4000
+                chans = 1 + did % 2
+                payloads.append(
+                    encode_wav(rate, frames, (text or "").encode(), chans)
+                )
+                mimes.append("audio/wav")
+                ids.append(did)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(ids, dtype="int64"),
+                    "mime": mimes,
+                    "payload": payloads,
+                }
+            )
+
+    return documents.select("doc_id", "text").mapInPandas(
+        batches, ASSET_SCHEMA
+    )
+
+
+def extract_audio_meta(assets: DataFrame, decode=decode_audio_meta) -> DataFrame:
+    """Arrow-batched audio metadata extraction: WAV header fields plus
+    exact integer duration (``n_frames * 1000 // sample_rate`` — integer
+    floor on both engines, no float rounding to diverge on)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in AUDIO_META_SCHEMA.fieldNames()}
+            for aid, mime, p in zip(
+                pdf["asset_id"], pdf["mime"], pdf["payload"]
+            ):
+                rate, chans, bits, frames = decode(p)
+                out["asset_id"].append(aid)
+                out["mime"].append(mime)
+                out["n_bytes"].append(len(p))
+                out["sample_rate"].append(rate)
+                out["n_channels"].append(chans)
+                out["bits"].append(bits)
+                out["n_frames"].append(frames)
+                out["duration_ms"].append(frames * 1000 // rate)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(out["asset_id"], dtype="int64"),
+                    "mime": out["mime"],
+                    "n_bytes": pd.Series(out["n_bytes"], dtype="int32"),
+                    "sample_rate": pd.Series(out["sample_rate"], dtype="int32"),
+                    "n_channels": pd.Series(out["n_channels"], dtype="int32"),
+                    "bits": pd.Series(out["bits"], dtype="int32"),
+                    "n_frames": pd.Series(out["n_frames"], dtype="int32"),
+                    "duration_ms": pd.Series(out["duration_ms"], dtype="int32"),
+                }
+            )
+
+    return assets.mapInPandas(batches, AUDIO_META_SCHEMA)
 
 
 def fake_embed(payload: bytes, dim: int = 64) -> list[float]:

@@ -2868,14 +2868,16 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bootstrap_oracle(n_replicates: int = 40, seed: str = "boot-v1") -> str:
     """SQL replay of the Poisson bootstrap: the SAME cumulative-probability
     ladder literals (operators/bootstrap.py:POISSON1_CUM) and the same
-    52-bit md5 uniform, per (row, replicate)."""
+    two-uniforms-per-digest scheme — replicate r reads 52 bits starting
+    at hex digit 1 + 13*(r%2) of md5(seed-(r//2)|id)."""
     from ..operators.bootstrap import poisson1_weight_sql
 
     u = (
         "CAST(list_reduce(list_transform(generate_series(1, 13), "
         "j -> CAST(instr('0123456789abcdef', "
-        f"substr(md5('{seed}-' || CAST(r.r AS VARCHAR) || '|' "
-        "|| CAST(event_id AS VARCHAR)), j, 1)) - 1 AS BIGINT)), "
+        f"substr(md5('{seed}-' || CAST(r.r // 2 AS VARCHAR) || '|' "
+        "|| CAST(event_id AS VARCHAR)), "
+        "CAST(13 * (r.r % 2) AS INT) + j, 1)) - 1 AS BIGINT)), "
         "(a, b) -> a * 16 + b) AS DOUBLE) / 4503599627370496.0"
     )
     return f"""

@@ -992,6 +992,51 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_audio_meta",
+    tier=1,  # audio twin of multimodal_real_decode (r6)
+    oracle="""
+    SELECT doc_id AS asset_id,
+           'audio/wav' AS mime,
+           CAST(44 + (100 + (doc_id * 37) % 4000)
+                     * (1 + doc_id % 2) * 2 AS INT) AS n_bytes,
+           CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                                WHEN 2 THEN 22050 ELSE 44100 END AS INT)
+             AS sample_rate,
+           CAST(1 + doc_id % 2 AS INT) AS n_channels,
+           CAST(16 AS INT) AS bits,
+           CAST(100 + (doc_id * 37) % 4000 AS INT) AS n_frames,
+           CAST((100 + (doc_id * 37) % 4000) * 1000
+                // (CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                                    WHEN 2 THEN 22050 ELSE 44100 END)
+                AS INT) AS duration_ms
+    FROM documents
+    ORDER BY asset_id
+    LIMIT 100
+    """,
+    doc="Audio twin of multimodal_real_decode: genuine spec-valid 16-bit "
+    "PCM WAV files synthesized from the documents table (operators/"
+    "multimodal.py:encode_wav — RIFF + fmt + data chunks; sample rate, "
+    "frame count, and channels are pure doc_id arithmetic, PCM bytes "
+    "come from the text), then decode_audio_meta — a pure-Python RIFF "
+    "chunk walker — reads rate/channels/bits/frames back out of the "
+    "bytes, plus exact integer duration (frames * 1000 // rate) and "
+    "total file size (44-byte header + frames * block_align, so the "
+    "data-chunk size math is under value-hash too). Scale: two Arrow "
+    "mapInPandas stages over pruned columns, one Python worker per "
+    "partition, no shuffle — the ingestion shape for audio corpora "
+    "(decode → resample → feature-extract slots into the same stage).",
+)
+def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    assets = multimodal.synth_audio_assets(docs)
+    return (
+        multimodal.extract_audio_meta(assets)
+        .orderBy("asset_id")
+        .limit(100)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dedup clustering + dataset splitting/sampling (training-data curation).
 # ---------------------------------------------------------------------------
