@@ -27,15 +27,20 @@ from traffic_accidents_airflow_kafka_spark.operators.similarity import (  # noqa
     clear_ivf_centroid_cache,
 )
 from traffic_accidents_airflow_kafka_spark.plans import QUERY_REGISTRY  # noqa: E402
+from traffic_accidents_airflow_kafka_spark.plans.llm import (  # noqa: E402
+    clear_sq8_artifact_cache,
+)
 from traffic_accidents_airflow_kafka_spark.session import get_spark  # noqa: E402
 
 
 def _clear_memo_caches() -> None:
     """Scaling curves measure the REAL per-SF cost — trained-index memo
-    caches (BPE merges, IVF centroids) would otherwise hide the train
-    step behind the first warmup."""
+    caches (BPE merges, IVF centroids, SQ8 decoded pools + exact
+    baselines) would otherwise hide the train/build step behind the
+    first warmup."""
     clear_bpe_merge_cache()
     clear_ivf_centroid_cache()
+    clear_sq8_artifact_cache()
 
 SF_DIRS = [
     ("0.001", "/root/testdata/sf0.001"),
@@ -91,6 +96,14 @@ REPRESENTATIVES = [
     # bounded-query join).
     "bootstrap_value_ci",
     "embedding_sq8_ann",
+    # round-6 additions: unigram-LM tokenizer (corpus-once word count,
+    # then word-vocab-sized lattice DP — the curve should flatten like
+    # bpe_train_merges once the vocab saturates), hard-EM training (3x
+    # that shape), and real-bytes multimodal decode (pure Arrow map
+    # passes — should track the document count linearly).
+    "unigram_viterbi_segment",
+    "unigram_hard_em",
+    "multimodal_real_decode",
 ]
 
 

@@ -71,6 +71,10 @@ CROSS_JOIN_OK = {
     # retrieval_metrics: cosine_topk's bounded broadcast-query crossJoin
     # feeding the metric pass.
     "retrieval_metrics",
+    # unigram tokenizer: the vocabulary total is a ONE-ROW broadcast
+    # scalar crossJoined onto the (vocab-sized) piece table for costing.
+    "unigram_seed_vocab",
+    "unigram_viterbi_segment",
 }
 
 #: Streaming entries build a streaming plan — skipped here (their shape is

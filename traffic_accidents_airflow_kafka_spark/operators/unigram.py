@@ -1,0 +1,327 @@
+"""Unigram-LM tokenizer (the SentencePiece family, Kudo 2018) —
+seed-vocabulary extraction, exact Viterbi segmentation, hard-EM training.
+
+Together with ``operators/bpe.py`` this gives the engine BOTH industrial
+tokenizer-training algorithms: BPE grows a vocabulary bottom-up by
+merging; unigram starts from an over-complete substring vocabulary and
+segments words as the min-cost path through a piece lattice, iteratively
+re-estimating piece statistics and pruning (EM). The reference pipeline
+has no tokenizer at all — this is part of the LLM-training-data surface
+the north-star brief mandates.
+
+The scale shape mirrors BPE's: ONE corpus-sized word-count shuffle
+collapses the corpus to a (word, frequency) table, and everything after
+— substring counting, vocabulary selection, lattice segmentation, EM
+rounds — runs over the WORD VOCABULARY (bounded by language at ~10^6
+distinct pretokens even at 100 TB), never the corpus. The piece table
+broadcasts into the lattice join; no step shuffles anything larger than
+(piece, count) pairs.
+
+Cross-engine exactness (what lets the Viterbi core carry a FULL DuckDB
+oracle, unlike k-means-seeded tiers): piece costs are INTEGER
+bit-surprisals — ``cost(piece) = length(bin(total // count))``, i.e.
+1 + floor(log2(total/count)) computed entirely in integer arithmetic
+(no libm log whose last ulp could differ across engines) — and the DP
+minimizes the single integer ``combined = cost * 1024 + n_pieces``,
+which IS the lexicographic (total_cost, piece_count) objective because
+costs add linearly and words are far shorter than 1024 pieces. Every
+min, sum, and tie-break is over integers, so Spark and SQL agree
+bit-for-bit.
+
+Hard-EM (Viterbi re-estimation) replaces SentencePiece's soft
+forward-backward E-step: expected counts become exact integer counts
+along each word's best segmentation, keeping every training round
+deterministic and engine-stable. The EM loop itself is registered
+rows-only (T chained DPs in SQL would be enormous), with its semantics
+pinned by planted-corpus unit tests — the same verification split the
+IVF/PQ tiers use.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+#: Lexicographic-objective encoding: combined = cost * PIECE_BASE +
+#: n_pieces. Valid while segmented words stay under PIECE_BASE pieces —
+#: enforced by MAX_WORD_LEN on the oracled path and safe far beyond it
+#: (a 10^4-char outlier word still fits int64 with room to spare).
+PIECE_BASE = 1024
+
+#: Longest word the layered-CTE SQL oracle unrolls the DP for. The Spark
+#: HOF path handles any length; the catalog entries filter to this bound
+#: on BOTH engines so the comparison set is identical.
+MAX_WORD_LEN = 20
+
+
+def substring_counts(
+    word_freq: DataFrame, max_piece_len: int = 8
+) -> DataFrame:
+    """(piece, cnt): every substring of length 1..max_piece_len of every
+    word, weighted by word frequency — the over-complete candidate pool
+    unigram training prunes from.
+
+    Native nested-transform + flatten + explode (no UDF); the aggregate
+    is vocabulary-sized with map-side partial combine.
+    """
+    w = F.col("word")
+    spans = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.length(w)),
+            lambda i: F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.least(F.lit(max_piece_len), F.length(w) - i + 1),
+                ),
+                lambda j: F.substr(w, i, j),
+            ),
+        )
+    )
+    return (
+        word_freq.select(F.explode(spans).alias("piece"), "f")
+        .groupBy("piece")
+        .agg(F.sum("f").alias("cnt"))
+    )
+
+
+def seed_vocab(
+    word_freq: DataFrame, max_piece_len: int = 8, vocab_size: int = 200
+) -> DataFrame:
+    """(piece, cnt): the top ``vocab_size`` substrings by (count desc,
+    piece asc) UNION every single character — characters guarantee every
+    word segments (the lattice always has the char-by-char path), exactly
+    SentencePiece's required-character rule."""
+    pieces = substring_counts(word_freq, max_piece_len)
+    w = Window.orderBy(F.desc("cnt"), F.asc("piece"))
+    topk = (
+        pieces.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= vocab_size)
+        .drop("__r")
+    )
+    chars = pieces.filter(F.length("piece") == 1)
+    return topk.unionByName(chars).dropDuplicates(["piece"])
+
+
+def with_costs(vocab: DataFrame) -> DataFrame:
+    """(piece, cnt, cost, ccost): integer bit-surprisal costs.
+
+    cost = length(bin(total // cnt)) = 1 + floor(log2(total / cnt)) —
+    pure integer arithmetic, identical in Spark and DuckDB; ccost is the
+    combined-objective encoding (cost * PIECE_BASE + 1, the +1 counting
+    the piece itself).
+    """
+    tot = vocab.agg(F.sum("cnt").alias("__t"))
+    return vocab.crossJoin(F.broadcast(tot)).select(
+        "piece",
+        "cnt",
+        F.length(F.bin(F.expr("__t DIV cnt"))).cast("long").alias("cost"),
+        (
+            F.length(F.bin(F.expr("__t DIV cnt"))).cast("long")
+            * PIECE_BASE
+            + 1
+        ).alias("ccost"),
+    )
+
+
+def _lattice_edges(word: Column, max_piece_len: int) -> Column:
+    """All (s, e, piece) lattice edges of ``word``: the piece covering
+    1-based character positions s..e, e - s + 1 <= max_piece_len."""
+    return F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.length(word)),
+            lambda s: F.transform(
+                F.sequence(
+                    F.lit(s),
+                    F.least(F.length(word), s + max_piece_len - 1),
+                ),
+                lambda e: F.struct(
+                    s.cast("int").alias("s"),
+                    e.cast("int").alias("e"),
+                    F.substr(word, s, e - s + 1).alias("piece"),
+                ),
+            ),
+        )
+    )
+
+
+def viterbi_combined(
+    word_freq: DataFrame, vocab_costs: DataFrame, max_piece_len: int = 8
+) -> DataFrame:
+    """(word, f, cost, n_pieces): the min-cost segmentation objective per
+    word — cost first, then fewest pieces (the combined-integer DP).
+
+    Shape: lattice edges explode word-vocabulary-side (never the corpus),
+    join the broadcast piece table, regroup per word, then a linear
+    in-row DP (``F.aggregate`` over positions; O(len × max_piece_len)
+    integer ops per word — interpreted HOF, but over the WORD VOCAB, not
+    the corpus, so CPU is bounded by language). Unreachable positions
+    cannot occur: single characters are always in the vocabulary.
+    """
+    edges = (
+        word_freq.select(
+            "word",
+            "f",
+            F.explode(_lattice_edges(F.col("word"), max_piece_len)).alias(
+                "edge"
+            ),
+        )
+        .select("word", "f", "edge.s", "edge.e", "edge.piece")
+        .join(F.broadcast(vocab_costs.select("piece", "ccost")), "piece")
+        .groupBy("word", "f")
+        .agg(
+            F.collect_list(F.struct("s", "e", "ccost")).alias("__edges")
+        )
+    )
+    init = F.array(F.lit(0).cast("long"))
+
+    def step(acc: Column, k: Column) -> Column:
+        best = F.array_min(
+            F.transform(
+                F.filter(F.col("__edges"), lambda ed: ed["e"] == k),
+                lambda ed: F.element_at(acc, ed["s"]) + ed["ccost"],
+            )
+        )
+        return F.concat(acc, F.array(best))
+
+    combined = F.element_at(
+        F.aggregate(F.sequence(F.lit(1), F.length("word")), init, step), -1
+    )
+    return edges.select(
+        "word",
+        "f",
+        (combined.cast("long") / PIECE_BASE).cast("long").alias("cost"),
+        (combined % PIECE_BASE).cast("int").alias("n_pieces"),
+    )
+
+
+def viterbi_segments(
+    word_freq: DataFrame, vocab_costs: DataFrame, max_piece_len: int = 8
+) -> DataFrame:
+    """(word, f, cost, pieces array<string>): the ARGMIN segmentation —
+    the path-carrying DP hard-EM consumes. State per position is
+    (combined, pieces); ties break to the lexicographically smaller
+    piece sequence (struct ordering), so training is reproducible."""
+    edges = (
+        word_freq.select(
+            "word",
+            "f",
+            F.explode(_lattice_edges(F.col("word"), max_piece_len)).alias(
+                "edge"
+            ),
+        )
+        .select("word", "f", "edge.s", "edge.e", "edge.piece")
+        .join(F.broadcast(vocab_costs.select("piece", "ccost")), "piece")
+        .groupBy("word", "f")
+        .agg(
+            F.collect_list(F.struct("s", "e", "ccost", "piece")).alias(
+                "__edges"
+            )
+        )
+    )
+    init = F.array(
+        F.struct(
+            F.lit(0).cast("long").alias("c"),
+            F.array().cast("array<string>").alias("seg"),
+        )
+    )
+
+    def step(acc: Column, k: Column) -> Column:
+        best = F.array_min(
+            F.transform(
+                F.filter(F.col("__edges"), lambda ed: ed["e"] == k),
+                lambda ed: F.struct(
+                    (F.element_at(acc, ed["s"])["c"] + ed["ccost"]).alias(
+                        "c"
+                    ),
+                    F.concat(
+                        F.element_at(acc, ed["s"])["seg"],
+                        F.array(ed["piece"]),
+                    ).alias("seg"),
+                ),
+            )
+        )
+        return F.concat(acc, F.array(best))
+
+    final = F.element_at(
+        F.aggregate(F.sequence(F.lit(1), F.length("word")), init, step), -1
+    )
+    return edges.select(
+        "word",
+        "f",
+        (final["c"].cast("long") / PIECE_BASE).cast("long").alias("cost"),
+        final["seg"].alias("pieces"),
+    )
+
+
+def hard_em_train(
+    word_freq: DataFrame,
+    vocab_size: int = 200,
+    max_piece_len: int = 8,
+    n_iters: int = 3,
+) -> tuple[DataFrame, list[dict]]:
+    """Hard-EM unigram training: seed vocab → (segment corpus → recount
+    pieces along best paths → reselect top-``vocab_size`` ∪ chars →
+    recost) × ``n_iters``. Returns (final vocab_costs DataFrame,
+    per-iteration stats).
+
+    Determinism: integer costs, integer counts, lexicographic
+    tie-breaks — every round replays identically. Rounds materialize via
+    ``localCheckpoint`` (the bpe/pagerank idiom: truncate lineage so
+    round N never replays rounds 1..N-1). Characters never drop out of
+    the vocabulary; a character unused by any best path keeps count 1
+    (the SentencePiece required-char floor).
+
+    Scale: each round is one word-vocab-sized lattice join + DP + one
+    (piece, count) aggregate; nothing corpus-sized moves after the
+    word-count pass. Stats collect one scalar row per round.
+    """
+    wf = word_freq.localCheckpoint(eager=True)
+    chars = (
+        substring_counts(wf, 1)
+        .select("piece")
+        .localCheckpoint(eager=True)
+    )
+    vocab = seed_vocab(wf, max_piece_len, vocab_size)
+    costs = with_costs(vocab).localCheckpoint(eager=True)
+    stats: list[dict] = []
+    for it in range(n_iters):
+        seg = viterbi_segments(wf, costs, max_piece_len)
+        row = seg.agg(
+            F.sum(F.col("f") * F.col("cost")).alias("corpus_cost"),
+            F.sum(F.col("f") * F.size("pieces")).alias("corpus_pieces"),
+            F.sum("f").alias("corpus_words"),
+        ).first()
+        n_vocab = costs.count()
+        stats.append(
+            {
+                "iteration": it,
+                "vocab_size": int(n_vocab),
+                "corpus_cost_bits": int(row["corpus_cost"]),
+                "corpus_pieces": int(row["corpus_pieces"]),
+                "corpus_words": int(row["corpus_words"]),
+            }
+        )
+        if it == n_iters - 1:
+            break
+        used = (
+            seg.select("f", F.explode("pieces").alias("piece"))
+            .groupBy("piece")
+            .agg(F.sum("f").alias("cnt"))
+        )
+        w = Window.orderBy(F.desc("cnt"), F.asc("piece"))
+        topk = (
+            used.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= vocab_size)
+            .drop("__r")
+        )
+        refreshed = (
+            topk.unionByName(
+                chars.join(used, "piece", "left").select(
+                    "piece", F.coalesce("cnt", F.lit(1)).alias("cnt")
+                )
+            )
+            .groupBy("piece")
+            .agg(F.max("cnt").alias("cnt"))
+        )
+        costs = with_costs(refreshed).localCheckpoint(eager=True)
+    return costs, stats

@@ -328,3 +328,220 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer (SentencePiece family) — the second industrial
+# tokenizer-training algorithm, operators/unigram.py.
+# ---------------------------------------------------------------------------
+
+#: Unigram catalog parameters (shared by Spark code and oracle SQL).
+UNI_MAX_PIECE = 8
+UNI_VOCAB = 200
+UNI_SEG_WORDS = 50
+
+
+def _unigram_vocab_cte(max_piece_len: int, vocab_size: int) -> str:
+    """Shared oracle prefix: word freq → substring counts → top-K ∪
+    chars vocabulary → integer bit-surprisal costs (length(bin(total //
+    cnt)), pure integer arithmetic — see operators/unigram.py)."""
+    from ..operators.unigram import PIECE_BASE
+
+    return f"""
+    WITH words0 AS (
+      SELECT unnest(regexp_extract_all(text, '{BPE_ISH_PATTERN}', 0)) AS w
+      FROM documents
+    ),
+    freq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM words0 GROUP BY w),
+    pieces AS MATERIALIZED (
+      SELECT substr(q.w, s.i, l.j) AS piece, SUM(q.f) AS cnt
+      FROM freq q,
+           UNNEST(generate_series(1, length(q.w))) AS s(i),
+           UNNEST(generate_series(1, {max_piece_len})) AS l(j)
+      WHERE s.i + l.j - 1 <= length(q.w)
+      GROUP BY 1
+    ),
+    topk AS (SELECT piece, cnt FROM pieces
+             ORDER BY cnt DESC, piece LIMIT {vocab_size}),
+    vocab AS MATERIALIZED (
+      SELECT piece, MAX(cnt) AS cnt FROM (
+        SELECT * FROM topk
+        UNION ALL
+        SELECT piece, cnt FROM pieces WHERE length(piece) = 1
+      ) GROUP BY piece
+    ),
+    tot AS (SELECT SUM(cnt) AS t FROM vocab),
+    vocabc AS MATERIALIZED (
+      SELECT v.piece, v.cnt,
+             CAST(length(bin(tot.t // v.cnt)) AS BIGINT) AS cost,
+             CAST(length(bin(tot.t // v.cnt)) * {PIECE_BASE} + 1 AS BIGINT)
+               AS ccost
+      FROM vocab v, tot
+    )"""
+
+
+def _unigram_viterbi_layers(
+    max_len: int, max_piece_len: int, limit_words: int
+) -> str:
+    """The layered-CTE Viterbi DP: pos{k} holds, per word, the minimal
+    combined objective over prefixes of length k. Each layer takes the
+    MIN over the <= max_piece_len predecessor layers reachable by one
+    vocabulary piece — the same relaxation order as a topological DP,
+    unrolled to max_len layers (the MAX_WORD_LEN bound both engines
+    filter to). MATERIALIZED per layer, or the self-referencing chain
+    re-evaluates exponentially (the bpe-chain lesson)."""
+    parts = [
+        f""",
+    segwords AS MATERIALIZED (
+      SELECT w, f FROM freq WHERE length(w) <= {max_len}
+      ORDER BY f DESC, w LIMIT {limit_words}
+    ),
+    pos0 AS (SELECT w, CAST(0 AS BIGINT) AS c FROM segwords)"""
+    ]
+    for k in range(1, max_len + 1):
+        branches = "\n        UNION ALL".join(
+            f"""
+        SELECT p.w AS w, p.c + vc.ccost AS c
+        FROM pos{k - j} p JOIN vocabc vc
+          ON vc.piece = substr(p.w, {k - j + 1}, {j})
+        WHERE length(p.w) >= {k}"""
+            for j in range(1, min(max_piece_len, k) + 1)
+        )
+        parts.append(
+            f""",
+    pos{k} AS MATERIALIZED (
+      SELECT q.w, MIN(q.c) AS c FROM ({branches}
+      ) q GROUP BY q.w
+    )"""
+        )
+    return "".join(parts)
+
+
+def _unigram_result_union(max_len: int) -> str:
+    return "\n      UNION ALL ".join(
+        f"SELECT s.w, s.f, p.c FROM segwords s "
+        f"JOIN pos{k} p ON s.w = p.w AND length(s.w) = {k}"
+        for k in range(1, max_len + 1)
+    )
+
+
+@register(
+    "unigram_seed_vocab",
+    tier=1,  # unigram tokenizer surface (r6); viterbi entry is the deeper pin
+    oracle=_unigram_vocab_cte(UNI_MAX_PIECE, UNI_VOCAB)
+    + """
+    SELECT piece, CAST(cnt AS BIGINT) AS cnt, cost FROM vocabc
+    ORDER BY cnt DESC, piece LIMIT 30
+    """,
+    doc="Unigram-LM tokenizer, stage 1 (Kudo 2018 / SentencePiece, the "
+    "other industrial tokenizer family next to BPE): the over-complete "
+    "seed vocabulary — every substring of length <= 8 of every pretoken, "
+    "frequency-weighted, top-200 by count UNION all single characters "
+    "(the required-char rule that guarantees every word segments) — with "
+    "INTEGER bit-surprisal costs, cost = length(bin(total // cnt)) = "
+    "1 + floor(log2(total/cnt)), computed entirely in integer arithmetic "
+    "so both engines agree bit-for-bit with no libm log in sight "
+    "(operators/unigram.py:seed_vocab/with_costs). Scale: one corpus-"
+    "sized word-count shuffle, then everything is word-vocabulary-sized; "
+    "substring explosion is a native nested transform, no UDF.",
+)
+def unigram_seed_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import unigram
+
+    docs = load_table(spark, sf_dir, "documents")
+    wf = bpe.word_freq(docs)
+    vc = unigram.with_costs(unigram.seed_vocab(wf, UNI_MAX_PIECE, UNI_VOCAB))
+    return (
+        vc.select("piece", "cnt", "cost")
+        .orderBy(F.desc("cnt"), "piece")
+        .limit(30)
+    )
+
+
+@register(
+    "unigram_viterbi_segment",
+    tier=1,  # unigram tokenizer surface (r6)
+    oracle=_unigram_vocab_cte(UNI_MAX_PIECE, UNI_VOCAB)
+    + _unigram_viterbi_layers(20, UNI_MAX_PIECE, UNI_SEG_WORDS)
+    + f"""
+    SELECT r.w AS word, r.f AS f,
+           CAST(r.c // 1024 AS BIGINT) AS cost,
+           CAST(r.c % 1024 AS INT) AS n_pieces
+    FROM ({_unigram_result_union(20)}) r
+    ORDER BY f DESC, word
+    """,
+    doc="Unigram-LM tokenizer, stage 2: exact Viterbi segmentation of "
+    "the 50 most frequent pretokens (length <= 20) over the seed "
+    "vocabulary — each word is the min-cost path through its piece "
+    "lattice, minimizing (total bit-surprisal, then piece count) as ONE "
+    "integer objective (combined = cost*1024 + n_pieces; costs add "
+    "linearly so integer MIN is the lexicographic argmin). FULLY "
+    "oracled — the SQL replays the DP as 20 materialized relaxation "
+    "layers, each taking MIN over the <= 8 predecessor layers reachable "
+    "by one vocabulary piece, and every comparison is integer, so the "
+    "first lattice tokenizer under value-hash (soft/EM state stays "
+    "rows-only, like the k-means ANN tiers). Spark side "
+    "(operators/unigram.py:viterbi_combined): lattice edges explode "
+    "word-VOCABULARY-side, join the broadcast piece table, then a "
+    "linear in-row integer DP — the corpus itself never re-shuffles.",
+)
+def unigram_viterbi_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import unigram
+
+    docs = load_table(spark, sf_dir, "documents")
+    wf = bpe.word_freq(docs)
+    vc = unigram.with_costs(unigram.seed_vocab(wf, UNI_MAX_PIECE, UNI_VOCAB))
+    segwords = (
+        wf.filter(F.length("word") <= unigram.MAX_WORD_LEN)
+        .orderBy(F.desc("f"), "word")
+        .limit(UNI_SEG_WORDS)
+    )
+    return (
+        unigram.viterbi_combined(segwords, vc, UNI_MAX_PIECE)
+        .select("word", "f", "cost", "n_pieces")
+        .orderBy(F.desc("f"), "word")
+    )
+
+
+@register(
+    "unigram_hard_em",
+    tier=1,  # unigram tokenizer surface (r6); rows-only (iterative EM state)
+    oracle=None,
+    min_rows=3,
+    doc="Unigram-LM tokenizer, stage 3: hard-EM training (Viterbi "
+    "re-estimation) — segment the word vocabulary with current costs, "
+    "recount pieces along the best paths, reselect top-200 ∪ required "
+    "chars, recost, repeat — reporting per-iteration vocabulary size, "
+    "total corpus cost in bits, and pieces emitted "
+    "(operators/unigram.py:hard_em_train). Deterministic end to end "
+    "(integer costs/counts, lexicographic tie-breaks incl. the piece-"
+    "sequence tie-break in the path DP) but T chained DPs are "
+    "impractical to unroll in SQL, so this entry is rows-only — its "
+    "semantics are pinned by planted-corpus unit tests "
+    "(tests/test_unigram.py) and by unigram_viterbi_segment value-"
+    "hashing the DP core, the same split the IVF/PQ k-means tiers use. "
+    "Scale: each round is one word-vocab lattice join + in-row DP + one "
+    "(piece, count) aggregate; lineage truncated per round "
+    "(localCheckpoint); one scalar stats row collected per iteration.",
+)
+def unigram_hard_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import unigram
+
+    docs = load_table(spark, sf_dir, "documents")
+    wf = bpe.word_freq(docs).filter(
+        F.length("word") <= unigram.MAX_WORD_LEN
+    )
+    _, stats = unigram.hard_em_train(
+        wf, vocab_size=UNI_VOCAB, max_piece_len=UNI_MAX_PIECE, n_iters=3
+    )
+    return spark.createDataFrame(
+        stats,
+        "iteration int, vocab_size int, corpus_cost_bits long, "
+        "corpus_pieces long, corpus_words long",
+    ).orderBy("iteration").select(
+        "iteration",
+        "vocab_size",
+        "corpus_cost_bits",
+        "corpus_pieces",
+        "corpus_words",
+    )
