@@ -1738,6 +1738,82 @@ def token_shards_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "epoch_shuffle_shards",
+    tier=1,  # training-loader surface (r6): deterministic per-epoch reshuffle
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    keyed AS (
+      SELECT t.doc_id, t.n_tokens, r.e AS epoch,
+             md5('epoch-' || CAST(r.e AS VARCHAR) || '|'
+                 || CAST(t.doc_id AS VARCHAR)) AS k
+      FROM toks t, UNNEST(generate_series(0, 1)) AS r(e)
+    ),
+    sharded AS (
+      SELECT epoch, doc_id, n_tokens,
+             CAST((SUM(n_tokens) OVER (PARTITION BY epoch ORDER BY k
+                     ROWS UNBOUNDED PRECEDING) - n_tokens) // 2048
+                  AS BIGINT) AS shard_id
+      FROM keyed
+    )
+    SELECT CAST(epoch AS INT) AS epoch, shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM sharded
+    GROUP BY epoch, shard_id
+    ORDER BY epoch, shard_id
+    """,
+    doc="Per-epoch deterministic corpus reshuffle — the data-loader step "
+    "every multi-epoch training run needs: epoch e permutes documents "
+    "by md5('epoch-e|' || doc_id) (a different, reproducible total "
+    "order per epoch; membership never depends on partitioning or "
+    "engine) and packs the permuted stream into ~2048-token shards via "
+    "the parallel prefix sum (operators/sampling.py:token_shards over "
+    "the md5 key — the range-partition bucketing path, since hex keys "
+    "are strings; md5 uniformity makes the range exchange naturally "
+    "balanced). Two epochs are manifested side by side, so the "
+    "value-hash pins that the SAME corpus reshards differently per "
+    "epoch while per-epoch token accounting stays exact. Scale: one "
+    "narrow (id, key, count) relation per epoch shuffles — never text; "
+    "epochs are independent jobs in a real loader, unioned here only "
+    "to put both under one oracle.",
+)
+def epoch_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", text_ops.token_count("text").alias("n_tokens")
+    )
+    per_epoch = []
+    for e in (0, 1):
+        keyed = toks.withColumn(
+            "__k", sampling.split_key("doc_id", f"epoch-{e}")
+        )
+        sharded = sampling.token_shards(keyed, "__k", "n_tokens", budget=2048)
+        per_epoch.append(
+            sharded.withColumn("epoch", F.lit(e).cast("int"))
+            .groupBy("epoch", "shard_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_tokens").cast("bigint").alias("shard_tokens"),
+                F.min("doc_id").alias("min_doc"),
+                F.max("doc_id").alias("max_doc"),
+            )
+        )
+    return (
+        per_epoch[0]
+        .unionByName(per_epoch[1])
+        .select(
+            "epoch", "shard_id", "n_docs", "shard_tokens", "min_doc", "max_doc"
+        )
+        .orderBy("epoch", "shard_id")
+    )
+
+
 def _decontam_oracle(n: int = 8, flag_threshold: float = 0.2) -> str:
     """Split assignment, n-gram generation, digest join, and the
     hit-fraction flag all replayed in DuckDB. Per-doc gram counts come

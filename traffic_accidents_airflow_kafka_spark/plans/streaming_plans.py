@@ -787,3 +787,59 @@ def stream_jdbc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+#: Fixed materialization path for the streaming-decode entry (static
+#: oracle SQL must agree on provenance a priori; overwritten per run).
+STREAM_ASSET_PATH = "/tmp/spark_graft_stream_assets"
+
+
+@register(
+    "stream_multimodal_decode",
+    tier=1,  # streaming x multimodal intersection (r6)
+    oracle="""
+    SELECT CASE WHEN doc_id % 2 = 0 THEN 'image/png'
+                ELSE 'image/bmp' END AS mime,
+           COUNT(*) AS n_assets,
+           CAST(SUM(16 + doc_id % 48) AS BIGINT) AS total_width,
+           CAST(MAX(16 + (doc_id * 7) % 32) AS INT) AS max_height
+    FROM documents
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="Streaming ingestion of BINARY assets — the missing intersection "
+    "of the streaming and multimodal families: genuine PNG/BMP files "
+    "(operators/multimodal.py:synth_image_assets) land in a parquet "
+    "drop directory, a file stream reads them with an explicit binary "
+    "schema, the REAL header parser (decode_image_meta) runs as a "
+    "stateless Arrow mapInPandas stage INSIDE the stream, and a "
+    "complete-mode aggregate rolls up per mime — executed to completion "
+    "with availableNow (streaming/core.py:run_available_now). The "
+    "oracle recomputes the rollup from doc_id arithmetic, so the "
+    "whole path — encode, file-stream discovery, in-stream decode, "
+    "streaming aggregation — is under value-hash. Scale: decode is "
+    "per-file-batch and stateless (no state store); only the per-mime "
+    "aggregate keeps state, bounded by |mime types|; a production "
+    "deployment swaps the drop directory for the Kafka/object-store "
+    "source with the identical downstream plan.",
+)
+def stream_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    multimodal.synth_image_assets(docs).write.mode("overwrite").parquet(
+        STREAM_ASSET_PATH
+    )
+    assets = spark.readStream.schema(multimodal.ASSET_SCHEMA).parquet(
+        STREAM_ASSET_PATH
+    )
+    meta = multimodal.extract_asset_meta(
+        assets, decode=multimodal.decode_image_meta
+    )
+    agg = meta.groupBy("mime").agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum("width").cast("bigint").alias("total_width"),
+        F.max("height").cast("int").alias("max_height"),
+    )
+    result = streaming.run_available_now(agg, spark, state_partitions=4)
+    return result.orderBy("mime")
