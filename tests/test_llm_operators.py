@@ -262,6 +262,38 @@ def test_synth_audio_assets_roundtrip(docs):
         assert r["duration_ms"] == frames * 1000 // rate
 
 
+def test_extract_meta_quarantine_mode(spark):
+    """on_error='null': one corrupt payload among good ones flags a row
+    (NULL dims + decode_error text) instead of killing the job; the
+    default raise mode still fails fast."""
+    import pytest as _pytest
+
+    rows = [
+        (1, "image/png", multimodal.encode_png(20, 10, b"ok")),
+        (2, "image/png", bytearray(b"corrupt bytes")),
+        (3, "image/bmp", None),
+    ]
+    assets = spark.createDataFrame(rows, multimodal.ASSET_SCHEMA)
+    out = {
+        r["asset_id"]: r
+        for r in multimodal.extract_asset_meta(
+            assets, decode=multimodal.decode_image_meta, on_error="null"
+        ).collect()
+    }
+    assert (out[1]["width"], out[1]["height"]) == (20, 10)
+    assert out[1]["decode_error"] is None
+    assert out[2]["width"] is None and "ValueError" in out[2]["decode_error"]
+    assert out[3]["decode_error"] == "null payload"
+
+    with _pytest.raises(Exception):  # noqa: B017 — worker error surfaces as Py4J
+        multimodal.extract_asset_meta(
+            assets, decode=multimodal.decode_image_meta
+        ).collect()
+
+    with _pytest.raises(ValueError, match="on_error"):
+        multimodal.extract_asset_meta(assets, on_error="quarantine")
+
+
 def test_full_pixel_decode_remains_stubbed():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image_pixels(multimodal.encode_png(4, 4))

@@ -257,33 +257,69 @@ def fake_decode_meta(payload: bytes) -> tuple[int, int]:
     return 16 + h[0] % 640, 16 + h[1] % 480
 
 
-def extract_asset_meta(assets: DataFrame, decode=fake_decode_meta) -> DataFrame:
+#: Output schema of the quarantine-mode extraction: META_SCHEMA plus the
+#: per-asset decode error (NULL on success).
+META_ERR_SCHEMA = StructType(
+    list(META_SCHEMA.fields) + [StructField("decode_error", StringType(), True)]
+)
+
+
+def extract_asset_meta(
+    assets: DataFrame, decode=fake_decode_meta, on_error: str = "raise"
+) -> DataFrame:
     """Arrow-batched metadata extraction over the payload column.
 
     ``mapInPandas`` processes whole record batches; the decode function is
     called per payload inside the batch loop (vectorize further inside the
     worker when the real library supports it).
+
+    ``on_error``: ``"raise"`` (default) fails the task on the first
+    corrupt payload — right for synthetic/trusted inputs where a decode
+    error IS a bug. ``"null"`` is the production-ingest quarantine mode:
+    a failing decode yields NULL dimensions plus the exception text in a
+    ``decode_error`` column, so one corrupt file among billions flags a
+    row instead of killing the job; downstream filters on
+    ``decode_error IS NULL`` and routes the rest to a quarantine sink.
     """
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
+    quarantine = on_error == "null"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = pdf["payload"]
-            dims = [decode(p) if p is not None else (None, None) for p in payloads]
-            yield pd.DataFrame(
-                {
-                    "asset_id": pdf["asset_id"],
-                    "mime": pdf["mime"],
-                    "n_bytes": [len(p) if p is not None else None for p in payloads],
-                    "sha256_prefix": [
-                        hashlib.sha256(p).hexdigest()[:8] if p is not None else None
-                        for p in payloads
-                    ],
-                    "width": [d[0] for d in dims],
-                    "height": [d[1] for d in dims],
-                }
-            )
+            dims, errs = [], []
+            for p in payloads:
+                if p is None:
+                    dims.append((None, None))
+                    errs.append("null payload" if quarantine else None)
+                    continue
+                try:
+                    dims.append(decode(p))
+                    errs.append(None)
+                except Exception as exc:  # noqa: BLE001 — quarantine mode
+                    if not quarantine:
+                        raise
+                    dims.append((None, None))
+                    errs.append(f"{type(exc).__name__}: {exc}"[:200])
+            out = {
+                "asset_id": pdf["asset_id"],
+                "mime": pdf["mime"],
+                "n_bytes": [len(p) if p is not None else None for p in payloads],
+                "sha256_prefix": [
+                    hashlib.sha256(p).hexdigest()[:8] if p is not None else None
+                    for p in payloads
+                ],
+                "width": [d[0] for d in dims],
+                "height": [d[1] for d in dims],
+            }
+            if quarantine:
+                out["decode_error"] = errs
+            yield pd.DataFrame(out)
 
-    return assets.mapInPandas(batches, META_SCHEMA)
+    return assets.mapInPandas(
+        batches, META_ERR_SCHEMA if quarantine else META_SCHEMA
+    )
 
 
 def documents_as_assets(documents: DataFrame) -> DataFrame:

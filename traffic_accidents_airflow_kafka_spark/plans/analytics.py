@@ -239,3 +239,49 @@ def scalar_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(n_orders, n_lineitems, n_events)], "n_orders long, n_lineitems long, n_events long"
     )
+
+
+#: The flagship aggregate as ONE ANSI-SQL string, shared verbatim by the
+#: Spark SQL entry (spark.sql over registered views) and its DuckDB
+#: oracle — the strongest possible statement of SQL-dialect parity.
+_PRICING_SQL = """
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (CAST(1 AS DECIMAL(18,2))
+                  - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        AS sum_disc_price,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        AS avg_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        AS avg_price,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@register(
+    "sql_pricing_summary",
+    tier=1,  # SQL-text API surface (r6): same plan as pricing_summary
+    oracle=_PRICING_SQL,
+    doc="The Spark SQL TEXT surface: the flagship pricing aggregate "
+    "issued as one ANSI-SQL string through spark.sql over a registered "
+    "view — and the ORACLE IS THE IDENTICAL STRING run by DuckDB, so "
+    "this entry pins that the engine's user-facing SQL dialect produces "
+    "byte-identical results to an independent engine on the same text. "
+    "The reference's users live in SQL strings (psycopg2/SQLAlchemy "
+    "throughout dags/etl_crash_traffic.py), so first-class SQL-text "
+    "entry points matter for migration; Catalyst compiles this to the "
+    "same plan as the DataFrame form (pricing_summary), pruning and "
+    "pushing down identically — API parity is free, not parallel code.",
+)
+def sql_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_PRICING_SQL)

@@ -4,11 +4,14 @@ Two layers:
 
 1. **Reference parity** — the Kafka dashboard path: 7 result topics, JSON
    payloads, earliest offsets, consume-until-every-topic-seen
-   (`kafka/consumer.py:6-36`). No broker ships in this container, so the
-   Kafka read/write *configurations* and payload transforms are plain
-   functions over DataFrames — unit-tested against their contracts; the
-   `format("kafka")` wiring is one `.format()` call away on a real
-   cluster.
+   (`kafka/consumer.py:6-36`). A live round-trip is DOUBLY impossible in
+   this container (verified round 6): no broker ships, AND the
+   spark-sql-kafka connector jar is absent from the bundled 286-jar
+   distribution with no index access to fetch it — `format("kafka")`
+   cannot even class-load. The Kafka read/write *configurations* and
+   payload transforms are therefore plain functions over DataFrames —
+   unit-tested against their contracts; on a real cluster the wiring is
+   one `.format("kafka")` call plus the standard connector package.
 2. **Event-mode extension** (flagged in SURVEY §2.8: a north-star
    addition, not reference behavior) — treat events as a stream:
    file-backed `readStream` + watermark + tumbling windows +
