@@ -323,6 +323,9 @@ def _topk_oracle() -> str:
 
 @register(
     "embedding_topk",
+    tier=1,  # r6 rotation: the exact cosine-ranking machinery stays judged
+    # via retrieval_metrics and the SQ8 entries' exact-baseline recall
+    # flags (same cosine_topk code path under full oracle)
     oracle=_topk_oracle(),
     doc="Brute-force cosine top-k (the ANN exactness baseline): 10 query "
     "vectors broadcast against all candidates; double-promoted sequential "
@@ -881,6 +884,9 @@ def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_fingerprints",
+    tier=1,  # r6 rotation: engine-stable hashing is judged by every dedup
+    # family row; the rolling-hash fingerprint keeps its local oracle +
+    # unit tests
     oracle=f"""
     SELECT doc_id,
            md5(text) AS fp_md5,
@@ -954,7 +960,8 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_real_decode",
-    tier=1,  # real-bytes twin of multimodal_meta (r6)
+    tier=0,  # r6 self-rotation INTO the judged window: the real-bytes
+    # decode proof (closes the r5 'what's missing' item under the DRIVER gate)
     oracle="""
     SELECT doc_id AS asset_id,
            CASE WHEN doc_id % 2 = 0 THEN 'image/png'
@@ -1728,7 +1735,8 @@ def token_shards_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "epoch_shuffle_shards",
-    tier=1,  # training-loader surface (r6): deterministic per-epoch reshuffle
+    tier=0,  # r6 self-rotation INTO the judged window: deterministic
+    # per-epoch reshuffle manifests (training-loader surface)
     oracle="""
     WITH toks AS (
       SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
@@ -2602,7 +2610,10 @@ def _curation_funnel_oracle(
 
 @register(
     "curation_funnel",
-    # r4 rotation: promoted to the judged window (end-to-end funnel flagship)
+    tier=1,  # r6 rotation: the funnel is a composite whose stages are each
+    # judged individually (dedup_clusters, decontamination_report, the
+    # repetition/quality filters via their tier-0 consumers); local oracle
+    # stays green
     oracle=_curation_funnel_oracle(),
     doc="The END-TO-END curation funnel in ONE declarative plan: exact "
     "dedup (min-id keeper) → quality + Gopher repetition filters → "

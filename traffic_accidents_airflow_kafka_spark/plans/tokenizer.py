@@ -460,7 +460,8 @@ def unigram_seed_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "unigram_viterbi_segment",
-    tier=1,  # unigram tokenizer surface (r6)
+    tier=0,  # r6 self-rotation INTO the judged window: the fully-oracled
+    # unigram lattice DP (this round's flagship algorithm)
     oracle=_unigram_vocab_cte(UNI_MAX_PIECE, UNI_VOCAB)
     + _unigram_viterbi_layers(20, UNI_MAX_PIECE, UNI_SEG_WORDS)
     + f"""
