@@ -75,6 +75,7 @@ CROSS_JOIN_OK = {
     # scalar crossJoined onto the (vocab-sized) piece table for costing.
     "unigram_seed_vocab",
     "unigram_viterbi_segment",
+    "unigram_doc_token_counts",
 }
 
 #: Streaming entries build a streaming plan — skipped here (their shape is

@@ -381,7 +381,7 @@ def _unigram_vocab_cte(max_piece_len: int, vocab_size: int) -> str:
 
 
 def _unigram_viterbi_layers(
-    max_len: int, max_piece_len: int, limit_words: int
+    max_len: int, max_piece_len: int, limit_words: int | None
 ) -> str:
     """The layered-CTE Viterbi DP: pos{k} holds, per word, the minimal
     combined objective over prefixes of length k. Each layer takes the
@@ -390,11 +390,11 @@ def _unigram_viterbi_layers(
     unrolled to max_len layers (the MAX_WORD_LEN bound both engines
     filter to). MATERIALIZED per layer, or the self-referencing chain
     re-evaluates exponentially (the bpe-chain lesson)."""
+    limit = f"\n      ORDER BY f DESC, w LIMIT {limit_words}" if limit_words else ""
     parts = [
         f""",
     segwords AS MATERIALIZED (
-      SELECT w, f FROM freq WHERE length(w) <= {max_len}
-      ORDER BY f DESC, w LIMIT {limit_words}
+      SELECT w, f FROM freq WHERE length(w) <= {max_len}{limit}
     ),
     pos0 AS (SELECT w, CAST(0 AS BIGINT) AS c FROM segwords)"""
     ]
@@ -557,4 +557,81 @@ def unigram_hard_em(spark: SparkSession, sf_dir: str) -> DataFrame:
         "corpus_cost_bits",
         "corpus_pieces",
         "corpus_words",
+    )
+
+
+@register(
+    "unigram_doc_token_counts",
+    tier=1,  # unigram tokenizer surface (r6); the BPE accounting symmetry
+    oracle=_unigram_vocab_cte(UNI_MAX_PIECE, UNI_VOCAB)
+    + _unigram_viterbi_layers(20, UNI_MAX_PIECE, None)
+    + f""",
+    seg AS MATERIALIZED (
+      SELECT r.w, CAST(r.c % 1024 AS BIGINT) AS n_pieces
+      FROM ({_unigram_result_union(20)}) r
+    ),
+    dwords AS (
+      SELECT doc_id, lang,
+             unnest(regexp_extract_all(text, '{BPE_ISH_PATTERN}', 0)) AS w
+      FROM documents
+    )
+    SELECT d.doc_id, d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(CASE WHEN length(d.w) <= 20 THEN s.n_pieces
+                         ELSE length(d.w) END) AS BIGINT) AS uni_tokens
+    FROM dwords d LEFT JOIN seg s ON d.w = s.w
+    GROUP BY d.doc_id, d.lang
+    ORDER BY d.doc_id
+    LIMIT 100
+    """,
+    doc="Doc-level accounting with the TRAINED unigram tokenizer — the "
+    "exact symmetry of bpe_doc_token_counts, closing the family: every "
+    "DISTINCT pretoken (length <= 20) is Viterbi-segmented ONCE against "
+    "the costed seed vocabulary (the shared build-once artifact), the "
+    "(word -> n_pieces) map broadcasts onto the exploded corpus, and "
+    "per-document unigram token counts roll up. Words beyond the "
+    "20-char DP bound fall back to character segmentation on BOTH "
+    "engines (the max_sentencepiece_length cap every production "
+    "trainer applies), so the whole thing — lattice DP included — "
+    "value-hashes. Scale: segmentation is vocabulary-sized, the corpus "
+    "never re-shuffles (broadcast join), and the rollup is one "
+    "doc-keyed aggregate.",
+)
+def unigram_doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import unigram
+    from .llm import _artifact
+
+    docs = load_table(spark, sf_dir, "documents")
+    wf = bpe.word_freq(docs)
+    vc = _artifact(
+        spark,
+        sf_dir,
+        "unigram-vocabc",
+        lambda: unigram.with_costs(
+            unigram.seed_vocab(wf, UNI_MAX_PIECE, UNI_VOCAB)
+        ).localCheckpoint(eager=True),
+    )
+    short = wf.filter(F.length("word") <= unigram.MAX_WORD_LEN)
+    seg = unigram.viterbi_combined(short, vc, UNI_MAX_PIECE).select(
+        "word", F.col("n_pieces").cast("bigint").alias("n_pieces")
+    )
+    words = docs.select(
+        "doc_id", "lang", F.explode(bpe.bpe_ish_tokens("text")).alias("word")
+    )
+    return (
+        words.join(F.broadcast(seg), "word", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("n_pieces", F.length("word").cast("bigint")).alias(
+                "__np"
+            ),
+        )
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("__np").cast("bigint").alias("uni_tokens"),
+        )
+        .orderBy("doc_id")
+        .limit(100)
     )
