@@ -5000,7 +5000,9 @@ def _sq8_oracle(
 #: which yields different bounds, codes, and exact baselines; their
 #: memos amortize per entry. The near-dup pair graph, by contrast, IS
 #: shared: six entries consume the identical relation.
-_ARTIFACTS: dict[tuple, DataFrame] = {}
+#: Values are eagerly-materialized DataFrames (localCheckpoint) or small
+#: driver-side objects (the collected BPE merge list).
+_ARTIFACTS: dict[tuple, object] = {}
 
 #: Wall-clock seconds each artifact build took, keyed like _ARTIFACTS.
 #: bench.py reports these as ``artifact_build_sec`` in its JSON tail so

@@ -46,6 +46,32 @@ from .registry import register
 N_MERGES = 12
 
 
+def _trained_merges(spark: SparkSession, sf_dir: str) -> list[tuple[str, str]]:
+    """The collected (lhs, rhs) merge table at the catalog's training
+    config, as a build-once artifact: three encoder entries
+    (bpe_segmentations, bpe_token_counts, bpe_oov_audit) consume the
+    IDENTICAL merge list — a deployment trains the tokenizer once and
+    every encoder loads the artifact (r6 VERDICT #6). Keyed per
+    (session, sf_dir) by the same memo the SQ8/near-dup artifacts use;
+    bpe_train_merges itself stays un-memoized so the bench still times
+    the real training loop."""
+    from .llm import _artifact
+
+    return _artifact(
+        spark,
+        sf_dir,
+        f"bpe-merges-{N_MERGES}",
+        lambda: [
+            (r["lhs"], r["rhs"])
+            for r in bpe.train_bpe(
+                load_table(spark, sf_dir, "documents"),
+                n_merges=N_MERGES,
+                min_freq=2,
+            ).collect()
+        ],
+    )
+
+
 def _bpe_cte_chain(n_merges: int, min_freq: int = 2) -> str:
     """The shared oracle prefix: word freq → encoded vocab r0 → n rounds
     of (argmax pair b{i}, merged vocab r{i}).
@@ -183,10 +209,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def bpe_segmentations(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    merges = [
-        (r["lhs"], r["rhs"])
-        for r in bpe.train_bpe(docs, n_merges=N_MERGES, min_freq=2).collect()
-    ]
+    merges = _trained_merges(spark, sf_dir)
     return (
         bpe.encode_stats(docs, merges)
         .select(
@@ -232,10 +255,7 @@ def bpe_segmentations(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def bpe_doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    merges = [
-        (r["lhs"], r["rhs"])
-        for r in bpe.train_bpe(docs, n_merges=N_MERGES, min_freq=2).collect()
-    ]
+    merges = _trained_merges(spark, sf_dir)
     seg = bpe.encode_stats(docs, merges).select(
         "word", F.col("n_symbols").cast("bigint").alias("n_symbols")
     )
@@ -299,10 +319,7 @@ def bpe_doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    merges = [
-        (r["lhs"], r["rhs"])
-        for r in bpe.train_bpe(docs, n_merges=N_MERGES, min_freq=2).collect()
-    ]
+    merges = _trained_merges(spark, sf_dir)
     seg = bpe.encode_stats(docs, merges).select(
         "word", F.col("n_symbols").cast("bigint").alias("n_symbols")
     )
