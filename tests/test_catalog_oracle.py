@@ -107,6 +107,20 @@ def test_judged_window_holds_every_tier0_query():
         "epoch_shuffle_shards",
     ):
         assert name in judged, f"{name} rotated out of the judged window"
+    # Round-7 rotation (VERDICT r6 #4): the round-6 flagships + this
+    # round's pruning entry take the slots of six operator-redundant
+    # rows (simhash_near_pairs, embedding_lsh_ann, multimodal_embed_ann,
+    # semantic_dedup_stats, leakfree_split_stats, rollup_status_priority
+    # — each co-judged by a named tier-0 sibling, see their tier
+    # comments, and still under the local oracle gate).
+    for name in (
+        "unigram_hard_em",
+        "unigram_prune_round",
+        "multimodal_audio_meta",
+        "stream_multimodal_decode",
+        "sql_pricing_summary",
+    ):
+        assert name in judged, f"{name} rotated out of the judged window"
 
 
 def test_gate_rejects_int_vs_float_dtype():

@@ -109,3 +109,29 @@ def test_hard_em_promotes_dominant_piece(spark):
     # Hard-EM sharpens counts onto used pieces; corpus cost must not
     # increase on this corpus.
     assert stats[-1]["corpus_cost_bits"] <= stats[0]["corpus_cost_bits"]
+
+
+def test_prune_losses_redundant_piece_goes_first(spark):
+    # "abab" f=100, max_piece_len=2, vocab_size=4 -> vocab a:200, b:200,
+    # ab:200, ba:100; total=700 -> costs a/b/ab 2 bits (700//200=3),
+    # ba 3 bits (700//100=7). Best path = [ab, ab]: 4 bits, 2 pieces
+    # (combined 4*1024+2 = 4098).
+    wf = _wf(spark, [("abab", 100)])
+    vc = unigram.with_costs(unigram.seed_vocab(wf, 2, 4))
+    losses = {
+        r["piece"]: r["loss"]
+        for r in unigram.prune_losses(wf, vc, max_piece_len=2).collect()
+    }
+    # Masking 'ab': best alternative is a+ba+b = 7 bits, 3 pieces
+    # (7171); delta = 7171 - 4098 = 3073 per word, x f=100. 'ba' is off
+    # the best path -> removal costs nothing.
+    assert losses == {"ab": 307300, "ba": 0}
+    # One pruning round keeping 1 multi-char piece: the load-bearing
+    # 'ab' survives, the redundant 'ba' is pruned first.
+    flags = {
+        r["piece"]: r["kept"]
+        for r in unigram.prune_round(
+            unigram.prune_losses(wf, vc, max_piece_len=2), keep=1
+        ).collect()
+    }
+    assert flags == {"ab": True, "ba": False}

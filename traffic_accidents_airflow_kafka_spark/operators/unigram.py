@@ -267,6 +267,122 @@ def viterbi_segments(
     )
 
 
+def prune_losses(
+    word_freq: DataFrame, vocab_costs: DataFrame, max_piece_len: int = 8
+) -> DataFrame:
+    """(piece, cnt, loss): Kudo's pruning statistic under the hard-
+    Viterbi objective — for every MULTI-character vocabulary piece, the
+    corpus-weighted increase in the combined integer objective if the
+    piece were removed:
+
+        loss(p) = sum over words w of  f(w) * (DP(w, vocab \\ {p})
+                                               - DP(w, vocab))
+
+    Single characters are never candidates (the required-char rule), so
+    every masked lattice still has the char-by-char path and the masked
+    DP always completes. A piece NOT on a word's best path contributes
+    exactly 0 for that word (the best path survives the mask), so the
+    Spark side only runs masked DPs for (word, piece-on-best-path)
+    pairs — the candidate set Kudo's trainer uses — while the SQL
+    oracle may sum over the occurrence superset (every vocab piece
+    contained in the word) and still agree: the extra pairs are all
+    zero deltas. Every comparison is integer, so losses value-hash
+    cross-engine.
+
+    Scale: candidate pairs are bounded by word-vocab x best-path length
+    (each masked DP is the same O(len x max_piece_len) in-row integer
+    fold as viterbi_combined); the loss aggregate shuffles (piece, long)
+    pairs only. Nothing corpus-sized moves.
+    """
+    seg = viterbi_segments(word_freq, vocab_costs, max_piece_len)
+    base = seg.select(
+        "word",
+        "f",
+        (F.col("cost") * PIECE_BASE + F.size("pieces"))
+        .cast("long")
+        .alias("__base"),
+        F.array_distinct(
+            F.filter(F.col("pieces"), lambda p: F.length(p) > 1)
+        ).alias("__mc"),
+    )
+    cand = base.select(
+        "word", "f", "__base", F.explode("__mc").alias("masked")
+    )
+    edges = (
+        cand.select(
+            "word",
+            "f",
+            "__base",
+            "masked",
+            F.explode(_lattice_edges(F.col("word"), max_piece_len)).alias(
+                "edge"
+            ),
+        )
+        .select("word", "f", "__base", "masked", "edge.s", "edge.e", "edge.piece")
+        .join(F.broadcast(vocab_costs.select("piece", "ccost")), "piece")
+        .filter(F.col("piece") != F.col("masked"))
+        .groupBy("word", "f", "__base", "masked")
+        .agg(F.collect_list(F.struct("s", "e", "ccost")).alias("__edges"))
+    )
+    init = F.array(F.lit(0).cast("long"))
+
+    def step(acc: Column, k: Column) -> Column:
+        best = F.array_min(
+            F.transform(
+                F.filter(F.col("__edges"), lambda ed: ed["e"] == k),
+                lambda ed: F.element_at(acc, ed["s"]) + ed["ccost"],
+            )
+        )
+        return F.concat(acc, F.array(best))
+
+    masked_combined = F.element_at(
+        F.aggregate(F.sequence(F.lit(1), F.length("word")), init, step), -1
+    )
+    used = (
+        edges.select(
+            F.col("masked").alias("piece"),
+            (
+                F.col("f")
+                * (masked_combined.cast("long") - F.col("__base"))
+            ).alias("__d"),
+        )
+        .groupBy("piece")
+        .agg(F.sum("__d").alias("loss"))
+    )
+    return (
+        vocab_costs.filter(F.length("piece") > 1)
+        .select("piece", "cnt")
+        .join(used, "piece", "left")
+        .select(
+            "piece",
+            "cnt",
+            F.coalesce("loss", F.lit(0)).cast("long").alias("loss"),
+        )
+    )
+
+
+def prune_round(losses: DataFrame, keep: int) -> DataFrame:
+    """(piece, cnt, loss, kept): one pruning decision — the ``keep``
+    highest-loss multi-char pieces survive (ties to higher count, then
+    lexicographic piece — a total order), the rest are marked for
+    removal. Kudo's trainer over-generates then shrinks the vocabulary
+    on a schedule (e.g. 2x per round) by exactly this rule: prune the
+    pieces whose removal costs the corpus least. Distributed top-k via
+    TakeOrderedAndProject (orderBy+limit), then a broadcast semi-flag —
+    no global window."""
+    kept = (
+        losses.orderBy(F.desc("loss"), F.desc("cnt"), F.asc("piece"))
+        .limit(keep)
+        .select("piece", F.lit(True).alias("__k"))
+    )
+    return losses.join(F.broadcast(kept), "piece", "left").select(
+        "piece",
+        "cnt",
+        "loss",
+        F.coalesce("__k", F.lit(False)).alias("kept"),
+    )
+
+
 def hard_em_train(
     word_freq: DataFrame,
     vocab_size: int = 200,

@@ -64,6 +64,8 @@ def asof_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "rollup_status_priority",
+    tier=1,  # r7 demotion: multi-key rollups co-judged by pricing_summary +
+    # star_fact_rollup (tier 0); full oracle stays in the local gate
     oracle="""
     SELECT COALESCE(o_orderstatus, 'ALL') AS status,
            COALESCE(o_orderpriority, 'ALL') AS priority,

@@ -278,6 +278,8 @@ _SIMHASH_ORACLE = """
 
 @register(
     "simhash_near_pairs",
+    tier=1,  # r7 demotion: near-dup banded-join family co-judged by
+    # minhash_lsh_pairs + ngram_jaccard_pairs (tier 0); oracle stays local
     oracle=_SIMHASH_ORACLE,
     min_rows=0,  # random word-salad corpus may legitimately have no Hamming-close pairs
     doc="SimHash near-dup: 64-bit signatures (md5-bit majority votes), "
@@ -393,6 +395,8 @@ def _lsh_oracle(n_planes: int = 6, dim: int = 64, seed: int = 7, k: int = 3) -> 
 
 @register(
     "embedding_lsh_ann",
+    tier=1,  # r7 demotion: ANN tiers co-judged by embedding_sq8_ann +
+    # ivf_nprobe_recall_curve + pq_recall_audit (tier 0); oracle stays local
     oracle=_lsh_oracle(),
     doc="Hyperplane-LSH approximate top-k: 6 seeded Gaussian planes → "
     "64 sign-pattern buckets → within-bucket cosine ranking "
@@ -604,6 +608,8 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_embed_ann",
+    tier=1,  # r7 demotion: multimodal x ANN intersection co-judged by
+    # multimodal_real_decode/_audio_meta + the tier-0 ANN audits; oracle local
     oracle="""
     WITH hx AS (
       SELECT doc_id AS asset_id,
@@ -1003,7 +1009,8 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_audio_meta",
-    tier=1,  # audio twin of multimodal_real_decode (r6)
+    tier=0,  # r7 rotation INTO the judged window (r6 flagship): real RIFF/WAVE
+    # chunk-walk decode judged directly
     oracle="""
     SELECT doc_id AS asset_id,
            'audio/wav' AS mime,
@@ -2054,7 +2061,8 @@ def _semantic_dedup_oracle(
 
 @register(
     "semantic_dedup_stats",
-    # tier 0: full-oracle representative of the semantic-dedup family
+    tier=1,  # r7 demotion: dedup family co-judged by dedup_clusters +
+    # minhash_lsh_pairs (tier 0); full oracle stays in the local gate
     oracle=_semantic_dedup_oracle(),
     doc="SemDeDup-style semantic dedup (Abbas et al. 2023): drop the "
     "higher id of every LSH-bucketed cosine near-dup pair, keep per-label "
@@ -3461,7 +3469,8 @@ def _leakfree_split_oracle() -> str:
 
 @register(
     "leakfree_split_stats",
-    # r4 rotation: promoted to the judged window (leak-free split flagship)
+    tier=1,  # r7 demotion (judged r4-r6): split/sampling family co-judged by
+    # epoch_shuffle_shards + source_quota_cap + curriculum_phases (tier 0)
     oracle=_leakfree_split_oracle(),
     doc="Leakage-free train/val/test split (80/10/10): the split key is "
     "the near-dup CLUSTER id (connected components over word-3-gram "

@@ -796,7 +796,8 @@ STREAM_ASSET_PATH = "/tmp/spark_graft_stream_assets"
 
 @register(
     "stream_multimodal_decode",
-    tier=1,  # streaming x multimodal intersection (r6)
+    tier=0,  # r7 rotation INTO the judged window (r6 flagship): binary file
+    # stream -> stateless real header decode judged directly
     oracle="""
     SELECT CASE WHEN doc_id % 2 = 0 THEN 'image/png'
                 ELSE 'image/bmp' END AS mime,

@@ -434,6 +434,53 @@ def _unigram_viterbi_layers(
     return "".join(parts)
 
 
+def _unigram_masked_layers(max_len: int, max_piece_len: int) -> str:
+    """The masked-piece Viterbi DP, keyed by (word, masked): same
+    relaxation layers as ``_unigram_viterbi_layers`` but every edge
+    whose piece equals the masked candidate is excluded — DP(w, vocab
+    minus {masked}). Candidates are every multi-char vocab piece
+    CONTAINED in the word (the occurrence superset — pieces off the
+    best path contribute zero loss, see operators/unigram.py:
+    prune_losses, so this superset aggregates identically to the Spark
+    side's best-path candidate set)."""
+    parts = [
+        """,
+    mcand AS MATERIALIZED (
+      SELECT s.w, s.f, vc.piece AS masked
+      FROM segwords s JOIN vocabc vc
+        ON length(vc.piece) > 1 AND contains(s.w, vc.piece)
+    ),
+    mpos0 AS (SELECT w, masked, CAST(0 AS BIGINT) AS c FROM mcand)"""
+    ]
+    for k in range(1, max_len + 1):
+        branches = "\n        UNION ALL".join(
+            f"""
+        SELECT p.w AS w, p.masked AS masked, p.c + vc.ccost AS c
+        FROM mpos{k - j} p JOIN vocabc vc
+          ON vc.piece = substr(p.w, {k - j + 1}, {j})
+         AND vc.piece <> p.masked
+        WHERE length(p.w) >= {k}"""
+            for j in range(1, min(max_piece_len, k) + 1)
+        )
+        parts.append(
+            f""",
+    mpos{k} AS MATERIALIZED (
+      SELECT q.w, q.masked, MIN(q.c) AS c FROM ({branches}
+      ) q GROUP BY q.w, q.masked
+    )"""
+        )
+    return "".join(parts)
+
+
+def _unigram_masked_union(max_len: int) -> str:
+    return "\n      UNION ALL ".join(
+        f"SELECT c.w, c.f, c.masked, p.c FROM mcand c "
+        f"JOIN mpos{k} p ON c.w = p.w AND c.masked = p.masked "
+        f"AND length(c.w) = {k}"
+        for k in range(1, max_len + 1)
+    )
+
+
 def _unigram_result_union(max_len: int) -> str:
     return "\n      UNION ALL ".join(
         f"SELECT s.w, s.f, p.c FROM segwords s "
@@ -535,7 +582,8 @@ def unigram_viterbi_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "unigram_hard_em",
-    tier=1,  # unigram tokenizer surface (r6); rows-only (iterative EM state)
+    tier=0,  # r7 rotation INTO the judged window (r6 flagship): the EM loop
+    # judged via the driver rows-only check; banded stats pinned by tests
     oracle=None,
     min_rows=3,
     doc="Unigram-LM tokenizer, stage 3: hard-EM training (Viterbi "
@@ -574,6 +622,86 @@ def unigram_hard_em(spark: SparkSession, sf_dir: str) -> DataFrame:
         "corpus_cost_bits",
         "corpus_pieces",
         "corpus_words",
+    )
+
+
+#: Multi-char pieces surviving one pruning round of the catalog entry.
+UNI_PRUNE_KEEP = 40
+
+
+@register(
+    "unigram_prune_round",
+    tier=0,  # r7 self-rotation INTO the judged window: Kudo's pruning
+    # statistic under full value-hash (this round's flagship algorithm)
+    oracle=_unigram_vocab_cte(UNI_MAX_PIECE, UNI_VOCAB)
+    + _unigram_viterbi_layers(20, UNI_MAX_PIECE, UNI_SEG_WORDS)
+    + _unigram_masked_layers(20, UNI_MAX_PIECE)
+    + f""",
+    base AS MATERIALIZED (
+      SELECT r.w, r.c FROM ({_unigram_result_union(20)}) r
+    ),
+    mres AS MATERIALIZED (
+      SELECT m.w, m.f, m.masked, m.c FROM ({_unigram_masked_union(20)}) m
+    ),
+    ploss AS (
+      SELECT m.masked AS piece,
+             SUM(m.f * (m.c - b.c)) AS loss
+      FROM mres m JOIN base b ON m.w = b.w
+      GROUP BY 1
+    ),
+    scored AS (
+      SELECT v.piece, CAST(v.cnt AS BIGINT) AS cnt,
+             CAST(COALESCE(l.loss, 0) AS BIGINT) AS loss
+      FROM (SELECT piece, cnt FROM vocabc WHERE length(piece) > 1) v
+      LEFT JOIN ploss l ON v.piece = l.piece
+    )
+    SELECT piece, cnt, loss,
+           (ROW_NUMBER() OVER (ORDER BY loss DESC, cnt DESC, piece)
+              <= {UNI_PRUNE_KEEP}) AS kept
+    FROM scored
+    ORDER BY loss DESC, cnt DESC, piece
+    """,
+    doc="Unigram-LM tokenizer, stage 4: Kudo's vocabulary PRUNING round "
+    "— per multi-char piece, the corpus-weighted loss-if-removed "
+    "(re-segmentation cost delta with the piece masked from the "
+    "lattice), the statistic SentencePiece shrinks its over-generated "
+    "vocabulary by; the 40 highest-loss pieces survive, the rest are "
+    "flagged pruned (operators/unigram.py:prune_losses/prune_round). "
+    "FULLY oracled — the key identity: a masked piece OFF a word's "
+    "best path leaves its DP value unchanged (zero delta), so Spark "
+    "runs masked DPs only for best-path candidates (Kudo's working "
+    "set) while the SQL replays the occurrence SUPERSET as a second "
+    "(word, masked)-keyed layer stack — the aggregates are provably "
+    "identical and every comparison is integer, so per-piece losses "
+    "value-hash. Computed over the 50 most frequent pretokens "
+    "(length <= 20), the same window the viterbi entry pins. Scale: "
+    "candidate pairs are word-vocab x path-length bounded; each masked "
+    "DP is the same in-row integer fold; the loss aggregate shuffles "
+    "(piece, long) pairs; survivor selection is TakeOrderedAndProject "
+    "+ broadcast flag, no global window.",
+)
+def unigram_prune_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import unigram
+    from .llm import _artifact
+
+    docs = load_table(spark, sf_dir, "documents")
+    wf = bpe.word_freq(docs)
+    vc = _artifact(
+        spark,
+        sf_dir,
+        "unigram-vocabc",
+        lambda: unigram.with_costs(
+            unigram.seed_vocab(wf, UNI_MAX_PIECE, UNI_VOCAB)
+        ).localCheckpoint(eager=True),
+    )
+    segwords = (
+        wf.filter(F.length("word") <= unigram.MAX_WORD_LEN)
+        .orderBy(F.desc("f"), "word")
+        .limit(UNI_SEG_WORDS)
+    )
+    losses = unigram.prune_losses(segwords, vc, UNI_MAX_PIECE)
+    return unigram.prune_round(losses, UNI_PRUNE_KEEP).orderBy(
+        F.desc("loss"), F.desc("cnt"), "piece"
     )
 
 
