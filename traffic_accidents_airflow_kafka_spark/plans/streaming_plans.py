@@ -844,3 +844,84 @@ def stream_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     result = streaming.run_available_now(agg, spark, state_partitions=4)
     return result.orderBy("mime")
+
+
+def _fanout_oracle() -> str:
+    """One row per topic: the batch topic oracle's row count plus a
+    pinned-true parity flag — the Spark side sets rows_match by a
+    multiset-exact comparison of the streamed+merged result against the
+    batch plan, so any divergence value-hash-mismatches."""
+    from .registry import QUERY_REGISTRY
+
+    selects = [
+        f"""SELECT '{name}' AS topic,
+               (SELECT COUNT(*) FROM ({QUERY_REGISTRY[name].oracle}) q)
+                 AS n_rows,
+               true AS rows_match"""
+        for name in streaming.TOPICS
+    ]
+    return "\n    UNION ALL ".join(selects) + "\n    ORDER BY topic"
+
+
+@register(
+    "stream_topics_fanout",
+    tier=0,  # r7 flagship: the reference's one-job/seven-topics fan-out
+    # as a single Structured Streaming pass (VERDICT r6 #7)
+    oracle=_fanout_oracle(),
+    doc="The reference's production job — ONE ETL pass publishing all 7 "
+    "dashboard topics (kafka/producer.py fan-out) — as a single "
+    "Structured Streaming query (streaming/fanout.py): orders, lineitem "
+    "and events file-streamed, JSON-enveloped and UNIONED into one "
+    "heterogeneous record stream (the wire shape of one Kafka topic), "
+    "drained with trigger(availableNow=True) through foreachBatch into "
+    "seven parquet sinks of MERGEABLE partial aggregates (counts and "
+    "exact decimal sums add across micro-batches; the one distinct "
+    "count keeps (brand, partkey)-grain partials and re-distincts at "
+    "merge — the two-phase discipline that keeps restarts exact). Each "
+    "merged sink is then compared multiset-exactly (exceptAll both "
+    "directions) against the BATCH topic plan from plans/topics.py and "
+    "the per-topic row count + parity flag is what the oracle "
+    "value-hashes — streaming in, batch answer out, for the WHOLE "
+    "dashboard surface at once. Scale: per-batch work is the topic "
+    "queries' own broadcast-join/binning shape; sinks hold |groups|-"
+    "sized partials, never raw facts; at 100 TB the lineitem-orders "
+    "enrichment moves to the bucketed co-located join or a watermarked "
+    "stream-stream join with the same aggregation contract.",
+)
+def stream_topics_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.fanout import run_topics_fanout
+    from .llm import _artifact
+    from .registry import QUERY_REGISTRY
+
+    merged = run_topics_fanout(spark, sf_dir)
+    # The 7 BATCH baselines are the parity ground truth — a build-once
+    # artifact (dashboard-sized, eagerly materialized) exactly like the
+    # ANN exact baselines; without it each exceptAll direction would
+    # re-execute the full batch topic query.
+    baselines = _artifact(
+        spark,
+        sf_dir,
+        "topics-batch-baseline",
+        lambda: {
+            name: QUERY_REGISTRY[name]
+            .fn(spark, sf_dir)
+            .localCheckpoint(eager=True)
+            for name in streaming.TOPICS
+        },
+    )
+    from concurrent.futures import ThreadPoolExecutor
+
+    def compare(name: str) -> tuple:
+        batch_df = baselines[name]
+        streamed = merged[name].select(*batch_df.columns)
+        extra = streamed.exceptAll(batch_df).count()
+        missing = batch_df.exceptAll(streamed).count()
+        return (name, streamed.count(), extra == 0 and missing == 0)
+
+    # 21 independent tiny jobs over checkpointed dashboards — submit
+    # concurrently rather than paying 21 sequential job latencies.
+    with ThreadPoolExecutor(max_workers=7) as pool:
+        rows = list(pool.map(compare, streaming.TOPICS))
+    return spark.createDataFrame(
+        rows, "topic string, n_rows long, rows_match boolean"
+    ).orderBy("topic")

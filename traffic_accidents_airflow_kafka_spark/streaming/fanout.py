@@ -1,0 +1,313 @@
+"""One-pass streaming fan-out of the 7 dashboard topics (r6 VERDICT #7).
+
+The reference's production shape is ONE ETL pass publishing 7 result
+topics (``kafka/producer.py`` + ``dags/etl_crash_traffic.py``: one job,
+seven ``kafka_producer.send`` fan-outs). This module is that job as a
+single Structured Streaming query — the closest in-sandbox stand-in for
+the missing broker round-trip (S10/S11 are broker-impossible here, see
+streaming/core.py):
+
+- **One source.** The accident facts (orders, lineitem, events) are read
+  as file streams, JSON-encoded into a ``(src, payload)`` envelope and
+  UNIONED into one streaming relation — the wire shape of a single Kafka
+  topic carrying heterogeneous JSON records, which is exactly what the
+  reference's producer emits.
+- **One availableNow drain, seven sinks.** ``foreachBatch`` splits each
+  micro-batch by record type, computes per-topic PARTIAL aggregates, and
+  appends them to seven parquet sinks. Partials are chosen mergeable:
+  counts and exact DECIMAL sums add across batches; the one distinct
+  count (hospitals' ``n_parts``) keeps (brand, partkey)-grain partials
+  so the final merge can re-distinct — the standard two-phase discipline
+  that makes restarts and multi-batch replays exact, not approximate.
+- **Parity is asserted, not assumed.** After the drain, each sink is
+  merged and compared (multiset-exact, ``exceptAll`` both directions)
+  against the BATCH topic plan from ``plans/topics.py``. Streaming in,
+  batch answer out — the file-source-twin discipline the rest of §2.8
+  uses, extended to the whole dashboard fan-out.
+
+Scale: the per-batch work is the topic queries' own shape (broadcast dim
+joins, grid binning); sink state is |groups|-sized partials per batch,
+never raw facts; the final merge reads partials only. At 100 TB the
+lineitem-orders enrichment (topic 3) moves from the per-batch join here
+to the bucketed co-located join (sources/sinks.py) or a watermarked
+stream-stream join — the aggregation contract is unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.tables import load_table
+from . import core as streaming
+
+#: The streamed fact sources and their envelope tags.
+FANOUT_SOURCES = ("orders", "lineitem", "events")
+
+
+def _dec(c: str) -> F.Column:
+    return F.col(c).cast("decimal(18,2)")
+
+
+def envelope_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The single heterogeneous record stream: each fact table file-
+    streamed, JSON-encoded, tagged, unioned — one topic, three record
+    types. Events' nanosecond timestamp travels as ``unix_micros`` (JSON
+    has no timestamp type; micros round-trip exactly)."""
+    parts = []
+    for src in ("orders", "lineitem"):
+        schema = spark.read.parquet(os.path.join(sf_dir, f"{src}.parquet")).schema
+        raw = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", f"{src}.parquet")
+            .parquet(sf_dir)
+        )
+        parts.append(
+            raw.select(
+                F.lit(src).alias("src"),
+                F.to_json(F.struct(*raw.columns)).alias("payload"),
+            )
+        )
+    ev = streaming.stream_events(spark, sf_dir).withColumn(
+        "ts_us", F.unix_micros("ts")
+    ).drop("ts")
+    parts.append(
+        ev.select(
+            F.lit("events").alias("src"),
+            F.to_json(F.struct(*[c for c in ev.columns])).alias("payload"),
+        )
+    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _parse(batch: DataFrame, src: str, schema) -> DataFrame:
+    return (
+        batch.filter(F.col("src") == src)
+        .select(F.from_json("payload", schema).alias("r"))
+        .select("r.*")
+    )
+
+
+def run_topics_fanout(
+    spark: SparkSession, sf_dir: str
+) -> dict[str, DataFrame]:
+    """Drain the envelope stream once, fan out to 7 partial-aggregate
+    sinks, merge each sink and return {topic: merged DataFrame} with
+    EXACTLY the batch topic queries' schemas. Merged results are eagerly
+    materialized (localCheckpoint) so the sink directories can be
+    reclaimed before the caller consumes them."""
+    orders_schema = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).schema
+    li_schema = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).schema
+    ev_schema = (
+        "event_id long, user_id long, event_type string, value double, "
+        "props string, ts_us long"
+    )
+
+    # Dimensions at rest, loaded once and broadcast into every batch —
+    # the topic queries' own J1/J3 shape. Orders-at-rest enriches the
+    # lineitem stream (topic 3); at 100 TB this becomes the bucketed
+    # co-located join or a stream-stream interval join.
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    supplier = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part")
+    orders_static = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+
+    base = tempfile.mkdtemp(prefix=f"fanout_{uuid.uuid4().hex[:8]}_")
+    sinks = {t: os.path.join(base, t) for t in streaming.TOPICS}
+
+    def drain(batch: DataFrame, batch_id: int) -> None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        # Seven sink jobs read this micro-batch; without these persists
+        # every job would re-scan the source files, re-encode the
+        # envelope, and re-parse the JSON. Cache the envelope once and
+        # each parsed record type once, then submit the seven sink jobs
+        # CONCURRENTLY — they are independent aggregations over cached
+        # inputs, and concurrent job submission lets the scheduler pack
+        # them instead of paying seven sequential job latencies (the
+        # standard foreachBatch fan-out recipe).
+        batch.persist().count()
+        ob = _parse(batch, "orders", orders_schema).persist()
+        lb = _parse(batch, "lineitem", li_schema).persist()
+        eb = (
+            _parse(batch, "events", ev_schema)
+            .withColumn("ts", F.timestamp_micros("ts_us"))
+            .persist()
+        )
+
+        def t1() -> None:
+            # Topic 1: per-state order totals (orders stream, dim broadcasts).
+            ob.join(
+                F.broadcast(customer), ob.o_custkey == customer.c_custkey
+            ).join(
+                F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+            ).groupBy(F.col("n_name").alias("state_name")).agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(_dec("o_totalprice")).alias("sum_total"),
+            ).coalesce(1).write.mode("append").parquet(
+                sinks["transit_signals_by_state"]
+            )
+
+        def t5() -> None:
+            # Topic 5: county+state rollup (one more dim hop).
+            ob.join(
+                F.broadcast(customer), ob.o_custkey == customer.c_custkey
+            ).join(
+                F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+            ).join(
+                F.broadcast(region), nation.n_regionkey == region.r_regionkey
+            ).groupBy(
+                F.col("n_name").alias("county_name"),
+                F.col("r_name").alias("state_name"),
+            ).agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(_dec("o_totalprice")).alias("sum_total"),
+            ).coalesce(1).write.mode("append").parquet(sinks["lesions_by_county"])
+
+        def t2() -> None:
+            # Topic 2: per-supplier measures (lineitem stream).
+            lb.join(
+                F.broadcast(supplier), lb.l_suppkey == supplier.s_suppkey
+            ).groupBy(F.col("s_name").alias("supplier_name")).agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.sum(_dec("l_quantity")).alias("sum_qty"),
+                F.sum(_dec("l_extendedprice")).alias("sum_price"),
+            ).coalesce(1).write.mode("append").parquet(sinks["signals_vs_lesions"])
+
+        def t6() -> None:
+            # Topic 6: per-brand rollup with a distinct part count —
+            # partials keep (brand, partkey) grain so the merge can
+            # re-distinct (distinct counts do NOT add; grain-partials do).
+            lb.join(F.broadcast(part), lb.l_partkey == part.p_partkey).groupBy(
+                "p_brand", "p_partkey"
+            ).agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.sum(_dec("l_quantity")).alias("sum_qty"),
+                F.sum(_dec("l_extendedprice")).alias("sum_price"),
+            ).coalesce(1).write.mode("append").parquet(
+                sinks["hospitals_schools_vs_lesions"]
+            )
+
+        def t3() -> None:
+            # Topic 3: lineitem stream enriched with orders at rest.
+            lb.join(
+                orders_static, lb.l_orderkey == orders_static.o_orderkey
+            ).groupBy("o_orderpriority", "l_returnflag", "l_linestatus").agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.sum(
+                    _dec("l_extendedprice")
+                    * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+                ).alias("sum_disc_price"),
+            ).coalesce(1).write.mode("append").parquet(
+                sinks["weather_light_surface"]
+            )
+
+        def t4() -> None:
+            # Topic 4: hour/day-of-week counts (events stream).
+            eb.groupBy(
+                F.hour("ts").cast("int").alias("event_hour"),
+                F.weekday("ts").cast("int").alias("event_dow"),
+            ).agg(F.count(F.lit(1)).alias("n_events")).coalesce(
+                1
+            ).write.mode("append").parquet(sinks["accidents_by_time"])
+
+        def t7() -> None:
+            # Topic 7: grid-binned rollup (events stream).
+            val_bin = (F.floor(F.col("value") / 50.0) * 50.0).cast("int")
+            uid_bin = (F.floor(F.col("user_id") / 10) * 10).cast("int")
+            eb.groupBy(
+                F.concat(
+                    F.lit("bbox_"),
+                    val_bin.cast("string"),
+                    F.lit("_"),
+                    uid_bin.cast("string"),
+                ).alias("bbox_label")
+            ).agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(_dec("value")).alias("sum_value"),
+            ).coalesce(1).write.mode("append").parquet(
+                sinks["crossings_vs_lesions"]
+            )
+
+        with ThreadPoolExecutor(max_workers=7) as pool:
+            futures = [pool.submit(fn) for fn in (t1, t5, t2, t6, t3, t4, t7)]
+            for fut in futures:
+                fut.result()
+        for df in (ob, lb, eb, batch):
+            df.unpersist()
+
+    try:
+        streaming.run_foreach_batch(
+            envelope_stream(spark, sf_dir), spark, drain
+        )
+        dbl = lambda c: F.sum(c).cast("double")  # noqa: E731
+        merged = {
+            "transit_signals_by_state": spark.read.parquet(
+                sinks["transit_signals_by_state"]
+            )
+            .groupBy("state_name")
+            .agg(F.sum("n_orders").alias("n_orders"), dbl("sum_total").alias("sum_total")),
+            "lesions_by_county": spark.read.parquet(sinks["lesions_by_county"])
+            .groupBy("county_name", "state_name")
+            .agg(F.sum("n_orders").alias("n_orders"), dbl("sum_total").alias("sum_total")),
+            "signals_vs_lesions": spark.read.parquet(sinks["signals_vs_lesions"])
+            .groupBy("supplier_name")
+            .agg(
+                F.sum("n_items").alias("n_items"),
+                dbl("sum_qty").alias("sum_qty"),
+                dbl("sum_price").alias("sum_price"),
+            ),
+            "hospitals_schools_vs_lesions": spark.read.parquet(
+                sinks["hospitals_schools_vs_lesions"]
+            )
+            .groupBy("p_brand")
+            .agg(
+                F.sum("n_items").alias("n_items"),
+                F.countDistinct("p_partkey").alias("n_parts"),
+                dbl("sum_qty").alias("sum_qty"),
+                dbl("sum_price").alias("sum_price"),
+            ),
+            "weather_light_surface": spark.read.parquet(
+                sinks["weather_light_surface"]
+            )
+            .groupBy("o_orderpriority", "l_returnflag", "l_linestatus")
+            .agg(
+                F.sum("n_items").alias("n_items"),
+                dbl("sum_disc_price").alias("sum_disc_price"),
+            ),
+            "accidents_by_time": spark.read.parquet(sinks["accidents_by_time"])
+            .groupBy("event_hour", "event_dow")
+            .agg(F.sum("n_events").alias("n_events")),
+            "crossings_vs_lesions": spark.read.parquet(
+                sinks["crossings_vs_lesions"]
+            )
+            .groupBy("bbox_label")
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                dbl("sum_value").alias("sum_value"),
+            ),
+        }
+        # Eagerly materialize so the sink files can be reclaimed now —
+        # concurrently; the seven merges are independent tiny jobs.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=7) as pool:
+            futs = {
+                name: pool.submit(lambda d=df: d.localCheckpoint(eager=True))
+                for name, df in merged.items()
+            }
+            return {name: fut.result() for name, fut in futs.items()}
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
