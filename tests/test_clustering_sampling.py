@@ -292,6 +292,29 @@ class TestGlobalCumsum:
         )
 
 
+class TestGlobalCumsumNaN:
+    def test_nan_double_keys_match_naive_window(self, spark):
+        """A double order column containing NaN must still match the
+        naive global window: NaN sorts LAST in Spark but the arithmetic
+        bucket formula would clamp it to bucket 0, so float/double keys
+        route to the range-partition path (r6 ADVICE)."""
+        from pyspark.sql import Window
+
+        vals = [(float(i), 1) for i in range(100)] + [
+            (float("nan"), 5),
+            (float("nan"), 7),
+        ]
+        df = spark.createDataFrame(vals, "k double, v long")
+        two_phase = sampling.global_cumsum(df, "k", "v", out_col="c")
+        w = Window.orderBy("k")
+        naive = df.withColumn("c", F.sum("v").over(w) - F.col("v"))
+        # NaN != NaN in tuple comparison; compare on a stable projection.
+        key = lambda r: (str(r["k"]), r["v"], r["c"])  # noqa: E731
+        assert sorted(map(key, two_phase.collect())) == sorted(
+            map(key, naive.collect())
+        )
+
+
 class TestSplitThresholds:
     def test_boundaries_are_monotone_hex_and_proportional(self):
         from hypothesis import given, strategies as st

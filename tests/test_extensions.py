@@ -656,7 +656,7 @@ def test_bootstrap_tiny_groups_match_oracle(spark):
             F.round(F.col("value") * 100, 0).cast("long"),
             ["event_type"],
             n_replicates=40,
-            seed="boot-v1",
+            seed="boot-v2",
         ).collect()
     }
     for r in got.values():

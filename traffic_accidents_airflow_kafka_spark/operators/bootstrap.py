@@ -107,10 +107,16 @@ def bootstrap_mean_ci(
     cents_col: Column | str,
     group_cols: list[str],
     n_replicates: int = 40,
-    seed: str = "boot-v1",
+    seed: str = "boot-v2",
     alpha: float = 0.05,
 ) -> DataFrame:
-    """Per-group mean of ``cents_col``/100 with a percentile-bootstrap
+    """(Seed policy, r6 ADVICE: the default seed version bumps whenever
+    the uniform-stream derivation changes — 'boot-v1' was one 52-bit
+    uniform per md5 digest, 'boot-v2' splits each digest into two — so
+    results recorded under different derivations are distinguishable by
+    their seed string instead of silently diverging.)
+
+    Per-group mean of ``cents_col``/100 with a percentile-bootstrap
     [alpha/2, 1-alpha/2] confidence interval from ``n_replicates``
     Poisson replicates — one data pass, B×|groups| shuffled partials.
 

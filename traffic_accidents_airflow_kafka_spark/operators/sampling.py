@@ -121,10 +121,19 @@ def global_cumsum(
     per-bucket), while range partitioning balanced by sampling. The
     catalog's order keys are dense ids, where the two are equivalent.
     """
-    from pyspark.sql.types import NumericType
+    from pyspark.sql.types import DoubleType, FloatType, NumericType
 
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if isinstance(df.schema[order_col].dataType, NumericType):
+    dt = df.schema[order_col].dataType
+    # float/double keys take the range-partition path: a NaN order key
+    # sorts LAST in Spark's ordering but the arithmetic bucket formula
+    # would clamp it to bucket 0 (NaN comparisons are false, so
+    # greatest/least pick the bound), silently diverging from the naive
+    # global-window contract; repartitionByRange places NaN in the last
+    # range and stays correct (r6 ADVICE).
+    if isinstance(dt, NumericType) and not isinstance(
+        dt, (FloatType, DoubleType)
+    ):
         # One bounded scalar pass (column-pruned min/max) fixes the
         # bucket boundaries; double arithmetic is monotone in the key,
         # which is all contiguity needs.

@@ -2867,7 +2867,7 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_rank")
 
 
-def _bootstrap_oracle(n_replicates: int = 40, seed: str = "boot-v1") -> str:
+def _bootstrap_oracle(n_replicates: int = 40, seed: str = "boot-v2") -> str:
     """SQL replay of the Poisson bootstrap: the SAME cumulative-probability
     ladder literals (operators/bootstrap.py:POISSON1_CUM) and the same
     two-uniforms-per-digest scheme — replicate r reads 52 bits starting
@@ -2954,5 +2954,5 @@ def bootstrap_value_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100, 0).cast("long"),
         ["event_type"],
         n_replicates=40,
-        seed="boot-v1",
+        seed="boot-v2",
     )

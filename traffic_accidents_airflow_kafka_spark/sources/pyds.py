@@ -282,6 +282,15 @@ class AuditJsonWriter(DataSourceWriter):
     - ``abort`` (driver, on job failure): best-effort staging cleanup;
       the published directory is untouched, so a failed job leaves the
       previous dataset intact (the overwrite happens inside commit).
+
+    Concurrency contract (r6 ADVICE): ONE writer per path at a time.
+    Append-mode commit merges ``_MANIFEST.json`` read-modify-write and
+    scans ``part-*.json`` for the next index without locking, so two
+    concurrent append commits to the same path can pick the same start
+    index and/or lose each other's manifest entries. This matches the
+    single-writer-per-table discipline of every non-transactional sink
+    in this repo (Derby, the bucketed saveAsTable writer); concurrent
+    jobs must target distinct paths and union at read time.
     """
 
     def __init__(self, options: dict, schema, overwrite: bool):
