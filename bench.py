@@ -61,8 +61,15 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # --progress: per-query timing lines on STDERR as the run advances
+    # (the stdout one-JSON-line contract is untouched) — lets a wedged
+    # or slow entry be identified without instrumenting the loop.
+    progress = "--progress" in sys.argv[1:]
+
     timings: dict[str, float] = {}
     for name, spec in registry.items():
+        if progress:
+            print(f"[bench] {name} ...", file=sys.stderr, flush=True)
         # Warmup absorbs one-time costs (codegen, broadcast build, the
         # streaming subsystem's first-query init) so every entry reports
         # steady state on equal terms. Timed runs rebuild the DataFrame
@@ -76,6 +83,8 @@ def main() -> None:
             spec.fn(spark, sf_dir).collect()
             best = min(best, time.perf_counter() - start)
         timings[name] = round(best, 4)
+        if progress:
+            print(f"[bench] {name} {best:.3f}s", file=sys.stderr, flush=True)
         # Session hygiene between queries: drop cached relations and force
         # Python GC so the JVM ContextCleaner can free checkpointed RDD
         # blocks / broadcast vars whose Python handles just went out of

@@ -104,6 +104,12 @@ REPRESENTATIVES = [
     "unigram_viterbi_segment",
     "unigram_hard_em",
     "multimodal_real_decode",
+    # round-7 additions: DSIR importance weights (two 64-row bucket
+    # models broadcast into one token-stream pass — should track corpus
+    # token count linearly) and the trained-LM surprisal filter (vocab-
+    # sized lattice DP + one doc-keyed rollup, the unigram shape).
+    "dsir_importance_weights",
+    "unigram_surprisal_filter",
 ]
 
 

@@ -118,7 +118,17 @@ def test_judged_window_holds_every_tier0_query():
         "unigram_prune_round",
         "multimodal_audio_meta",
         "stream_multimodal_decode",
-        "sql_pricing_summary",
+    ):
+        assert name in judged, f"{name} rotated out of the judged window"
+    # Round-7 self-rotation: this round's flagships judged this round.
+    # The two demoted rows stay covered: sql_pricing_summary (judged
+    # green in r7's own rotation-in) is the plan-identical SQL-text twin
+    # of tier-0 pricing_summary; accidents_by_time's date-part machinery
+    # is driver-judged via star_dim_date and the topic-rollup shape via
+    # transit_signals_by_state — both keep local oracles.
+    for name in (
+        "dsir_importance_weights",
+        "unigram_surprisal_filter",
     ):
         assert name in judged, f"{name} rotated out of the judged window"
 

@@ -76,6 +76,12 @@ CROSS_JOIN_OK = {
     "unigram_seed_vocab",
     "unigram_viterbi_segment",
     "unigram_doc_token_counts",
+    # unigram_surprisal_filter: same ONE-ROW vocabulary-total crossJoin
+    # (with_costs) behind the shared vocab artifact.
+    "unigram_surprisal_filter",
+    # dsir_importance_weights: the raw-model token total is a ONE-ROW
+    # broadcast scalar crossJoined onto the 64-row bucket table.
+    "dsir_importance_weights",
 }
 
 #: Streaming entries build a streaming plan — skipped here (their shape is

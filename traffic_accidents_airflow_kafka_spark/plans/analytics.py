@@ -269,8 +269,8 @@ _PRICING_SQL = """
 
 @register(
     "sql_pricing_summary",
-    tier=0,  # r7 rotation INTO the judged window (r6 flagship): the SQL-text
-    # API surface judged directly; plan identical to pricing_summary
+    tier=1,  # judged in r7 (green), rotated back OUT for the r7 flagships:
+    # plan-identical SQL-text twin of pricing_summary, which stays tier 0
     oracle=_PRICING_SQL,
     doc="The Spark SQL TEXT surface: the flagship pricing aggregate "
     "issued as one ANSI-SQL string through spark.sql over a registered "

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..operators import (
     decontam,
     dedup,
+    dsir,
     graph,
     multimodal,
     quality,
@@ -2195,6 +2196,101 @@ def model_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("z"), 6).alias("max_score"),
         )
         .orderBy("lang")
+    )
+
+
+#: DSIR selection threshold in centibits per token: a document is
+#: selected when its mean per-token importance rate beats this. Like
+#: the surprisal filter's cut, calibrated to the corpus score
+#: distribution (the observed median rate, stable at every driver SF);
+#: the comparison is cross-multiplied (score*100 > thresh*n_tokens) so
+#: no negative integer division enters the cross-engine contract.
+DSIR_SELECT_CENTIBITS = -178
+
+
+def _dsir_oracle(n_buckets: int = 64, limit: int = 200) -> str:
+    """The DSIR bit-surprisal importance weights replayed in DuckDB:
+    the same md5 token bucket as the model-filter oracle, the raw
+    model's add-one-smoothed integer bit costs (length(bin(total //
+    cnt)) — the unigram-tokenizer idiom), the SHIPPED target model as
+    a literal cost array, and the per-doc (raw - target) bit delta."""
+    tgt = dsir.target_cost_model(n_buckets)
+    tlit = "[" + ", ".join(str(int(c)) for c in tgt) + "]"
+    bucket = (
+        "list_reduce(list_transform(generate_series(1, 8), "
+        "j -> CAST(instr('0123456789abcdef', substr(md5(t), j, 1)) - 1 AS BIGINT)), "
+        "(a, b) -> a * 16 + b)"
+    )
+    return f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, lang, ({bucket} % {n_buckets}) AS bucket
+      FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+            FROM documents)
+    ),
+    dom AS (SELECT unnest(generate_series(0, {n_buckets - 1})) AS bucket),
+    rawc AS (
+      SELECT d.bucket, CAST(COUNT(t.bucket) + 1 AS BIGINT) AS s
+      FROM dom d LEFT JOIN toks t ON d.bucket = t.bucket
+      GROUP BY d.bucket
+    ),
+    rt AS (SELECT SUM(s) AS t FROM rawc),
+    costs AS (
+      SELECT r.bucket,
+             CAST(length(bin(rt.t // r.s)) AS BIGINT) AS raw_cost,
+             CAST(({tlit})[CAST(r.bucket + 1 AS INT)] AS BIGINT) AS tgt_cost
+      FROM rawc r, rt
+    )
+    SELECT t.doc_id, t.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(c.raw_cost - c.tgt_cost) AS BIGINT) AS score_bits,
+           (SUM(c.raw_cost - c.tgt_cost) * 100 >
+            {DSIR_SELECT_CENTIBITS} * COUNT(*)) AS selected
+    FROM toks t JOIN costs c USING (bucket)
+    GROUP BY t.doc_id, t.lang
+    ORDER BY score_bits DESC, t.doc_id
+    LIMIT {limit}
+    """
+
+
+@register(
+    "dsir_importance_weights",
+    tier=0,  # r7 flagship: a NEW selection algorithm (importance
+    # resampling) under full value-hash — rotated into the judged window
+    # in place of sql_pricing_summary (operator-redundant SQL-text twin)
+    oracle=_dsir_oracle(),
+    doc="DSIR data selection via importance resampling (public "
+    "methodology: Xie et al. 2023): score every raw document by how "
+    "much more likely its hashed bag-of-words is under the TARGET "
+    "distribution than under the raw-corpus distribution, and keep the "
+    "top slice (operators/dsir.py:importance_scores_vs_model). The raw "
+    "model is learned in-job (one 64-bucket aggregate over the corpus); "
+    "the target model is a SHIPPED literal cost table — the production "
+    "shape, where the target corpus (e.g. Wikipedia) is fit once "
+    "offline and distributed as an artifact, the same precedent as the "
+    "model_filter classifier weights. Scored in INTEGER bit-surprisals "
+    "(cost = length(bin(total DIV cnt)), add-one smoothing over the "
+    "fixed bucket domain) — the unigram-tokenizer integer-log trick — "
+    "so unlike a float-log DSIR this one carries a FULL value-hash "
+    "oracle; the bit-quantized score preserves the float selection "
+    "order up to 1-bit ties. The paper-faithful two-learned-models "
+    "form (importance_scores, target = a corpus predicate) is pinned "
+    "by a planted-distribution-shift unit test — on THIS synthetic "
+    "corpus every language slice is lexically identical to the raw "
+    "mix, which whole-bit quantization honestly reports as score 0. "
+    "Scale: both model tables are n_buckets rows broadcast into ONE "
+    "pass over the exploded token stream; only (doc_id, long) pairs "
+    "shuffle. At 100 TB the model tables are still 64 rows.",
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        dsir.importance_scores_vs_model(
+            docs,
+            dsir.target_cost_model(64),
+            select_centibits_per_token=DSIR_SELECT_CENTIBITS,
+        )
+        .orderBy(F.desc("score_bits"), "doc_id")
+        .limit(200)
     )
 
 

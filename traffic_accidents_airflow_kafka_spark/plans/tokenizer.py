@@ -780,3 +780,137 @@ def unigram_doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .limit(100)
     )
+
+
+#: Surprisal-filter threshold in centibits per piece. Documents whose
+#: mean bit-surprisal per emitted piece exceeds this are flagged — the
+#: CCNet-style "perplexity tail" cut, expressed in the integer bit
+#: domain (7.60 bits/piece). Like CCNet's percentile cutoffs, the value
+#: is calibrated to the corpus score distribution (a nontrivial split
+#: at every driver SF); shared by the Spark plan and the oracle.
+UNI_SURPRISAL_CENTIBITS = 760
+
+
+@register(
+    "unigram_surprisal_filter",
+    tier=0,  # r7 flagship: the perplexity quality filter under full
+    # value-hash — rotated into the judged window in place of
+    # accidents_by_time (date-part machinery judged via star_dim_date)
+    oracle=_unigram_vocab_cte(UNI_MAX_PIECE, UNI_VOCAB)
+    + _unigram_viterbi_layers(20, UNI_MAX_PIECE, None)
+    + f""",
+    seg AS MATERIALIZED (
+      SELECT r.w, CAST(r.c // 1024 AS BIGINT) AS cost,
+             CAST(r.c % 1024 AS BIGINT) AS n_pieces
+      FROM ({_unigram_result_union(20)}) r
+    ),
+    dwords AS (
+      SELECT doc_id, lang,
+             unnest(regexp_extract_all(text, '{BPE_ISH_PATTERN}', 0)) AS w
+      FROM documents
+    ),
+    perdoc AS (
+      SELECT d.doc_id, d.lang,
+             CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM(CASE WHEN s.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_long_words,
+             CAST(SUM(COALESCE(s.cost, 0)) AS BIGINT) AS total_bits,
+             CAST(SUM(COALESCE(s.n_pieces, 0)) AS BIGINT) AS total_pieces
+      FROM dwords d LEFT JOIN seg s ON d.w = s.w
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT doc_id, lang, n_words, n_long_words, total_bits, total_pieces,
+             CAST(CASE WHEN total_pieces > 0
+                       THEN total_bits * 100 // total_pieces
+                       ELSE 0 END AS BIGINT) AS mean_centibits
+      FROM perdoc
+    )
+    SELECT doc_id, lang, n_words, n_long_words, total_bits, total_pieces,
+           mean_centibits,
+           (total_pieces > 0 AND
+            mean_centibits > {UNI_SURPRISAL_CENTIBITS}) AS flagged
+    FROM scored
+    ORDER BY doc_id
+    LIMIT 150
+    """,
+    doc="Perplexity-style quality filtering with the TRAINED unigram LM "
+    "(the CCNet idiom — public methodology: Wenzek et al. 2020 score "
+    "documents with a KenLM and cut the high-perplexity tail): every "
+    "distinct pretoken (length <= 20) is Viterbi-segmented ONCE against "
+    "the costed seed vocabulary (the shared build-once artifact), and "
+    "each document is scored by its mean bit-surprisal per emitted "
+    "piece — total path cost in bits x 100 DIV total pieces, flagged "
+    "above 7.60 bits/piece (a corpus-calibrated cut, the same way CCNet "
+    "places its percentile thresholds). Because the LM is the integer-"
+    "cost unigram "
+    "tokenizer, the WHOLE filter — lattice DP included — value-hashes "
+    "cross-engine, unlike any float-perplexity implementation (the "
+    "bigram lm_quality_scores entry stays the float/banded twin). "
+    "Completes the quality-filter family: discriminative "
+    "(model_filter_stats), float n-gram LM (lm_quality_scores), and "
+    "trained-tokenizer LM (this). Scale: segmentation is vocabulary-"
+    "sized; the (word -> cost, pieces) map broadcasts onto the exploded "
+    "corpus; the rollup is one doc-keyed aggregate — nothing larger "
+    "than (doc_id, longs) shuffles.",
+)
+def unigram_surprisal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import unigram
+    from .llm import _artifact
+
+    docs = load_table(spark, sf_dir, "documents")
+    wf = bpe.word_freq(docs)
+    vc = _artifact(
+        spark,
+        sf_dir,
+        "unigram-vocabc",
+        lambda: unigram.with_costs(
+            unigram.seed_vocab(wf, UNI_MAX_PIECE, UNI_VOCAB)
+        ).localCheckpoint(eager=True),
+    )
+    short = wf.filter(F.length("word") <= unigram.MAX_WORD_LEN)
+    seg = unigram.viterbi_combined(short, vc, UNI_MAX_PIECE).select(
+        "word",
+        F.col("cost").cast("bigint").alias("__cost"),
+        F.col("n_pieces").cast("bigint").alias("__np"),
+    )
+    words = docs.select(
+        "doc_id", "lang", F.explode(bpe.bpe_ish_tokens("text")).alias("word")
+    )
+    perdoc = (
+        words.join(F.broadcast(seg), "word", "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum(F.col("__cost").isNull().cast("int"))
+            .cast("bigint")
+            .alias("n_long_words"),
+            F.sum(F.coalesce("__cost", F.lit(0)))
+            .cast("bigint")
+            .alias("total_bits"),
+            F.sum(F.coalesce("__np", F.lit(0)))
+            .cast("bigint")
+            .alias("total_pieces"),
+        )
+    )
+    mean_cb = F.when(
+        F.col("total_pieces") > 0,
+        F.expr("total_bits * 100 DIV total_pieces"),
+    ).otherwise(F.lit(0)).cast("bigint")
+    return (
+        perdoc.select(
+            "doc_id",
+            "lang",
+            "n_words",
+            "n_long_words",
+            "total_bits",
+            "total_pieces",
+            mean_cb.alias("mean_centibits"),
+            (
+                (F.col("total_pieces") > 0)
+                & (mean_cb > UNI_SURPRISAL_CENTIBITS)
+            ).alias("flagged"),
+        )
+        .orderBy("doc_id")
+        .limit(150)
+    )

@@ -141,6 +141,9 @@ def weather_light_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "accidents_by_time",
+    tier=1,  # judged green r2-r7; rotated OUT for the r7 flagships — its
+    # date-part machinery (F2) stays driver-judged via star_dim_date and
+    # the topic-rollup shape via transit_signals_by_state
     oracle="""
     SELECT
       CAST(hour(ts) AS INT) AS event_hour,
