@@ -878,8 +878,10 @@ def _fanout_oracle() -> str:
     "exact decimal sums add across micro-batches; the one distinct "
     "count keeps (brand, partkey)-grain partials and re-distincts at "
     "merge — the two-phase discipline that keeps restarts exact). Each "
-    "merged sink is then compared multiset-exactly (exceptAll both "
-    "directions) against the BATCH topic plan from plans/topics.py and "
+    "merged sink is then compared multiset-exactly (row-tuple Counter "
+    "equality over the dim-bounded dashboards, same contract as "
+    "exceptAll both ways) against the BATCH topic plan from "
+    "plans/topics.py and "
     "the per-topic row count + parity flag is what the oracle "
     "value-hashes — streaming in, batch answer out, for the WHOLE "
     "dashboard surface at once. Scale: per-batch work is the topic "
@@ -889,37 +891,49 @@ def _fanout_oracle() -> str:
     "stream-stream join with the same aggregation contract.",
 )
 def stream_topics_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections import Counter
+    from concurrent.futures import ThreadPoolExecutor
+
     from ..streaming.fanout import run_topics_fanout
     from .llm import _artifact
     from .registry import QUERY_REGISTRY
 
     merged = run_topics_fanout(spark, sf_dir)
     # The 7 BATCH baselines are the parity ground truth — a build-once
-    # artifact (dashboard-sized, eagerly materialized) exactly like the
-    # ANN exact baselines; without it each exceptAll direction would
-    # re-execute the full batch topic query.
+    # artifact holding each dashboard as a COLLECTED row multiset
+    # (column order + Counter of row tuples). Dashboards are dim-bounded
+    # (|states|, |suppliers|, |grid cells| — never fact-sized), so
+    # collecting them once is cheaper than keeping checkpointed
+    # DataFrames alive: the per-run parity check becomes 7 small collect
+    # jobs against in-memory multisets instead of 21 Spark jobs (count +
+    # exceptAll both directions per topic), and the artifact build needs
+    # no localCheckpoint blocks at all. Multiset equality of exact
+    # values is the same contract exceptAll enforced.
     baselines = _artifact(
         spark,
         sf_dir,
         "topics-batch-baseline",
         lambda: {
-            name: QUERY_REGISTRY[name]
-            .fn(spark, sf_dir)
-            .localCheckpoint(eager=True)
-            for name in streaming.TOPICS
+            name: (
+                tuple(df.columns),
+                Counter(tuple(r) for r in df.collect()),
+            )
+            for name, df in (
+                (n, QUERY_REGISTRY[n].fn(spark, sf_dir))
+                for n in streaming.TOPICS
+            )
         },
     )
-    from concurrent.futures import ThreadPoolExecutor
 
     def compare(name: str) -> tuple:
-        batch_df = baselines[name]
-        streamed = merged[name].select(*batch_df.columns)
-        extra = streamed.exceptAll(batch_df).count()
-        missing = batch_df.exceptAll(streamed).count()
-        return (name, streamed.count(), extra == 0 and missing == 0)
+        cols, want = baselines[name]
+        got = Counter(
+            tuple(r) for r in merged[name].select(*cols).collect()
+        )
+        return (name, sum(got.values()), got == want)
 
-    # 21 independent tiny jobs over checkpointed dashboards — submit
-    # concurrently rather than paying 21 sequential job latencies.
+    # 7 independent tiny collect jobs over checkpointed dashboards —
+    # submitted concurrently rather than paying sequential job latency.
     with ThreadPoolExecutor(max_workers=7) as pool:
         rows = list(pool.map(compare, streaming.TOPICS))
     return spark.createDataFrame(
