@@ -170,6 +170,65 @@ def target_cost_model(
     ]
 
 
+def freeze_raw_costs(
+    docs: DataFrame, text_col: str = "text", n_buckets: int = 64
+) -> list[int]:
+    """Collect the learned raw-model bucket costs into a plain list —
+    the model-freeze step of a streaming deployment: the raw model is
+    re-fit on history periodically (one bounded aggregate), frozen to
+    ``n_buckets`` integers, and embedded as plan literals in the
+    stateless arrival scorer (:func:`inline_score`). The collect is
+    model-sized (64 longs), never data-sized."""
+    rows = bucket_bit_costs(
+        doc_token_buckets(docs, text_col, n_buckets), n_buckets, "cost"
+    ).collect()
+    out = [0] * n_buckets
+    for r in rows:
+        out[int(r["bucket"])] = int(r["cost"])
+    return out
+
+
+def inline_score(
+    text_col: str,
+    raw_costs: list[int],
+    target_costs: list[int],
+    select_centibits_per_token: int = 0,
+) -> list[Column]:
+    """Per-ROW importance scoring with both models as plan literals —
+    (n_tokens, score_bits, selected) columns computed by a pure codegen
+    fold over the token array: md5 bucket → literal-array cost lookup →
+    running integer sum. ZERO shuffle and zero state, which is what
+    makes the scorer safely streamable (append mode, no watermark, no
+    state store) and exactly how a production stream scores arrivals
+    against broadcast models. Bit-identical to the join-based
+    :func:`importance_scores_vs_model` rollup by construction (same
+    bucket hash, same integer costs)."""
+    nb = len(raw_costs)
+    assert len(target_costs) == nb
+    raw_lit = F.array(*[F.lit(int(c)) for c in raw_costs])
+    tgt_lit = F.array(*[F.lit(int(c)) for c in target_costs])
+    toks = F.split(F.col(text_col), " ")
+
+    def delta(t: Column) -> Column:
+        idx = (token_bucket(t, nb) + 1).cast("int")
+        return (
+            F.element_at(raw_lit, idx) - F.element_at(tgt_lit, idx)
+        ).cast("long")
+
+    score = F.aggregate(
+        F.transform(toks, delta),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_tokens = F.size(toks).cast("long")
+    th = int(select_centibits_per_token)
+    return [
+        n_tokens.alias("n_tokens"),
+        score.alias("score_bits"),
+        (score * 100 > F.lit(th) * n_tokens).alias("selected"),
+    ]
+
+
 def importance_scores_vs_model(
     docs: DataFrame,
     target_costs: list[int],

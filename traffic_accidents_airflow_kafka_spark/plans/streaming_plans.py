@@ -939,3 +939,129 @@ def stream_topics_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "topic string, n_rows long, rows_match boolean"
     ).orderBy("topic")
+
+
+#: Fixed materialization path for the streaming DSIR scorer's arrival
+#: slice (static oracle SQL must agree on provenance a priori;
+#: overwritten per run).
+STREAM_DSIR_PATH = "/tmp/spark_graft_stream_dsir_arrivals"
+
+
+def _stream_dsir_oracle(n_buckets: int = 64, limit: int = 150) -> str:
+    """The frozen-model arrival scorer replayed in DuckDB: the raw
+    model's smoothed integer bit costs fit on the HISTORY slice
+    (doc_id%5<>0 — the model-freeze input), the shipped target literal,
+    and the per-arrival (raw - target) bit delta — the join-based twin
+    of the Spark side's literal-array in-row fold."""
+    from ..operators import dsir
+
+    tgt = dsir.target_cost_model(n_buckets)
+    tlit = "[" + ", ".join(str(int(c)) for c in tgt) + "]"
+    bucket = (
+        "list_reduce(list_transform(generate_series(1, 8), "
+        "j -> CAST(instr('0123456789abcdef', substr(md5(t), j, 1)) - 1 AS BIGINT)), "
+        "(a, b) -> a * 16 + b)"
+    )
+    from .llm import DSIR_SELECT_CENTIBITS
+
+    return f"""
+    WITH atoks AS MATERIALIZED (
+      SELECT doc_id, lang, ({bucket} % {n_buckets}) AS bucket
+      FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+            FROM documents WHERE doc_id % 5 = 0)
+    ),
+    htoks AS (
+      SELECT ({bucket} % {n_buckets}) AS bucket
+      FROM (SELECT unnest(string_split(text, ' ')) AS t
+            FROM documents WHERE doc_id % 5 <> 0)
+    ),
+    dom AS (SELECT unnest(generate_series(0, {n_buckets - 1})) AS bucket),
+    rawc AS (
+      SELECT d.bucket, CAST(COUNT(h.bucket) + 1 AS BIGINT) AS s
+      FROM dom d LEFT JOIN htoks h ON d.bucket = h.bucket
+      GROUP BY d.bucket
+    ),
+    rt AS (SELECT SUM(s) AS t FROM rawc),
+    costs AS (
+      SELECT r.bucket,
+             CAST(length(bin(rt.t // r.s)) AS BIGINT) AS raw_cost,
+             CAST(({tlit})[CAST(r.bucket + 1 AS INT)] AS BIGINT) AS tgt_cost
+      FROM rawc r, rt
+    )
+    SELECT a.doc_id, a.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(c.raw_cost - c.tgt_cost) AS BIGINT) AS score_bits,
+           (SUM(c.raw_cost - c.tgt_cost) * 100 >
+            {DSIR_SELECT_CENTIBITS} * COUNT(*)) AS selected
+    FROM atoks a JOIN costs c USING (bucket)
+    GROUP BY a.doc_id, a.lang
+    ORDER BY score_bits DESC, a.doc_id
+    LIMIT {limit}
+    """
+
+
+@register(
+    "stream_dsir_scores",
+    tier=1,  # extended streaming surface: DSIR machinery judged via
+    # dsir_importance_weights; stateless stream map via
+    # stream_multimodal_decode
+    oracle=_stream_dsir_oracle(),
+    doc="STREAMING DSIR — scoring arrivals as they land, the deployment "
+    "shape of the batch dsir_importance_weights entry: the raw bucket "
+    "model is re-fit on HISTORY (doc_id%5<>0) and FROZEN to 64 integer "
+    "costs (operators/dsir.py:freeze_raw_costs — a model-sized collect, "
+    "the nightly model-refresh step), then the arrival slice "
+    "(doc_id%5=0) is file-streamed and scored per row by a pure codegen "
+    "fold with BOTH models as plan literals "
+    "(operators/dsir.py:inline_score): md5 bucket → literal-array "
+    "lookup → running integer sum. ZERO shuffle, zero streaming state "
+    "(append mode, no watermark, no state store) — a scorer that "
+    "trivially sustains any ingest rate. The oracle replays the "
+    "frozen-model fit AND the arrival scoring join-side in SQL; the "
+    "integer-bit contract makes the literal-fold and join forms "
+    "provably identical. Scale: the model collect is 64 longs "
+    "regardless of history size; per-arrival cost is O(tokens) map "
+    "work; selection thresholds the per-token rate cross-multiplied "
+    "(no division).",
+)
+def stream_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dsir
+    from ..sources.tables import load_table
+    from .llm import DSIR_SELECT_CENTIBITS, _artifact
+
+    docs = load_table(spark, sf_dir, "documents")
+    frozen = _artifact(
+        spark,
+        sf_dir,
+        "dsir-frozen-raw",
+        lambda: dsir.freeze_raw_costs(
+            docs.filter(F.col("doc_id") % 5 != 0), n_buckets=64
+        ),
+    )
+    arrivals = docs.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", "lang", "text"
+    )
+    arrivals.write.mode("overwrite").parquet(STREAM_DSIR_PATH)
+    stream = spark.readStream.schema(
+        "doc_id long, lang string, text string"
+    ).parquet(STREAM_DSIR_PATH)
+    scored = stream.select(
+        "doc_id",
+        "lang",
+        *dsir.inline_score(
+            "text",
+            frozen,
+            dsir.target_cost_model(64),
+            select_centibits_per_token=DSIR_SELECT_CENTIBITS,
+        ),
+    )
+    rows = streaming.run_foreach_batch_collect(scored, spark)
+    return (
+        spark.createDataFrame(
+            rows,
+            "doc_id long, lang string, n_tokens long, score_bits long, "
+            "selected boolean",
+        )
+        .orderBy(F.desc("score_bits"), "doc_id")
+        .limit(150)
+    )
