@@ -429,6 +429,49 @@ def test_apply_changes_delete_then_earlier_upsert_ignored(spark):
     assert apply_changes(snapshot, changes, ["k"], "seq", "op").count() == 0
 
 
+def test_apply_changes_versioned_properties(spark):
+    """The version-guarded merge holds the three streaming-sink
+    guarantees: idempotent under replay, commutative under batch
+    reorder, and a tombstone blocks resurrection by a stale upsert."""
+    import itertools
+
+    from traffic_accidents_airflow_kafka_spark.operators.scd import (
+        apply_changes_versioned,
+        current_state,
+    )
+
+    schema = "k long, v string, seq long, op string"
+    state0 = spark.createDataFrame([(1, "a", -1, "u"), (2, "b", -1, "u")], schema)
+    batches = [
+        [(1, "a1", 10, "u"), (3, "c", 11, "u")],
+        [(2, None, 20, "d"), (1, "a2", 30, "u")],
+        [(2, "stale", 15, "u"), (3, "c2", 25, "u")],  # stale upsert for deleted 2
+    ]
+
+    def run(order, replay=None):
+        st = state0
+        seq_batches = [batches[i] for i in order]
+        if replay is not None:
+            seq_batches.insert(replay + 1, batches[order[replay]])
+        for b in seq_batches:
+            st = apply_changes_versioned(
+                st, spark.createDataFrame(b, schema), ["k"], "seq", "op"
+            )
+        return {
+            r["k"]: (r["v"], r["seq"])
+            for r in current_state(st, "op").collect()
+        }
+
+    want = {1: ("a2", 30), 3: ("c2", 25)}  # 2 tombstoned at seq 20
+    assert run([0, 1, 2]) == want
+    # commutative: every batch order converges
+    for order in itertools.permutations(range(3)):
+        assert run(list(order)) == want, f"order {order} diverged"
+    # idempotent: replaying any delivered batch is a no-op
+    for i in range(3):
+        assert run([0, 1, 2], replay=i) == want, f"replay of batch {i} diverged"
+
+
 def test_group_trend_fit_recovers_planted_line(spark, tmp_path):
     """Events on an exact line value = 10 + 2*h recover slope 2.0/hour
     and intercept 10 at the 2024-01-01 anchor."""

@@ -100,3 +100,54 @@ def apply_changes(
     touched = latest.select(*keys)
     kept = snapshot.join(touched, keys, "left_anti")
     return kept.unionByName(upserts)
+
+
+def apply_changes_versioned(
+    state: DataFrame,
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    seq_col: str,
+    op_col: str,
+) -> DataFrame:
+    """One round of VERSION-GUARDED CDC merge — the streaming-safe
+    sibling of :func:`apply_changes`.
+
+    ``state`` and ``changes`` share one schema: ``key_cols`` + payload +
+    ``seq_col`` + ``op_col``. The merge unions them and keeps, per key,
+    the row with the HIGHEST ``seq_col`` (ties impossible when seq is
+    the change-log offset) — including delete rows, which stay in the
+    state as TOMBSTONES rather than being dropped.
+
+    Those two choices buy exactly the guarantees a streaming CDC sink
+    needs under Spark's at-least-once foreachBatch contract:
+
+    - **Idempotent**: re-applying a delivered batch is a no-op (every
+      row loses the max-seq comparison to itself — ``>`` on replay).
+    - **Commutative**: micro-batches applied in ANY order converge to
+      the same state (max over seq is order-free), so file-source
+      listing order never matters.
+    - **No resurrection**: a tombstone with seq 100 survives a late
+      upsert with seq 50 — dropping deletes eagerly (what
+      :func:`apply_changes` does, correctly, for a SINGLE totally-
+      ordered batch) would let the stale upsert revive the key.
+
+    Read the CURRENT state with :func:`current_state` (filters
+    tombstones). Scale: one shuffle keyed on ``key_cols`` over
+    |state| + |batch| rows; state is key-cardinality-bounded, and on a
+    lakehouse table the same contract is MERGE INTO ... WHEN MATCHED
+    AND source.seq > target.seq.
+    """
+    keys = list(key_cols)
+    merged = state.unionByName(changes)
+    w = Window.partitionBy(*keys).orderBy(F.col(seq_col).desc())
+    return (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def current_state(state: DataFrame, op_col: str, delete_op: str = "d") -> DataFrame:
+    """The live rows of a versioned CDC state: everything that is not a
+    tombstone."""
+    return state.filter(F.col(op_col) != delete_op)

@@ -1065,3 +1065,117 @@ def stream_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_bits"), "doc_id")
         .limit(150)
     )
+
+
+#: Fixed materialization path for the streaming CDC change feed.
+STREAM_CDC_PATH = "/tmp/spark_graft_stream_cdc_changes"
+
+
+@register(
+    "stream_cdc_apply",
+    tier=1,  # extended streaming surface: batch MERGE semantics judged
+    # via cdc_apply_user_state's local oracle; stateful stream machinery
+    # via stream_sessions (driver)
+    oracle="""
+    WITH snap AS (
+      SELECT user_id, value AS state_value, CAST(-1 AS BIGINT) AS last_seq
+      FROM (
+        SELECT user_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events WHERE event_id % 2 = 0
+      ) WHERE rn = 1
+    ),
+    latest AS (
+      SELECT user_id, value, CAST(event_id AS BIGINT) AS last_seq,
+             CASE WHEN event_type = 'unknown' THEN 'd' ELSE 'u' END AS op
+      FROM (
+        SELECT user_id, value, event_type, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_id % 2 = 1
+      ) WHERE rn = 1
+    )
+    SELECT user_id, state_value, last_seq FROM (
+      SELECT s.user_id, s.state_value, s.last_seq
+      FROM snap s LEFT JOIN latest l USING (user_id)
+      WHERE l.user_id IS NULL
+      UNION ALL
+      SELECT user_id, value AS state_value, last_seq
+      FROM latest WHERE op <> 'd'
+    )
+    ORDER BY user_id
+    """,
+    doc="STREAMING CDC apply — the Debezium-feed-to-lakehouse-table "
+    "job: a change feed (odd-id events; 'unknown' type = delete) is "
+    "file-streamed in 4 ARBITRARILY-partitioned micro-batches "
+    "(maxFilesPerTrigger=1, round-robin files — seqs deliberately "
+    "interleaved across batches) and folded into a keyed state table "
+    "per batch by the VERSION-GUARDED merge "
+    "(operators/scd.py:apply_changes_versioned): per key keep the "
+    "max-seq row, deletes retained as TOMBSTONES. The guard is what a "
+    "streaming sink needs under at-least-once foreachBatch: replay is "
+    "idempotent (max-seq no-op), batch ORDER is irrelevant (max is "
+    "commutative — which this entry exercises for real, since its "
+    "batches interleave seqs), and tombstones stop a late stale upsert "
+    "from resurrecting a deleted key — the three properties the "
+    "eager-delete batch form (cdc_apply_user_state) does not need but "
+    "a stream does. Oracle: final current state (snapshot for "
+    "untouched keys, latest non-delete change otherwise) in batch SQL. "
+    "Scale: each round shuffles |state| + |batch| on the key with "
+    "state key-bounded; on a lakehouse table the identical contract is "
+    "MERGE INTO ... WHEN MATCHED AND source.seq > target.seq; lineage "
+    "truncated per round (localCheckpoint).",
+)
+def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.scd import apply_changes_versioned, current_state
+    from ..sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    state = (
+        events.filter(F.col("event_id") % 2 == 0)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            F.col("value").alias("state_value"),
+            F.lit(-1).cast("long").alias("last_seq"),
+            F.lit("u").alias("op"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    changes = events.filter(F.col("event_id") % 2 == 1).select(
+        "user_id",
+        F.col("value").alias("state_value"),
+        F.col("event_id").cast("long").alias("last_seq"),
+        F.when(F.col("event_type") == "unknown", "d")
+        .otherwise("u")
+        .alias("op"),
+    )
+    # Round-robin into 4 files: each micro-batch carries an arbitrary
+    # seq mix, so convergence genuinely depends on the version guard,
+    # not on lucky file ordering.
+    changes.repartition(4).write.mode("overwrite").parquet(STREAM_CDC_PATH)
+    feed = (
+        spark.readStream.schema(
+            "user_id long, state_value double, last_seq long, op string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(STREAM_CDC_PATH)
+    )
+    holder = {"state": state}
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        holder["state"] = apply_changes_versioned(
+            holder["state"], batch, ["user_id"], "last_seq", "op"
+        ).localCheckpoint(eager=True)
+
+    streaming.run_foreach_batch(feed, spark, merge_batch)
+    return (
+        current_state(holder["state"], "op")
+        .select("user_id", "state_value", "last_seq")
+        .orderBy("user_id")
+    )
