@@ -5144,11 +5144,36 @@ def artifact_build_times() -> dict[str, float]:
 _sq8_artifact = _artifact
 
 
+def evict_artifacts(sf_dir: str | None = None) -> None:
+    """Drop memoized build-once artifacts — ALL of them, or only those
+    keyed to one ``sf_dir`` (r6 advisory: a session that walks several
+    scale dirs would otherwise accumulate localCheckpoint blocks for
+    the session lifetime). DataFrame-backed artifacts are eagerly
+    ``unpersist``ed so their checkpoint blocks free NOW, not when the
+    ContextCleaner eventually notices the Python handle died; dict
+    artifacts (the topic baselines) are walked one level for the same
+    reason. Driver-side artifacts (merge lists, cost lists) just drop."""
+    doomed = [
+        k
+        for k in _ARTIFACTS
+        if sf_dir is None or k[1] == sf_dir
+    ]
+    for k in doomed:
+        val = _ARTIFACTS.pop(k)
+        vals = val.values() if isinstance(val, dict) else [val]
+        for v in vals:
+            if isinstance(v, DataFrame):
+                try:
+                    v.unpersist()
+                except Exception:
+                    pass  # session already stopped — nothing to free
+
+
 def clear_sq8_artifact_cache() -> None:
     """Drop ALL memoized build-once artifacts — scaling curves call this
     per timed run so the curve measures the REAL build+consume cost per
     scale factor, not the memoized steady state the bench reports."""
-    _ARTIFACTS.clear()
+    evict_artifacts()
 
 
 def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
