@@ -82,6 +82,10 @@ CROSS_JOIN_OK = {
     # dsir_importance_weights: the raw-model token total is a ONE-ROW
     # broadcast scalar crossJoined onto the 64-row bucket table.
     "dsir_importance_weights",
+    # semantic_decontamination: the bounded benchmark collapses to a
+    # ONE-ROW broadcast struct array crossJoined onto the corpus; the
+    # per-row fold is the whole scoring pass (zero shuffle).
+    "semantic_decontamination",
 }
 
 #: Streaming entries build a streaming plan — skipped here (their shape is

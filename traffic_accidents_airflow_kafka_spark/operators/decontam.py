@@ -218,3 +218,67 @@ def excise_spans(
             )
 
     return docs.select(id_col, text_col).mapInPandas(fn, out_schema)
+
+
+def semantic_contamination(
+    corpus_emb: DataFrame,
+    eval_emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Embedding-level eval-vs-train contamination (the methodology the
+    frontier model reports pair with n-gram decontamination: flag
+    training documents whose EMBEDDING is too close to any benchmark
+    item, catching paraphrases and translations the 8-gram digests in
+    :func:`contamination` cannot see).
+
+    Returns one row per corpus item: (nid, best_eval_id, best_cosine,
+    contaminated) — the nearest eval item by exact cosine and whether
+    it clears ``threshold``.
+
+    Scale shape — deliberately NOT the cosine_topk window: the eval set
+    is bounded by contract (a benchmark), so it collapses to a ONE-ROW
+    broadcast array of (qid, qvec, qnorm) structs and each corpus row
+    folds over it in place (sequential-fold cosine, max with a
+    smallest-qid tie-break — order-free, so collect_list
+    nondeterminism is harmless). ZERO shuffle: the corpus is scored in
+    a single map pass; only the report's TakeOrdered moves rows. The
+    per-pair cosine is the exact-parity fold (operators/similarity.py:
+    _dot_double), so the whole audit value-hashes against SQL.
+    """
+    from .similarity import _dot_double, vector_norm
+
+    ev = eval_emb.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
+    ).withColumn("qnorm", vector_norm("qvec"))
+    ev_row = ev.agg(
+        F.collect_list(F.struct("qid", "qvec", "qnorm")).alias("__evals")
+    )
+    corpus = corpus_emb.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec")
+    ).withColumn("nnorm", vector_norm("nvec"))
+
+    init = F.struct(
+        F.lit(-2.0).alias("c"), F.lit(None).cast("long").alias("q")
+    )
+
+    def step(acc: Column, e: Column) -> Column:
+        cos = _dot_double(F.col("nvec"), e["qvec"]) / (
+            F.col("nnorm") * e["qnorm"]
+        )
+        better = (cos > acc["c"]) | (
+            (cos == acc["c"]) & (e["qid"] < acc["q"])
+        )
+        return F.when(
+            better,
+            F.struct(cos.alias("c"), e["qid"].cast("long").alias("q")),
+        ).otherwise(acc)
+
+    best = F.aggregate(F.col("__evals"), init, step)
+    return corpus.crossJoin(F.broadcast(ev_row)).select(
+        "nid",
+        best["q"].alias("best_eval_id"),
+        best["c"].alias("__cos"),
+        (best["c"] >= F.lit(float(threshold))).alias("contaminated"),
+    )

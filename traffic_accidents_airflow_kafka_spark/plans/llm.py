@@ -1877,6 +1877,100 @@ def _decontam_oracle(n: int = 8, flag_threshold: float = 0.2) -> str:
     """
 
 
+#: Semantic-contamination flag threshold (max cosine to any eval item).
+#: On this synthetic corpus no planted eval-train near-copies exist
+#: (max observed ~0.49), so like the surprisal/DSIR cuts the value is
+#: calibrated to the score distribution — ~top decile at the judging
+#: SF; a production run against a real benchmark sets this near 0.9+.
+SEMANTIC_CONTAM_COSINE = 0.35
+
+
+def _semantic_decontam_oracle(threshold: float, limit: int = 200) -> str:
+    gs = "generate_series(1, len(c.nvec))"
+    dot = (
+        f"list_sum(list_transform({gs}, i -> "
+        "CAST(c.nvec[i] AS DOUBLE) * CAST(e.qvec[i] AS DOUBLE)))"
+    )
+    nn = (
+        f"sqrt(list_sum(list_transform({gs}, i -> "
+        "CAST(c.nvec[i] AS DOUBLE) * CAST(c.nvec[i] AS DOUBLE))))"
+    )
+    qn = (
+        "sqrt(list_sum(list_transform(generate_series(1, len(e.qvec)), i -> "
+        "CAST(e.qvec[i] AS DOUBLE) * CAST(e.qvec[i] AS DOUBLE))))"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id AS qid, embedding AS qvec
+               FROM embeddings WHERE vec_id < 50),
+    c AS (SELECT vec_id AS nid, embedding AS nvec
+          FROM embeddings WHERE vec_id >= 50),
+    sims AS (
+      SELECT c.nid, e.qid, {dot} / ({nn} * {qn}) AS cos
+      FROM c, e
+    ),
+    best AS (
+      SELECT nid, qid, cos FROM (
+        SELECT nid, qid, cos,
+               ROW_NUMBER() OVER (PARTITION BY nid
+                                  ORDER BY cos DESC, qid) AS rn
+        FROM sims
+      ) WHERE rn = 1
+    ),
+    top AS (
+      SELECT nid, qid, cos FROM best
+      ORDER BY cos DESC, nid LIMIT {limit}
+    )
+    SELECT nid, CAST(qid AS BIGINT) AS best_eval_id,
+           ROUND(cos, 4) AS best_cosine,
+           (cos >= {threshold}) AS contaminated
+    FROM top
+    ORDER BY cos DESC, nid
+    """
+
+
+@register(
+    "semantic_decontamination",
+    tier=1,  # extended decontamination surface: the n-gram family's
+    # tier-0 representative is decontamination_report; cosine machinery
+    # judged via retrieval_metrics/SQ8
+    oracle=_semantic_decontam_oracle(SEMANTIC_CONTAM_COSINE),
+    doc="Embedding-level eval-vs-train decontamination — the companion "
+    "check frontier-model reports pair with n-gram digests: flag "
+    "training items whose EMBEDDING sits too close to any benchmark "
+    "item, catching the paraphrases and translations 8-gram matching "
+    "(decontamination_report) cannot see "
+    "(operators/decontam.py:semantic_contamination). The eval set "
+    "(vec_id < 50, the benchmark stand-in) collapses to a ONE-ROW "
+    "broadcast array and every corpus vector folds over it in place — "
+    "sequential-fold cosines, max with smallest-qid tie-break "
+    "(order-free, so collect_list nondeterminism is harmless) — ZERO "
+    "shuffle; only the report's TakeOrdered moves rows. Exact-parity "
+    "folds make the whole audit value-hash. Flag threshold is corpus-"
+    "calibrated (~top decile; a real benchmark run sets ~0.9+). "
+    "Scale: O(|corpus| x |benchmark|) map work with the benchmark side "
+    "bounded by contract — the same linear-scan shape the "
+    "decontamination digests use, no index required; at extreme "
+    "benchmark sizes the LSH/IVF tiers pre-bucket the same fold.",
+)
+def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    scored = decontam.semantic_contamination(
+        emb.filter(F.col("vec_id") >= 50),
+        emb.filter(F.col("vec_id") < 50),
+        threshold=SEMANTIC_CONTAM_COSINE,
+    )
+    return (
+        scored.orderBy(F.desc("__cos"), "nid")
+        .limit(200)
+        .select(
+            "nid",
+            "best_eval_id",
+            F.round("__cos", 4).alias("best_cosine"),
+            "contaminated",
+        )
+    )
+
+
 @register(
     "decontamination_report",
     # tier 0: full-oracle representative of the decontamination family
