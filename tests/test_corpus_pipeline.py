@@ -25,9 +25,15 @@ def test_corpus_pipeline_end_to_end_and_idempotent(spark, sf_dir, tmp_path):
         r1["ingest_rows"] - r1["bench_rows"]
         >= r1["exact_rows"]
         >= r1["neardup_rows"]
+        >= r1["surprisal_rows"]
+        >= r1["dsir_rows"]
         >= r1["curated_rows"]
         > 0
     )
+    # The two r7 selection stages each engage (drop something) at the
+    # calibrated thresholds without emptying the corpus.
+    assert r1["surprisal_rows"] < r1["neardup_rows"]
+    assert r1["dsir_rows"] < r1["surprisal_rows"]
     assert r1["curated_new_rows"] == r1["curated_rows"]
 
     final = spark.read.parquet(f"{out}/docs_curated")

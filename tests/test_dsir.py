@@ -116,6 +116,50 @@ def test_threshold_is_per_token_rate(spark):
         assert r.selected == (r.score_bits * 100 > -2000 * r.n_tokens)
 
 
+def test_inline_score_equals_join_scorer(spark):
+    """The streaming literal-fold scorer (freeze model -> plan-literal
+    fold) must be BIT-identical to the join-based batch scorer on the
+    same corpus — the contract that makes stream_dsir_scores' oracle
+    (a join-side SQL replay) valid for the fold-side Spark plan.
+    Exercises hash collisions (nb=8), repeated tokens, and a negative
+    per-token threshold."""
+    import pyspark.sql.functions as F2
+
+    nb = 8
+    rows = [
+        (i, "en" if i % 2 else "de", " ".join(f"w{j % 13}" for j in range(3 + i)))
+        for i in range(40)
+    ]
+    docs = _docs(spark, rows)
+    tgt = dsir.target_cost_model(nb, seed="prop-tgt")
+    th = -150
+    join_side = {
+        r.doc_id: (r.n_tokens, r.score_bits, r.selected)
+        for r in dsir.importance_scores_vs_model(
+            docs, tgt, n_buckets=nb, select_centibits_per_token=th
+        ).collect()
+    }
+    frozen = dsir.freeze_raw_costs(docs, n_buckets=nb)
+    fold_side = {
+        r.doc_id: (r.n_tokens, r.score_bits, r.selected)
+        for r in docs.select(
+            "doc_id",
+            *dsir.inline_score("text", frozen, tgt, select_centibits_per_token=th),
+        ).collect()
+    }
+    assert fold_side == join_side
+    # and the frozen model really is the join scorer's learned model
+    learned = dsir.bucket_bit_costs(
+        dsir.doc_token_buckets(docs, n_buckets=nb), nb, "cost"
+    ).collect()
+    assert frozen == [
+        c for _, c in sorted((r["bucket"], r["cost"]) for r in learned)
+    ]
+    assert docs.select(
+        "doc_id", *dsir.inline_score("text", frozen, tgt)
+    ).filter(F2.col("n_tokens") <= 0).count() == 0
+
+
 def test_target_cost_model_deterministic():
     a = dsir.target_cost_model(64)
     b = dsir.target_cost_model(64)

@@ -3,6 +3,7 @@
 one materialized, idempotent job:
 
     ingest → exact dedup → near-dup cluster keep → quality filter →
+    surprisal (trained-LM perplexity) cut → DSIR importance selection →
     decontaminate → split → token-shard manifests → final upsert
 
 Task semantics mirror the reference DAG's scheduler contract
@@ -42,6 +43,15 @@ from ..sources.tables import load_table
 #: Curated docs must clear this composite quality score (see
 #: operators/text.py:quality_score — length × lexical diversity).
 QUALITY_MIN = 0.35
+#: Perplexity-style cut: docs whose mean bit-surprisal per unigram-LM
+#: piece exceeds this (centibits) are dropped — the CCNet tail cut,
+#: set gentler than the catalog audit's 760 so the pipeline sheds the
+#: worst tail rather than the median.
+SURPRISAL_MAX_CENTIBITS = 790
+#: DSIR keep rule: per-token importance rate (centibits) vs the shipped
+#: target model must clear this. Calibrated below the observed median
+#: (~-178) so DSIR trims the least-target-like slice.
+DSIR_KEEP_CENTIBITS = -210
 #: Near-dup edge threshold (word-3-gram Jaccard).
 NEARDUP_JACCARD = 0.5
 #: Contamination flag threshold (8-gram overlap fraction vs the bench).
@@ -103,11 +113,65 @@ def run_corpus_pipeline(
         "quality", text_ops.quality_score("text")
     ).filter(F.col("quality") >= QUALITY_MIN)
 
+    # Stage 4b: perplexity-style surprisal cut (CCNet idiom) with a
+    # unigram LM trained ON THIS CORPUS — the catalog's
+    # unigram_surprisal_filter stage as a pipeline step: every distinct
+    # pretoken is Viterbi-costed once (word-vocab-sized), the (word →
+    # bits, pieces) map broadcasts onto the exploded corpus, and docs
+    # whose mean piece surprisal exceeds the cut are dropped.
+    from ..operators import bpe, unigram
+
+    wf = bpe.word_freq(quality)
+    vc = unigram.with_costs(unigram.seed_vocab(wf, 8, 200))
+    seg = unigram.viterbi_combined(
+        wf.filter(F.length("word") <= unigram.MAX_WORD_LEN), vc, 8
+    ).select(
+        "word",
+        F.col("cost").cast("long").alias("__bits"),
+        F.col("n_pieces").cast("long").alias("__np"),
+    )
+    fluent_ids = (
+        quality.select(
+            "doc_id", F.explode(bpe.bpe_ish_tokens("text")).alias("word")
+        )
+        .join(F.broadcast(seg), "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.coalesce("__bits", F.lit(0))).alias("__tb"),
+            F.sum(F.coalesce("__np", F.lit(0))).alias("__tp"),
+        )
+        .filter(
+            (F.col("__tp") == 0)
+            | (F.col("__tb") * 100 <= SURPRISAL_MAX_CENTIBITS * F.col("__tp"))
+        )
+        .select("doc_id")
+    )
+    fluent = quality.join(fluent_ids, "doc_id", "left_semi")
+    report["surprisal_rows"] = fluent.count()
+
+    # Stage 4c: DSIR importance selection vs the shipped target model —
+    # keep docs whose per-token importance rate clears the calibrated
+    # floor (operators/dsir.py; both models are 64-row/literal tables,
+    # the corpus is scored in one pass).
+    from ..operators import dsir
+
+    selected_ids = (
+        dsir.importance_scores_vs_model(
+            fluent.select("doc_id", "lang", "text"),
+            dsir.target_cost_model(64),
+            select_centibits_per_token=DSIR_KEEP_CENTIBITS,
+        )
+        .filter(F.col("selected"))
+        .select("doc_id")
+    )
+    targeted = fluent.join(selected_ids, "doc_id", "left_semi")
+    report["dsir_rows"] = targeted.count()
+
     # Stage 5: decontamination — broadcast bench-digest probe, map-side.
     contam = decontam.contamination(
-        quality, bench, "doc_id", "text", n=8, flag_threshold=CONTAM_THRESHOLD
+        targeted, bench, "doc_id", "text", n=8, flag_threshold=CONTAM_THRESHOLD
     )
-    clean = quality.join(
+    clean = targeted.join(
         contam.filter(F.col("contaminated")).select("doc_id"),
         "doc_id",
         "left_anti",
