@@ -187,9 +187,9 @@ def main() -> None:
     for name in DECADE_QUERIES:
         t01 = _time(spark, name, SRC)
         t10 = _time(spark, name, DST)
-        rows.append((name, t01, t10, t10 / t01 if t01 else float("nan")))
-        print(f"{name}: sf0.1 {t01:.3f}s  sf1.0 {t10:.3f}s  "
-              f"x{t10 / t01:.2f}")
+        growth = t10 / t01 if t01 else float("nan")
+        rows.append((name, t01, t10, growth))
+        print(f"{name}: sf0.1 {t01:.3f}s  sf1.0 {t10:.3f}s  x{growth:.2f}")
     spark.stop()
 
     section = [

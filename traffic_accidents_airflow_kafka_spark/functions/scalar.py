@@ -280,3 +280,12 @@ def severity_rank(col: Column | str) -> Column:
 
 def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
+
+
+def dec2(col: Column | str) -> Column:
+    """Cast to DECIMAL(18,2) — the exact-money-arithmetic cast every
+    oracle-parity aggregate applies BEFORE summing (float sums are
+    order-dependent; decimal sums are not). One definition so the batch
+    topic plans and their streaming twins can never drift apart on
+    precision."""
+    return _c(col).cast("decimal(18,2)")

@@ -244,6 +244,14 @@ def importance_scores_vs_model(
     expensive side (the 100 TB raw corpus) is modeled in one bounded
     aggregate; the target model is an artifact."""
     nb = n_buckets if n_buckets is not None else len(target_costs)
+    if len(target_costs) != nb:
+        # Same contract inline_score asserts: a short target table would
+        # silently NULL the scores of every doc touching the missing
+        # buckets (element_at past the literal array's end).
+        raise ValueError(
+            f"target_costs has {len(target_costs)} entries for "
+            f"n_buckets={nb}"
+        )
     toks = doc_token_buckets(docs, text_col, nb)
     raw_cost = bucket_bit_costs(toks, nb, "raw_cost")
     tgt = F.element_at(

@@ -5217,16 +5217,27 @@ def _artifact(spark: SparkSession, sf_dir: str, key: str, build):
     if mkey not in _ARTIFACTS:
         t0 = time.perf_counter()
         _ARTIFACTS[mkey] = build()
-        _ARTIFACT_BUILD_SEC[mkey] = round(time.perf_counter() - t0, 4)
+        # ACCUMULATE across rebuilds (an evicted artifact that rebuilds
+        # did the work twice): keeps bench.py's invariant
+        # "total engine work = value + sum(artifact_build_sec)" true
+        # even for sessions that clear the memo between timed runs.
+        _ARTIFACT_BUILD_SEC[mkey] = round(
+            _ARTIFACT_BUILD_SEC.get(mkey, 0.0)
+            + (time.perf_counter() - t0),
+            4,
+        )
     return _ARTIFACTS[mkey]
 
 
 def artifact_build_times() -> dict[str, float]:
-    """{artifact key: build seconds} for every build-once artifact this
-    session materialized (bench.py's ``artifact_build_sec`` field).
-    Keys collapse (appId, sf_dir) — one bench session uses one of each;
-    on the rare collision (e.g. scaling_curve across sf dirs) the
-    sf basename disambiguates."""
+    """{artifact key: CUMULATIVE build seconds} for every build-once
+    artifact this session materialized (bench.py's
+    ``artifact_build_sec`` field) — cumulative because a session that
+    evicts and rebuilds (scaling curves) paid for every build, not just
+    the last one. Keys collapse (appId, sf_dir) — one bench session
+    uses one of each; on the rare collision (e.g. scaling_curve across
+    sf dirs) the sf basename disambiguates. Deliberately NOT cleared by
+    evict_artifacts: the seconds record work already spent."""
     out: dict[str, float] = {}
     for (_, sf_dir, key), sec in _ARTIFACT_BUILD_SEC.items():
         base = sf_dir.rstrip("/").rsplit("/", 1)[-1]

@@ -28,7 +28,9 @@ from .registry import dec_sum, register
 
 
 def _dec(c: str) -> F.Column:
-    return F.col(c).cast("decimal(18,2)")
+    from ..functions.scalar import dec2
+
+    return dec2(c)
 
 
 @register(

@@ -14,16 +14,21 @@ streaming/core.py):
   reference's producer emits.
 - **One availableNow drain, seven sinks.** ``foreachBatch`` splits each
   micro-batch by record type, computes per-topic PARTIAL aggregates, and
-  appends them to seven parquet sinks. Partials are chosen mergeable:
+  writes them to seven parquet sinks. Partials are chosen mergeable:
   counts and exact DECIMAL sums add across batches; the one distinct
   count (hospitals' ``n_parts``) keeps (brand, partkey)-grain partials
-  so the final merge can re-distinct — the standard two-phase discipline
-  that makes restarts and multi-batch replays exact, not approximate.
+  so the final merge can re-distinct. Each delivery OVERWRITES its own
+  ``batch=<id>`` partition of the sink, so foreachBatch's at-least-once
+  contract converges: a replayed batch id rewrites identical partials
+  instead of double-appending them — together the two-phase partials
+  and the batch-keyed overwrite make restarts and multi-batch replays
+  exact, not approximate.
 - **Parity is asserted, not assumed.** After the drain, each sink is
-  merged and compared (multiset-exact, ``exceptAll`` both directions)
-  against the BATCH topic plan from ``plans/topics.py``. Streaming in,
-  batch answer out — the file-source-twin discipline the rest of §2.8
-  uses, extended to the whole dashboard fan-out.
+  merged and compared multiset-exactly (row-tuple Counter equality over
+  the dim-bounded dashboards) against the BATCH topic plan from
+  ``plans/topics.py``. Streaming in, batch answer out — the
+  file-source-twin discipline the rest of §2.8 uses, extended to the
+  whole dashboard fan-out.
 
 Scale: the per-batch work is the topic queries' own shape (broadcast dim
 joins, grid binning); sink state is |groups|-sized partials per batch,
@@ -43,6 +48,7 @@ import uuid
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from ..functions.scalar import dec2 as _dec
 from ..sources.tables import load_table
 from . import core as streaming
 
@@ -50,18 +56,23 @@ from . import core as streaming
 FANOUT_SOURCES = ("orders", "lineitem", "events")
 
 
-def _dec(c: str) -> F.Column:
-    return F.col(c).cast("decimal(18,2)")
-
-
-def envelope_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def envelope_stream(
+    spark: SparkSession, sf_dir: str, schemas: dict | None = None
+) -> DataFrame:
     """The single heterogeneous record stream: each fact table file-
     streamed, JSON-encoded, tagged, unioned — one topic, three record
     types. Events' nanosecond timestamp travels as ``unix_micros`` (JSON
-    has no timestamp type; micros round-trip exactly)."""
+    has no timestamp type; micros round-trip exactly). ``schemas``
+    ({source: StructType}) lets a caller that already read the parquet
+    footers (run_topics_fanout does) skip the duplicate driver-side
+    footer reads."""
     parts = []
     for src in ("orders", "lineitem"):
-        schema = spark.read.parquet(os.path.join(sf_dir, f"{src}.parquet")).schema
+        schema = (
+            schemas[src]
+            if schemas and src in schemas
+            else spark.read.parquet(os.path.join(sf_dir, f"{src}.parquet")).schema
+        )
         raw = (
             spark.readStream.schema(schema)
             .option("pathGlobFilter", f"{src}.parquet")
@@ -106,6 +117,7 @@ def run_topics_fanout(
     reclaimed before the caller consumes them."""
     orders_schema = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).schema
     li_schema = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).schema
+    schemas = {"orders": orders_schema, "lineitem": li_schema}
     ev_schema = (
         "event_id long, user_id long, event_type string, value double, "
         "props string, ts_us long"
@@ -147,6 +159,16 @@ def run_topics_fanout(
             .persist()
         )
 
+        def publish(df: DataFrame, topic: str) -> DataFrame:
+            # Idempotent under foreachBatch's at-least-once contract:
+            # every delivery of batch id N OVERWRITES its own batch=N
+            # partition of the sink, so a replayed batch rewrites
+            # identical partials instead of double-appending them.
+            df.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(sinks[topic], f"batch={batch_id}")
+            )
+            return df
+
         def t1() -> None:
             # Topic 1: per-state order totals (orders stream, dim broadcasts).
             ob.join(
@@ -156,9 +178,7 @@ def run_topics_fanout(
             ).groupBy(F.col("n_name").alias("state_name")).agg(
                 F.count(F.lit(1)).alias("n_orders"),
                 F.sum(_dec("o_totalprice")).alias("sum_total"),
-            ).coalesce(1).write.mode("append").parquet(
-                sinks["transit_signals_by_state"]
-            )
+            ).transform(lambda d: publish(d, "transit_signals_by_state"))
 
         def t5() -> None:
             # Topic 5: county+state rollup (one more dim hop).
@@ -174,7 +194,7 @@ def run_topics_fanout(
             ).agg(
                 F.count(F.lit(1)).alias("n_orders"),
                 F.sum(_dec("o_totalprice")).alias("sum_total"),
-            ).coalesce(1).write.mode("append").parquet(sinks["lesions_by_county"])
+            ).transform(lambda d: publish(d, "lesions_by_county"))
 
         def t2() -> None:
             # Topic 2: per-supplier measures (lineitem stream).
@@ -184,7 +204,7 @@ def run_topics_fanout(
                 F.count(F.lit(1)).alias("n_items"),
                 F.sum(_dec("l_quantity")).alias("sum_qty"),
                 F.sum(_dec("l_extendedprice")).alias("sum_price"),
-            ).coalesce(1).write.mode("append").parquet(sinks["signals_vs_lesions"])
+            ).transform(lambda d: publish(d, "signals_vs_lesions"))
 
         def t6() -> None:
             # Topic 6: per-brand rollup with a distinct part count —
@@ -196,9 +216,7 @@ def run_topics_fanout(
                 F.count(F.lit(1)).alias("n_items"),
                 F.sum(_dec("l_quantity")).alias("sum_qty"),
                 F.sum(_dec("l_extendedprice")).alias("sum_price"),
-            ).coalesce(1).write.mode("append").parquet(
-                sinks["hospitals_schools_vs_lesions"]
-            )
+            ).transform(lambda d: publish(d, "hospitals_schools_vs_lesions"))
 
         def t3() -> None:
             # Topic 3: lineitem stream enriched with orders at rest.
@@ -210,18 +228,14 @@ def run_topics_fanout(
                     _dec("l_extendedprice")
                     * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
                 ).alias("sum_disc_price"),
-            ).coalesce(1).write.mode("append").parquet(
-                sinks["weather_light_surface"]
-            )
+            ).transform(lambda d: publish(d, "weather_light_surface"))
 
         def t4() -> None:
             # Topic 4: hour/day-of-week counts (events stream).
             eb.groupBy(
                 F.hour("ts").cast("int").alias("event_hour"),
                 F.weekday("ts").cast("int").alias("event_dow"),
-            ).agg(F.count(F.lit(1)).alias("n_events")).coalesce(
-                1
-            ).write.mode("append").parquet(sinks["accidents_by_time"])
+            ).agg(F.count(F.lit(1)).alias("n_events")).transform(lambda d: publish(d, "accidents_by_time"))
 
         def t7() -> None:
             # Topic 7: grid-binned rollup (events stream).
@@ -237,20 +251,25 @@ def run_topics_fanout(
             ).agg(
                 F.count(F.lit(1)).alias("n_events"),
                 F.sum(_dec("value")).alias("sum_value"),
-            ).coalesce(1).write.mode("append").parquet(
-                sinks["crossings_vs_lesions"]
-            )
+            ).transform(lambda d: publish(d, "crossings_vs_lesions"))
 
-        with ThreadPoolExecutor(max_workers=7) as pool:
-            futures = [pool.submit(fn) for fn in (t1, t5, t2, t6, t3, t4, t7)]
-            for fut in futures:
-                fut.result()
-        for df in (ob, lb, eb, batch):
-            df.unpersist()
+        try:
+            with ThreadPoolExecutor(max_workers=7) as pool:
+                futures = [
+                    pool.submit(fn) for fn in (t1, t5, t2, t6, t3, t4, t7)
+                ]
+                for fut in futures:
+                    fut.result()
+        finally:
+            # Unpersist even when a sink thread raises — a failed drain
+            # must not leave the cached envelope + three parsed copies
+            # pinned in executor memory for the rest of the session.
+            for df in (ob, lb, eb, batch):
+                df.unpersist()
 
     try:
         streaming.run_foreach_batch(
-            envelope_stream(spark, sf_dir), spark, drain
+            envelope_stream(spark, sf_dir, schemas), spark, drain
         )
         dbl = lambda c: F.sum(c).cast("double")  # noqa: E731
         merged = {
