@@ -135,6 +135,18 @@ def main() -> None:
         print(f"{name}: " + " ".join(f"{t:.3f}s" for t in times))
     spark.stop()
 
+    # Preserve the synthetic sf1.0 decade section (scripts/scaling_sf1.py
+    # owns everything from its marker down) across regenerations.
+    decade = ""
+    try:
+        with open("SCALING.md") as f:
+            old = f.read()
+        marker = "<!-- sf1.0-decade -->"
+        if marker in old:
+            decade = "\n" + old[old.index(marker):].rstrip() + "\n"
+    except FileNotFoundError:
+        pass
+
     with open("SCALING.md", "w") as f:
         f.write(
             "# SCALING — measured cross-SF growth "
@@ -158,6 +170,8 @@ def main() -> None:
                 f"| `{name}` | {t1:.3f} s | {t2:.3f} s | {t3:.3f} s "
                 f"| {g1:.2f}× | {g2:.2f}× |\n"
             )
+        if decade:
+            f.write(decade)
     print("wrote SCALING.md")
 
 
