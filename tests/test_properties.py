@@ -432,3 +432,55 @@ def test_repeated_spans_matches_python_reference(spark, texts):
         for r in dedup.repeated_spans(df, "doc_id", "text", k=k).collect()
     )
     assert got == _spans_reference(docs, k, 2)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(  # change log: (key in 0..4, value, op) with unique seqs
+        st.tuples(
+            st.integers(min_value=0, max_value=4),
+            st.text(alphabet=st.sampled_from("xyz"), min_size=1, max_size=3),
+            st.sampled_from(["u", "u", "d"]),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.randoms(use_true_random=False),
+)
+def test_versioned_cdc_merge_matches_python_lww(spark, changes, rnd):
+    """apply_changes_versioned over ANY batching and ANY batch order of
+    a change log converges to the Python last-writer-wins reference —
+    the algebraic property (max-seq merge with tombstones is a
+    commutative, idempotent monoid action) that makes the streaming CDC
+    sink correct under at-least-once, unordered delivery."""
+    from traffic_accidents_airflow_kafka_spark.operators.scd import (
+        apply_changes_versioned,
+        current_state,
+    )
+
+    schema = "k long, v string, seq long, op string"
+    log = [(k, v, seq, op) for seq, (k, v, op) in enumerate(changes)]
+
+    # Python reference: highest seq per key wins; deletes remove.
+    want: dict[int, tuple[str, int]] = {}
+    for k, v, seq, op in log:  # seq ascending
+        if op == "d":
+            want.pop(k, None)
+        else:
+            want[k] = (v, seq)
+
+    # Random batching, then random application order.
+    shuffled = list(log)
+    rnd.shuffle(shuffled)
+    n_batches = rnd.randint(1, min(4, len(shuffled)))
+    batches = [shuffled[i::n_batches] for i in range(n_batches)]
+    state = spark.createDataFrame([], schema)
+    for b in batches:
+        state = apply_changes_versioned(
+            state, spark.createDataFrame(b, schema), ["k"], "seq", "op"
+        )
+    got = {
+        r["k"]: (r["v"], r["seq"])
+        for r in current_state(state, "op").collect()
+    }
+    assert got == want
