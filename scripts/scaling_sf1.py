@@ -121,7 +121,9 @@ def _copy_select(df: DataFrame, table: str, c: int,
     cols = []
     for name in df.columns:
         col = F.col(name)
-        if name in offsets:
+        if name in offsets and c > 0:
+            # Copy 0 stays verbatim — no cast, so the synthesized schema
+            # matches sf0.1's even for non-int64 key columns (r7 advisory).
             col = (col + F.lit(offsets[name])).cast("long")
         elif table == "documents" and name == "text" and c > 0:
             # Disjoint shingle space per copy — see module docstring.

@@ -246,6 +246,11 @@ def semantic_contamination(
     a single map pass; only the report's TakeOrdered moves rows. The
     per-pair cosine is the exact-parity fold (operators/similarity.py:
     _dot_double), so the whole audit value-hashes against SQL.
+
+    Zero-norm vectors (either side) score a sentinel -2.0 instead of
+    0/0 = NaN — NaN would compare GREATER than every value in Spark
+    while DuckDB's NaN ordering could disagree at the threshold, a
+    latent cross-engine divergence (r7 advisory).
     """
     from .similarity import _dot_double, vector_norm
 
@@ -264,9 +269,10 @@ def semantic_contamination(
     )
 
     def step(acc: Column, e: Column) -> Column:
-        cos = _dot_double(F.col("nvec"), e["qvec"]) / (
-            F.col("nnorm") * e["qnorm"]
-        )
+        denom = F.col("nnorm") * e["qnorm"]
+        cos = F.when(
+            denom > 0, _dot_double(F.col("nvec"), e["qvec"]) / denom
+        ).otherwise(F.lit(-2.0))
         better = (cos > acc["c"]) | (
             (cos == acc["c"]) & (e["qid"] < acc["q"])
         )

@@ -60,8 +60,14 @@ def doc_token_buckets(
 ) -> DataFrame:
     """(doc_id, lang, bucket): one row per token occurrence, feature-
     hashed into [0, n_buckets) via the engine-stable md5 bucket
-    (operators/text.py:token_bucket)."""
-    tok = F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    (operators/text.py:token_bucket). NULL text coalesces to '' (one
+    empty-string token) so the join-based rollup and the fold-based
+    :func:`inline_score` stay bit-identical on every row — without the
+    coalesce, split(NULL) nulls the fold while the explode silently
+    DROPS the doc from the join side."""
+    tok = F.explode(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+    ).alias("tok")
     return docs.select("doc_id", "lang", tok).select(
         "doc_id", "lang", token_bucket(F.col("tok"), n_buckets).alias("bucket")
     )
@@ -202,12 +208,13 @@ def inline_score(
     state store) and exactly how a production stream scores arrivals
     against broadcast models. Bit-identical to the join-based
     :func:`importance_scores_vs_model` rollup by construction (same
-    bucket hash, same integer costs)."""
+    bucket hash, same integer costs, same NULL-text coalesce — NULL
+    scores as one empty-string token on both paths)."""
     nb = len(raw_costs)
     assert len(target_costs) == nb
     raw_lit = F.array(*[F.lit(int(c)) for c in raw_costs])
     tgt_lit = F.array(*[F.lit(int(c)) for c in target_costs])
-    toks = F.split(F.col(text_col), " ")
+    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
 
     def delta(t: Column) -> Column:
         idx = (token_bucket(t, nb) + 1).cast("int")

@@ -130,7 +130,7 @@ def run_corpus_pipeline(
         F.col("cost").cast("long").alias("__bits"),
         F.col("n_pieces").cast("long").alias("__np"),
     )
-    fluent_ids = (
+    perdoc_surprisal = (
         quality.select(
             "doc_id", F.explode(bpe.bpe_ish_tokens("text")).alias("word")
         )
@@ -140,13 +140,21 @@ def run_corpus_pipeline(
             F.sum(F.coalesce("__bits", F.lit(0))).alias("__tb"),
             F.sum(F.coalesce("__np", F.lit(0))).alias("__tp"),
         )
+    )
+    # LEFT join (not semi): a doc whose text yields zero pretokens has no
+    # exploded rows at all, so it is absent from the aggregate — the
+    # unscorable-docs-pass-through rule must keep it (NULL __tp), the
+    # same outcome as the __tp == 0 branch for docs whose words are all
+    # longer than MAX_WORD_LEN.
+    fluent = (
+        quality.join(perdoc_surprisal, "doc_id", "left")
         .filter(
-            (F.col("__tp") == 0)
+            F.col("__tp").isNull()
+            | (F.col("__tp") == 0)
             | (F.col("__tb") * 100 <= SURPRISAL_MAX_CENTIBITS * F.col("__tp"))
         )
-        .select("doc_id")
+        .drop("__tb", "__tp")
     )
-    fluent = quality.join(fluent_ids, "doc_id", "left_semi")
     report["surprisal_rows"] = fluent.count()
 
     # Stage 4c: DSIR importance selection vs the shipped target model —

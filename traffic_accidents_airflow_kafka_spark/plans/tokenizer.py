@@ -358,18 +358,29 @@ UNI_VOCAB = 200
 UNI_SEG_WORDS = 50
 
 
-def _unigram_vocab_cte(max_piece_len: int, vocab_size: int) -> str:
+def _unigram_vocab_cte(
+    max_piece_len: int, vocab_size: int, max_word_len: int | None = None
+) -> str:
     """Shared oracle prefix: word freq → substring counts → top-K ∪
     chars vocabulary → integer bit-surprisal costs (length(bin(total //
-    cnt)), pure integer arithmetic — see operators/unigram.py)."""
+    cnt)), pure integer arithmetic — see operators/unigram.py).
+
+    ``max_word_len`` restricts the word-frequency table itself (not just
+    the segmentation set) — the hard-EM entry seeds its vocabulary from
+    the length-filtered vocabulary, unlike the viterbi entries which
+    seed from all words and filter only the segmented set."""
     from ..operators.unigram import PIECE_BASE
 
+    wfilter = (
+        f"WHERE length(w) <= {max_word_len}" if max_word_len else ""
+    )
     return f"""
     WITH words0 AS (
       SELECT unnest(regexp_extract_all(text, '{BPE_ISH_PATTERN}', 0)) AS w
       FROM documents
     ),
-    freq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM words0 GROUP BY w),
+    freq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM words0
+             {wfilter} GROUP BY w),
     pieces AS MATERIALIZED (
       SELECT substr(q.w, s.i, l.j) AS piece, SUM(q.f) AS cnt
       FROM freq q,
@@ -580,27 +591,65 @@ def unigram_viterbi_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Hard-EM catalog config: iterations trained / reported.
+UNI_EM_ITERS = 3
+
+
 @register(
     "unigram_hard_em",
-    tier=0,  # r7 rotation INTO the judged window (r6 flagship): the EM loop
-    # judged via the driver rows-only check; banded stats pinned by tests
-    oracle=None,
-    min_rows=3,
+    tier=0,  # r7 rotation INTO the judged window (r6 flagship); r8: banded
+    # oracle attached (the r7 VERDICT's #1 finding) — iteration-0 stats
+    # EXACT via the shared lattice CTEs, later iterations as invariant
+    # booleans pinned TRUE (the ivf_nprobe_recall_curve pattern)
+    oracle=_unigram_vocab_cte(
+        UNI_MAX_PIECE, UNI_VOCAB, max_word_len=20
+    )
+    + _unigram_viterbi_layers(20, UNI_MAX_PIECE, None)
+    + f""",
+    res AS MATERIALIZED (
+      SELECT r.w, r.f, r.c FROM ({_unigram_result_union(20)}) r
+    ),
+    agg AS (
+      SELECT CAST(SUM(f * (c // {1024})) AS BIGINT) AS cost_bits,
+             CAST(SUM(f * (c % {1024})) AS BIGINT) AS pieces,
+             CAST(SUM(f) AS BIGINT) AS words
+      FROM res
+    ),
+    vs AS (SELECT CAST(COUNT(*) AS INT) AS vocab_size FROM vocabc)
+    SELECT CAST(t.i AS INT) AS iteration,
+           agg.words AS corpus_words,
+           vs.vocab_size AS it0_vocab_size,
+           agg.cost_bits AS it0_cost_bits,
+           agg.pieces AS it0_pieces,
+           TRUE AS cost_nonincreasing,
+           TRUE AS pieces_bounded,
+           TRUE AS vocab_bounded
+    FROM agg, vs, UNNEST(generate_series(0, {UNI_EM_ITERS - 1})) AS t(i)
+    ORDER BY iteration
+    """,
     doc="Unigram-LM tokenizer, stage 3: hard-EM training (Viterbi "
     "re-estimation) — segment the word vocabulary with current costs, "
     "recount pieces along the best paths, reselect top-200 ∪ required "
-    "chars, recost, repeat — reporting per-iteration vocabulary size, "
-    "total corpus cost in bits, and pieces emitted "
-    "(operators/unigram.py:hard_em_train). Deterministic end to end "
-    "(integer costs/counts, lexicographic tie-breaks incl. the piece-"
-    "sequence tie-break in the path DP) but T chained DPs are "
-    "impractical to unroll in SQL, so this entry is rows-only — its "
-    "semantics are pinned by planted-corpus unit tests "
-    "(tests/test_unigram.py) and by unigram_viterbi_segment value-"
-    "hashing the DP core, the same split the IVF/PQ k-means tiers use. "
-    "Scale: each round is one word-vocab lattice join + in-row DP + one "
-    "(piece, count) aggregate; lineage truncated per round "
-    "(localCheckpoint); one scalar stats row collected per iteration.",
+    "chars, recost, repeat (operators/unigram.py:hard_em_train). "
+    "BANDED oracle (r8): iteration-0 statistics are EXACT — the seed-"
+    "vocab Viterbi aggregate (corpus cost bits, pieces emitted, words) "
+    "replayed through the same 20-layer lattice CTEs that power "
+    "unigram_viterbi_segment, over the length-filtered vocabulary hard-"
+    "EM actually seeds from, plus the exact seed vocab_size — carried "
+    "as constant columns on every row; iterations 1..T-1 pin three "
+    "loop invariants as booleans the oracle fixes TRUE: corpus cost "
+    "non-increasing round over round (Viterbi re-estimation under "
+    "integer recosting — verified, not assumed), pieces bounded by "
+    "[words, 20*words] (every word emits 1..len pieces), and vocab "
+    "size within [n_chars, 200 + n_chars] (the required-char floor and "
+    "the top-K ∪ chars ceiling). corpus_words is emitted exactly per "
+    "row, so word conservation across rounds is value-hashed too. "
+    "T chained DPs remain impractical to unroll exactly in SQL; the "
+    "full per-round trajectory stays pinned by planted-corpus unit "
+    "tests (tests/test_unigram.py). Scale: each round is one word-vocab "
+    "lattice join + in-row DP + one (piece, count) aggregate; lineage "
+    "truncated per round (localCheckpoint); one scalar stats row "
+    "collected per iteration.",
 )
 def unigram_hard_em(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import unigram
@@ -610,19 +659,42 @@ def unigram_hard_em(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("word") <= unigram.MAX_WORD_LEN
     )
     _, stats = unigram.hard_em_train(
-        wf, vocab_size=UNI_VOCAB, max_piece_len=UNI_MAX_PIECE, n_iters=3
+        wf,
+        vocab_size=UNI_VOCAB,
+        max_piece_len=UNI_MAX_PIECE,
+        n_iters=UNI_EM_ITERS,
     )
+    # The required-char count (constant across rounds: characters never
+    # drop out) bounds every refreshed vocabulary from below; top-K ∪
+    # chars bounds it from above.
+    n_chars = unigram.substring_counts(wf, 1).count()
+    it0 = stats[0]
+    rows = []
+    for i, s in enumerate(stats):
+        prev = stats[i - 1] if i else s
+        rows.append(
+            {
+                "iteration": s["iteration"],
+                "corpus_words": s["corpus_words"],
+                "it0_vocab_size": it0["vocab_size"],
+                "it0_cost_bits": it0["corpus_cost_bits"],
+                "it0_pieces": it0["corpus_pieces"],
+                "cost_nonincreasing": s["corpus_cost_bits"]
+                <= prev["corpus_cost_bits"],
+                "pieces_bounded": s["corpus_words"]
+                <= s["corpus_pieces"]
+                <= unigram.MAX_WORD_LEN * s["corpus_words"],
+                "vocab_bounded": n_chars
+                <= s["vocab_size"]
+                <= UNI_VOCAB + n_chars,
+            }
+        )
     return spark.createDataFrame(
-        stats,
-        "iteration int, vocab_size int, corpus_cost_bits long, "
-        "corpus_pieces long, corpus_words long",
-    ).orderBy("iteration").select(
-        "iteration",
-        "vocab_size",
-        "corpus_cost_bits",
-        "corpus_pieces",
-        "corpus_words",
-    )
+        rows,
+        "iteration int, corpus_words long, it0_vocab_size int, "
+        "it0_cost_bits long, it0_pieces long, cost_nonincreasing boolean, "
+        "pieces_bounded boolean, vocab_bounded boolean",
+    ).orderBy("iteration")
 
 
 #: Multi-char pieces surviving one pruning round of the catalog entry.
