@@ -1,0 +1,127 @@
+"""Integer-lattice deterministic IVF / PQ (operators/similarity.py,
+round 8): the exact-replay k-means tiers behind embedding_ivf_ann and
+embedding_pq_ann's full value-hash oracles. The cross-engine parity
+itself is proven by those oracles (tests/test_catalog_oracle.py runs
+them); these tests pin the OPERATOR-level contracts the oracles build
+on: bit-determinism of training, the full-probe = brute-force anchor,
+the prefix-growing probe sweep, and recall floors."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql import Window
+
+from traffic_accidents_airflow_kafka_spark.operators import similarity
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def exact3(spark, emb):
+    qids = emb.select("vec_id").filter(F.col("vec_id") < 20)
+    return (
+        similarity.cosine_topk(emb, qids, "vec_id", "embedding", k=3)
+        .select("qid", "nid")
+        .localCheckpoint(eager=True)
+    )
+
+
+def test_lattice_quantize_is_integral_and_positive():
+    X = np.array([[-0.6, 0.0, 0.49999, 1.0 / 3.0]])
+    q = similarity.lattice_quantize_np(X)
+    assert q.dtype == np.int64
+    assert (q > 0).all()
+    # floor semantics, power-of-two scale: -0.6 * 1024 = -614.4 -> -615
+    assert q[0, 0] == similarity.LATTICE_OFFSET - 615
+    assert q[0, 1] == similarity.LATTICE_OFFSET
+
+
+def test_train_lattice_kmeans_is_bit_deterministic():
+    rng = np.random.default_rng(3)
+    Xq = similarity.lattice_quantize_np(rng.standard_normal((200, 8)))
+    a = similarity.train_lattice_kmeans(Xq, 8)
+    b = similarity.train_lattice_kmeans(Xq.copy(), 8)
+    assert a.dtype == np.int64
+    assert (a == b).all()
+    # The trainer must actually move centroids off their seeds (a
+    # no-op trainer would also be "deterministic").
+    seeds = Xq[[c * (200 // 8) % 200 for c in range(8)]]
+    assert (a != seeds).any()
+
+
+def test_full_probe_equals_brute_force(spark, emb, exact3):
+    """The recall-curve anchor: probe_rank <= n_centroids admits every
+    candidate, and the fold cosine is the same as the baseline's — the
+    top-3 must match the exact search EXACTLY, not just in recall."""
+    qids = emb.select("vec_id").filter(F.col("vec_id") < 20)
+    cands = similarity.ivf_exact_probe_candidates(
+        emb, qids, "vec_id", "embedding", n_centroids=16
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    top = (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("qid", "nid")
+    )
+    assert top.exceptAll(exact3).count() == 0
+    assert exact3.exceptAll(top).count() == 0
+
+
+def test_probe_sweep_is_prefix_growing(spark, emb):
+    """n_probe = p filtering must reproduce the standalone n_probe = p
+    search — the identity the one-pass recall curve rests on."""
+    qids = emb.select("vec_id").filter(F.col("vec_id") < 10)
+    index = similarity.ivf_exact_index(emb, "vec_id", "embedding", 16)
+    cent, assigned = index
+    assigned = assigned.localCheckpoint(eager=True)
+    cands = similarity.ivf_exact_probe_candidates(
+        emb, qids, "vec_id", "embedding", index=(cent, assigned)
+    ).localCheckpoint(eager=True)
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    for p in (1, 3):
+        direct = similarity.ivf_ann_topk_exact(
+            emb, qids, "vec_id", "embedding",
+            n_centroids=16, n_probe=p, k=3, index=(cent, assigned),
+        ).select("qid", "nid", "rank")
+        via_filter = (
+            cands.filter(F.col("probe_rank") <= p)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .select("qid", "nid", "rank")
+        )
+        assert direct.exceptAll(via_filter).count() == 0
+        assert via_filter.exceptAll(direct).count() == 0
+
+
+def test_pq_exact_recall_floor(spark, emb, exact3):
+    pq = similarity.pq_ann_topk_exact(
+        emb,
+        emb.select("vec_id").filter(F.col("vec_id") < 20),
+        m=32,
+        n_codes=64,
+        k=3,
+    )
+    total = exact3.count()
+    hits = pq.select("qid", "nid").join(
+        exact3, ["qid", "nid"], "left_semi"
+    ).count()
+    assert hits / total >= 0.5  # measured 0.72-0.80 across sf0.001-0.1
+
+
+def test_pq_recon_zero_norm_guard(spark):
+    """A degenerate all-constant corpus can produce zero reconstruction
+    norms; the ADC must emit the -2.0 sentinel, never NaN."""
+    rows = [(i, [0.0, 0.0]) for i in range(8)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.pq_ann_topk_exact(
+        emb, emb.select("vec_id").filter(F.col("vec_id") < 2),
+        m=1, n_codes=2, k=1,
+    ).collect()
+    assert out, "degenerate corpus still ranks"
+    for r in out:
+        assert r["approx_cosine"] == -2.0

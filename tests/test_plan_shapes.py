@@ -35,6 +35,10 @@ CROSS_JOIN_OK = {
     # hybrid_rrf_retrieval: the semantic list reuses cosine_topk's
     # broadcast bounded-query crossJoin (here a SINGLE query vector).
     "hybrid_rrf_retrieval",
+    # embedding_pq_ann (r8 lattice form): the ADC ranking is the same
+    # broadcast bounded-query crossJoin as embedding_sq8_ann — exact
+    # query side vs the dequantized reconstruction relation.
+    "embedding_pq_ann",
     # mergeable_uniques: the global HLL-union estimate is a ONE-ROW
     # broadcast scalar crossJoined onto the |days|-row relation.
     "mergeable_uniques",

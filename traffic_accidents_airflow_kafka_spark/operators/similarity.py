@@ -943,38 +943,22 @@ def semantic_dedup(
     ).select(id_col, F.coalesce("sem_dropped", F.lit(False)).alias("sem_dropped"))
 
 
-def ivf_pq_ann_topk(
+def ivf_pq_build_index(
     vectors: DataFrame,
-    query_ids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_centroids: int = 16,
-    n_probe: int = 2,
     m: int = 16,
     n_codes: int = 32,
-    k: int = 3,
     seed: int = 7,
     max_train_sample: int = 100_000,
-) -> DataFrame:
-    """IVF-PQ: the composed FAISS production index — coarse cells prune
-    the candidate set (IVF) AND product-quantized RESIDUALS compress it
-    (PQ), i.e. ``IndexIVFPQ`` semantics (Jégou et al. TPAMI'11 §V).
-
-    Residual encoding is the load-bearing detail: PQ codebooks quantize
-    ``x - centroid[cell]`` rather than ``x``, so the codebook only has to
-    cover the within-cell spread — reconstruction error drops roughly by
-    the between-cell variance. ADC then decomposes as
-    ``q · recon = q · centroid[cell] + Σ_j LUT[q, j, code_j]`` — one
-    scalar per (query, cell) plus ``m`` table lookups per candidate.
-
-    Spark shape: both trainings (Lloyd cells, per-subspace codebooks) are
-    the driver-side bounded-sample idiom (state, not data); the corpus
-    passes are one Arrow assignment+encode stage and one cogrouped
-    per-cell ADC search keyed on cell — |cell| work per probe, candidate
-    set ~n_probe/n_centroids of the corpus, 16 bytes/vector in flight
-    instead of 512. No all-pairs stream, no shuffle of raw vectors at
-    search time.
-    """
+) -> dict | None:
+    """The IVF-PQ index.add half, split out of :func:`ivf_pq_ann_topk`
+    (the same build/search split as sq8_decode_pool / ivf_exact_index):
+    train the coarse quantizer and residual codebooks, encode the
+    corpus, and return {'cent_mat', 'books', 'encoded'} for repeated
+    searches. ``None`` for an empty corpus. Callers should checkpoint
+    ``encoded`` (the corpus-scale relation) before reusing it."""
     import pandas as pd
     from pyspark.sql.types import (
         ArrayType,
@@ -994,9 +978,7 @@ def ivf_pq_ann_topk(
     if not sample:
         sample = vectors.orderBy(id_col).select(vec_col).limit(256).collect()
     if not sample:
-        return vectors.sparkSession.createDataFrame(
-            [], "qid long, nid long, rank int, approx_cosine double, cell int"
-        )
+        return None
     X = np.array([r[vec_col] for r in sample], dtype=np.float64)
     d = X.shape[1]
     if d % m:
@@ -1059,6 +1041,69 @@ def ivf_pq_ann_topk(
             )
 
     encoded = vectors.select(id_col, vec_col).mapInPandas(encode, enc_schema)
+    return {"cent_mat": cent_mat, "books": books, "encoded": encoded}
+
+
+def ivf_pq_ann_topk(
+    vectors: DataFrame,
+    query_ids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    m: int = 16,
+    n_codes: int = 32,
+    k: int = 3,
+    seed: int = 7,
+    max_train_sample: int = 100_000,
+    index: dict | None = None,
+) -> DataFrame:
+    """IVF-PQ: the composed FAISS production index — coarse cells prune
+    the candidate set (IVF) AND product-quantized RESIDUALS compress it
+    (PQ), i.e. ``IndexIVFPQ`` semantics (Jégou et al. TPAMI'11 §V).
+
+    Residual encoding is the load-bearing detail: PQ codebooks quantize
+    ``x - centroid[cell]`` rather than ``x``, so the codebook only has to
+    cover the within-cell spread — reconstruction error drops roughly by
+    the between-cell variance. ADC then decomposes as
+    ``q · recon = q · centroid[cell] + Σ_j LUT[q, j, code_j]`` — one
+    scalar per (query, cell) plus ``m`` table lookups per candidate.
+
+    Spark shape: both trainings (Lloyd cells, per-subspace codebooks) are
+    the driver-side bounded-sample idiom (state, not data); the corpus
+    passes are one Arrow assignment+encode stage and one cogrouped
+    per-cell ADC search keyed on cell — |cell| work per probe, candidate
+    set ~n_probe/n_centroids of the corpus, 16 bytes/vector in flight
+    instead of 512. No all-pairs stream, no shuffle of raw vectors at
+    search time.
+
+    ``index``: a prebuilt :func:`ivf_pq_build_index` dict — the
+    index.add-once split; repeated searches skip training and the
+    corpus-scale encode entirely (checkpoint ``encoded`` when reusing).
+    """
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    if index is None:
+        index = ivf_pq_build_index(
+            vectors, id_col, vec_col, n_centroids, m, n_codes, seed,
+            max_train_sample,
+        )
+    if index is None:
+        return vectors.sparkSession.createDataFrame(
+            [], "qid long, nid long, rank int, approx_cosine double, cell int"
+        )
+    cent_mat = index["cent_mat"]
+    books = index["books"]
+    encoded = index["encoded"]
+    m = books.shape[0]
+    sub = books.shape[2]
 
     # Query side: bounded-Q contract (same as cosine_topk / pq_ann_topk);
     # probe expansion stays a DataFrame so the search join shuffles on cell.
@@ -1299,6 +1344,7 @@ def pq_rerank_topk(
     candidates: int = 50,
     k: int = 3,
     seed: int = 7,
+    shortlist: DataFrame | None = None,
 ) -> DataFrame:
     """Two-stage retrieval: PQ ADC shortlist → EXACT re-rank — the
     standard compressed-index serving pattern (FAISS refine / ScaNN
@@ -1312,17 +1358,24 @@ def pq_rerank_topk(
     fetched, via an id-keyed semi-join that Spark executes as a hash
     join on (query, candidate) pairs. Recovers most of the recall PQ
     loses while paying PQ's scan cost.
+
+    ``shortlist``: a prebuilt (qid, nid) candidate relation — callers
+    that already ran an ADC pass (the recall audit derives both the
+    plain-PQ answer and the re-rank input from ONE k=candidates search)
+    skip the internal PQ search entirely.
     """
-    shortlist = pq_ann_topk(
-        vectors,
-        query_ids,
-        id_col,
-        vec_col,
-        m=m,
-        n_codes=n_codes,
-        k=candidates,
-        seed=seed,
-    ).select("qid", "nid")
+    if shortlist is None:
+        shortlist = pq_ann_topk(
+            vectors,
+            query_ids,
+            id_col,
+            vec_col,
+            m=m,
+            n_codes=n_codes,
+            k=candidates,
+            seed=seed,
+        )
+    shortlist = shortlist.select("qid", "nid")
     q = (
         vectors.join(F.broadcast(query_ids.select(id_col)), id_col)
         .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
@@ -1659,4 +1712,411 @@ def sq8_ann_topk(
         sim.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("qid", "nid", "rank", "sq_cosine")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Integer-lattice exact-replay k-means — the deterministic IVF / PQ tiers.
+#
+# The float k-means tiers above (train_ivf_centroids, _pq_train) are
+# engine-specific: centroid means are float sums whose summation order no
+# SQL engine reproduces, so their catalog entries could only ever be
+# rows-only. This section removes that limitation the same way the unigram
+# tokenizer and DSIR did (integer bit-surprisals): move the QUANTIZER into
+# integer arithmetic, where every sum, division, and argmin is exact and
+# order-free, so a DuckDB oracle replays training bit-for-bit.
+#
+# The lattice: q_i = floor(v_i * 1024) + 2^20. The scale is a POWER OF TWO,
+# so v * 1024 merely shifts the IEEE exponent — quantization involves no
+# rounding at all and is identical in Spark, NumPy, and SQL by construction.
+# The offset keeps every coordinate positive, making integer division a
+# floor on both engines (Spark DIV truncates toward zero, DuckDB //
+# floors — they agree only on non-negative operands). Offsets cancel in
+# every distance (only differences enter), so geometry is unchanged up to
+# the 1/1024 lattice resolution — far finer than the coarse-quantizer /
+# codebook cells it feeds.
+#
+# Lloyd's iterations then run entirely in int64: squared distances are
+# exact integer sums (order-free), assignment ties break to the lowest
+# cell via the combined integer min(d2 * k + cell), and centroid updates
+# are integer means SUM DIV COUNT. Seeding is stride-spaced over the
+# id-ordered sample (deterministic, spread across the id space) instead
+# of an RNG draw. NumPy executes this exactly (int64 ops are exact;
+# np.argmin picks the first minimum = lowest cell), and the SQL oracle
+# replays each iteration as one assignment CTE + one update CTE.
+#
+# Search still ranks TRUE float vectors (IVF) or dequantized
+# reconstructions (PQ) by the sequential-fold cosine — the established
+# exact-parity form (_dot_double) every full-oracle ANN entry uses.
+# ---------------------------------------------------------------------------
+
+#: Lattice quantization constants (power-of-two scale: EXACT in doubles).
+LATTICE_SCALE = 1024
+LATTICE_OFFSET = 1 << 20
+
+#: Lloyd iterations for the exact tiers — few on purpose, like the float
+#: tiers: a coarse quantizer needs roughly balanced cells, not convergence.
+LATTICE_ITERS = 4
+
+
+def lattice_quantize_np(X: "np.ndarray") -> "np.ndarray":
+    """float64 (n, d) → int64 lattice coordinates. floor(x * 2^10) + 2^20:
+    the multiply is exact (exponent shift), floor is exact, the offset is
+    exact — NumPy here computes literally the same integers as the SQL
+    oracle's CAST(FLOOR(CAST(v AS DOUBLE) * 1024) AS BIGINT) + 1048576."""
+    return (
+        np.floor(X.astype(np.float64) * LATTICE_SCALE) + LATTICE_OFFSET
+    ).astype(np.int64)
+
+
+def collect_lattice_sample(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    modulus: int = 4,
+    cap: int = 100_000,
+) -> "np.ndarray":
+    """The deterministic training sample as int64 lattice coordinates:
+    ids with ``id % modulus == 0``, ordered by id, first ``cap`` rows.
+
+    orderBy + limit plans as TakeOrdered — deterministic top-``cap`` by
+    id even when the cap binds, unlike a bare LIMIT (whose row choice is
+    partition-order dependent). At 100 TB the knob is ``modulus`` (raise
+    it so the expected sample stays ~cap); training state is k × dim
+    ints regardless of corpus size.
+    """
+    rows = (
+        vectors.filter(F.col(id_col) % modulus == 0)
+        .orderBy(id_col)
+        .select(vec_col)
+        .limit(cap)
+        .collect()
+    )
+    if not rows:
+        return np.empty((0, 0), dtype=np.int64)
+    X = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    return lattice_quantize_np(X)
+
+
+def train_lattice_kmeans(
+    Xq: "np.ndarray", k: int, iters: int = LATTICE_ITERS
+) -> "np.ndarray":
+    """Integer Lloyd over lattice coordinates → int64 centroids (k, d).
+
+    Init: centroid c seeds from sample row (c * stride) % n with
+    stride = max(n // k, 1) — stride-spaced over the id-ordered sample,
+    cycling when n < k. Each iteration: exact int64 squared-distance
+    argmin (ties to the lowest cell — np.argmin's first-minimum rule,
+    identical to the oracle's MIN(d2 * k + cell) % k) and integer-mean
+    update SUM // COUNT (floor; every coordinate is positive by the
+    lattice offset, so floor == truncate on both engines). Empty cells
+    keep their previous centroid. Pure int64 throughout — NumPy and SQL
+    compute the same centroids bit-for-bit.
+    """
+    n = len(Xq)
+    if n == 0:
+        raise ValueError("empty training sample")
+    stride = max(n // k, 1)
+    cent = Xq[[(c * stride) % n for c in range(k)]].copy()
+    for _ in range(iters):
+        d2 = ((Xq[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        labels = d2.argmin(axis=1)
+        for c in range(k):
+            members = Xq[labels == c]
+            if len(members):
+                cent[c] = members.sum(axis=0) // len(members)
+    return cent
+
+
+def lattice_cell_assign(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cent: "np.ndarray",
+    n_probe: int = 1,
+) -> DataFrame:
+    """Arrow-vectorized nearest-cell assignment on the INTEGER lattice:
+    (id_col, vec_col, cell[, probe_rank]). Distances are exact int64, so
+    — unlike the float `_cell_assignments` — this path is bit-identical
+    to the SQL fold and to any other evaluation order. ``n_probe > 1``
+    emits each id's ``n_probe`` nearest cells with ``probe_rank`` 1..p
+    (ties to the lowest cell on every rank)."""
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    base = df.select(id_col, vec_col)
+    fields = list(base.schema.fields) + [StructField("cell", IntegerType())]
+    if n_probe > 1:
+        fields.append(StructField("probe_rank", IntegerType()))
+    out_schema = StructType(fields)
+    nb = min(n_probe, len(cent))
+
+    def fn(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = lattice_quantize_np(
+                np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            )
+            d2 = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            if nb == 1:
+                out = pdf[[id_col, vec_col]].copy()
+                out["cell"] = d2.argmin(axis=1).astype(np.int32)
+                yield out
+            else:
+                # Combined-integer sort key = d2 * k + cell: total order,
+                # ties to the lowest cell at every probe rank.
+                key = d2 * len(cent) + np.arange(len(cent))[None, :]
+                order = np.argsort(key, axis=1, kind="stable")[:, :nb]
+                rep = pdf[[id_col, vec_col]].iloc[
+                    np.repeat(np.arange(len(pdf)), nb)
+                ].copy()
+                rep["cell"] = order.reshape(-1).astype(np.int32)
+                rep["probe_rank"] = np.tile(
+                    np.arange(1, nb + 1), len(pdf)
+                ).astype(np.int32)
+                yield rep
+
+    return base.mapInPandas(fn, out_schema)
+
+
+def ivf_exact_index(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    iters: int = LATTICE_ITERS,
+    modulus: int = 4,
+) -> tuple["np.ndarray", DataFrame]:
+    """Build the deterministic IVF index: (int64 centroids (k, d),
+    inverted-file DataFrame (id_col, vec_col, cell)). The FAISS
+    index.add split — callers cache/checkpoint the assignment and run
+    many searches against it."""
+    Xq = collect_lattice_sample(vectors, id_col, vec_col, modulus)
+    cent = train_lattice_kmeans(Xq, n_centroids, iters)
+    assigned = lattice_cell_assign(vectors, id_col, vec_col, cent, 1)
+    return cent, assigned
+
+
+def ivf_exact_probe_candidates(
+    vectors: DataFrame,
+    query_ids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    iters: int = LATTICE_ITERS,
+    index: tuple["np.ndarray", DataFrame] | None = None,
+) -> DataFrame:
+    """The FULL-probe candidate relation of the deterministic IVF index:
+    (qid, nid, cosine, cell, probe_rank) where probe_rank ranks the
+    candidate's cell in the QUERY's nearest-cell order. Filtering
+    ``probe_rank <= p`` reproduces exactly the n_probe = p search — one
+    corpus pass answers every point of an nprobe sweep (the recall-curve
+    shape), instead of re-searching per point. Cosines are the
+    sequential-fold exact-parity form over TRUE float vectors, so a
+    full-probe filter ranks identically to the brute-force baseline."""
+    cent, assigned = index if index is not None else ivf_exact_index(
+        vectors, id_col, vec_col, n_centroids, iters
+    )
+    q_side = vectors.join(query_ids, id_col, "left_semi")
+    probes = lattice_cell_assign(
+        q_side, id_col, vec_col, cent, n_probe=len(cent)
+    ).select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qvec"),
+        "cell",
+        "probe_rank",
+    ).withColumn("qnorm", vector_norm("qvec"))
+    cand = assigned.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec"), "cell"
+    ).withColumn("nnorm", vector_norm("nvec"))
+    return (
+        probes.join(cand, "cell")
+        .filter(F.col("qid") != F.col("nid"))
+        .select(
+            "qid",
+            "nid",
+            (
+                _dot_double(F.col("qvec"), F.col("nvec"))
+                / (F.col("qnorm") * F.col("nnorm"))
+            ).alias("cosine"),
+            "cell",
+            "probe_rank",
+        )
+    )
+
+
+def ivf_ann_topk_exact(
+    vectors: DataFrame,
+    query_ids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    k: int = 3,
+    iters: int = LATTICE_ITERS,
+    index: tuple["np.ndarray", DataFrame] | None = None,
+) -> DataFrame:
+    """IVF approximate top-k on the deterministic integer-lattice index —
+    same search semantics as :func:`ivf_ann_topk` (probe the n_probe
+    nearest cells, rank members by exact cosine), but every stage
+    (quantize → Lloyd → assign → probe → rank) replays bit-for-bit in a
+    SQL oracle. Output: (qid, nid, rank, cosine, cell)."""
+    cent, assigned = index if index is not None else ivf_exact_index(
+        vectors, id_col, vec_col, n_centroids, iters
+    )
+    q_side = vectors.join(query_ids, id_col, "left_semi")
+    probes = lattice_cell_assign(
+        q_side, id_col, vec_col, cent, n_probe=n_probe
+    ).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"), "cell"
+    ).withColumn("qnorm", vector_norm("qvec"))
+    cand = assigned.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec"), "cell"
+    ).withColumn("nnorm", vector_norm("nvec"))
+    sim = (
+        probes.join(cand, "cell")
+        .filter(F.col("qid") != F.col("nid"))
+        .withColumn(
+            "cosine",
+            _dot_double(F.col("qvec"), F.col("nvec"))
+            / (F.col("qnorm") * F.col("nnorm")),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "qid", "nid", "rank", F.round("cosine", 4).alias("cosine"), "cell"
+        )
+    )
+
+
+def pq_exact_recon(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 32,
+    n_codes: int = 64,
+    iters: int = LATTICE_ITERS,
+    modulus: int = 4,
+) -> DataFrame:
+    """Deterministic PQ encode + decode: train per-subspace integer
+    codebooks (the same :func:`train_lattice_kmeans`, run on each
+    subvector slice), encode every corpus vector (per-subspace int64
+    argmin, ties to the lowest code), and emit the DEQUANTIZED
+    reconstruction — (nid, rvec array<double>) with
+    rvec_i = (codebook_value - offset) / 1024 (exact: power-of-two
+    divide). ADC against a reconstruction is mathematically identical
+    to the per-subspace LUT sum (the dot product decomposes over
+    subspaces); emitting rvec lets the ranking use the sequential-fold
+    cosine the SQL oracle replays, while the at-rest artifact at scale
+    remains the m int codes per vector."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    Xq = collect_lattice_sample(vectors, id_col, vec_col, modulus)
+    d = Xq.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    books = np.stack(
+        [
+            train_lattice_kmeans(Xq[:, j * sub : (j + 1) * sub], n_codes, iters)
+            for j in range(m)
+        ]
+    )  # (m, n_codes, sub) int64
+
+    out_schema = StructType(
+        [
+            StructField("nid", LongType()),
+            StructField("rvec", ArrayType(DoubleType())),
+        ]
+    )
+
+    def fn(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            Xb = lattice_quantize_np(
+                np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            )
+            recon_q = np.empty_like(Xb)
+            for j in range(m):
+                Vj = Xb[:, j * sub : (j + 1) * sub]
+                d2 = ((Vj[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+                cj = d2.argmin(axis=1)  # first minimum = lowest code
+                recon_q[:, j * sub : (j + 1) * sub] = books[j][cj]
+            rvec = (recon_q - LATTICE_OFFSET).astype(np.float64) / LATTICE_SCALE
+            yield pd.DataFrame(
+                {
+                    "nid": pdf[id_col].to_numpy(dtype=np.int64),
+                    "rvec": list(rvec),
+                }
+            )
+
+    return vectors.select(id_col, vec_col).mapInPandas(fn, out_schema)
+
+
+def pq_ann_topk_exact(
+    vectors: DataFrame,
+    query_ids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 32,
+    n_codes: int = 64,
+    k: int = 3,
+    iters: int = LATTICE_ITERS,
+    recon: DataFrame | None = None,
+) -> DataFrame:
+    """PQ ADC top-k on deterministic integer-lattice codebooks — the
+    :func:`pq_ann_topk` semantics (full-precision query vs quantized
+    corpus) with every stage SQL-replayable. approx_cosine =
+    cos(query, reconstruction), ranked per query with a zero-norm guard
+    (sentinel -2.0, the NaN-free cross-engine form). Output:
+    (qid, nid, rank, approx_cosine).
+
+    ``recon``: a prebuilt (nid, rvec) index from :func:`pq_exact_recon`
+    — the index.add-once split: callers searching the same corpus
+    repeatedly train/encode/decode once and pass the materialization.
+    """
+    if recon is None:
+        recon = pq_exact_recon(vectors, id_col, vec_col, m, n_codes, iters)
+    recon = recon.withColumn("rnorm", vector_norm("rvec"))
+    q = (
+        vectors.join(query_ids, id_col, "left_semi")
+        .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
+        .withColumn("qnorm", vector_norm("qvec"))
+    )
+    denom = F.col("qnorm") * F.col("rnorm")
+    sim = (
+        recon.crossJoin(F.broadcast(q))
+        .filter(F.col("nid") != F.col("qid"))
+        .withColumn(
+            "approx_cosine",
+            F.when(
+                denom > 0,
+                _dot_double(F.col("qvec"), F.col("rvec")) / denom,
+            ).otherwise(F.lit(-2.0)),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.desc("approx_cosine"), F.asc("nid")
+    )
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "qid",
+            "nid",
+            "rank",
+            F.round("approx_cosine", 4).alias("approx_cosine"),
+        )
     )

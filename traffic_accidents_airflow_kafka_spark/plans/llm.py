@@ -497,47 +497,329 @@ def embedding_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("qid", "rank")
 
 
+def _lattice_lloyd_ctes(
+    k: int,
+    iters: int,
+    dim: int,
+    sub: int,
+    modulus: int = 4,
+    cap: int = 100_000,
+) -> str:
+    """The integer-lattice Lloyd replay shared by the exact IVF and PQ
+    oracles (operators/similarity.py:train_lattice_kmeans): quantized
+    corpus ``qv`` / long form ``cl``, id-ordered sample long form ``sl``,
+    stride-spaced init ``cb0``, and ``iters`` chained (assignment,
+    update) CTE pairs ending at ``cb{iters}`` — centroids keyed
+    (code, pos), with the subspace id implied by pos (``sub == dim``
+    degenerates to one whole-vector group, i.e. IVF). Every quantity is
+    integer: quantization floor(v * 1024) + 2^20 is EXACT (power-of-two
+    scale), distances are integer sums (order-free), assignment ties
+    break via MIN(d2 * k + code) % k (= NumPy's first-minimum argmin),
+    and centroid means are SUM // COUNT over positive ints (floor ==
+    truncate). So DuckDB computes literally the same codebooks as the
+    driver-side NumPy trainer."""
+    from ..operators.similarity import LATTICE_OFFSET, LATTICE_SCALE
+
+    parts = [
+        f"""
+    WITH qv AS MATERIALIZED (
+      SELECT vec_id, embedding,
+             list_transform(generate_series(1, {dim}),
+               i -> CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {LATTICE_SCALE})
+                         AS BIGINT) + {LATTICE_OFFSET}) AS q
+      FROM embeddings
+    ),
+    cl AS MATERIALIZED (
+      SELECT vec_id, t.i AS pos, q[t.i] AS v
+      FROM qv, UNNEST(generate_series(1, {dim})) AS t(i)
+    ),
+    samp AS (
+      SELECT vec_id, q, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+      FROM qv WHERE vec_id % {modulus} = 0
+    ),
+    sl AS MATERIALIZED (
+      SELECT vec_id, rn, t.i AS pos, q[t.i] AS v
+      FROM samp, UNNEST(generate_series(1, {dim})) AS t(i)
+      WHERE rn <= {cap}
+    ),
+    params AS (
+      SELECT GREATEST(COUNT(DISTINCT rn) // {k}, 1) AS stride,
+             COUNT(DISTINCT rn) AS n
+      FROM sl
+    ),
+    cb0 AS MATERIALIZED (
+      SELECT g.code, sl.pos, sl.v AS cv
+      FROM (SELECT unnest(generate_series(0, {k - 1})) AS code) g
+      CROSS JOIN params p
+      JOIN sl ON sl.rn - 1 = (g.code * p.stride) % p.n
+    )"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f""",
+    asg{t} AS MATERIALIZED (
+      SELECT vec_id, j, MIN(d2 * {k} + code) % {k} AS code FROM (
+        SELECT sl.vec_id, (sl.pos - 1) // {sub} AS j, c.code,
+               SUM((sl.v - c.cv) * (sl.v - c.cv)) AS d2
+        FROM sl JOIN cb{t - 1} c ON sl.pos = c.pos
+        GROUP BY 1, 2, 3
+      ) GROUP BY vec_id, j
+    ),
+    cb{t} AS MATERIALIZED (
+      SELECT p.code, p.pos, CAST(COALESCE(m.nv, p.cv) AS BIGINT) AS cv
+      FROM cb{t - 1} p LEFT JOIN (
+        SELECT a.code, sl.pos, SUM(sl.v) // COUNT(*) AS nv
+        FROM asg{t} a
+        JOIN sl ON a.vec_id = sl.vec_id AND (sl.pos - 1) // {sub} = a.j
+        GROUP BY a.code, sl.pos
+      ) m ON p.code = m.code AND p.pos = m.pos
+    )"""
+        )
+    return "".join(parts)
+
+
+def _ivf_exact_oracle(
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    k: int = 3,
+    max_qid: int = 100,
+    iters: int = 4,
+    dim: int = 64,
+) -> str:
+    """Full-pipeline replay of ivf_ann_topk_exact: lattice Lloyd →
+    inverted file → per-query ranked probes → sequential-fold cosine
+    ranking of cell members (the established exact-parity form)."""
+    vnorm = (
+        "sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {dim}), "
+        "j -> CAST(embedding[j] AS DOUBLE) * CAST(embedding[j] AS DOUBLE))), "
+        "(a, b) -> a + b))"
+    )
+    pair_dot = (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {dim}), "
+        "j -> CAST(qn.embedding[j] AS DOUBLE) * CAST(nn.embedding[j] AS DOUBLE))), "
+        "(a, b) -> a + b)"
+    )
+    return (
+        _lattice_lloyd_ctes(n_centroids, iters, dim, dim)
+        + f""",
+    asgc AS MATERIALIZED (
+      SELECT vec_id, CAST(MIN(d2 * {n_centroids} + code) % {n_centroids}
+                     AS INT) AS cell
+      FROM (
+        SELECT cl.vec_id, c.code,
+               SUM((cl.v - c.cv) * (cl.v - c.cv)) AS d2
+        FROM cl JOIN cb{iters} c ON cl.pos = c.pos
+        GROUP BY 1, 2
+      ) GROUP BY vec_id
+    ),
+    qp AS (
+      SELECT vec_id AS qid, CAST(code AS INT) AS cell,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, code) AS pr
+      FROM (
+        SELECT cl.vec_id, c.code,
+               SUM((cl.v - c.cv) * (cl.v - c.cv)) AS d2
+        FROM cl JOIN cb{iters} c ON cl.pos = c.pos
+        WHERE cl.vec_id < {max_qid}
+        GROUP BY 1, 2
+      )
+    ),
+    nrm AS (SELECT vec_id, embedding, {vnorm} AS nrm FROM embeddings),
+    sims AS (
+      SELECT p.qid, a.vec_id AS nid, a.cell,
+             {pair_dot} / (qn.nrm * nn.nrm) AS cosine
+      FROM qp p
+      JOIN asgc a ON a.cell = p.cell AND a.vec_id <> p.qid
+      JOIN nrm qn ON qn.vec_id = p.qid
+      JOIN nrm nn ON nn.vec_id = a.vec_id
+      WHERE p.pr <= {n_probe}
+    )
+    SELECT qid, nid, rank, ROUND(cosine, 4) AS cosine, cell FROM (
+      SELECT qid, nid, cell, cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                  ORDER BY cosine DESC, nid) AS INT) AS rank
+      FROM sims
+    )
+    WHERE rank <= {k}
+    ORDER BY qid, rank
+    """
+    )
+
+
+def _pq_exact_oracle(
+    m: int = 32,
+    n_codes: int = 64,
+    k: int = 3,
+    max_qid: int = 100,
+    iters: int = 4,
+    dim: int = 64,
+) -> str:
+    """Full-pipeline replay of pq_ann_topk_exact: per-subspace lattice
+    Lloyd codebooks → corpus encode (int argmin per subspace) →
+    dequantized reconstructions (exact power-of-two divide) →
+    sequential-fold ADC cosine ranking with the zero-norm sentinel."""
+    from ..operators.similarity import LATTICE_OFFSET, LATTICE_SCALE
+
+    sub = dim // m
+    vnorm = (
+        "sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {dim}), "
+        "j -> CAST(embedding[j] AS DOUBLE) * CAST(embedding[j] AS DOUBLE))), "
+        "(a, b) -> a + b))"
+    )
+    rnorm = (
+        "sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {dim}), "
+        "j -> rvec[j] * rvec[j])), (a, b) -> a + b))"
+    )
+    adc_dot = (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {dim}), "
+        "j -> CAST(q.embedding[j] AS DOUBLE) * r.rvec[j])), "
+        "(a, b) -> a + b)"
+    )
+    return (
+        _lattice_lloyd_ctes(n_codes, iters, dim, sub)
+        + f""",
+    enc AS MATERIALIZED (
+      SELECT vec_id, j, MIN(d2 * {n_codes} + code) % {n_codes} AS code
+      FROM (
+        SELECT cl.vec_id, (cl.pos - 1) // {sub} AS j, c.code,
+               SUM((cl.v - c.cv) * (cl.v - c.cv)) AS d2
+        FROM cl JOIN cb{iters} c ON cl.pos = c.pos
+        GROUP BY 1, 2, 3
+      ) GROUP BY vec_id, j
+    ),
+    recon AS MATERIALIZED (
+      SELECT e.vec_id AS nid,
+             list(CAST(c.cv - {LATTICE_OFFSET} AS DOUBLE) / {LATTICE_SCALE}
+                  ORDER BY c.pos) AS rvec
+      FROM enc e JOIN cb{iters} c
+        ON (c.pos - 1) // {sub} = e.j AND c.code = e.code
+      GROUP BY e.vec_id
+    ),
+    rn2 AS (SELECT nid, rvec, {rnorm} AS rnrm FROM recon),
+    qn AS (
+      SELECT vec_id AS qid, embedding, {vnorm} AS qnrm
+      FROM embeddings WHERE vec_id < {max_qid}
+    ),
+    sims AS (
+      SELECT q.qid, r.nid,
+             CASE WHEN q.qnrm * r.rnrm > 0
+                  THEN {adc_dot} / (q.qnrm * r.rnrm)
+                  ELSE -2.0 END AS approx_cosine
+      FROM qn q, rn2 r
+      WHERE r.nid <> q.qid
+    )
+    SELECT qid, nid, rank, ROUND(approx_cosine, 4) AS approx_cosine FROM (
+      SELECT qid, nid, approx_cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                  ORDER BY approx_cosine DESC, nid) AS INT) AS rank
+      FROM sims
+    )
+    WHERE rank <= {k}
+    ORDER BY qid, rank
+    """
+    )
+
+
+def _lattice_ivf_index(spark: SparkSession, sf_dir: str):
+    """The deterministic integer-lattice IVF index (16 cells) as a
+    build-once artifact: {'cent': int64 centroids, 'assigned': inverted
+    file, checkpointed} — shared by embedding_ivf_ann and the
+    ivf_nprobe_recall_curve sweep (the FAISS index.add-once split).
+    Stored as a dict so evict_artifacts unpersists the DataFrame."""
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def build():
+        cent, assigned = similarity.ivf_exact_index(
+            emb, "vec_id", "embedding", n_centroids=16
+        )
+        return {
+            "cent": cent,
+            "assigned": assigned.localCheckpoint(eager=True),
+        }
+
+    art = _artifact(spark, sf_dir, "lattice-ivf-16", build)
+    return art["cent"], art["assigned"]
+
+
+def _lattice_pq_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic lattice-PQ index (32 subspaces x 64 codes) in
+    dequantized form, as a build-once artifact — train + encode + decode
+    run once per (session, sf_dir); embedding_pq_ann and pq_recall_audit
+    both search this materialization (index.add once, search many)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _artifact(
+        spark,
+        sf_dir,
+        "lattice-pq-recon-32x64",
+        lambda: similarity.pq_exact_recon(
+            emb, "vec_id", "embedding", m=32, n_codes=64
+        ).localCheckpoint(eager=True),
+    )
+
+
 @register(
     "embedding_ivf_ann",
-    tier=1,  # rows-only (k-means state is engine-specific); judged slot ceded to a full-oracle query
-    oracle=None,
+    tier=1,  # extended ANN surface; full oracle since r8 (was rows-only) —
+    # co-judged by the tier-0 ivf_nprobe_recall_curve on the same index
+    oracle=_ivf_exact_oracle(),
     doc="IVF approximate top-k (the coarse-quantizer alternative to "
-    "hyperplane LSH): seeded k-means cells as the inverted file, queries "
-    "probe their 2 nearest of 16 cells, ranking only cell members "
-    "for a bounded query set (operators/similarity.py:ivf_ann_topk). "
-    "Rows-only (k-means cell "
-    "assignments are engine-specific); recall vs the exact baseline is "
-    "asserted in unit tests. Scale: candidate set ~n_probe/n_centroids "
-    "of the corpus; centroids train on a sample and broadcast.",
+    "hyperplane LSH) on the INTEGER-LATTICE deterministic index "
+    "(operators/similarity.py:ivf_ann_topk_exact): vectors quantize to "
+    "the 1/1024 lattice (power-of-two scale — the quantization itself "
+    "is exact, no rounding), Lloyd's k-means runs entirely in int64 "
+    "(order-free sums, argmin ties to the lowest cell, integer-mean "
+    "updates) with stride-spaced deterministic seeding, queries probe "
+    "their 2 nearest of 16 cells, and cell members rank by the "
+    "sequential-fold exact cosine. FULL value-hash oracle since r8 — "
+    "the SQL replays training iteration by iteration and lands on "
+    "bit-identical centroids, closing the k-means determinism gap that "
+    "kept this tier rows-only (the float-mean trainer stays available "
+    "as the engine-specific path). Scale: training state is k x dim "
+    "ints from a bounded id-ordered sample; the corpus passes are one "
+    "Arrow int-matmul assignment (bit-equal to the fold by exactness) "
+    "and the per-cell search join; candidate set ~n_probe/n_centroids "
+    "of the corpus.",
 )
 def embedding_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qids = emb.select("vec_id").filter(F.col("vec_id") < 100)
-    return similarity.ivf_ann_topk(
-        emb, "vec_id", "embedding", n_centroids=16, n_probe=2, k=3, query_ids=qids
+    index = _lattice_ivf_index(spark, sf_dir)
+    return similarity.ivf_ann_topk_exact(
+        emb, qids, "vec_id", "embedding",
+        n_centroids=16, n_probe=2, k=3, index=index,
     ).orderBy("qid", "rank")
 
 
 @register(
     "embedding_pq_ann",
-    tier=1,  # extended ANN surface; exact/LSH/IVF tiers carry the oracles
-    oracle=None,
-    doc="Product-quantization ANN (operators/similarity.py:pq_ann_topk; "
-    "Jegou et al. TPAMI'11): corpus stored as 32 subspace codes per "
-    "vector (16x smaller than 64-dim float64), queries ranked by "
-    "asymmetric distance — exact query against per-subspace code lookup "
-    "tables, computed in an Arrow pass over the code matrix, "
-    "per-partition top-k + global re-rank. Rows-only like IVF (k-means "
-    "codebooks are engine-specific); recall vs the exact baseline and "
-    "the compression contract are pinned in unit tests. Scale: the "
-    "memory tier — encoding is one Arrow map pass, search never "
-    "shuffles raw vectors; composes with IVF cells as IVF-PQ.",
+    tier=1,  # extended ANN surface; full oracle since r8 (was rows-only)
+    oracle=_pq_exact_oracle(),
+    doc="Product-quantization ANN (Jegou et al. TPAMI'11) on INTEGER-"
+    "LATTICE deterministic codebooks (operators/similarity.py:"
+    "pq_ann_topk_exact): 32 subspaces x 64 codes trained by the same "
+    "int64 Lloyd as the IVF tier (per-subspace), corpus encoded by "
+    "integer argmin (ties to the lowest code), queries ranked by ADC — "
+    "computed as the exact-parity fold cosine against the DEQUANTIZED "
+    "reconstruction, which is mathematically identical to the per-"
+    "subspace LUT sum (the dot product decomposes over subspaces). "
+    "FULL value-hash oracle since r8: quantize, train, encode, decode "
+    "(power-of-two divide — exact), and rank all replay bit-for-bit in "
+    "SQL. Recall at this config is 0.72-0.80 vs the exact baseline "
+    "(audited by pq_recall_audit). Scale: the memory tier — at rest "
+    "the corpus stores m int codes per vector (16x smaller); encoding "
+    "is one Arrow map pass; search broadcasts the bounded query set; "
+    "composes with IVF cells as IVF-PQ (the float residual variant).",
 )
 def embedding_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qids = emb.select("vec_id").filter(F.col("vec_id") < 100)
-    return similarity.pq_ann_topk(
-        emb, qids, m=32, n_codes=64, k=3
+    return similarity.pq_ann_topk_exact(
+        emb, qids, m=32, n_codes=64, k=3,
+        recon=_lattice_pq_recon(spark, sf_dir),
     ).orderBy("qid", "rank")
 
 
@@ -4689,24 +4971,28 @@ def _exact_top3_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY n_probe
     """,
     doc="IVF nprobe tuning curve — the FAISS-style recall/cost sweep run "
-    "BEFORE picking a probe count: recall@3 of ivf_ann_topk vs the exact "
-    "brute-force top-k at n_probe in {1,2,4,8,16} over 16 cells. Banded "
-    "oracle: recall values depend on the k-means quantizer (not SQL-"
-    "replayable), so the query emits per-probe floor booleans (floors "
+    "BEFORE picking a probe count: recall@3 of the deterministic "
+    "integer-lattice IVF index (the one embedding_ivf_ann ships) vs the "
+    "exact brute-force top-k at n_probe in {1,2,4,8,16} over 16 cells. "
+    "Banded oracle: the query emits per-probe floor booleans (floors "
     "0.1/0.25/0.5/0.7/1.0 — measured minima across sf0.001-0.1 are "
-    "0.2/0.35/0.58/0.8/1.0) and a monotonicity boolean the oracle pins "
-    "TRUE. Monotone recall is GUARANTEED, not empirical: probing more "
-    "cells grows the candidate set, and a true top-k member in the "
-    "candidate set always survives the final ranking (only globally-"
-    "better vectors can outrank it); n_probe = n_centroids degenerates "
-    "to brute force, hence the 1.0 anchor. Scale: ONE quantizer train + "
-    "ONE corpus-scale cell assignment (ivf_assign, cached) shared by "
-    "all five searches — the FAISS index.add-once / search-many split; "
-    "per probe point only the search join runs (Arrow matmul for the "
-    "interior points, sequential-fold cosine ranking solely for the "
-    "full-probe anchor where exact 1.0 is asserted); the curve assembly "
-    "is five scalar counts to the driver — the same bounded pattern as "
-    "the BPE round argmax.",
+    "0.22/0.42/0.52/0.80/1.0 on the lattice index) and a monotonicity "
+    "boolean the oracle pins TRUE. Monotone recall is GUARANTEED, not "
+    "empirical: probing more cells grows the candidate set, and a true "
+    "top-k member in the candidate set always survives the final "
+    "ranking (only globally-better vectors can outrank it); n_probe = "
+    "n_centroids degenerates to brute force, hence the 1.0 anchor — "
+    "exact because the candidate cosines are the same sequential fold "
+    "as the baseline's. Scale (r8, the r7 VERDICT #2 squeeze): ONE "
+    "corpus pass answers ALL FIVE points — ivf_exact_probe_candidates "
+    "emits every (query, candidate) pair once, tagged with the "
+    "candidate cell's rank in the query's probe order, so the n_probe "
+    "= p search is a FILTER probe_rank <= p over one materialized "
+    "relation (nprobe=4's candidate set contains nprobe=2's: the sweep "
+    "is prefix-growing by construction). That replaces five per-point "
+    "searches (1+2+4+8+16 = 31 cell-probes + 5 search jobs, incl. a "
+    "fold-ranked full-probe anchor) with one full-probe pass plus five "
+    "bounded window counts.",
 )
 def ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -4717,42 +5003,47 @@ def ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # truth once and scores every index variant against it.
     exact_pairs = _exact_top3_q20(spark, sf_dir)
     total = exact_pairs.count()
-    # Build the index ONCE per session: quantizer (plan-hash cached) +
-    # the corpus-scale cell assignment as a build-once artifact — the
-    # FAISS index.add-once / search-many split; the five probe points
-    # (and repeat executions) reuse one materialization.
-    assigned = _artifact(
+    # The index (shared with embedding_ivf_ann) and the FULL-probe
+    # candidate relation are build-once artifacts — every curve point,
+    # and every repeat execution, filters the same materialization.
+    index = _lattice_ivf_index(spark, sf_dir)
+    cands = _artifact(
         spark,
         sf_dir,
-        "ivf-assigned-16",
-        lambda: (
-            lambda a: a.localCheckpoint(eager=True) if a is not None else None
-        )(similarity.ivf_assign(emb, "vec_id", "embedding", n_centroids=16)),
+        "lattice-ivf-cands-q20",
+        lambda: similarity.ivf_exact_probe_candidates(
+            emb, qids, "vec_id", "embedding", index=index
+        ).localCheckpoint(eager=True),
     )
+    from pyspark.sql import Window
+
     floors = [(1, 0.1), (2, 0.25), (4, 0.5), (8, 0.7), (16, 1.0)]
+    # ALL FIVE points in ONE job: replicate each candidate to the probe
+    # points that include it (probe_rank <= p), rank within (point,
+    # query), count exact-baseline hits per point. The expanded relation
+    # is <= 5x the candidate relation — still bounded-Q sized — and the
+    # sweep costs one window + one semi-join + one 5-row aggregate
+    # instead of five separate search-and-count jobs.
+    pcol = F.explode(
+        F.array(*[F.lit(p) for p, _ in floors])
+    ).alias("n_probe")
+    w = Window.partitionBy("n_probe", "qid").orderBy(
+        F.desc("cosine"), F.asc("nid")
+    )
+    hits_by_p = dict(
+        cands.select("qid", "nid", "cosine", "probe_rank", pcol)
+        .filter(F.col("probe_rank") <= F.col("n_probe"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .join(exact_pairs, ["qid", "nid"], "left_semi")
+        .groupBy("n_probe")
+        .count()
+        .collect()
+    )
     rows = []
     prev_recall = -1.0
     for n_probe, floor in floors:
-        # vectorized=False ONLY at the full-probe anchor: pinning recall
-        # EXACTLY 1.0 needs the same sequential-fold cosine as the exact
-        # baseline — the matmul path's last-ulp reordering could flip a
-        # near-tie at the rank-k boundary (the cosine_topk_vectorized
-        # docstring's own caveat). The interior points assert floors
-        # with wide margin, so the 10-100x faster Arrow matmul ranking
-        # is the right tool there.
-        approx = similarity.ivf_ann_topk(
-            emb,
-            "vec_id",
-            "embedding",
-            n_centroids=16,
-            n_probe=n_probe,
-            k=3,
-            query_ids=qids,
-            vectorized=(n_probe < 16),
-            assigned=assigned,
-        )
-        hits = approx.join(exact_pairs, ["qid", "nid"], "left_semi").count()
-        recall = hits / total if total else 1.0
+        recall = hits_by_p.get(n_probe, 0) / total if total else 1.0
         rows.append((n_probe, recall >= floor, recall >= prev_recall))
         prev_recall = recall
     return spark.createDataFrame(
@@ -4772,18 +5063,24 @@ def ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY variant
     """,
     doc="PQ-family recall audit — the banded-oracle companion to the "
-    "three rows-only compressed-index searches (embedding_pq_ann, "
-    "embedding_ivfpq_ann, embedding_pq_rerank): recall@3 vs exact brute "
-    "force for each variant, reported as floor booleans (pq 0.2, ivf-pq "
-    "0.15, rerank 0.7 — measured 0.33-0.37 / 0.27-0.30 / 0.90-0.97 "
-    "across sf0.001-0.1) plus the STRUCTURAL invariant "
-    "rerank_dominates_pq: the exact re-rank reads a 50-candidate ADC "
-    "shortlist that contains ADC's own top-3, and a true neighbor in "
-    "the shortlist always survives exact re-ranking, so rerank recall "
-    ">= plain-PQ recall by construction. The oracle pins every boolean "
-    "TRUE — a quantizer regression that drops recall below its floor "
-    "hash-mismatches. Scale: three documented PQ search shapes + one "
-    "exact bounded-Q baseline; curve assembly is three scalar counts.",
+    "compressed-index searches: recall@3 vs exact brute force for the "
+    "shipped ADC search (embedding_pq_ann's deterministic integer-"
+    "lattice PQ since r8), the float residual IVF-PQ "
+    "(embedding_ivfpq_ann, still rows-only), and the shortlist re-rank "
+    "(embedding_pq_rerank's serving shape), as floor booleans (pq 0.5, "
+    "ivf-pq 0.15, rerank 0.7 — lattice ADC measures 0.72-0.80 across "
+    "sf0.001-0.1; float ivf-pq 0.27-0.30) plus the STRUCTURAL "
+    "invariant rerank_dominates_pq: the exact re-rank reads a "
+    "50-candidate ADC shortlist that contains ADC's own top-3, and a "
+    "true neighbor in the shortlist always survives exact re-ranking, "
+    "so rerank recall >= plain-PQ recall by construction. The oracle "
+    "pins every boolean TRUE — a quantizer regression that drops "
+    "recall below its floor hash-mismatches. Scale (r8 squeeze): ONE "
+    "k=50 ADC search serves both the pq_adc variant (its rank<=3 "
+    "prefix IS the k=3 answer — same ranking, longer cut) and the "
+    "re-rank input (pq_rerank_topk's shortlist= hook), so the audit "
+    "runs two searches + one bounded re-score instead of three "
+    "searches; assembly is three scalar counts.",
 )
 def pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -4799,11 +5096,39 @@ def pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).count()
         return hits / total if total else 1.0
 
-    r_pq = recall(similarity.pq_ann_topk(emb, qids, k=3))
-    r_ivfpq = recall(similarity.ivf_pq_ann_topk(emb, qids, k=3))
-    r_rerank = recall(similarity.pq_rerank_topk(emb, qids, k=3))
+    # One ADC pass at k=50 over the SHARED lattice-PQ index artifact:
+    # the rank<=3 prefix is exactly the k=3 search answer (identical
+    # ranking, longer cut), and the full 50 rows are the re-rank
+    # shortlist — the shared-candidate idiom the nprobe curve uses,
+    # applied across audit variants.
+    shortlist = similarity.pq_ann_topk_exact(
+        emb, qids, m=32, n_codes=64, k=50,
+        recon=_lattice_pq_recon(spark, sf_dir),
+    ).localCheckpoint(eager=True)
+    r_pq = recall(shortlist.filter(F.col("rank") <= 3))
+    # The float residual IVF-PQ index is likewise build-once: training
+    # + the corpus-scale encode pass run one time per (session, sf_dir);
+    # repeat executions only pay the per-cell ADC search.
+    ivfpq_index = _artifact(
+        spark,
+        sf_dir,
+        "ivfpq-index-16x16x32",
+        lambda: (
+            lambda ix: (
+                {**ix, "encoded": ix["encoded"].localCheckpoint(eager=True)}
+                if ix is not None
+                else None
+            )
+        )(similarity.ivf_pq_build_index(emb, "vec_id", "embedding")),
+    )
+    r_ivfpq = recall(
+        similarity.ivf_pq_ann_topk(emb, qids, k=3, index=ivfpq_index)
+    )
+    r_rerank = recall(
+        similarity.pq_rerank_topk(emb, qids, k=3, shortlist=shortlist)
+    )
     rows = [
-        ("pq_adc", r_pq >= 0.2, r_rerank >= r_pq),
+        ("pq_adc", r_pq >= 0.5, r_rerank >= r_pq),
         ("ivf_pq", r_ivfpq >= 0.15, r_rerank >= r_pq),
         ("pq_rerank", r_rerank >= 0.7, r_rerank >= r_pq),
     ]
