@@ -44,3 +44,75 @@ def test_fanout_converges_under_redelivery(spark, sf_dir, monkeypatch):
         )
         want = sorted(tuple(r) for r in batch_df.collect())
         assert got == want, f"{topic} diverged under redelivery"
+
+
+def test_bucketed_enrichment_no_exchange_on_orders_side(spark, sf_dir, tmp_path):
+    """The SCALE.md promise at the fanout module head, made concrete:
+    topic-3's per-batch lineitem-orders enrichment run against the
+    BUCKETED orders table inside foreachBatch. Asserts (a) the at-rest
+    orders side scans its co-located buckets with NO Exchange above it
+    — only the arrival micro-batch shuffles — and (b) the merged
+    partials still equal the batch topic plan exactly."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from traffic_accidents_airflow_kafka_spark.plans.registry import (
+        QUERY_REGISTRY,
+    )
+    from traffic_accidents_airflow_kafka_spark.streaming import fanout
+    from traffic_accidents_airflow_kafka_spark.streaming.core import (
+        run_foreach_batch,
+    )
+
+    fanout.prepare_bucketed_orders(spark, sf_dir, num_buckets=8)
+    li_schema = spark.read.parquet(f"{sf_dir}/lineitem.parquet").schema
+    li_stream = (
+        spark.readStream.schema(li_schema)
+        .option("pathGlobFilter", "lineitem.parquet")
+        .parquet(sf_dir)
+    )
+    sink = str(tmp_path / "t3_bucketed")
+    plans: list[str] = []
+    # Disable broadcast so the join would otherwise shuffle BOTH sides —
+    # the assert below then isolates what bucketing saves.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+    def drain(batch, batch_id):
+        enriched = fanout.enrich_lineitem_bucketed(batch, spark)
+        plans.append(
+            enriched._jdf.queryExecution().executedPlan().toString()
+        )
+        enriched.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(sink, f"batch={batch_id}")
+        )
+
+    try:
+        run_foreach_batch(li_stream, spark, drain)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql(f"DROP TABLE IF EXISTS {fanout.BUCKETED_ORDERS_TABLE}")
+
+    assert plans, "stream delivered no batches"
+    for plan in plans:
+        # The bucketed orders scan is co-located: the bucket-selection
+        # marker must be present...
+        assert "SelectedBucketsCount" in plan, plan
+        # ...and the only join-input Exchange is the micro-batch side's
+        # shuffle into the bucket layout, plus the final partial-agg
+        # exchange: an unbucketed orders side would add a third.
+        n_exchanges = plan.count("Exchange hashpartitioning")
+        assert n_exchanges <= 2, f"orders side still shuffles:\n{plan}"
+
+    merged = (
+        spark.read.parquet(sink)
+        .groupBy("o_orderpriority", "l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("n_items").alias("n_items"),
+            F.sum("sum_disc_price").cast("double").alias("sum_disc_price"),
+        )
+    )
+    batch_df = QUERY_REGISTRY["weather_light_surface"].fn(spark, sf_dir)
+    got = sorted(tuple(r) for r in merged.select(*batch_df.columns).collect())
+    want = sorted(tuple(r) for r in batch_df.collect())
+    assert got == want, "bucketed enrichment diverged from the batch plan"

@@ -288,3 +288,106 @@ def semantic_contamination(
         best["c"].alias("__cos"),
         (best["c"] >= F.lit(float(threshold))).alias("contaminated"),
     )
+
+
+def semantic_contamination_lsh(
+    corpus_emb: DataFrame,
+    eval_emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    n_planes: int = 6,
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """The 100 TB form of :func:`semantic_contamination` (r7 VERDICT #5):
+    LSH-BUCKETED candidate generation instead of the broadcast-array
+    fold, for eval suites past the broadcast bound (the exact fold
+    carries ~100k x 768-dim eval items as a ~300 MB broadcast and does
+    |eval| dots per corpus row; this does ~|eval| x (1 + n_planes) /
+    2^n_planes candidate dots per row in expectation).
+
+    Shape: both sides bucket by the seeded sign-pattern hyperplanes
+    (operators/similarity.py:lsh_bucket — plan literals, pure codegen);
+    the SMALL side (eval) multi-probes its home bucket plus the
+    n_planes Hamming-1 neighbors (the lsh_ann_topk_multiprobe recall
+    fix, applied to the cheap side so the corpus buckets exactly once);
+    candidates join on bucket equality with the eval side broadcast;
+    cosines are the exact-parity sequential fold with the zero-norm
+    sentinel; per-corpus-row best = max cosine, ties to the lowest
+    eval id (an order-free aggregate). Corpus rows with NO candidate
+    eval in any probed bucket report (NULL, -2.0, false) — the honest
+    LSH miss, which can only UNDER-flag relative to the exact fold
+    (candidate cosines are exact, so no false positives; pinned by the
+    subset/equality properties in tests/test_semantic_lsh.py).
+
+    Scale: the corpus is touched by ONE map pass (bucket + the
+    candidate-bounded folds) and one per-id aggregate with map-side
+    partials; nothing corpus-sized shuffles on the eval axis. At a
+    production threshold (~0.9+ cosine) the Hamming-1 probe set
+    retains ~80% of true hits at 6 planes; recall tunes with probes
+    and plane count without changing the plan shape.
+    """
+    from .similarity import (
+        _dot_double,
+        hyperplane_planes,
+        lsh_bucket,
+        vector_norm,
+    )
+
+    planes = hyperplane_planes(dim, n_planes, seed)
+    ev = (
+        eval_emb.select(
+            F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
+        )
+        .withColumn("qnorm", vector_norm("qvec"))
+        .withColumn("home", lsh_bucket(F.col("qvec"), planes))
+    )
+    probe_buckets = F.array(
+        F.col("home"),
+        *[
+            F.col("home").bitwiseXOR(F.lit(1 << i)).cast("long")
+            for i in range(n_planes)
+        ],
+    )
+    evp = ev.select(
+        "qid", "qvec", "qnorm", F.explode(probe_buckets).alias("bucket")
+    )
+    corpus = (
+        corpus_emb.select(
+            F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec")
+        )
+        .withColumn("nnorm", vector_norm("nvec"))
+        .withColumn("bucket", lsh_bucket(F.col("nvec"), planes))
+    )
+    denom = F.col("nnorm") * F.col("qnorm")
+    cand = corpus.join(F.broadcast(evp), "bucket").withColumn(
+        "__cos",
+        F.when(
+            denom > 0, _dot_double(F.col("nvec"), F.col("qvec")) / denom
+        ).otherwise(F.lit(-2.0)),
+    )
+    # argmax cosine with lowest-qid tie-break as ONE order-free
+    # aggregate: max over (cos, -qid) structs — identical selection to
+    # a (cos DESC, qid ASC) row_number, without a corpus-keyed window.
+    best = cand.groupBy("nid").agg(
+        F.max(
+            F.struct(
+                F.col("__cos").alias("c"),
+                (-F.col("qid")).cast("long").alias("nq"),
+            )
+        ).alias("b")
+    )
+    return (
+        corpus.select("nid")
+        .join(best, "nid", "left")
+        .select(
+            "nid",
+            (-F.col("b.nq")).cast("long").alias("best_eval_id"),
+            F.coalesce(F.col("b.c"), F.lit(-2.0)).alias("__cos"),
+            (
+                F.coalesce(F.col("b.c"), F.lit(-2.0))
+                >= F.lit(float(threshold))
+            ).alias("contaminated"),
+        )
+    )

@@ -2253,6 +2253,125 @@ def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semantic_decontam_lsh_oracle(
+    threshold: float,
+    n_planes: int = 6,
+    dim: int = 64,
+    seed: int = 7,
+    limit: int = 200,
+) -> str:
+    """Plane-literal replay of semantic_contamination_lsh: same seeded
+    hyperplanes, same sign-pattern buckets, eval-side Hamming-1 probe
+    union, exact-fold candidate cosines with the zero-norm sentinel,
+    per-corpus-row best by (cos DESC, qid ASC), LSH misses at -2.0."""
+    planes = similarity.hyperplane_planes(dim, n_planes, seed)
+    bucket = " + ".join(
+        f"(CASE WHEN {_sql_dot('embedding', p, dim)} > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    vnorm = (
+        "sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {dim}), "
+        "j -> CAST(embedding[j] AS DOUBLE) * CAST(embedding[j] AS DOUBLE))), "
+        "(a, b) -> a + b))"
+    )
+    pair_dot = (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {dim}), "
+        "j -> CAST(c.nvec[j] AS DOUBLE) * CAST(p.qvec[j] AS DOUBLE))), "
+        "(a, b) -> a + b)"
+    )
+    probe_list = ", ".join(f"xor(qbucket, {1 << i})" for i in range(n_planes))
+    return f"""
+    WITH bkt AS (
+      SELECT vec_id, embedding,
+             CAST({bucket} AS BIGINT) AS bucket,
+             {vnorm} AS nrm
+      FROM embeddings
+    ),
+    e AS (
+      SELECT vec_id AS qid, embedding AS qvec, nrm AS qnorm,
+             bucket AS qbucket
+      FROM bkt WHERE vec_id < 50
+    ),
+    probes AS (
+      SELECT qid, qvec, qnorm,
+             unnest(list_prepend(qbucket, [{probe_list}])) AS bucket
+      FROM e
+    ),
+    c AS (
+      SELECT vec_id AS nid, embedding AS nvec, bucket, nrm AS nnorm
+      FROM bkt WHERE vec_id >= 50
+    ),
+    sims AS (
+      SELECT c.nid, p.qid,
+             CASE WHEN c.nnorm * p.qnorm > 0
+                  THEN {pair_dot} / (c.nnorm * p.qnorm)
+                  ELSE -2.0 END AS cos
+      FROM c JOIN probes p ON p.bucket = c.bucket
+    ),
+    best AS (
+      SELECT nid, qid, cos FROM (
+        SELECT nid, qid, cos,
+               ROW_NUMBER() OVER (PARTITION BY nid
+                                  ORDER BY cos DESC, qid) AS rn
+        FROM sims
+      ) WHERE rn = 1
+    ),
+    allc AS (
+      SELECT c.nid, b.qid, COALESCE(b.cos, -2.0) AS cos
+      FROM c LEFT JOIN best b ON c.nid = b.nid
+    )
+    SELECT nid, CAST(qid AS BIGINT) AS best_eval_id,
+           ROUND(cos, 4) AS best_cosine,
+           (cos >= {threshold}) AS contaminated
+    FROM allc
+    ORDER BY cos DESC, nid LIMIT {limit}
+    """
+
+
+@register(
+    "semantic_decontamination_lsh",
+    tier=1,  # extended decontamination surface (the exact fold's 100 TB
+    # twin); family judged via decontamination_report (tier 0)
+    oracle=_semantic_decontam_lsh_oracle(SEMANTIC_CONTAM_COSINE),
+    doc="LSH-bucketed embedding decontamination — the 100 TB form of "
+    "semantic_decontamination for eval suites past the broadcast bound "
+    "(operators/decontam.py:semantic_contamination_lsh): both sides "
+    "bucket by the seeded sign-pattern hyperplanes, the SMALL eval "
+    "side multi-probes home + Hamming-1 buckets (recall spent on the "
+    "cheap side, so the corpus buckets exactly once), candidates join "
+    "on bucket id with the eval side broadcast, and per-row best "
+    "cosine is an order-free max-struct aggregate. Candidate cosines "
+    "are the exact-parity fold, so the variant can only UNDER-flag vs "
+    "the exact fold, never false-positive — the subset/equality "
+    "properties are pinned against semantic_decontamination in "
+    "tests/test_semantic_lsh.py, and the whole pipeline (planes, "
+    "buckets, probes, folds, tie-breaks, the -2.0 miss sentinel) "
+    "value-hashes under the plane-literal oracle. Scale: one corpus "
+    "map pass + one per-id aggregate; expected candidate work per row "
+    "~|eval| x (1 + n_planes) / 2^n_planes vs the exact fold's "
+    "|eval|; recall tunes with planes/probes without changing shape.",
+)
+def semantic_decontamination_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    scored = decontam.semantic_contamination_lsh(
+        emb.filter(F.col("vec_id") >= 50),
+        emb.filter(F.col("vec_id") < 50),
+        threshold=SEMANTIC_CONTAM_COSINE,
+    )
+    return (
+        scored.orderBy(F.desc("__cos"), "nid")
+        .limit(200)
+        .select(
+            "nid",
+            "best_eval_id",
+            F.round("__cos", 4).alias("best_cosine"),
+            "contaminated",
+        )
+    )
+
+
 @register(
     "decontamination_report",
     # tier 0: full-oracle representative of the decontamination family
