@@ -45,6 +45,7 @@ from traffic_accidents_airflow_kafka_spark.operators.similarity import (  # noqa
 )
 from traffic_accidents_airflow_kafka_spark.plans import QUERY_REGISTRY  # noqa: E402
 from traffic_accidents_airflow_kafka_spark.plans.llm import (  # noqa: E402
+    artifact_keys,
     clear_sq8_artifact_cache,
 )
 from traffic_accidents_airflow_kafka_spark.session import get_spark  # noqa: E402
@@ -93,6 +94,17 @@ DECADE_QUERIES = [
     "unigram_viterbi_segment",
     "unigram_hard_em",
     "dedup_clusters",
+]
+
+#: Streaming entries of the decade (r7 VERDICT #4): exactly the queries
+#: whose STATE-STORE / micro-batch behavior changes with volume — the
+#: batch-heavy table above cannot stand in for them. stream_topics_fanout
+#: drains the whole 3-source envelope union into 7 sinks; sessions and
+#: the interval join carry real per-key state across the drain.
+DECADE_STREAMING = [
+    "stream_topics_fanout",
+    "stream_sessions",
+    "stream_interval_join",
 ]
 
 
@@ -167,16 +179,27 @@ def _clear_memo_caches() -> None:
     clear_sq8_artifact_cache()
 
 
-def _time(spark: SparkSession, name: str, sf_dir: str) -> float:
+def _time(
+    spark: SparkSession, name: str, sf_dir: str
+) -> tuple[float, set[str]]:
+    """(best seconds, artifact keys rebuilt inside the timed run).
+
+    Memo caches are cleared before every timed run, so — unlike
+    bench.py's steady-state numbers — each timed number here INCLUDES
+    any build-once artifact work the query triggers; the returned key
+    set discloses which (r7 VERDICT #8)."""
     spec = QUERY_REGISTRY[name]
     spec.fn(spark, sf_dir).collect()  # warmup (codegen, broadcast)
     best = float("inf")
+    rebuilt: set[str] = set()
     for _ in range(2):
         _clear_memo_caches()
+        before = artifact_keys()
         t0 = time.perf_counter()
         spec.fn(spark, sf_dir).collect()
         best = min(best, time.perf_counter() - t0)
-    return best
+        rebuilt |= artifact_keys() - before
+    return best, rebuilt
 
 
 def main() -> None:
@@ -186,11 +209,11 @@ def main() -> None:
     build_sf1(spark, rebuild=rebuild)
 
     rows = []
-    for name in DECADE_QUERIES:
-        t01 = _time(spark, name, SRC)
-        t10 = _time(spark, name, DST)
+    for name in DECADE_QUERIES + DECADE_STREAMING:
+        t01, a01 = _time(spark, name, SRC)
+        t10, a10 = _time(spark, name, DST)
         growth = t10 / t01 if t01 else float("nan")
-        rows.append((name, t01, t10, growth))
+        rows.append((name, t01, t10, growth, sorted(a01 | a10)))
         print(f"{name}: sf0.1 {t01:.3f}s  sf1.0 {t10:.3f}s  x{growth:.2f}")
     spark.stop()
 
@@ -208,13 +231,22 @@ def main() -> None:
         "SYNTHETIC — timing only, never used for correctness oracles. "
         "sf0.1 times re-measured in the same session for an "
         "apples-to-apples step. ~6M lineitem rows / 50k documents / "
-        "20k embeddings.",
+        "20k embeddings. Memo caches are cleared before every timed "
+        "run, so unlike bench.py's steady-state numbers each time here "
+        "INCLUDES any build-once artifact work the query triggers; the "
+        "last column names those artifacts per row (blank = the query "
+        "builds none). The final three rows are the streaming entries "
+        "whose state-store / micro-batch behavior changes with volume "
+        "(availableNow drains of file-source twins).",
         "",
-        "| query | sf0.1 | sf1.0 | x@1.0 |",
-        "|---|---|---|---|",
+        "| query | sf0.1 | sf1.0 | x@1.0 | artifacts rebuilt in timed run |",
+        "|---|---|---|---|---|",
     ]
-    for name, t01, t10, g in rows:
-        section.append(f"| `{name}` | {t01:.3f} s | {t10:.3f} s | {g:.2f}x |")
+    for name, t01, t10, g, arts in rows:
+        alist = ", ".join(f"`{a}`" for a in arts)
+        section.append(
+            f"| `{name}` | {t01:.3f} s | {t10:.3f} s | {g:.2f}x | {alist} |"
+        )
     section.append("")
 
     with open("SCALING.md") as f:

@@ -101,8 +101,10 @@ def test_judged_window_holds_every_tier0_query():
     # exercise the same machinery (retrieval_metrics / SQ8 exact
     # baselines; the dedup families' engine-stable hashing; the
     # funnel's individually-judged stages) and keep local oracles.
+    # (unigram_viterbi_segment left this list in the r8 rotation — its
+    # DP core stays triple-judged via unigram_prune_round /
+    # unigram_surprisal_filter / unigram_hard_em's exact it-0 stats.)
     for name in (
-        "unigram_viterbi_segment",
         "multimodal_real_decode",
         "epoch_shuffle_shards",
     ):
@@ -113,10 +115,12 @@ def test_judged_window_holds_every_tier0_query():
     # semantic_dedup_stats, leakfree_split_stats, rollup_status_priority
     # — each co-judged by a named tier-0 sibling, see their tier
     # comments, and still under the local oracle gate).
+    # (multimodal_audio_meta left this list in the r8 rotation — the
+    # byte-walk decode family stays judged via multimodal_real_decode
+    # and stream_multimodal_decode, both tier 0.)
     for name in (
         "unigram_hard_em",
         "unigram_prune_round",
-        "multimodal_audio_meta",
         "stream_multimodal_decode",
     ):
         assert name in judged, f"{name} rotated out of the judged window"
@@ -129,6 +133,20 @@ def test_judged_window_holds_every_tier0_query():
     for name in (
         "dsir_importance_weights",
         "unigram_surprisal_filter",
+    ):
+        assert name in judged, f"{name} rotated out of the judged window"
+    # Round-8 self-rotation: this round's flagships — the integer-lattice
+    # deterministic IVF/PQ under FULL value-hash and the LSH-bucketed
+    # decontamination path — judged this round. The three demoted rows
+    # each keep a named tier-0 sibling (see their tier comments:
+    # minhash_lsh_pairs via ngram_jaccard_pairs + dedup_clusters;
+    # multimodal_audio_meta via the two other multimodal rows;
+    # unigram_viterbi_segment via the three lattice-CTE tier-0 entries)
+    # and every demoted row keeps its local oracle.
+    for name in (
+        "embedding_ivf_ann",
+        "embedding_pq_ann",
+        "semantic_decontamination_lsh",
     ):
         assert name in judged, f"{name} rotated out of the judged window"
 

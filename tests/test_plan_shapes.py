@@ -39,6 +39,9 @@ CROSS_JOIN_OK = {
     # broadcast bounded-query crossJoin as embedding_sq8_ann — exact
     # query side vs the dequantized reconstruction relation.
     "embedding_pq_ann",
+    # embedding_pq_rerank (r8): its shortlist stage is the same lattice
+    # ADC crossJoin; the re-rank itself is an id-keyed hash join.
+    "embedding_pq_rerank",
     # mergeable_uniques: the global HLL-union estimate is a ONE-ROW
     # broadcast scalar crossJoined onto the |days|-row relation.
     "mergeable_uniques",

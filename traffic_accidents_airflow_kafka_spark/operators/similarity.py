@@ -2120,3 +2120,153 @@ def pq_ann_topk_exact(
             F.round("approx_cosine", 4).alias("approx_cosine"),
         )
     )
+
+
+def ivf_pq_exact_recon(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    m: int = 32,
+    n_codes: int = 64,
+    iters: int = LATTICE_ITERS,
+    modulus: int = 4,
+) -> DataFrame:
+    """Deterministic IVF-PQ index in dequantized form: (nid, cell,
+    rvec array<double>) — FAISS IndexIVFPQ semantics (coarse cells +
+    product-quantized RESIDUALS) with every stage exact-replayable.
+
+    Training (all int64 NumPy, SQL-identical): coarse centroids via
+    :func:`train_lattice_kmeans` on the lattice sample; residuals
+    r = q - cent[cell] are RE-OFFSET by the lattice offset before the
+    per-subspace codebook training — positivity is load-bearing, since
+    NumPy's integer division floors while DuckDB's truncates and they
+    agree only on non-negative operands (offsets cancel in every
+    distance, so geometry is untouched). Decode: recon = cent[cell] +
+    (book - offset), dequantized by the exact power-of-two divide.
+    """
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    Xq = collect_lattice_sample(vectors, id_col, vec_col, modulus)
+    d = Xq.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    cent = train_lattice_kmeans(Xq, n_centroids, iters)
+    d2s = ((Xq[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    resid = Xq - cent[d2s.argmin(axis=1)] + LATTICE_OFFSET
+    books = np.stack(
+        [
+            train_lattice_kmeans(
+                resid[:, j * sub : (j + 1) * sub], n_codes, iters
+            )
+            for j in range(m)
+        ]
+    )
+
+    out_schema = StructType(
+        [
+            StructField("nid", LongType()),
+            StructField("cell", IntegerType()),
+            StructField("rvec", ArrayType(DoubleType())),
+        ]
+    )
+
+    def fn(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            Xb = lattice_quantize_np(
+                np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            )
+            d2 = ((Xb[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            cells = d2.argmin(axis=1)
+            R = Xb - cent[cells] + LATTICE_OFFSET
+            recon_q = np.empty_like(Xb)
+            for j in range(m):
+                Rj = R[:, j * sub : (j + 1) * sub]
+                dj = ((Rj[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+                cj = dj.argmin(axis=1)
+                recon_q[:, j * sub : (j + 1) * sub] = (
+                    books[j][cj] - LATTICE_OFFSET
+                )
+            recon_q += cent[cells]
+            rvec = (recon_q - LATTICE_OFFSET).astype(np.float64) / LATTICE_SCALE
+            yield pd.DataFrame(
+                {
+                    "nid": pdf[id_col].to_numpy(dtype=np.int64),
+                    "cell": cells.astype(np.int32),
+                    "rvec": list(rvec),
+                }
+            )
+
+    return vectors.select(id_col, vec_col).mapInPandas(fn, out_schema)
+
+
+def ivf_pq_ann_topk_exact(
+    vectors: DataFrame,
+    query_ids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    m: int = 32,
+    n_codes: int = 64,
+    k: int = 3,
+    iters: int = LATTICE_ITERS,
+    recon: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ search on the deterministic lattice index: queries probe
+    their ``n_probe`` nearest coarse cells (integer distances, ties to
+    the lowest cell) and rank cell members by the fold-cosine ADC
+    against the residual reconstructions — :func:`ivf_pq_ann_topk`
+    semantics, fully SQL-replayable. Output: (qid, nid, rank,
+    approx_cosine, cell). ``recon``: a prebuilt
+    :func:`ivf_pq_exact_recon` index (checkpoint when reusing)."""
+    Xq = collect_lattice_sample(vectors, id_col, vec_col)
+    cent = train_lattice_kmeans(Xq, n_centroids, iters)
+    if recon is None:
+        recon = ivf_pq_exact_recon(
+            vectors, id_col, vec_col, n_centroids, m, n_codes, iters
+        )
+    recon = recon.withColumn("rnorm", vector_norm("rvec"))
+    q_side = vectors.join(query_ids, id_col, "left_semi")
+    probes = lattice_cell_assign(
+        q_side, id_col, vec_col, cent, n_probe=n_probe
+    ).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"), "cell"
+    ).withColumn("qnorm", vector_norm("qvec"))
+    denom = F.col("qnorm") * F.col("rnorm")
+    sim = (
+        probes.join(recon, "cell")
+        .filter(F.col("qid") != F.col("nid"))
+        .withColumn(
+            "approx_cosine",
+            F.when(
+                denom > 0,
+                _dot_double(F.col("qvec"), F.col("rvec")) / denom,
+            ).otherwise(F.lit(-2.0)),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.desc("approx_cosine"), F.asc("nid")
+    )
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "qid",
+            "nid",
+            "rank",
+            F.round("approx_cosine", 4).alias("approx_cosine"),
+            "cell",
+        )
+    )

@@ -535,8 +535,11 @@ def unigram_seed_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "unigram_viterbi_segment",
-    tier=0,  # r6 self-rotation INTO the judged window: the fully-oracled
-    # unigram lattice DP (this round's flagship algorithm)
+    tier=1,  # r8 rotation OUT for the lattice-ANN flagships: the lattice
+    # DP core stays driver-judged THREE ways — unigram_prune_round's base
+    # DP, unigram_surprisal_filter's corpus-wide segmentation, and
+    # unigram_hard_em's exact iteration-0 aggregate (all tier 0, all
+    # replaying the same 20-layer CTEs); local oracle retained
     oracle=_unigram_vocab_cte(UNI_MAX_PIECE, UNI_VOCAB)
     + _unigram_viterbi_layers(20, UNI_MAX_PIECE, UNI_SEG_WORDS)
     + f"""

@@ -71,6 +71,24 @@ def _events_stream_schema(spark: SparkSession, sf_dir: str) -> StructType:
     return StructType(fields)
 
 
+def stream_table_source(
+    spark: SparkSession, sf_dir: str, table: str, schema
+) -> DataFrame:
+    """Layout-agnostic file-stream source for one table. The driver's
+    testdata stores each table as a SINGLE FILE ``{table}.parquet``
+    inside ``sf_dir`` — a bare file is not a valid streaming path, so
+    it is streamed by glob-filtering the parent directory. Spark-written
+    tables (the synthetic sf1.0 decade; any real deployment) are
+    DIRECTORIES of part files — the canonical streaming source: watch
+    the directory itself. Every file-source twin goes through here so
+    both layouts stream identically."""
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    reader = spark.readStream.schema(schema)
+    if os.path.isdir(path):
+        return reader.parquet(path)
+    return reader.option("pathGlobFilter", f"{table}.parquet").parquet(sf_dir)
+
+
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-backed events stream (S10 substitute source; the Kafka variant
     swaps the source format only — downstream plan identical).
@@ -83,11 +101,7 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema = _events_stream_schema(spark, sf_dir)
-    raw = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    raw = stream_table_source(spark, sf_dir, "events", schema)
     ts_type = dict(raw.dtypes)["ts"]
     if ts_type == "bigint":
         # Nanos-since-epoch long. Integer division: a double `/ 1000`

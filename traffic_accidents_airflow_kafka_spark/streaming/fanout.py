@@ -73,11 +73,7 @@ def envelope_stream(
             if schemas and src in schemas
             else spark.read.parquet(os.path.join(sf_dir, f"{src}.parquet")).schema
         )
-        raw = (
-            spark.readStream.schema(schema)
-            .option("pathGlobFilter", f"{src}.parquet")
-            .parquet(sf_dir)
-        )
+        raw = streaming.stream_table_source(spark, sf_dir, src, schema)
         parts.append(
             raw.select(
                 F.lit(src).alias("src"),
