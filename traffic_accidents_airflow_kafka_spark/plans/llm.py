@@ -3796,19 +3796,88 @@ def embedding_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "span_excision_stats",
-    tier=1,  # extended training-data surface
-    oracle=None,  # greedy overlap-resolving excision has no tractable SQL replay;
-    # semantics pinned by planted-fixture unit tests (test_llm_operators)
+    tier=1,  # extended training-data surface; FULL oracle since r8
+    # (was rows-only: "greedy excision has no tractable SQL replay" —
+    # it does: the scan is a sequential integer fold, see below)
+    oracle="""
+    WITH grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, len(string_split(text, ' ')) - 5),
+               i -> array_to_string(string_split(text, ' ')[i:i+6], ' ')
+             ))) AS span
+      FROM documents WHERE len(string_split(text, ' ')) >= 7
+    ),
+    flagged AS (
+      SELECT span FROM (
+        SELECT span, COUNT(*) AS n_docs
+        FROM grams GROUP BY span HAVING COUNT(*) >= 2
+      ) ORDER BY n_docs DESC, span LIMIT 20
+    ),
+    fl AS (SELECT list(span) AS spans FROM flagged),
+    toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    -- Flagged window-start positions per doc, ascending. Computed as a
+    -- SEPARATE materialized relation: feeding the raw 0-marked
+    -- position list straight into list_reduce trips a DuckDB v1.0
+    -- vectorization bug (the fold returns nonzero counts for rows
+    -- whose list is all zeros when the transform+filter+reduce fuse in
+    -- one projection); folding the pre-filtered position list is both
+    -- correct and immune.
+    marks AS MATERIALIZED (
+      SELECT t.doc_id, len(t.w) AS nb,
+             list_sort(list_filter(
+               list_transform(
+                 range(1, len(t.w) + 1),
+                 i -> CAST(CASE WHEN i + 6 <= len(t.w)
+                       AND list_contains(
+                             fl.spans,
+                             array_to_string(t.w[i:i+6], ' '))
+                      THEN i ELSE 0 END AS BIGINT)
+               ),
+               x -> x > 0)) AS fp
+      FROM toks t CROSS JOIN fl
+    ),
+    -- The greedy left-to-right scan as a sequential integer fold
+    -- (excise_spans' while-loop verbatim): a flagged position x starts
+    -- a window iff it has not been consumed by an earlier window
+    -- (x >= next_free); a start advances next_free to x + 7. State
+    -- packs as one BIGINT next_free * 2^20 + count (the
+    -- lattice/combined-objective idiom).
+    greedy AS (
+      SELECT doc_id, nb,
+             list_reduce(
+               list_prepend(CAST(1048576 AS BIGINT), fp),
+               (acc, x) -> CASE
+                 WHEN x >= acc // 1048576
+                 THEN (x + 7) * 1048576 + acc % 1048576 + 1
+                 ELSE acc END
+             ) % 1048576 AS n_excised
+      FROM marks
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_excised > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_touched,
+           CAST(SUM(n_excised) AS BIGINT) AS spans_excised,
+           CAST(SUM(nb) AS BIGINT) AS tokens_before,
+           CAST(SUM(nb - 7 * n_excised) AS BIGINT) AS tokens_after
+    FROM greedy
+    """,
     doc="Span excision — the transform that CONSUMES the duplicated_spans "
     "work-list (Lee et al. 2022 exact substring dedup): every flagged "
     "cross-document 7-gram is removed greedily left-to-right; summary "
     "counts docs touched, spans excised, tokens before/after "
-    "(operators/decontam.py:excise_spans). Banded-oracle companion: "
-    "span_excision_audit exact-pins docs_touched and pins token "
-    "conservation + excision bounds TRUE. Scale: the span list is a "
-    "heavy-hitter report (small by construction) broadcast into one "
-    "Arrow pass over the corpus — report and excision together are two "
-    "corpus scans total.",
+    "(operators/decontam.py:excise_spans). FULL value-hash oracle "
+    "since r8 — the claim that greedy overlap resolution 'has no "
+    "tractable SQL replay' was wrong: the scan is a SEQUENTIAL fold "
+    "(position i starts a window iff flagged AND i >= next_free; a "
+    "start advances next_free by 7), which list_reduce replays exactly "
+    "with the state packed as one integer (next_free * 2^20 + count). "
+    "span_excision_audit remains the driver-judged banded companion. "
+    "Scale: the span list is a heavy-hitter report (small by "
+    "construction) broadcast into one Arrow pass over the corpus — "
+    "report and excision together are two corpus scans total.",
 )
 def span_excision_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
