@@ -144,3 +144,50 @@ def test_pq_recon_zero_norm_guard(spark):
     assert out, "degenerate corpus still ranks"
     for r in out:
         assert r["approx_cosine"] == -2.0
+
+
+def _python_lattice_kmeans(rows, k, iters):
+    """Pure-Python reference of train_lattice_kmeans — an independent
+    third implementation (no NumPy, no SQL) the exactness chain can be
+    checked against: plain int arithmetic, first-minimum argmin, floor
+    division via Python // on non-negative ints."""
+    n, d = len(rows), len(rows[0])
+    stride = max(n // k, 1)
+    cent = [list(rows[(c * stride) % n]) for c in range(k)]
+    for _ in range(iters):
+        labels = []
+        for r in rows:
+            best_c, best_d = 0, None
+            for c in range(k):
+                dist = sum((a - b) * (a - b) for a, b in zip(r, cent[c]))
+                if best_d is None or dist < best_d:
+                    best_c, best_d = c, dist
+            labels.append(best_c)
+        for c in range(k):
+            members = [rows[i] for i in range(n) if labels[i] == c]
+            if members:
+                cent[c] = [
+                    sum(m[j] for m in members) // len(members)
+                    for j in range(d)
+                ]
+    return cent
+
+
+def test_lattice_kmeans_matches_pure_python_reference():
+    """Property: the NumPy trainer computes EXACTLY what the plain-int
+    reference computes, across random shapes — including cluster
+    collapses and n < k cycling. This is the independent leg of the
+    exactness triangle (NumPy == Python here; NumPy == SQL via the
+    catalog oracles), run over many seeds."""
+    rng = np.random.default_rng(17)
+    for trial in range(25):
+        n = int(rng.integers(3, 60))
+        d = int(rng.integers(1, 6))
+        k = int(rng.integers(2, 9))
+        iters = int(rng.integers(1, 5))
+        Xq = similarity.lattice_quantize_np(
+            rng.standard_normal((n, d)) * rng.uniform(0.01, 2.0)
+        )
+        got = similarity.train_lattice_kmeans(Xq, k, iters)
+        want = _python_lattice_kmeans([list(map(int, r)) for r in Xq], k, iters)
+        assert got.tolist() == want, f"trial {trial}: n={n} d={d} k={k}"
