@@ -343,3 +343,38 @@ def test_streaming_observe_reports_per_batch_metrics(spark, sf_dir):
 
     got_sum = sum(decimal.Decimal(str(m["sum_value"])) for m in metrics)
     assert got_sum == want_sum
+
+
+def test_stream_table_source_handles_both_layouts(spark, sf_dir, tmp_path):
+    """stream_table_source (r8): the driver's testdata stores tables as
+    single files ({table}.parquet inside sf_dir, streamed via a parent-
+    dir glob); Spark-written tables are DIRECTORIES of part files (the
+    canonical streaming source). Both layouts must stream the identical
+    rows — the sf1.0 scaling decade and any real deployment use the
+    directory form."""
+    import os
+    import shutil
+
+    from traffic_accidents_airflow_kafka_spark.streaming.core import (
+        run_foreach_batch,
+        stream_table_source,
+    )
+
+    src = f"{sf_dir}/nation.parquet"
+    schema = spark.read.parquet(src).schema
+    want = sorted(tuple(r) for r in spark.read.parquet(src).collect())
+
+    # Directory layout: {dir}/nation.parquet/part-....parquet
+    dir_sf = tmp_path / "dirsf"
+    table_dir = dir_sf / "nation.parquet"
+    os.makedirs(table_dir)
+    shutil.copy(src, table_dir / "part-00000.parquet")
+
+    for layout_sf in (sf_dir, str(dir_sf)):
+        rows = []
+        run_foreach_batch(
+            stream_table_source(spark, layout_sf, "nation", schema),
+            spark,
+            lambda batch, _id: rows.extend(batch.collect()),
+        )
+        assert sorted(tuple(r) for r in rows) == want, layout_sf

@@ -2270,3 +2270,84 @@ def ivf_pq_ann_topk_exact(
             "cell",
         )
     )
+
+
+def lattice_quantize_col(vec_col: Column | str) -> Column:
+    """The lattice quantization as a pure codegen expression over an
+    array<float> column — element-wise floor(v * 1024) + 2^20, exactly
+    :func:`lattice_quantize_np` (and the SQL oracle's list_transform).
+    Used where a plan needs per-row lattice coordinates without an
+    Arrow stage (e.g. the in-plan inertia fold of the cluster
+    profile)."""
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return F.transform(
+        c,
+        lambda v: F.floor(v.cast("double") * LATTICE_SCALE).cast("long")
+        + F.lit(LATTICE_OFFSET),
+    )
+
+
+def lattice_cluster_profile(
+    vectors: DataFrame,
+    cent: "np.ndarray",
+    assigned: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-cluster analytics over a deterministic lattice k-means index:
+    (cell, n_members, inertia, top_label, top_label_n) — cluster size,
+    EXACT integer within-cluster inertia (sum of squared lattice
+    distances to the cell centroid), and the majority class label with
+    its count (ties to the lowest label). The SemDeDup-style
+    cluster-then-inspect read: balanced cells with low inertia and high
+    label purity mean the coarse quantizer respects the corpus
+    structure; a fat high-inertia cell is where near-dup mining and
+    quality filters concentrate their work.
+
+    Everything is integer or a count, so the whole profile value-hashes
+    against the SQL Lloyd replay. Scale: centroids ride as plan
+    literals; the per-row inertia is a codegen fold; both aggregates
+    are map-side-combining hash aggregates keyed by the k cells.
+    """
+    k, d = cent.shape
+    lit_cents = F.array(
+        *[
+            F.array(*[F.lit(int(x)) for x in cent[c]])
+            for c in range(k)
+        ]
+    )
+    qv = lattice_quantize_col(vec_col)
+    own = F.element_at(lit_cents, F.col("cell").cast("int") + 1)
+    d2 = F.aggregate(
+        F.zip_with(qv, own, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    labeled = assigned.select(id_col, vec_col, "cell").join(
+        vectors.select(id_col, label_col), id_col
+    )
+    base = labeled.select(
+        "cell", F.col(label_col).alias("lbl"), d2.alias("__d2")
+    )
+    sizes = base.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.sum("__d2").cast("bigint").alias("inertia"),
+    )
+    per_label = base.groupBy("cell", "lbl").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    top = per_label.groupBy("cell").agg(
+        F.max(F.struct(F.col("n"), (-F.col("lbl")).cast("long").alias("nl"))).alias("b")
+    ).select(
+        "cell",
+        (-F.col("b.nl")).cast("int").alias("top_label"),
+        F.col("b.n").alias("top_label_n"),
+    )
+    return sizes.join(top, "cell").select(
+        F.col("cell").cast("int").alias("cell"),
+        "n_members",
+        "inertia",
+        "top_label",
+        "top_label_n",
+    )

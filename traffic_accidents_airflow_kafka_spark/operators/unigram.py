@@ -411,6 +411,12 @@ def hard_em_train(
         .select("piece")
         .localCheckpoint(eager=True)
     )
+    # The required-char count is a loop invariant (characters never drop
+    # out); surfaced in every stats row so consumers — the banded-oracle
+    # catalog entry bounds vocab_size with it — read it off the
+    # already-materialized char set instead of re-deriving it with
+    # another corpus pass.
+    n_chars = chars.count()
     vocab = seed_vocab(wf, max_piece_len, vocab_size)
     costs = with_costs(vocab).localCheckpoint(eager=True)
     stats: list[dict] = []
@@ -429,6 +435,7 @@ def hard_em_train(
                 "corpus_cost_bits": int(row["corpus_cost"]),
                 "corpus_pieces": int(row["corpus_pieces"]),
                 "corpus_words": int(row["corpus_words"]),
+                "n_chars": int(n_chars),
             }
         )
         if it == n_iters - 1:

@@ -827,6 +827,95 @@ def _pq_rerank_exact_oracle(
     )
 
 
+def _cluster_profile_oracle(
+    n_centroids: int = 16, iters: int = 4, dim: int = 64
+) -> str:
+    """Replay of lattice_cluster_profile: Lloyd stack → corpus cells →
+    per-vector integer distance to the OWN centroid → per-cell size,
+    inertia, and majority label (ties to the lowest label)."""
+    return (
+        _lattice_base_ctes(dim)
+        + _lloyd_stack("sl", n_centroids, iters, dim)
+        + f""",
+    asgc AS MATERIALIZED (
+      SELECT vec_id,
+             CAST(MIN(d2 * {n_centroids} + code) % {n_centroids} AS INT)
+               AS cell
+      FROM (
+        SELECT cl.vec_id, c.code,
+               SUM((cl.v - c.cv) * (cl.v - c.cv)) AS d2
+        FROM cl JOIN cb{iters} c ON cl.pos = c.pos
+        GROUP BY 1, 2
+      ) GROUP BY vec_id
+    ),
+    dist AS (
+      SELECT cl.vec_id, SUM((cl.v - c.cv) * (cl.v - c.cv)) AS d2
+      FROM cl
+      JOIN asgc a ON cl.vec_id = a.vec_id
+      JOIN cb{iters} c ON c.code = a.cell AND c.pos = cl.pos
+      GROUP BY cl.vec_id
+    ),
+    lab AS (
+      SELECT e.vec_id, e.label, a.cell
+      FROM embeddings e JOIN asgc a ON e.vec_id = a.vec_id
+    ),
+    sizes AS (
+      SELECT l.cell, CAST(COUNT(*) AS BIGINT) AS n_members,
+             CAST(SUM(d.d2) AS BIGINT) AS inertia
+      FROM lab l JOIN dist d ON l.vec_id = d.vec_id
+      GROUP BY 1
+    ),
+    pl AS (
+      SELECT cell, label, CAST(COUNT(*) AS BIGINT) AS n
+      FROM lab GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT cell, label, n FROM (
+        SELECT cell, label, n,
+               ROW_NUMBER() OVER (PARTITION BY cell
+                    ORDER BY n DESC, label) AS rn
+        FROM pl
+      ) WHERE rn = 1
+    )
+    SELECT s.cell, s.n_members, s.inertia,
+           CAST(t.label AS INT) AS top_label, t.n AS top_label_n
+    FROM sizes s JOIN top t ON s.cell = t.cell
+    ORDER BY s.cell
+    """
+    )
+
+
+@register(
+    "embedding_cluster_profile",
+    tier=1,  # extended clustering-analytics surface (new operator family
+    # r8); the lattice index machinery is tier-0-judged via
+    # embedding_ivf_ann and the recall curve
+    oracle=_cluster_profile_oracle(),
+    doc="Per-cluster corpus analytics over the deterministic lattice "
+    "k-means index (operators/similarity.py:lattice_cluster_profile) — "
+    "the SemDeDup-style cluster-then-inspect read: for each of the 16 "
+    "cells, member count, EXACT integer within-cluster inertia (sum of "
+    "squared lattice distances to the cell centroid), and the majority "
+    "class label with its count (ties to the lowest label). Balanced "
+    "cells with high label purity mean the coarse quantizer respects "
+    "corpus structure; a fat high-inertia cell is where near-dup "
+    "mining and quality filters concentrate work. Shares the "
+    "build-once index artifact with embedding_ivf_ann and the nprobe "
+    "curve (one index, three consumers). FULLY oracled — the first "
+    "k-means CLUSTERING query under value-hash: training replays via "
+    "the Lloyd CTEs, assignment and inertia are integer, the majority "
+    "vote is a count. Scale: centroids are plan literals, inertia is a "
+    "codegen fold per row, both aggregates are map-side-combining hash "
+    "aggregates keyed by k cells — one corpus pass, k-row output.",
+)
+def embedding_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent, assigned = _lattice_ivf_index(spark, sf_dir)
+    return similarity.lattice_cluster_profile(
+        emb, cent, assigned, "vec_id", "embedding", "label"
+    ).orderBy("cell")
+
+
 def _ivf_pq_exact_oracle(
     n_centroids: int = 16,
     n_probe: int = 4,
@@ -964,8 +1053,9 @@ def _ivf_pq_exact_oracle(
 def _lattice_ivf_index(spark: SparkSession, sf_dir: str):
     """The deterministic integer-lattice IVF index (16 cells) as a
     build-once artifact: {'cent': int64 centroids, 'assigned': inverted
-    file, checkpointed} — shared by embedding_ivf_ann and the
-    ivf_nprobe_recall_curve sweep (the FAISS index.add-once split).
+    file, checkpointed} — shared by embedding_ivf_ann, the
+    ivf_nprobe_recall_curve sweep, and embedding_cluster_profile (the
+    FAISS index.add-once split: one index, three consumers).
     Stored as a dict so evict_artifacts unpersists the DataFrame."""
     emb = load_table(spark, sf_dir, "embeddings")
 

@@ -669,8 +669,9 @@ def unigram_hard_em(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # The required-char count (constant across rounds: characters never
     # drop out) bounds every refreshed vocabulary from below; top-K ∪
-    # chars bounds it from above.
-    n_chars = unigram.substring_counts(wf, 1).count()
+    # chars bounds it from above. Read off the trainer's stats — the
+    # char set is already materialized inside hard_em_train.
+    n_chars = stats[0]["n_chars"]
     it0 = stats[0]
     rows = []
     for i, s in enumerate(stats):
