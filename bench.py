@@ -6,9 +6,10 @@
 Each query runs once untimed (codegen/broadcast warmup) then twice timed
 (plan + execution to a driver-side collect of the small aggregate
 result); the reported number is the min. When the two timed samples
-disagree by more than 2x, a THIRD timed run breaks the tie (a transient
-spike hitting both of two samples is what min-of-2 can't filter); every
-raw sample is recorded under "samples" in the JSON.
+disagree by more than 2x, a THIRD timed run breaks the tie; identical
+double spikes carry no in-run signal, which is why every raw sample is
+also recorded under "samples" in the JSON — cross-run comparison then
+sees them as data instead of inferring them.
 
 Noise caveat (measured, round 3): queries late in the shared session can
 read up to ~2-3x their isolated time from accumulated JVM/GC session
@@ -86,12 +87,14 @@ def main() -> None:
             start = time.perf_counter()
             spec.fn(spark, sf_dir).collect()
             query_samples.append(time.perf_counter() - start)
-        # Spike guard (r7 VERDICT #7): min-of-2 fails when BOTH samples
-        # spike (run023 lost 5 s to two such entries, adjudicated only
-        # by cross-run archaeology). When the two samples disagree by
-        # >2x, something transient hit one of them — take a third so
-        # the min has a quorum. All samples are recorded in the JSON,
-        # so later rounds can see the spike instead of inferring it.
+        # Spike guard (r7 VERDICT #7): when the two samples disagree
+        # by >2x, something transient hit one of them — take a third so
+        # the min has a quorum. This catches UNEQUAL double-sample
+        # noise; two samples inflated identically (ratio ~1) carry no
+        # in-run signal and still report the spiked min — which is why
+        # all raw samples are ALSO recorded in the JSON: cross-run
+        # comparison can then see the spike instead of inferring it
+        # from archaeology (run023's two lost entries).
         if max(query_samples) > 2 * min(query_samples):
             start = time.perf_counter()
             spec.fn(spark, sf_dir).collect()

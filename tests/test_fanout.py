@@ -65,7 +65,7 @@ def test_bucketed_enrichment_no_exchange_on_orders_side(spark, sf_dir, tmp_path)
         run_foreach_batch,
     )
 
-    fanout.prepare_bucketed_orders(spark, sf_dir, num_buckets=8)
+    table = fanout.prepare_bucketed_orders(spark, sf_dir, num_buckets=8)
     li_schema = spark.read.parquet(f"{sf_dir}/lineitem.parquet").schema
     li_stream = (
         spark.readStream.schema(li_schema)
@@ -79,7 +79,7 @@ def test_bucketed_enrichment_no_exchange_on_orders_side(spark, sf_dir, tmp_path)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
 
     def drain(batch, batch_id):
-        enriched = fanout.enrich_lineitem_bucketed(batch, spark)
+        enriched = fanout.enrich_lineitem_bucketed(batch, spark, sf_dir)
         plans.append(
             enriched._jdf.queryExecution().executedPlan().toString()
         )
@@ -91,7 +91,7 @@ def test_bucketed_enrichment_no_exchange_on_orders_side(spark, sf_dir, tmp_path)
         run_foreach_batch(li_stream, spark, drain)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
-        spark.sql(f"DROP TABLE IF EXISTS {fanout.BUCKETED_ORDERS_TABLE}")
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
 
     assert plans, "stream delivered no batches"
     for plan in plans:

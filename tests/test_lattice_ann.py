@@ -191,3 +191,21 @@ def test_lattice_kmeans_matches_pure_python_reference():
         got = similarity.train_lattice_kmeans(Xq, k, iters)
         want = _python_lattice_kmeans([list(map(int, r)) for r in Xq], k, iters)
         assert got.tolist() == want, f"trial {trial}: n={n} d={d} k={k}"
+
+
+def test_cell_assign_probe_rank_on_tiny_index(spark):
+    """Regression (r8 review): n_probe > 1 declares a probe_rank column
+    in the output schema, so an index with FEWER cells than n_probe
+    (here: 1) must still emit it — the old fast-path branch keyed on
+    the effective probe count and dropped the column, failing the
+    mapInPandas schema check at runtime."""
+    rows = [(i, [float(i), 1.0]) for i in range(6)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cent = similarity.train_lattice_kmeans(
+        similarity.lattice_quantize_np(np.array([[0.0, 1.0]])), 1
+    )
+    out = similarity.lattice_cell_assign(
+        emb, "vec_id", "embedding", cent, n_probe=2
+    ).collect()
+    assert len(out) == 6  # one probe row per vector: only 1 cell exists
+    assert all(r["probe_rank"] == 1 and r["cell"] == 0 for r in out)

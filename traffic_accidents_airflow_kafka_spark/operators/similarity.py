@@ -1859,7 +1859,10 @@ def lattice_cell_assign(
                 np.array(pdf[vec_col].tolist(), dtype=np.float64)
             )
             d2 = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-            if nb == 1:
+            if n_probe == 1:
+                # Branch on n_probe (the schema decision), NOT nb: a
+                # 1-cell index asked for n_probe > 1 must still emit
+                # the declared probe_rank column.
                 out = pdf[[id_col, vec_col]].copy()
                 out["cell"] = d2.argmin(axis=1).astype(np.int32)
                 yield out
@@ -1930,16 +1933,17 @@ def ivf_exact_probe_candidates(
     cand = assigned.select(
         F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec"), "cell"
     ).withColumn("nnorm", vector_norm("nvec"))
+    denom = F.col("qnorm") * F.col("nnorm")
     return (
         probes.join(cand, "cell")
         .filter(F.col("qid") != F.col("nid"))
         .select(
             "qid",
             "nid",
-            (
-                _dot_double(F.col("qvec"), F.col("nvec"))
-                / (F.col("qnorm") * F.col("nnorm"))
-            ).alias("cosine"),
+            F.when(
+                denom > 0,
+                _dot_double(F.col("qvec"), F.col("nvec")) / denom,
+            ).otherwise(F.lit(-2.0)).alias("cosine"),
             "cell",
             "probe_rank",
         )
@@ -1974,13 +1978,16 @@ def ivf_ann_topk_exact(
     cand = assigned.select(
         F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec"), "cell"
     ).withColumn("nnorm", vector_norm("nvec"))
+    denom = F.col("qnorm") * F.col("nnorm")
     sim = (
         probes.join(cand, "cell")
         .filter(F.col("qid") != F.col("nid"))
         .withColumn(
             "cosine",
-            _dot_double(F.col("qvec"), F.col("nvec"))
-            / (F.col("qnorm") * F.col("nnorm")),
+            F.when(
+                denom > 0,
+                _dot_double(F.col("qvec"), F.col("nvec")) / denom,
+            ).otherwise(F.lit(-2.0)),
         )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
@@ -2122,7 +2129,7 @@ def pq_ann_topk_exact(
     )
 
 
-def ivf_pq_exact_recon(
+def ivf_pq_exact_index(
     vectors: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -2131,10 +2138,15 @@ def ivf_pq_exact_recon(
     n_codes: int = 64,
     iters: int = LATTICE_ITERS,
     modulus: int = 4,
-) -> DataFrame:
-    """Deterministic IVF-PQ index in dequantized form: (nid, cell,
-    rvec array<double>) — FAISS IndexIVFPQ semantics (coarse cells +
-    product-quantized RESIDUALS) with every stage exact-replayable.
+) -> tuple["np.ndarray", DataFrame]:
+    """Deterministic IVF-PQ index: (int64 coarse centroids (k, d),
+    dequantized recon DataFrame (nid, cell, rvec array<double>)) —
+    FAISS IndexIVFPQ semantics (coarse cells + product-quantized
+    RESIDUALS) with every stage exact-replayable. The centroids are
+    returned WITH the recon relation because the search side needs the
+    same quantizer for query probes — a caller holding only the recon
+    could pair it with a differently-sampled quantizer and silently
+    probe mismatched cells.
 
     Training (all int64 NumPy, SQL-identical): coarse centroids via
     :func:`train_lattice_kmeans` on the lattice sample; residuals
@@ -2208,7 +2220,7 @@ def ivf_pq_exact_recon(
                 }
             )
 
-    return vectors.select(id_col, vec_col).mapInPandas(fn, out_schema)
+    return cent, vectors.select(id_col, vec_col).mapInPandas(fn, out_schema)
 
 
 def ivf_pq_ann_topk_exact(
@@ -2222,21 +2234,23 @@ def ivf_pq_ann_topk_exact(
     n_codes: int = 64,
     k: int = 3,
     iters: int = LATTICE_ITERS,
-    recon: DataFrame | None = None,
+    index: tuple["np.ndarray", DataFrame] | None = None,
 ) -> DataFrame:
     """IVF-PQ search on the deterministic lattice index: queries probe
     their ``n_probe`` nearest coarse cells (integer distances, ties to
     the lowest cell) and rank cell members by the fold-cosine ADC
     against the residual reconstructions — :func:`ivf_pq_ann_topk`
     semantics, fully SQL-replayable. Output: (qid, nid, rank,
-    approx_cosine, cell). ``recon``: a prebuilt
-    :func:`ivf_pq_exact_recon` index (checkpoint when reusing)."""
-    Xq = collect_lattice_sample(vectors, id_col, vec_col)
-    cent = train_lattice_kmeans(Xq, n_centroids, iters)
-    if recon is None:
-        recon = ivf_pq_exact_recon(
+    approx_cosine, cell). ``index``: a prebuilt (centroids, recon)
+    pair from :func:`ivf_pq_exact_index` (checkpoint the recon when
+    reusing) — centroids and recon travel TOGETHER so the query probes
+    always use the quantizer that assigned the recon's cells, and the
+    index.add-once split holds (no re-sample / re-train per search)."""
+    if index is None:
+        index = ivf_pq_exact_index(
             vectors, id_col, vec_col, n_centroids, m, n_codes, iters
         )
+    cent, recon = index
     recon = recon.withColumn("rnorm", vector_norm("rvec"))
     q_side = vectors.join(query_ids, id_col, "left_semi")
     probes = lattice_cell_assign(

@@ -50,6 +50,25 @@ def _sql_dot(vec: str, lits: list[float], dim: int) -> str:
     )
 
 
+def _sql_fold_dot(a: str, b: str, dim: int) -> str:
+    """Sequential-fold dot of two DuckDB vector expressions — the SQL
+    mirror of operators/similarity._dot_double (same fold order, same
+    double promotion). ONE definition for every exact-parity oracle:
+    a drifted copy would silently desynchronize an oracle's fold form."""
+    return (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {dim}), "
+        f"j -> CAST({a}[j] AS DOUBLE) * CAST({b}[j] AS DOUBLE))), "
+        "(a, b) -> a + b)"
+    )
+
+
+def _sql_vnorm(vec: str, dim: int) -> str:
+    """Sequential-fold L2 norm of a DuckDB vector expression (the SQL
+    mirror of operators/similarity.vector_norm)."""
+    return f"sqrt({_sql_fold_dot(vec, vec, dim)})"
+
+
 _SHINGLE_CTE = """
     WITH words AS (
       SELECT doc_id, string_split(text, ' ') AS w FROM documents
@@ -617,18 +636,8 @@ def _ivf_exact_oracle(
     """Full-pipeline replay of ivf_ann_topk_exact: lattice Lloyd →
     inverted file → per-query ranked probes → sequential-fold cosine
     ranking of cell members (the established exact-parity form)."""
-    vnorm = (
-        "sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
-        f"list_transform(generate_series(1, {dim}), "
-        "j -> CAST(embedding[j] AS DOUBLE) * CAST(embedding[j] AS DOUBLE))), "
-        "(a, b) -> a + b))"
-    )
-    pair_dot = (
-        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
-        f"list_transform(generate_series(1, {dim}), "
-        "j -> CAST(qn.embedding[j] AS DOUBLE) * CAST(nn.embedding[j] AS DOUBLE))), "
-        "(a, b) -> a + b)"
-    )
+    vnorm = _sql_vnorm("embedding", dim)
+    pair_dot = _sql_fold_dot("qn.embedding", "nn.embedding", dim)
     return (
         _lattice_lloyd_ctes(n_centroids, iters, dim, dim)
         + f""",
@@ -656,7 +665,9 @@ def _ivf_exact_oracle(
     nrm AS (SELECT vec_id, embedding, {vnorm} AS nrm FROM embeddings),
     sims AS (
       SELECT p.qid, a.vec_id AS nid, a.cell,
-             {pair_dot} / (qn.nrm * nn.nrm) AS cosine
+             CASE WHEN qn.nrm * nn.nrm > 0
+                  THEN {pair_dot} / (qn.nrm * nn.nrm)
+                  ELSE -2.0 END AS cosine
       FROM qp p
       JOIN asgc a ON a.cell = p.cell AND a.vec_id <> p.qid
       JOIN nrm qn ON qn.vec_id = p.qid
@@ -693,23 +704,9 @@ def _pq_exact_ctes(
     from ..operators.similarity import LATTICE_OFFSET, LATTICE_SCALE
 
     sub = dim // m
-    vnorm = (
-        "sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
-        f"list_transform(generate_series(1, {dim}), "
-        "j -> CAST(embedding[j] AS DOUBLE) * CAST(embedding[j] AS DOUBLE))), "
-        "(a, b) -> a + b))"
-    )
-    rnorm = (
-        "sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
-        f"list_transform(generate_series(1, {dim}), "
-        "j -> rvec[j] * rvec[j])), (a, b) -> a + b))"
-    )
-    adc_dot = (
-        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
-        f"list_transform(generate_series(1, {dim}), "
-        "j -> CAST(q.embedding[j] AS DOUBLE) * r.rvec[j])), "
-        "(a, b) -> a + b)"
-    )
+    vnorm = _sql_vnorm("embedding", dim)
+    rnorm = _sql_vnorm("rvec", dim)
+    adc_dot = _sql_fold_dot("q.embedding", "r.rvec", dim)
     return (
         _lattice_lloyd_ctes(n_codes, iters, dim, sub)
         + f""",
@@ -784,18 +781,8 @@ def _pq_rerank_exact_oracle(
     query form the shortlist, which is re-scored with the exact
     sequential-fold cosine over TRUE vectors and re-ranked — the FAISS
     refine pattern, end-to-end under value-hash."""
-    vnorm = (
-        "sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
-        f"list_transform(generate_series(1, {dim}), "
-        "j -> CAST(embedding[j] AS DOUBLE) * CAST(embedding[j] AS DOUBLE))), "
-        "(a, b) -> a + b))"
-    )
-    pair_dot = (
-        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
-        f"list_transform(generate_series(1, {dim}), "
-        "j -> CAST(qv.embedding[j] AS DOUBLE) * CAST(nv.embedding[j] AS DOUBLE))), "
-        "(a, b) -> a + b)"
-    )
+    vnorm = _sql_vnorm("embedding", dim)
+    pair_dot = _sql_fold_dot("qv.embedding", "nv.embedding", dim)
     return (
         _pq_exact_ctes(m, n_codes, max_qid, iters, dim)
         + f""",
@@ -935,23 +922,9 @@ def _ivf_pq_exact_oracle(
     from ..operators.similarity import LATTICE_OFFSET, LATTICE_SCALE
 
     sub = dim // m
-    vnorm = (
-        "sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
-        f"list_transform(generate_series(1, {dim}), "
-        "j -> CAST(embedding[j] AS DOUBLE) * CAST(embedding[j] AS DOUBLE))), "
-        "(a, b) -> a + b))"
-    )
-    rnorm = (
-        "sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
-        f"list_transform(generate_series(1, {dim}), "
-        "j -> rvec[j] * rvec[j])), (a, b) -> a + b))"
-    )
-    adc_dot = (
-        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
-        f"list_transform(generate_series(1, {dim}), "
-        "j -> CAST(q.embedding[j] AS DOUBLE) * r.rvec[j])), "
-        "(a, b) -> a + b)"
-    )
+    vnorm = _sql_vnorm("embedding", dim)
+    rnorm = _sql_vnorm("rvec", dim)
+    adc_dot = _sql_fold_dot("q.embedding", "r.rvec", dim)
     return (
         _lattice_base_ctes(dim)
         + _lloyd_stack("sl", n_centroids, iters, dim)
@@ -2604,12 +2577,7 @@ def _semantic_decontam_lsh_oracle(
         "j -> CAST(embedding[j] AS DOUBLE) * CAST(embedding[j] AS DOUBLE))), "
         "(a, b) -> a + b))"
     )
-    pair_dot = (
-        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
-        f"list_transform(generate_series(1, {dim}), "
-        "j -> CAST(c.nvec[j] AS DOUBLE) * CAST(p.qvec[j] AS DOUBLE))), "
-        "(a, b) -> a + b)"
-    )
+    pair_dot = _sql_fold_dot("c.nvec", "p.qvec", dim)
     probe_list = ", ".join(f"xor(qbucket, {1 << i})" for i in range(n_planes))
     return f"""
     WITH bkt AS (

@@ -41,6 +41,7 @@ stream-stream join — the aggregation contract is unchanged.
 from __future__ import annotations
 
 import os
+import re
 import shutil
 import tempfile
 import uuid
@@ -103,30 +104,35 @@ def _parse(batch: DataFrame, src: str, schema) -> DataFrame:
     )
 
 
-#: Catalog name of the bucketed orders table the co-located topic-3
-#: enrichment reads (written once by prepare_bucketed_orders).
-BUCKETED_ORDERS_TABLE = "fanout_orders_bucketed"
+def bucketed_orders_table(sf_dir: str) -> str:
+    """Catalog name of the bucketed orders table for ONE sf_dir —
+    scale-factor-scoped so a session that touches several scale dirs
+    (scaling_curve/scaling_sf1 do) can never serve one scale's orders
+    to another scale's micro-batches through a shared global name."""
+    stem = re.sub(r"[^0-9A-Za-z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    return f"fanout_orders_bucketed_{stem}"
 
 
 def prepare_bucketed_orders(
     spark: SparkSession, sf_dir: str, num_buckets: int = 8
-) -> None:
+) -> str:
     """One-time index build for the co-located enrichment: orders at
     rest saved bucketBy+sortBy o_orderkey (sources/sinks.py:
     save_bucketed) — pay the bucketing shuffle once at write, skip the
-    at-rest side's exchange on every micro-batch join after."""
+    at-rest side's exchange on every micro-batch join after. Returns
+    the (sf-scoped) table name."""
     from ..sources.sinks import save_bucketed
 
+    table = bucketed_orders_table(sf_dir)
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority"
     )
-    save_bucketed(
-        orders, BUCKETED_ORDERS_TABLE, "o_orderkey", num_buckets=num_buckets
-    )
+    save_bucketed(orders, table, "o_orderkey", num_buckets=num_buckets)
+    return table
 
 
 def enrich_lineitem_bucketed(
-    lineitem_batch: DataFrame, spark: SparkSession
+    lineitem_batch: DataFrame, spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Topic-3 enrichment against the BUCKETED orders table — the
     100 TB form the module docstring promises: at scale orders-at-rest
@@ -137,7 +143,7 @@ def enrich_lineitem_bucketed(
     into the bucket layout). Same partial-aggregate contract as the
     in-drain t3, so sinks/merges/parity are unchanged — asserted, with
     the plan shape, in tests/test_fanout.py."""
-    orders_b = spark.table(BUCKETED_ORDERS_TABLE)
+    orders_b = spark.table(bucketed_orders_table(sf_dir))
     return (
         lineitem_batch.join(
             orders_b, lineitem_batch.l_orderkey == orders_b.o_orderkey
