@@ -209,3 +209,33 @@ def test_cell_assign_probe_rank_on_tiny_index(spark):
     ).collect()
     assert len(out) == 6  # one probe row per vector: only 1 cell exists
     assert all(r["probe_rank"] == 1 and r["cell"] == 0 for r in out)
+
+
+def test_lattice_quantize_matches_duckdb_bit_for_bit():
+    """The root of the whole lattice edifice: floor(v * 1024) + 2^20
+    computed by NumPy over float32-origin values must equal DuckDB
+    computing the same expression over the same floats — for random
+    values, exact halves, negatives, and subnormal-ish magnitudes. A
+    power-of-two scale makes the multiply a pure exponent shift, so no
+    rounding exists to disagree about."""
+    import duckdb
+
+    rng = np.random.default_rng(23)
+    vals = np.concatenate(
+        [
+            rng.standard_normal(200),
+            np.array([0.0, -0.0, 0.5, -0.5, 1 / 3, -1 / 3, 0.0009765625]),
+            rng.standard_normal(50) * 1e-6,
+            rng.standard_normal(50) * 100.0,
+        ]
+    ).astype(np.float32)
+    want = similarity.lattice_quantize_np(
+        vals.astype(np.float64)[None, :]
+    )[0]
+    lits = ", ".join(repr(float(v)) for v in vals)
+    got = duckdb.sql(
+        f"SELECT list_transform([{lits}]::FLOAT[], "
+        f"v -> CAST(FLOOR(CAST(v AS DOUBLE) * {similarity.LATTICE_SCALE}) "
+        f"AS BIGINT) + {similarity.LATTICE_OFFSET})"
+    ).fetchone()[0]
+    assert list(want) == list(got)

@@ -1147,3 +1147,53 @@ def test_sq8_flat_dimension_is_exact(spark):
     assert len(out) == 8  # 4 queries x top-2
     for r in out:
         assert math.isfinite(r.sq_cosine)
+
+
+def test_excise_spans_matches_python_reference_property(spark):
+    """Property (r8): the Arrow excision pass equals a pure-Python greedy
+    reference on randomized corpora — the third leg next to the planted
+    fixtures and the span_excision_stats SQL-fold oracle (all three
+    implement 'window starts iff flagged and not consumed; a start
+    advances the scan by n')."""
+    import random
+
+    from traffic_accidents_airflow_kafka_spark.operators import decontam
+
+    rnd = random.Random(41)
+    n = 3
+    vocab = list("abcdefg")
+    docs_rows = []
+    for did in range(40):
+        toks = [rnd.choice(vocab) for _ in range(rnd.randint(1, 25))]
+        docs_rows.append((did, " ".join(toks)))
+    all_grams = {
+        " ".join(t.split(" ")[i : i + n])
+        for _, t in docs_rows
+        for i in range(len(t.split(" ")) - n + 1)
+    }
+    flagged = set(rnd.sample(sorted(all_grams), min(12, len(all_grams))))
+
+    def ref(text):
+        toks = text.split(" ")
+        kept, i, cut = [], 0, 0
+        while i < len(toks):
+            if i + n <= len(toks) and " ".join(toks[i : i + n]) in flagged:
+                cut += 1
+                i += n
+            else:
+                kept.append(toks[i])
+                i += 1
+        return " ".join(kept), cut
+
+    docs = spark.createDataFrame(docs_rows, "doc_id long, text string")
+    spans = spark.createDataFrame(
+        [(s,) for s in sorted(flagged)], "span string"
+    )
+    got = {
+        r["doc_id"]: (r["text"], r["n_excised_spans"])
+        for r in decontam.excise_spans(
+            docs, spans, "doc_id", "text", n=n
+        ).collect()
+    }
+    for did, text in docs_rows:
+        assert got[did] == ref(text), f"doc {did}: {text!r}"
