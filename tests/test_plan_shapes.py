@@ -112,6 +112,8 @@ ARROW_OK = {
     "multimodal_audio_meta",
     "multimodal_embed_ann",
     "embedding_ivf_ann",
+    # Same lattice assignment Arrow pass, frozen-index incremental form.
+    "incremental_lattice_arrivals",
     # PQ encode + ADC search are Arrow map passes by design (the whole
     # point is numpy code-matrix arithmetic over compressed codes).
     "embedding_pq_ann",

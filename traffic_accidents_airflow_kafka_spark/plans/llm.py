@@ -520,11 +520,18 @@ def embedding_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("qid", "rank")
 
 
-def _lattice_base_ctes(dim: int, modulus: int = 4, cap: int = 100_000) -> str:
+def _lattice_base_ctes(
+    dim: int,
+    modulus: int = 4,
+    cap: int = 100_000,
+    sample_where: str = "",
+) -> str:
     """Shared quantization prefix of every lattice oracle: quantized
     corpus ``qv`` / long form ``cl`` and the id-ordered sample long form
     ``sl`` (with sample rank ``rn``). Quantization floor(v * 1024) +
-    2^20 is EXACT — power-of-two scale, positive offset."""
+    2^20 is EXACT — power-of-two scale, positive offset.
+    ``sample_where``: extra AND-clause on the training sample — the
+    frozen-index incremental entry trains on HISTORY rows only."""
     from ..operators.similarity import LATTICE_OFFSET, LATTICE_SCALE
 
     return f"""
@@ -541,7 +548,7 @@ def _lattice_base_ctes(dim: int, modulus: int = 4, cap: int = 100_000) -> str:
     ),
     samp AS (
       SELECT vec_id, q, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
-      FROM qv WHERE vec_id % {modulus} = 0
+      FROM qv WHERE vec_id % {modulus} = 0{sample_where}
     ),
     sl AS MATERIALIZED (
       SELECT vec_id, rn, t.i AS pos, q[t.i] AS v
@@ -632,14 +639,26 @@ def _ivf_exact_oracle(
     max_qid: int = 100,
     iters: int = 4,
     dim: int = 64,
+    sample_where: str = "",
+    corpus_where: str = "",
+    query_where: str | None = None,
 ) -> str:
     """Full-pipeline replay of ivf_ann_topk_exact: lattice Lloyd →
     inverted file → per-query ranked probes → sequential-fold cosine
-    ranking of cell members (the established exact-parity form)."""
+    ranking of cell members (the established exact-parity form).
+    ``sample_where``/``corpus_where``/``query_where`` carve the
+    train / indexed / query populations — the frozen-index incremental
+    entry trains and indexes HISTORY only while arrivals query."""
     vnorm = _sql_vnorm("embedding", dim)
     pair_dot = _sql_fold_dot("qn.embedding", "nn.embedding", dim)
+    qw = (
+        query_where
+        if query_where is not None
+        else f"cl.vec_id < {max_qid}"
+    )
     return (
-        _lattice_lloyd_ctes(n_centroids, iters, dim, dim)
+        _lattice_base_ctes(dim, sample_where=sample_where)
+        + _lloyd_stack("sl", n_centroids, iters, dim)
         + f""",
     asgc AS MATERIALIZED (
       SELECT vec_id, CAST(MIN(d2 * {n_centroids} + code) % {n_centroids}
@@ -648,6 +667,7 @@ def _ivf_exact_oracle(
         SELECT cl.vec_id, c.code,
                SUM((cl.v - c.cv) * (cl.v - c.cv)) AS d2
         FROM cl JOIN cb{iters} c ON cl.pos = c.pos
+        WHERE 1 = 1{corpus_where}
         GROUP BY 1, 2
       ) GROUP BY vec_id
     ),
@@ -658,7 +678,7 @@ def _ivf_exact_oracle(
         SELECT cl.vec_id, c.code,
                SUM((cl.v - c.cv) * (cl.v - c.cv)) AS d2
         FROM cl JOIN cb{iters} c ON cl.pos = c.pos
-        WHERE cl.vec_id < {max_qid}
+        WHERE {qw}
         GROUP BY 1, 2
       )
     ),
@@ -901,6 +921,45 @@ def embedding_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lattice_cluster_profile(
         emb, cent, assigned, "vec_id", "embedding", "label"
     ).orderBy("cell")
+
+
+@register(
+    "incremental_lattice_arrivals",
+    tier=1,  # extended incremental-ANN surface; the frozen-index
+    # contract's tier-0 sibling is incremental SQ8 machinery +
+    # embedding_ivf_ann (same index code path, driver-judged)
+    oracle=_ivf_exact_oracle(
+        sample_where=" AND vec_id % 5 <> 4",
+        corpus_where=" AND cl.vec_id % 5 <> 4",
+        query_where="cl.vec_id % 5 = 4 AND cl.vec_id < 200",
+    ),
+    doc="Frozen-index incremental ANN on the deterministic lattice tier "
+    "— the daily-ingest contract incremental_sq8_arrivals pins, now on "
+    "k-means itself: the 80% of vectors with vec_id %% 5 != 4 play "
+    "history (quantizer TRAINED on history's sample only, inverted "
+    "file built over history only), and the 20% arrival batch probes "
+    "that index without re-training or re-assigning anything — "
+    "deterministic quantization means arrivals assign to frozen cells "
+    "bit-exactly, the property a float quantizer cannot give an "
+    "incremental pipeline. FULL value-hash oracle: same Lloyd replay "
+    "with the train/index/query populations carved by filters. Scale: "
+    "per-day cost is the arrival batch's probe + the per-cell search "
+    "join against history's at-rest inverted file; history text/vectors "
+    "are never rescanned past the one-time index build.",
+)
+def incremental_lattice_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    history = emb.filter(F.col("vec_id") % 5 != 4)
+    arrivals = emb.select("vec_id").filter(
+        (F.col("vec_id") % 5 == 4) & (F.col("vec_id") < 200)
+    )
+    index = similarity.ivf_exact_index(
+        history, "vec_id", "embedding", n_centroids=16
+    )
+    return similarity.ivf_ann_topk_exact(
+        emb, arrivals, "vec_id", "embedding",
+        n_centroids=16, n_probe=2, k=3, index=index,
+    ).orderBy("qid", "rank")
 
 
 def _ivf_pq_exact_oracle(
