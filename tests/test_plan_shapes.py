@@ -114,6 +114,8 @@ ARROW_OK = {
     "embedding_ivf_ann",
     # Same lattice assignment Arrow pass, frozen-index incremental form.
     "incremental_lattice_arrivals",
+    # One Arrow pass scoring all elbow candidates (per-batch partials).
+    "embedding_elbow_curve",
     # PQ encode + ADC search are Arrow map passes by design (the whole
     # point is numpy code-matrix arithmetic over compressed codes).
     "embedding_pq_ann",

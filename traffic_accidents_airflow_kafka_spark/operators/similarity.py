@@ -2365,3 +2365,60 @@ def lattice_cluster_profile(
         "top_label",
         "top_label_n",
     )
+
+
+def lattice_elbow(
+    vectors: DataFrame,
+    cents: dict[int, "np.ndarray"],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The k-selection elbow read over deterministic lattice k-means:
+    (k, n_vectors, inertia) for each candidate centroid set — inertia =
+    EXACT int64 sum over the corpus of the squared lattice distance to
+    the NEAREST centroid (no assignment materialized: the elbow needs
+    min-distance only). ONE Arrow pass scores every candidate k;
+    per-batch partials (k, count, sum) shuffle — k rows per batch, never
+    the corpus — and a k-keyed aggregate merges them. Order-free integer
+    sums keep the whole curve value-hashable."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("k", IntegerType()),
+            StructField("n_part", LongType()),
+            StructField("inertia_part", LongType()),
+        ]
+    )
+    ks = sorted(cents)
+
+    def fn(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = lattice_quantize_np(
+                np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            )
+            rows = []
+            for k in ks:
+                d2 = ((X[:, None, :] - cents[k][None, :, :]) ** 2).sum(axis=2)
+                rows.append((k, len(X), int(d2.min(axis=1).sum())))
+            yield pd.DataFrame(
+                rows, columns=["k", "n_part", "inertia_part"]
+            )
+
+    return (
+        vectors.select(vec_col)
+        .mapInPandas(fn, out_schema)
+        .groupBy("k")
+        .agg(
+            F.sum("n_part").cast("bigint").alias("n_vectors"),
+            F.sum("inertia_part").cast("bigint").alias("inertia"),
+        )
+    )

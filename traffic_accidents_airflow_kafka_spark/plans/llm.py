@@ -923,6 +923,65 @@ def embedding_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("cell")
 
 
+def _elbow_oracle(ks: tuple[int, ...] = (4, 8, 16), iters: int = 4, dim: int = 64) -> str:
+    """Replay of lattice_elbow: one prefixed Lloyd stack per candidate
+    k over the SAME sample, then per-k corpus inertia = sum of MIN
+    squared distance over codes (the elbow needs min-distance only —
+    no assignment materializes on either engine)."""
+    parts = [_lattice_base_ctes(dim)]
+    for i, k in enumerate(ks):
+        parts.append(_lloyd_stack("sl", k, iters, dim, prefix=f"e{i}_"))
+    selects = []
+    for i, k in enumerate(ks):
+        selects.append(
+            f"""
+      SELECT CAST({k} AS INT) AS k,
+             CAST(COUNT(*) AS BIGINT) AS n_vectors,
+             CAST(SUM(md) AS BIGINT) AS inertia
+      FROM (
+        SELECT vec_id, MIN(d2) AS md FROM (
+          SELECT cl.vec_id, c.code,
+                 SUM((cl.v - c.cv) * (cl.v - c.cv)) AS d2
+          FROM cl JOIN e{i}_cb{iters} c ON cl.pos = c.pos
+          GROUP BY 1, 2
+        ) GROUP BY vec_id
+      )"""
+        )
+    union = "\n      UNION ALL".join(selects)
+    return "".join(parts) + f"""
+    SELECT k, n_vectors, inertia FROM ({union}
+    ) ORDER BY k
+    """
+
+
+@register(
+    "embedding_elbow_curve",
+    tier=1,  # extended clustering-analytics surface (r8 family)
+    oracle=_elbow_oracle(),
+    doc="K-selection elbow curve over deterministic lattice k-means "
+    "(operators/similarity.py:lattice_elbow): EXACT integer corpus "
+    "inertia (sum of squared lattice distance to the nearest centroid) "
+    "for k in {4, 8, 16}, each candidate trained by the same int64 "
+    "Lloyd on the same sample — the model-selection read run before "
+    "committing to a cell count (SemDeDup picks its cluster count this "
+    "way; the IVF tier picks n_centroids). FULLY oracled: three "
+    "prefixed Lloyd replays share one sample CTE, and inertia needs "
+    "only MIN distance, so no assignment materializes on either "
+    "engine. Scale: training is sample-bounded per k; ONE Arrow pass "
+    "scores all candidates with per-batch (k, count, sum) partials — "
+    "k rows per batch move, never the corpus.",
+)
+def embedding_elbow_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    Xq = similarity.collect_lattice_sample(emb, "vec_id", "embedding")
+    cents = {
+        k: similarity.train_lattice_kmeans(Xq, k) for k in (4, 8, 16)
+    }
+    return similarity.lattice_elbow(emb, cents, "vec_id", "embedding").orderBy(
+        "k"
+    )
+
+
 @register(
     "incremental_lattice_arrivals",
     tier=1,  # extended incremental-ANN surface; the frozen-index
