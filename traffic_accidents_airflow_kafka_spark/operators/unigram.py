@@ -401,9 +401,17 @@ def hard_em_train(
     the vocabulary; a character unused by any best path keeps count 1
     (the SentencePiece required-char floor).
 
-    Scale: each round is one word-vocab-sized lattice join + DP + one
-    (piece, count) aggregate; nothing corpus-sized moves after the
-    word-count pass. Stats collect one scalar row per round.
+    Scale: each round is one word-vocab-sized lattice join + DP,
+    reduced to a VOCAB-sized (piece, count) table before anything
+    materializes; per-round stats are derived from that table joined
+    with the (vocab-sized) cost table — corpus cost = Σ cnt·cost(piece)
+    over best-path pieces, pieces emitted = Σ cnt — so the path DP runs
+    EXACTLY ONCE per round and nothing word-vocab-sized is collected or
+    checkpointed (r9 restructure: the prior shape ran the DP twice per
+    non-final round — once for the stats aggregate, once replayed under
+    the recount — and the final round carried the piece arrays it never
+    read; the last round now uses the cheaper non-path ``viterbi_
+    combined``). Stats collect one scalar row per round.
     """
     wf = word_freq.localCheckpoint(eager=True)
     chars = (
@@ -417,34 +425,58 @@ def hard_em_train(
     # already-materialized char set instead of re-deriving it with
     # another corpus pass.
     n_chars = chars.count()
+    # Word conservation: every round segments the same word table, so
+    # corpus_words is a loop invariant too — one tiny aggregate on the
+    # checkpointed counts instead of a per-round corpus-side SUM.
+    corpus_words = int(
+        wf.agg(F.sum("f").alias("__w")).first()["__w"]
+    )
     vocab = seed_vocab(wf, max_piece_len, vocab_size)
     costs = with_costs(vocab).localCheckpoint(eager=True)
+    n_vocab = costs.count()
     stats: list[dict] = []
     for it in range(n_iters):
-        seg = viterbi_segments(wf, costs, max_piece_len)
-        row = seg.agg(
-            F.sum(F.col("f") * F.col("cost")).alias("corpus_cost"),
-            F.sum(F.col("f") * F.size("pieces")).alias("corpus_pieces"),
-            F.sum("f").alias("corpus_words"),
-        ).first()
-        n_vocab = costs.count()
+        if it < n_iters - 1:
+            # (piece, cnt): best-path piece counts — the ONLY consumer
+            # of the path-carrying DP, materialized once at vocab size.
+            used = (
+                viterbi_segments(wf, costs, max_piece_len)
+                .select("f", F.explode("pieces").alias("piece"))
+                .groupBy("piece")
+                .agg(F.sum("f").alias("cnt"))
+                .localCheckpoint(eager=True)
+            )
+            # ccost packs cost·PIECE_BASE + 1 per piece and words are
+            # <= MAX_WORD_LEN < PIECE_BASE pieces long, so the per-word
+            # floor(Σccost / PIECE_BASE) equals Σ piece costs exactly —
+            # the corpus objective re-aggregates from the piece counts.
+            row = used.join(
+                F.broadcast(costs.select("piece", "cost")), "piece"
+            ).agg(
+                F.sum(F.col("cnt") * F.col("cost")).alias("corpus_cost"),
+                F.sum("cnt").alias("corpus_pieces"),
+            ).first()
+        else:
+            # Final round reports stats only — the non-path DP carries
+            # (cost, n_pieces) integers instead of piece-string arrays.
+            row = viterbi_combined(wf, costs, max_piece_len).agg(
+                F.sum(F.col("f") * F.col("cost")).alias("corpus_cost"),
+                F.sum(F.col("f") * F.col("n_pieces")).alias(
+                    "corpus_pieces"
+                ),
+            ).first()
         stats.append(
             {
                 "iteration": it,
                 "vocab_size": int(n_vocab),
                 "corpus_cost_bits": int(row["corpus_cost"]),
                 "corpus_pieces": int(row["corpus_pieces"]),
-                "corpus_words": int(row["corpus_words"]),
+                "corpus_words": corpus_words,
                 "n_chars": int(n_chars),
             }
         )
         if it == n_iters - 1:
             break
-        used = (
-            seg.select("f", F.explode("pieces").alias("piece"))
-            .groupBy("piece")
-            .agg(F.sum("f").alias("cnt"))
-        )
         topk = top_k_pieces(used, vocab_size)
         refreshed = (
             topk.unionByName(
@@ -456,4 +488,5 @@ def hard_em_train(
             .agg(F.max("cnt").alias("cnt"))
         )
         costs = with_costs(refreshed).localCheckpoint(eager=True)
+        n_vocab = costs.count()
     return costs, stats

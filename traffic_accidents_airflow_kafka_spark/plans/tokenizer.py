@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..operators import bpe
 from ..operators.text import BPE_ISH_PATTERN
+from ..operators.unigram import MAX_WORD_LEN as UNI_MAX_WORD_LEN
 from ..sources.tables import load_table
 from .registry import register
 
@@ -541,12 +542,12 @@ def unigram_seed_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unigram_hard_em's exact iteration-0 aggregate (all tier 0, all
     # replaying the same 20-layer CTEs); local oracle retained
     oracle=_unigram_vocab_cte(UNI_MAX_PIECE, UNI_VOCAB)
-    + _unigram_viterbi_layers(20, UNI_MAX_PIECE, UNI_SEG_WORDS)
+    + _unigram_viterbi_layers(UNI_MAX_WORD_LEN, UNI_MAX_PIECE, UNI_SEG_WORDS)
     + f"""
     SELECT r.w AS word, r.f AS f,
            CAST(r.c // 1024 AS BIGINT) AS cost,
            CAST(r.c % 1024 AS INT) AS n_pieces
-    FROM ({_unigram_result_union(20)}) r
+    FROM ({_unigram_result_union(UNI_MAX_WORD_LEN)}) r
     ORDER BY f DESC, word
     """,
     doc="Unigram-LM tokenizer, stage 2: exact Viterbi segmentation of "
@@ -605,12 +606,12 @@ UNI_EM_ITERS = 3
     # EXACT via the shared lattice CTEs, later iterations as invariant
     # booleans pinned TRUE (the ivf_nprobe_recall_curve pattern)
     oracle=_unigram_vocab_cte(
-        UNI_MAX_PIECE, UNI_VOCAB, max_word_len=20
+        UNI_MAX_PIECE, UNI_VOCAB, max_word_len=UNI_MAX_WORD_LEN
     )
-    + _unigram_viterbi_layers(20, UNI_MAX_PIECE, None)
+    + _unigram_viterbi_layers(UNI_MAX_WORD_LEN, UNI_MAX_PIECE, None)
     + f""",
     res AS MATERIALIZED (
-      SELECT r.w, r.f, r.c FROM ({_unigram_result_union(20)}) r
+      SELECT r.w, r.f, r.c FROM ({_unigram_result_union(UNI_MAX_WORD_LEN)}) r
     ),
     agg AS (
       SELECT CAST(SUM(f * (c // {1024})) AS BIGINT) AS cost_bits,
@@ -710,11 +711,11 @@ UNI_PRUNE_KEEP = 40
     tier=0,  # r7 self-rotation INTO the judged window: Kudo's pruning
     # statistic under full value-hash (this round's flagship algorithm)
     oracle=_unigram_vocab_cte(UNI_MAX_PIECE, UNI_VOCAB)
-    + _unigram_viterbi_layers(20, UNI_MAX_PIECE, UNI_SEG_WORDS)
-    + _unigram_masked_layers(20, UNI_MAX_PIECE)
+    + _unigram_viterbi_layers(UNI_MAX_WORD_LEN, UNI_MAX_PIECE, UNI_SEG_WORDS)
+    + _unigram_masked_layers(UNI_MAX_WORD_LEN, UNI_MAX_PIECE)
     + f""",
     base AS MATERIALIZED (
-      SELECT r.w, r.c FROM ({_unigram_result_union(20)}) r
+      SELECT r.w, r.c FROM ({_unigram_result_union(UNI_MAX_WORD_LEN)}) r
     ),
     mres AS MATERIALIZED (
       SELECT m.w, m.f, m.masked, m.c FROM ({_unigram_masked_union(20)}) m
@@ -785,11 +786,11 @@ def unigram_prune_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     "unigram_doc_token_counts",
     tier=1,  # unigram tokenizer surface (r6); the BPE accounting symmetry
     oracle=_unigram_vocab_cte(UNI_MAX_PIECE, UNI_VOCAB)
-    + _unigram_viterbi_layers(20, UNI_MAX_PIECE, None)
+    + _unigram_viterbi_layers(UNI_MAX_WORD_LEN, UNI_MAX_PIECE, None)
     + f""",
     seg AS MATERIALIZED (
       SELECT r.w, CAST(r.c % 1024 AS BIGINT) AS n_pieces
-      FROM ({_unigram_result_union(20)}) r
+      FROM ({_unigram_result_union(UNI_MAX_WORD_LEN)}) r
     ),
     dwords AS (
       SELECT doc_id, lang,
@@ -873,12 +874,12 @@ UNI_SURPRISAL_CENTIBITS = 760
     # value-hash — rotated into the judged window in place of
     # accidents_by_time (date-part machinery judged via star_dim_date)
     oracle=_unigram_vocab_cte(UNI_MAX_PIECE, UNI_VOCAB)
-    + _unigram_viterbi_layers(20, UNI_MAX_PIECE, None)
+    + _unigram_viterbi_layers(UNI_MAX_WORD_LEN, UNI_MAX_PIECE, None)
     + f""",
     seg AS MATERIALIZED (
       SELECT r.w, CAST(r.c // 1024 AS BIGINT) AS cost,
              CAST(r.c % 1024 AS BIGINT) AS n_pieces
-      FROM ({_unigram_result_union(20)}) r
+      FROM ({_unigram_result_union(UNI_MAX_WORD_LEN)}) r
     ),
     dwords AS (
       SELECT doc_id, lang,
