@@ -46,6 +46,23 @@ def test_fanout_converges_under_redelivery(spark, sf_dir, monkeypatch):
         assert got == want, f"{topic} diverged under redelivery"
 
 
+def test_parity_collect_refuses_high_cardinality(spark, monkeypatch):
+    """The parity baselines are driver-side row multisets, legal ONLY
+    because dashboards are dimension-bounded. _bounded_collect enforces
+    that contract (r8 VERDICT #6): a topic that grows a fact-sized key
+    must fail loudly BEFORE the collect, not OOM the driver."""
+    import pytest
+
+    from traffic_accidents_airflow_kafka_spark.plans import streaming_plans
+
+    monkeypatch.setattr(streaming_plans, "PARITY_COLLECT_CEILING", 50)
+    small = spark.range(50)  # at the ceiling: allowed
+    assert len(streaming_plans._bounded_collect(small, "ok_topic")) == 50
+    big = spark.range(51)  # one past: refused
+    with pytest.raises(ValueError, match="dimension-bounded"):
+        streaming_plans._bounded_collect(big, "runaway_topic")
+
+
 def test_bucketed_enrichment_no_exchange_on_orders_side(spark, sf_dir, tmp_path):
     """The SCALE.md promise at the fanout module head, made concrete:
     topic-3's per-batch lineitem-orders enrichment run against the

@@ -110,6 +110,10 @@ ARROW_OK = {
     # passes by design (imperative byte surgery).
     "multimodal_real_decode",
     "multimodal_audio_meta",
+    # FULL pixel decode (r9): encode + inflate/unfilter/palette-resolve
+    # are Arrow map passes by design — imperative byte surgery over the
+    # payload column, reduced to per-asset integer stats in the worker.
+    "multimodal_pixel_decode",
     "multimodal_embed_ann",
     "embedding_ivf_ann",
     # Same lattice assignment Arrow pass, frozen-index incremental form.

@@ -15,15 +15,19 @@ The Spark-side contract for image/audio/video at 100 TB:
   executor memory, and repartition by a content-hash prefix for even
   batch sizes before the Python stage.
 
-Decode depth (r6): ``decode_image_meta`` is a REAL pure-Python header
-parser — it reads true (width, height) from genuine PNG / BMP / GIF /
-JPEG bytes (stdlib ``struct``/``zlib`` only; no imaging library), and
-``encode_png`` / ``encode_bmp`` synthesize genuine, spec-valid files
-(correct CRC32s, zlib IDAT, padded bottom-up BMP rows) so the catalog
-runs real bytes through the real parser end-to-end. Only FULL pixel
-decode (``decode_image_pixels``) remains a ``NotImplementedError`` hook
-for an imaging library; ``fake_decode_meta`` stays as the deterministic
-stand-in for plumbing tests that predate the real parser.
+Decode depth (r6 headers, r9 pixels): ``decode_image_meta`` is a REAL
+pure-Python header parser — it reads true (width, height) from genuine
+PNG / BMP / GIF / JPEG bytes — and ``decode_image_pixels`` is a REAL
+pure-stdlib FULL pixel decoder: PNG IDAT inflates via ``zlib`` with all
+five scanline filters reversed (None/Sub/Up/Average/Paeth), BMP 8-bit
+indices resolve through the file's own palette and bottom-up rows flip
+to canonical top-down RGB. ``encode_png`` / ``encode_bmp`` synthesize
+genuine, spec-valid files (correct CRC32s, zlib IDAT — optionally with
+varied per-row filters — padded bottom-up BMP rows) so the catalog runs
+real bytes through the real decoders end-to-end. Entropy-coded formats
+(JPEG/GIF pixels) stay behind an imaging library by constraint;
+``fake_decode_meta`` stays as the deterministic stand-in for plumbing
+tests that predate the real parser.
 """
 
 from __future__ import annotations
@@ -37,6 +41,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
     BinaryType,
+    BooleanType,
     IntegerType,
     LongType,
     StringType,
@@ -178,15 +183,159 @@ def encode_wav(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def decode_image_pixels(payload: bytes):
-    """FULL pixel decode — the one remaining imaging-library hook. Swap
-    in ``PIL.Image.open(io.BytesIO(payload))`` (or cv2.imdecode) when
-    available; header-level metadata needs :func:`decode_image_meta`,
-    which is real and dependency-free."""
-    raise NotImplementedError(
-        "full pixel decoding requires an imaging library; "
-        "decode_image_meta parses real headers without one"
-    )
+def _paeth(a: int, b: int, c: int) -> int:
+    """The PNG Paeth predictor (spec §9.4): pick whichever of left (a),
+    up (b), up-left (c) is closest to a + b - c, ties a > b > c."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _png_unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytearray:
+    """Reverse PNG scanline filtering (all five types — None/Sub/Up/
+    Average/Paeth) over the inflated IDAT stream. ``bpp`` is bytes per
+    pixel (1 = grayscale, 3 = RGB). Returns the top-down raster."""
+    stride = width * bpp
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG IDAT length mismatch after inflate")
+    out = bytearray(stride * height)
+    prev_off = -stride
+    for r in range(height):
+        f = raw[r * (stride + 1)]
+        line = raw[r * (stride + 1) + 1 : (r + 1) * (stride + 1)]
+        off = r * stride
+        if f == 0:  # None
+            out[off : off + stride] = line
+        elif f == 1:  # Sub: + left pixel's same byte
+            for i in range(stride):
+                left = out[off + i - bpp] if i >= bpp else 0
+                out[off + i] = (line[i] + left) & 0xFF
+        elif f == 2:  # Up: + same byte one row up
+            for i in range(stride):
+                up = out[prev_off + i] if r else 0
+                out[off + i] = (line[i] + up) & 0xFF
+        elif f == 3:  # Average: + floor((left + up) / 2)
+            for i in range(stride):
+                left = out[off + i - bpp] if i >= bpp else 0
+                up = out[prev_off + i] if r else 0
+                out[off + i] = (line[i] + ((left + up) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                left = out[off + i - bpp] if i >= bpp else 0
+                up = out[prev_off + i] if r else 0
+                ul = out[prev_off + i - bpp] if (r and i >= bpp) else 0
+                out[off + i] = (line[i] + _paeth(left, up, ul)) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        prev_off = off
+    return out
+
+
+def decode_image_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
+    """FULL pixel decode, pure stdlib (``struct`` + ``zlib``) — returns
+    ``(width, height, 3, rgb)`` where ``rgb`` is the canonical top-down
+    interleaved 8-bit RGB raster (``width * height * 3`` bytes).
+
+    Formats:
+
+    - **PNG**: non-interlaced, bit depth 8, color types 0 (grayscale →
+      replicated to RGB) and 2 (truecolor RGB). The IDAT stream inflates
+      via stdlib ``zlib`` and ALL FIVE scanline filters (None/Sub/Up/
+      Average/Paeth) are reversed — exercised for real because
+      :func:`encode_png` can emit varied per-row filters.
+    - **BMP**: BITMAPINFOHEADER, uncompressed, 8-bit palettized (indices
+      resolve through the file's own BGRX palette) and 24-bit BGR; rows
+      un-pad from 4-byte alignment and bottom-up rasters (positive
+      height) flip to the canonical top-down order; a negative height
+      (top-down DIB) reads straight through.
+
+    Raises ``ValueError`` on anything else (interlaced/16-bit/paletted
+    PNG, RLE/16-bit BMP, GIF, JPEG — entropy-coded formats stay behind
+    an imaging library). Same corrupt-asset contract as
+    :func:`decode_image_meta`: the caller counts failures.
+    """
+    import struct
+    import zlib
+
+    if payload.startswith(b"\x89PNG\r\n\x1a\n"):
+        w = h = depth = ctype = interlace = None
+        idat = bytearray()
+        i = 8
+        while i + 8 <= len(payload):
+            (clen,) = struct.unpack(">I", payload[i : i + 4])
+            typ = payload[i + 4 : i + 8]
+            data = payload[i + 8 : i + 8 + clen]
+            if typ == b"IHDR":
+                w, h, depth, ctype, _, _, interlace = struct.unpack(
+                    ">IIBBBBB", data
+                )
+            elif typ == b"IDAT":
+                idat += data
+            elif typ == b"IEND":
+                break
+            i += 12 + clen  # len + type + data + crc
+        if w is None or not idat:
+            raise ValueError("truncated PNG: missing IHDR/IDAT")
+        if depth != 8 or interlace != 0 or ctype not in (0, 2):
+            raise ValueError(
+                f"unsupported PNG (depth={depth} color={ctype} "
+                f"interlace={interlace}); only 8-bit gray/RGB progressive"
+            )
+        bpp = 1 if ctype == 0 else 3
+        px = _png_unfilter(zlib.decompress(bytes(idat)), w, h, bpp)
+        if bpp == 1:  # canonicalize grayscale to RGB
+            rgb = bytearray(w * h * 3)
+            rgb[0::3] = px
+            rgb[1::3] = px
+            rgb[2::3] = px
+            return int(w), int(h), 3, bytes(rgb)
+        return int(w), int(h), 3, bytes(px)
+
+    if payload[:2] == b"BM":
+        (off,) = struct.unpack("<I", payload[10:14])
+        (hdr_size,) = struct.unpack("<I", payload[14:18])
+        if hdr_size < 40:
+            raise ValueError("BMP: only BITMAPINFOHEADER supported")
+        w, h_signed = struct.unpack("<ii", payload[18:26])
+        planes, bpp_bits, compression = struct.unpack("<HHI", payload[26:34])
+        if compression != 0 or bpp_bits not in (8, 24):
+            raise ValueError(
+                f"unsupported BMP (bpp={bpp_bits} compression={compression})"
+            )
+        h = abs(h_signed)
+        top_down = h_signed < 0
+        nbytes = bpp_bits // 8
+        stride = (w * nbytes + 3) & ~3
+        rgb = bytearray(w * h * 3)
+        if bpp_bits == 8:
+            (n_colors,) = struct.unpack("<I", payload[46:50])
+            n_colors = n_colors or 256
+            pal_off = 14 + hdr_size
+            palette = payload[pal_off : pal_off + 4 * n_colors]
+            if len(palette) < 4 * n_colors:
+                raise ValueError("truncated BMP palette")
+        for r in range(h):
+            src_r = r if top_down else h - 1 - r
+            row = payload[off + src_r * stride : off + src_r * stride + w * nbytes]
+            if len(row) < w * nbytes:
+                raise ValueError("truncated BMP pixel data")
+            o = r * w * 3
+            if bpp_bits == 8:
+                for x in range(w):
+                    p = row[x] * 4  # palette entries are B,G,R,X
+                    rgb[o + 3 * x] = palette[p + 2]
+                    rgb[o + 3 * x + 1] = palette[p + 1]
+                    rgb[o + 3 * x + 2] = palette[p]
+            else:  # 24-bit BGR
+                for x in range(w):
+                    rgb[o + 3 * x] = row[3 * x + 2]
+                    rgb[o + 3 * x + 1] = row[3 * x + 1]
+                    rgb[o + 3 * x + 2] = row[3 * x]
+        return int(w), int(h), 3, bytes(rgb)
+
+    raise ValueError("unrecognized image payload (pixel decode: PNG/BMP)")
 
 
 def _tile(pixels: bytes, need: int) -> bytes:
@@ -200,13 +349,23 @@ def _tile(pixels: bytes, need: int) -> bytes:
     return (pixels * reps)[:need]
 
 
-def encode_png(width: int, height: int, pixels: bytes = b"") -> bytes:
+def encode_png(
+    width: int, height: int, pixels: bytes = b"", filters: str = "none"
+) -> bytes:
     """A genuine, spec-valid 8-bit grayscale PNG: signature, IHDR, one
-    zlib-compressed IDAT of filter-0 scanlines, IEND — correct chunk
-    CRC32s throughout (stdlib ``zlib`` only). ``pixels`` tiles across
-    the ``width*height`` raster."""
+    zlib-compressed IDAT, IEND — correct chunk CRC32s throughout (stdlib
+    ``zlib`` only). ``pixels`` tiles across the ``width*height`` raster.
+
+    ``filters="none"`` emits filter-0 scanlines; ``filters="varied"``
+    forward-filters row ``r`` with type ``r % 5`` (None/Sub/Up/Average/
+    Paeth in rotation) — a decoder must implement the FULL filter suite
+    to read it back, which is exactly what the pixel-decode catalog
+    entry uses to prove :func:`decode_image_pixels` against SQL."""
     import struct
     import zlib
+
+    if filters not in ("none", "varied"):
+        raise ValueError(f"filters must be 'none' or 'varied', got {filters!r}")
 
     def chunk(typ: bytes, data: bytes) -> bytes:
         return (
@@ -217,9 +376,48 @@ def encode_png(width: int, height: int, pixels: bytes = b"") -> bytes:
         )
 
     px = _tile(pixels, width * height)
-    raw = b"".join(
-        b"\x00" + px[r * width : (r + 1) * width] for r in range(height)
-    )
+    if filters == "none":
+        raw = b"".join(
+            b"\x00" + px[r * width : (r + 1) * width] for r in range(height)
+        )
+    else:
+        rows = []
+        for r in range(height):
+            f = r % 5
+            line = px[r * width : (r + 1) * width]
+            prev = px[(r - 1) * width : r * width] if r else b"\x00" * width
+            if f == 0:
+                filt = line
+            elif f == 1:  # Sub
+                filt = bytes(
+                    (line[i] - (line[i - 1] if i else 0)) & 0xFF
+                    for i in range(width)
+                )
+            elif f == 2:  # Up
+                filt = bytes(
+                    (line[i] - prev[i]) & 0xFF for i in range(width)
+                )
+            elif f == 3:  # Average
+                filt = bytes(
+                    (line[i] - (((line[i - 1] if i else 0) + prev[i]) >> 1))
+                    & 0xFF
+                    for i in range(width)
+                )
+            else:  # Paeth
+                filt = bytes(
+                    (
+                        line[i]
+                        - _paeth(
+                            line[i - 1] if i else 0,
+                            prev[i],
+                            prev[i - 1] if i else 0,
+                        )
+                    )
+                    & 0xFF
+                    for i in range(width)
+                )
+            rows.append(bytes([f]) + filt)
+        raw = b"".join(rows)
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
     return (
         b"\x89PNG\r\n\x1a\n"
@@ -372,6 +570,121 @@ def synth_image_assets(documents: DataFrame) -> DataFrame:
     return documents.select("doc_id", "text").mapInPandas(
         batches, ASSET_SCHEMA
     )
+
+
+#: Pixel-pattern constants for the PIXEL-decode entry: the tile template
+#: is ``PX_SRC_LEN`` bytes of pure doc_id arithmetic, so the decoded
+#: raster value at position j is ``(doc_id*31 + (j % PX_SRC_LEN)*7) %
+#: 251`` — exactly replayable in SQL (unlike text bytes, which would
+#: need byte-level UTF-8 access on the oracle side). 97 and 251 are
+#: prime so the template neither divides typical raster sizes nor
+#: aliases the modulus.
+PX_SRC_LEN = 97
+PX_MOD = 251
+
+
+def _arith_pixels(doc_id: int) -> bytes:
+    """The doc_id-arithmetic tile template shared with the oracle SQL."""
+    return bytes((doc_id * 31 + k * 7) % PX_MOD for k in range(PX_SRC_LEN))
+
+
+#: Output schema of the full pixel-decode statistics stage.
+PIXEL_STATS_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("mime", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("n_px", IntegerType(), True),
+        StructField("px_sum", LongType(), True),
+        StructField("px_min", IntegerType(), True),
+        StructField("px_max", IntegerType(), True),
+        StructField("px_first", IntegerType(), True),
+        StructField("px_last", IntegerType(), True),
+        StructField("rgb_equal", BooleanType(), True),
+    ]
+)
+
+
+def synth_image_assets_arith(documents: DataFrame) -> DataFrame:
+    """Image assets for the PIXEL-decode proof: same dimension/format
+    arithmetic as :func:`synth_image_assets` (width = 16 + doc_id % 48,
+    height = 16 + (doc_id*7) % 32, even → PNG, odd → BMP) but the pixel
+    source is :func:`_arith_pixels` — pure doc_id arithmetic — and the
+    PNGs are encoded with VARIED per-row filters, so reading the raster
+    back requires the full None/Sub/Up/Average/Paeth unfilter suite.
+    The decoded pixel at raster position j is then
+    ``(doc_id*31 + (j % 97)*7) % 251`` on both engines."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, mimes, payloads = [], [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w = 16 + did % 48
+                h = 16 + (did * 7) % 32
+                px = _arith_pixels(did)
+                if did % 2 == 0:
+                    mimes.append("image/png")
+                    payloads.append(encode_png(w, h, px, filters="varied"))
+                else:
+                    mimes.append("image/bmp")
+                    payloads.append(encode_bmp(w, h, px))
+                ids.append(did)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(ids, dtype="int64"),
+                    "mime": mimes,
+                    "payload": payloads,
+                }
+            )
+
+    return documents.select("doc_id").mapInPandas(batches, ASSET_SCHEMA)
+
+
+def extract_pixel_stats(assets: DataFrame) -> DataFrame:
+    """Arrow-batched FULL pixel decode → exact integer raster statistics
+    per asset, all SQL-replayable: pixel count, red-channel sum/min/max,
+    the first and last raster pixels (these pin the TOP-DOWN row order —
+    a decoder that forgets to flip a bottom-up BMP gets px_first from
+    the wrong row), and whether every pixel has R=G=B (pins the BMP
+    palette resolve and the PNG grayscale→RGB canonicalization).
+
+    Scale: same contract as :func:`extract_asset_meta` — one Python
+    worker per partition, whole-column Arrow batches, payload bytes
+    never shuffle (stats are a few ints per asset)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in (
+                "asset_id", "mime", "width", "height", "n_px", "px_sum",
+                "px_min", "px_max", "px_first", "px_last", "rgb_equal",
+            )}
+            for aid, mime, p in zip(
+                pdf["asset_id"], pdf["mime"], pdf["payload"]
+            ):
+                w, h, _, rgb = decode_image_pixels(bytes(p))
+                arr = np.frombuffer(rgb, dtype=np.uint8).reshape(-1, 3)
+                red = arr[:, 0]
+                rows["asset_id"].append(int(aid))
+                rows["mime"].append(mime)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_px"].append(w * h)
+                rows["px_sum"].append(int(red.sum(dtype=np.int64)))
+                rows["px_min"].append(int(red.min()))
+                rows["px_max"].append(int(red.max()))
+                rows["px_first"].append(int(red[0]))
+                rows["px_last"].append(int(red[-1]))
+                rows["rgb_equal"].append(
+                    bool(
+                        (arr[:, 0] == arr[:, 1]).all()
+                        and (arr[:, 1] == arr[:, 2]).all()
+                    )
+                )
+            yield pd.DataFrame(rows)
+
+    return assets.mapInPandas(batches, PIXEL_STATS_SCHEMA)
 
 
 #: Sample-rate vocabulary for the synthetic audio assets (doc_id % 4

@@ -393,7 +393,7 @@ def train_ivf_centroids(
     rng = np.random.default_rng(seed)
     cent = X[rng.choice(len(X), size=n_centroids, replace=False)].copy()
     for _ in range(5):
-        d2 = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        d2 = _float_d2_chunked(X, cent)
         labels = d2.argmin(axis=1)
         for c in range(n_centroids):
             members = X[labels == c]
@@ -402,6 +402,25 @@ def train_ivf_centroids(
     centroids = [(i, [float(x) for x in c]) for i, c in enumerate(cent)]
     _IVF_CENTROID_CACHE[cache_key] = centroids
     return centroids
+
+
+def _float_d2_chunked(
+    X: "np.ndarray", cent: "np.ndarray", chunk: int = 8192
+) -> "np.ndarray":
+    """Float squared distances (n, k), row-chunked: identical float ops
+    (and therefore bit-identical results) to the broadcast
+    (n, k, d) difference tensor, but peak memory is O(chunk*k*d) instead
+    of O(n*k*d) — the r8 advisory's memory bound, applied to the float
+    trainers without touching their arithmetic (the expanded |x|^2 -
+    2x.c + |c|^2 form would round differently in float; the lattice tier
+    uses it because int64 is exact — see _lattice_d2)."""
+    out = np.empty((len(X), len(cent)), dtype=np.float64)
+    for i in range(0, len(X), chunk):
+        blk = X[i : i + chunk]
+        out[i : i + chunk] = (
+            (blk[:, None, :] - cent[None, :, :]) ** 2
+        ).sum(axis=2)
+    return out
 
 
 def ivf_assign(
@@ -991,7 +1010,7 @@ def ivf_pq_build_index(
     rng = np.random.default_rng(seed)
     cent_mat = X[rng.choice(len(X), size=n_centroids, replace=False)].copy()
     for _ in range(5):
-        d2 = ((X[:, None, :] - cent_mat[None, :, :]) ** 2).sum(axis=2)
+        d2 = _float_d2_chunked(X, cent_mat)
         labels = d2.argmin(axis=1)
         for c in range(n_centroids):
             members = X[labels == c]
@@ -999,7 +1018,7 @@ def ivf_pq_build_index(
                 cent_mat[c] = members.mean(axis=0)
 
     # PQ codebooks on RESIDUALS of the training sample.
-    resid = X - cent_mat[((X[:, None, :] - cent_mat[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)]
+    resid = X - cent_mat[_float_d2_chunked(X, cent_mat).argmin(axis=1)]
     books = _pq_train(resid, m, n_codes, seed)
 
     enc_schema = StructType(
@@ -1384,13 +1403,20 @@ def pq_rerank_topk(
     cand = vectors.select(
         F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec")
     ).withColumn("nnorm", vector_norm("nvec"))
+    denom = F.col("qnorm") * F.col("nnorm")
     rescored = (
         shortlist.join(F.broadcast(q), "qid")
         .join(cand, "nid")
         .withColumn(
             "cosine",
-            _dot_double(F.col("qvec"), F.col("nvec"))
-            / (F.col("qnorm") * F.col("nnorm")),
+            # Zero-norm sentinel (-2.0, the NaN-free cross-engine form
+            # the rest of the cosine family uses): Spark would yield
+            # NULL here but DuckDB inf/NaN — the same latent divergence
+            # the r7 advisory fixed in semantic_contamination.
+            F.when(
+                denom > 0,
+                _dot_double(F.col("qvec"), F.col("nvec")) / denom,
+            ).otherwise(F.lit(-2.0)),
         )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
@@ -1798,6 +1824,20 @@ def collect_lattice_sample(
     return lattice_quantize_np(X)
 
 
+def _lattice_d2(X: "np.ndarray", cent: "np.ndarray") -> "np.ndarray":
+    """Exact int64 squared distances (n, k) via the expanded form
+    |x|^2 - 2 x·c + |c|^2 — an integer matmul instead of the broadcast
+    (n, k, d) difference tensor, so peak memory is O(n*k) not O(n*k*d)
+    (r8 advisory: at the 100k sample cap with k=16, d=64 the tensor was
+    ~820 MB per Lloyd iteration). Every term is int64 and bounded —
+    lattice coords < 2^22, so |x|^2 sums < 2^48*d — far inside int64;
+    the RESULT is the bit-identical integer the direct form computes,
+    so argmin tie-breaks (first minimum) are unchanged."""
+    x2 = (X * X).sum(axis=1, dtype=np.int64)
+    c2 = (cent * cent).sum(axis=1, dtype=np.int64)
+    return x2[:, None] - 2 * (X @ cent.T) + c2[None, :]
+
+
 def train_lattice_kmeans(
     Xq: "np.ndarray", k: int, iters: int = LATTICE_ITERS
 ) -> "np.ndarray":
@@ -1819,7 +1859,7 @@ def train_lattice_kmeans(
     stride = max(n // k, 1)
     cent = Xq[[(c * stride) % n for c in range(k)]].copy()
     for _ in range(iters):
-        d2 = ((Xq[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        d2 = _lattice_d2(Xq, cent)
         labels = d2.argmin(axis=1)
         for c in range(k):
             members = Xq[labels == c]
@@ -1858,7 +1898,7 @@ def lattice_cell_assign(
             X = lattice_quantize_np(
                 np.array(pdf[vec_col].tolist(), dtype=np.float64)
             )
-            d2 = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            d2 = _lattice_d2(X, cent)
             if n_probe == 1:
                 # Branch on n_probe (the schema decision), NOT nb: a
                 # 1-cell index asked for n_probe > 1 must still emit
@@ -2173,7 +2213,7 @@ def ivf_pq_exact_index(
         raise ValueError(f"dim {d} not divisible by m={m}")
     sub = d // m
     cent = train_lattice_kmeans(Xq, n_centroids, iters)
-    d2s = ((Xq[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    d2s = _lattice_d2(Xq, cent)
     resid = Xq - cent[d2s.argmin(axis=1)] + LATTICE_OFFSET
     books = np.stack(
         [
@@ -2199,13 +2239,13 @@ def ivf_pq_exact_index(
             Xb = lattice_quantize_np(
                 np.array(pdf[vec_col].tolist(), dtype=np.float64)
             )
-            d2 = ((Xb[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            d2 = _lattice_d2(Xb, cent)
             cells = d2.argmin(axis=1)
             R = Xb - cent[cells] + LATTICE_OFFSET
             recon_q = np.empty_like(Xb)
             for j in range(m):
                 Rj = R[:, j * sub : (j + 1) * sub]
-                dj = ((Rj[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+                dj = _lattice_d2(Rj, books[j])
                 cj = dj.argmin(axis=1)
                 recon_q[:, j * sub : (j + 1) * sub] = (
                     books[j][cj] - LATTICE_OFFSET
@@ -2407,7 +2447,7 @@ def lattice_elbow(
             )
             rows = []
             for k in ks:
-                d2 = ((X[:, None, :] - cents[k][None, :, :]) ** 2).sum(axis=2)
+                d2 = _lattice_d2(X, cents[k])
                 rows.append((k, len(X), int(d2.min(axis=1).sum())))
             yield pd.DataFrame(
                 rows, columns=["k", "n_part", "inertia_part"]
