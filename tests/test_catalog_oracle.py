@@ -29,8 +29,18 @@ def test_query_matches_oracle(spark, sf_dir, duck, name):
     assert_frames_match(spark_pdf, oracle_pdf, name)
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
+# Empty since r9 (every entry carries an oracle: the float-PageRank slot
+# moved to its fixed-point twin). The smoke test stays armed: if a
+# rows-only entry ever returns, it runs again automatically; until then
+# the sentinel param records WHY it skips instead of pytest's bare
+# "empty parameter set" message.
+@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES or [None])
 def test_rows_only_query_runs(spark, sf_dir, name):
+    if name is None:
+        pytest.skip(
+            "catalog has ZERO rows-only entries (205/205 oracled since "
+            "r9) — this smoke gate re-arms if one is ever registered"
+        )
     # The driver's smoke gate requires rows > 0; deeper semantics for each
     # rows-only query live in its dedicated test (planted-duplicate
     # fixtures, ANN recall, sketch error bounds, multimodal plumbing).

@@ -351,9 +351,13 @@ def test_extract_meta_quarantine_mode(spark):
         multimodal.extract_asset_meta(assets, on_error="quarantine")
 
 
-def test_full_pixel_decode_remains_stubbed():
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image_pixels(multimodal.encode_png(4, 4))
+def test_full_pixel_decode_is_real():
+    """r9 flipped the former stub: decode_image_pixels now REALLY decodes
+    (see test_decode_image_pixels_full_roundtrip for the deep checks) —
+    this smoke pin guards against it ever regressing to a stub."""
+    w, h, c, rgb = multimodal.decode_image_pixels(multimodal.encode_png(4, 4))
+    assert (w, h, c) == (4, 4, 3)
+    assert rgb == b"\x00" * 48  # empty pixel source tiles to zeros
 
 
 def test_synth_assets_real_decode_roundtrip(docs):

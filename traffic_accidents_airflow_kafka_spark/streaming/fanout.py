@@ -212,6 +212,11 @@ def run_topics_fanout(
             "fanout-orders-bucketed",
             lambda: prepare_bucketed_orders(spark, sf_dir),
         )
+        # The memo can outlive the table (a test or operator may DROP it
+        # mid-session); trust the catalog, not the memo, before wiring
+        # the drain to it.
+        if not spark.catalog.tableExists(bucketed_orders_table(sf_dir)):
+            prepare_bucketed_orders(spark, sf_dir)
         orders_static = None  # bucketed path active
     except Exception:  # pragma: no cover — warehouse-unwritable fallback
         orders_static = load_table(spark, sf_dir, "orders").select(
