@@ -133,10 +133,30 @@ def prepare_bucketed_orders(
     rest saved bucketBy+sortBy o_orderkey (sources/sinks.py:
     save_bucketed) — pay the bucketing shuffle once at write, skip the
     at-rest side's exchange on every micro-batch join after. Returns
-    the (sf-scoped) table name."""
+    the (sf-scoped) table name.
+
+    Orphaned-location hygiene: the managed table's warehouse directory
+    outlives the session, but a FRESH session's catalog does not know
+    the table — ``saveAsTable`` then refuses with
+    LOCATION_ALREADY_EXISTS even in overwrite mode (found in round 9:
+    the bench session silently fell back to the broadcast path after a
+    pytest session had left the directory behind). Drop any stale
+    catalog entry AND remove the orphaned location before writing."""
+    from urllib.parse import urlparse
+
     from ..sources.sinks import save_bucketed
 
     table = bucketed_orders_table(sf_dir)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    )
+    parsed = urlparse(warehouse)
+    wpath = parsed.path if parsed.scheme in ("file", "") else None
+    if wpath:
+        loc = os.path.join(wpath, table.lower())
+        if os.path.exists(loc):
+            shutil.rmtree(loc, ignore_errors=True)
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority"
     )
@@ -218,7 +238,17 @@ def run_topics_fanout(
         if not spark.catalog.tableExists(bucketed_orders_table(sf_dir)):
             prepare_bucketed_orders(spark, sf_dir)
         orders_static = None  # bucketed path active
-    except Exception:  # pragma: no cover — warehouse-unwritable fallback
+    except Exception as exc:  # pragma: no cover — warehouse-unwritable
+        # LOUD fallback (r9: a silent one masked an orphaned-location
+        # build failure through an entire bench run): correctness is
+        # unaffected, but the scale posture changed — say so.
+        import sys
+
+        print(
+            f"[fanout] bucketed orders build failed ({exc}); "
+            "falling back to the broadcast join for topic 3",
+            file=sys.stderr,
+        )
         orders_static = load_table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_orderpriority"
         )
