@@ -268,9 +268,50 @@ def test_decode_image_pixels_full_roundtrip():
     sixteen[24] = 16  # IHDR bit depth
     rle_bmp = bytearray(multimodal.encode_bmp(4, 4, px))
     rle_bmp[30:34] = struct.pack("<I", 1)  # BI_RLE8
-    for bad in (bytes(interlaced), bytes(sixteen), bytes(rle_bmp), b"GIF89a" + b"\x00" * 8):
+    # Corrupt bytes INSIDE a recognized format surface as ValueError too
+    # (the documented single-exception contract): damaged IDAT would be
+    # zlib.error raw, a truncated BMP header struct.error.
+    bad_idat = bytearray(good)
+    bad_idat[41] ^= 0xFF  # flip a byte inside the deflate stream
+    short_bmp = multimodal.encode_bmp(4, 4, px)[:20]
+    for bad in (
+        bytes(interlaced),
+        bytes(sixteen),
+        bytes(rle_bmp),
+        b"GIF89a" + b"\x00" * 8,
+        bytes(bad_idat),
+        short_bmp,
+    ):
         with pytest.raises(ValueError):
             multimodal.decode_image_pixels(bad)
+
+
+def test_extract_pixel_stats_quarantine_mode(spark):
+    """on_error='null': one corrupt payload among good ones flags a row
+    (NULL stats + decode_error) instead of failing the stage; the
+    default raise mode fails loudly."""
+    px = bytes(range(32))
+    rows = [
+        (1, "image/png", multimodal.encode_png(6, 5, px, filters="varied")),
+        (2, "image/bmp", multimodal.encode_bmp(7, 3, px)),
+        (3, "image/png", b"\x89PNG\r\n\x1a\nbroken"),
+    ]
+    assets = spark.createDataFrame(rows, multimodal.ASSET_SCHEMA)
+    out = {
+        r["asset_id"]: r
+        for r in multimodal.extract_pixel_stats(
+            assets, on_error="null"
+        ).collect()
+    }
+    assert out[1]["decode_error"] is None and out[1]["n_px"] == 30
+    assert out[2]["decode_error"] is None and out[2]["n_px"] == 21
+    assert out[3]["decode_error"] is not None and out[3]["n_px"] is None
+    tiled = multimodal._tile(px, 30)
+    assert out[1]["px_first"] == tiled[0] and out[1]["px_last"] == tiled[-1]
+    with pytest.raises(Exception):  # noqa: B017 — surfaces as Py4J error
+        multimodal.extract_pixel_stats(assets).collect()
+    with pytest.raises(ValueError, match="on_error"):
+        multimodal.extract_pixel_stats(assets, on_error="quarantine")
 
 
 def test_decode_audio_meta_parses_real_wav():

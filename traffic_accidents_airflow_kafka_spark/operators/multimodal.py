@@ -253,9 +253,22 @@ def decode_image_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
 
     Raises ``ValueError`` on anything else (interlaced/16-bit/paletted
     PNG, RLE/16-bit BMP, GIF, JPEG — entropy-coded formats stay behind
-    an imaging library). Same corrupt-asset contract as
+    an imaging library) AND on corrupt bytes inside a recognized format
+    (truncated headers → ``struct.error``, damaged IDAT →
+    ``zlib.error`` — both converted so the contract is a single
+    exception type). Same corrupt-asset contract as
     :func:`decode_image_meta`: the caller counts failures.
     """
+    import struct
+    import zlib
+
+    try:
+        return _decode_image_pixels_raw(payload)
+    except (struct.error, zlib.error) as exc:
+        raise ValueError(f"corrupt image payload: {exc}") from exc
+
+
+def _decode_image_pixels_raw(payload: bytes) -> tuple[int, int, int, bytes]:
     import struct
     import zlib
 
@@ -642,7 +655,9 @@ def synth_image_assets_arith(documents: DataFrame) -> DataFrame:
     return documents.select("doc_id").mapInPandas(batches, ASSET_SCHEMA)
 
 
-def extract_pixel_stats(assets: DataFrame) -> DataFrame:
+def extract_pixel_stats(
+    assets: DataFrame, on_error: str = "raise"
+) -> DataFrame:
     """Arrow-batched FULL pixel decode → exact integer raster statistics
     per asset, all SQL-replayable: pixel count, red-channel sum/min/max,
     the first and last raster pixels (these pin the TOP-DOWN row order —
@@ -650,24 +665,47 @@ def extract_pixel_stats(assets: DataFrame) -> DataFrame:
     the wrong row), and whether every pixel has R=G=B (pins the BMP
     palette resolve and the PNG grayscale→RGB canonicalization).
 
-    Scale: same contract as :func:`extract_asset_meta` — one Python
-    worker per partition, whole-column Arrow batches, payload bytes
-    never shuffle (stats are a few ints per asset)."""
+    ``on_error``: same contract as :func:`extract_asset_meta` —
+    ``"raise"`` (default; synthetic/trusted inputs, a decode error IS a
+    bug) or ``"null"`` (production quarantine: NULL stats + the error
+    text in ``decode_error``, so one corrupt file among billions flags
+    a row instead of killing the job).
+
+    Scale: one Python worker per partition, whole-column Arrow batches,
+    payload bytes never shuffle (stats are a few ints per asset)."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
+    quarantine = on_error == "null"
+    stat_cols = (
+        "width", "height", "n_px", "px_sum",
+        "px_min", "px_max", "px_first", "px_last", "rgb_equal",
+    )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rows = {k: [] for k in (
-                "asset_id", "mime", "width", "height", "n_px", "px_sum",
-                "px_min", "px_max", "px_first", "px_last", "rgb_equal",
-            )}
+            rows = {k: [] for k in ("asset_id", "mime", *stat_cols)}
+            errs = []
             for aid, mime, p in zip(
                 pdf["asset_id"], pdf["mime"], pdf["payload"]
             ):
-                w, h, _, rgb = decode_image_pixels(bytes(p))
-                arr = np.frombuffer(rgb, dtype=np.uint8).reshape(-1, 3)
-                red = arr[:, 0]
                 rows["asset_id"].append(int(aid))
                 rows["mime"].append(mime)
+                try:
+                    if p is None:
+                        raise ValueError("null payload")
+                    w, h, _, rgb = decode_image_pixels(bytes(p))
+                    if not rgb:
+                        raise ValueError("empty raster (zero pixels)")
+                except ValueError as exc:
+                    if not quarantine:
+                        raise
+                    for k in stat_cols:
+                        rows[k].append(None)
+                    errs.append(f"{type(exc).__name__}: {exc}"[:200])
+                    continue
+                errs.append(None)
+                arr = np.frombuffer(rgb, dtype=np.uint8).reshape(-1, 3)
+                red = arr[:, 0]
                 rows["width"].append(w)
                 rows["height"].append(h)
                 rows["n_px"].append(w * h)
@@ -682,8 +720,16 @@ def extract_pixel_stats(assets: DataFrame) -> DataFrame:
                         and (arr[:, 1] == arr[:, 2]).all()
                     )
                 )
+            if quarantine:
+                rows["decode_error"] = errs
             yield pd.DataFrame(rows)
 
+    if quarantine:
+        schema = StructType(
+            list(PIXEL_STATS_SCHEMA.fields)
+            + [StructField("decode_error", StringType(), True)]
+        )
+        return assets.mapInPandas(batches, schema)
     return assets.mapInPandas(batches, PIXEL_STATS_SCHEMA)
 
 

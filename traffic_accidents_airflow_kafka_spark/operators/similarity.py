@@ -637,12 +637,19 @@ def lsh_ann_topk(
     b = bucketed.select(
         F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec"), "bucket"
     ).withColumn("nnorm", vector_norm("nvec"))
+    lsh_denom = F.col("qnorm") * F.col("nnorm")
     sim = (
         a.join(b, "bucket")
         .filter(F.col("qid") != F.col("nid"))
         .withColumn(
             "cosine",
-            _dot_double(F.col("qvec"), F.col("nvec")) / (F.col("qnorm") * F.col("nnorm")),
+            # Zero-norm sentinel on BOTH engines (oracle: _lsh_oracle's
+            # CASE guard) — the NaN-free cross-engine form the family
+            # standardized on in r7-r9.
+            F.when(
+                lsh_denom > 0,
+                _dot_double(F.col("qvec"), F.col("nvec")) / lsh_denom,
+            ).otherwise(F.lit(-2.0)),
         )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
@@ -711,12 +718,20 @@ def lsh_ann_topk_multiprobe(
     b = bucketed.select(
         F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec"), "bucket"
     ).withColumn("nnorm", vector_norm("nvec"))
+    mp_denom = F.col("qnorm") * F.col("nnorm")
     sim = (
         probes.join(b, "bucket")
         .filter(F.col("qid") != F.col("nid"))
         .withColumn(
             "cosine",
-            _dot_double(F.col("qvec"), F.col("nvec")) / (F.col("qnorm") * F.col("nnorm")),
+            # Zero-norm sentinel, matching the oracle's CASE guard (r9
+            # review: the oracle gained the guard first, which would
+            # have made the engines disagree in a NEW way on a zero
+            # vector — NULL in Spark vs -2.0 in DuckDB).
+            F.when(
+                mp_denom > 0,
+                _dot_double(F.col("qvec"), F.col("nvec")) / mp_denom,
+            ).otherwise(F.lit(-2.0)),
         )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))

@@ -404,7 +404,9 @@ def _lsh_oracle(n_planes: int = 6, dim: int = 64, seed: int = 7, k: int = 3) -> 
     ),
     sims AS (
       SELECT a.vec_id AS qid, b.vec_id AS nid, a.bucket,
-             {pair_dot} / (a.nrm * b.nrm) AS cosine
+             CASE WHEN a.nrm * b.nrm > 0
+                  THEN {pair_dot} / (a.nrm * b.nrm)
+                  ELSE -2.0 END AS cosine
       FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
     )
     SELECT qid, nid, rank, ROUND(cosine, 4) AS cosine, bucket FROM (

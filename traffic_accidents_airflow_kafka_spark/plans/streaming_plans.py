@@ -873,17 +873,20 @@ PARITY_COLLECT_CEILING = 100_000
 
 
 def _bounded_collect(df: DataFrame, name: str) -> list:
-    """Driver-side collect with the dimension-bounded contract enforced:
-    one count job first, refuse past :data:`PARITY_COLLECT_CEILING`."""
-    n = df.count()
-    if n > PARITY_COLLECT_CEILING:
+    """Driver-side collect with the dimension-bounded contract enforced
+    in ONE job: collect at most ceiling+1 rows — the limit hard-caps
+    driver memory at ceiling+1 rows even when the query would produce
+    billions (a count-then-collect order would both run the pipeline
+    twice and only refuse AFTER learning the count)."""
+    rows = df.limit(PARITY_COLLECT_CEILING + 1).collect()
+    if len(rows) > PARITY_COLLECT_CEILING:
         raise ValueError(
-            f"parity collect of topic {name!r} would pull {n} rows "
-            f"(> {PARITY_COLLECT_CEILING}) to the driver; dashboard "
-            "topics must stay dimension-bounded — check the topic's "
-            "group-by keys before raising the ceiling"
+            f"parity collect of topic {name!r} exceeds "
+            f"{PARITY_COLLECT_CEILING} rows; dashboard topics must stay "
+            "dimension-bounded — check the topic's group-by keys before "
+            "raising the ceiling"
         )
-    return df.collect()
+    return rows
 
 
 @register(

@@ -718,7 +718,7 @@ UNI_PRUNE_KEEP = 40
       SELECT r.w, r.c FROM ({_unigram_result_union(UNI_MAX_WORD_LEN)}) r
     ),
     mres AS MATERIALIZED (
-      SELECT m.w, m.f, m.masked, m.c FROM ({_unigram_masked_union(20)}) m
+      SELECT m.w, m.f, m.masked, m.c FROM ({_unigram_masked_union(UNI_MAX_WORD_LEN)}) m
     ),
     ploss AS (
       SELECT m.masked AS piece,

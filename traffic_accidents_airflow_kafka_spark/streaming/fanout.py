@@ -154,9 +154,18 @@ def prepare_bucketed_orders(
     parsed = urlparse(warehouse)
     wpath = parsed.path if parsed.scheme in ("file", "") else None
     if wpath:
-        loc = os.path.join(wpath, table.lower())
-        if os.path.exists(loc):
-            shutil.rmtree(loc, ignore_errors=True)
+        # Managed-table layouts: <warehouse>/<table> for the default
+        # database, <warehouse>/<db>.db/<table> otherwise — clear
+        # whichever orphan exists for the CURRENT database.
+        db = spark.catalog.currentDatabase()
+        cands = [os.path.join(wpath, table.lower())]
+        if db and db != "default":
+            cands.insert(
+                0, os.path.join(wpath, f"{db.lower()}.db", table.lower())
+            )
+        for loc in cands:
+            if os.path.exists(loc):
+                shutil.rmtree(loc, ignore_errors=True)
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority"
     )
