@@ -9,6 +9,8 @@ windowed plan serves the live stream and the backfill.
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -826,13 +828,36 @@ STREAM_ASSET_PATH = "/tmp/spark_graft_stream_assets"
 def stream_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import multimodal
     from ..sources.tables import load_table
+    from .llm import _artifact
 
-    docs = load_table(spark, sf_dir, "documents")
-    multimodal.synth_image_assets(docs).write.mode("overwrite").parquet(
-        STREAM_ASSET_PATH
-    )
+    # The landed drop directory is corpus PREP, not the streaming query —
+    # build it once per (session, sf_dir) like every other input artifact
+    # (r9; the cost is disclosed in bench's artifact_build_sec). Each run
+    # still re-streams every file from scratch (fresh availableNow
+    # checkpoint), so the timed number measures discovery + in-stream
+    # decode + the stateful aggregate — the path a deployment actually
+    # pays per drain.
+    import hashlib
+
+    # sf-scoped drop directory: the memo is keyed per (session, sf_dir),
+    # so the landed path must be too — a shared path would serve one
+    # scale's assets to another scale's stream after a cross-sf session
+    # (the fanout bucketed-table lesson, applied here).
+    digest = hashlib.sha256(
+        os.path.normpath(os.path.abspath(sf_dir)).encode()
+    ).hexdigest()[:8]
+    asset_path = f"{STREAM_ASSET_PATH}_{digest}"
+
+    def _land() -> str:
+        docs = load_table(spark, sf_dir, "documents")
+        multimodal.synth_image_assets(docs).write.mode("overwrite").parquet(
+            asset_path
+        )
+        return asset_path
+
+    _artifact(spark, sf_dir, "stream-image-assets", _land)
     assets = spark.readStream.schema(multimodal.ASSET_SCHEMA).parquet(
-        STREAM_ASSET_PATH
+        asset_path
     )
     meta = multimodal.extract_asset_meta(
         assets, decode=multimodal.decode_image_meta
