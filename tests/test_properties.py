@@ -484,3 +484,33 @@ def test_versioned_cdc_merge_matches_python_lww(spark, changes, rnd):
         for r in current_state(state, "op").collect()
     }
     assert got == want
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=16),
+    pixels=st.binary(min_size=0, max_size=96),
+)
+def test_pixel_codec_roundtrip_property(w, h, pixels):
+    """r9 full pixel decode, property-tested without Spark: for ANY
+    dimensions and ANY pixel source, encode (PNG filter-0, PNG with the
+    varied per-row filter rotation, bottom-up palettized BMP) → decode
+    reproduces exactly the tiled raster, replicated to canonical RGB —
+    the algebraic inverse relation the planted round-trip test checks at
+    fixed sizes. Exercises every PNG filter type (h >= 5 rotates through
+    all five), BMP 4-byte row padding (w % 4 != 0), and the empty pixel
+    source (zero-fill)."""
+    from traffic_accidents_airflow_kafka_spark.operators import multimodal
+
+    tiled = multimodal._tile(pixels, w * h)
+    for payload in (
+        multimodal.encode_png(w, h, pixels),
+        multimodal.encode_png(w, h, pixels, filters="varied"),
+        multimodal.encode_bmp(w, h, pixels),
+    ):
+        dw, dh, c, rgb = multimodal.decode_image_pixels(payload)
+        assert (dw, dh, c) == (w, h, 3)
+        assert rgb[0::3] == tiled
+        assert rgb[1::3] == tiled
+        assert rgb[2::3] == tiled
