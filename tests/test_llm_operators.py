@@ -1299,3 +1299,34 @@ def test_excise_spans_matches_python_reference_property(spark):
     }
     for did, text in docs_rows:
         assert got[did] == ref(text), f"doc {did}: {text!r}"
+
+
+def test_deletion_neighborhood_pairs_planted(spark):
+    """SymSpell deletion-index semantics on a planted vocabulary: finds
+    every substitution and insert/delete pair at Levenshtein distance 1,
+    emits each exactly once, and excludes transpositions (distance 2 —
+    they share a deletion key, so the exact verify must drop them) and
+    unrelated words."""
+    wf = spark.createDataFrame(
+        [
+            ("cat", 10),   # base
+            ("cut", 5),    # substitution of cat (distance 1)
+            ("cats", 3),   # insertion on cat (distance 1)
+            ("act", 2),    # transposition of cat — distance 2, excluded
+            ("dog", 7),    # unrelated
+            ("dug", 1),    # substitution of dog (distance 1)
+        ],
+        "word string, f long",
+    )
+    got = {
+        (r["w1"], r["w2"]): (r["f1"], r["f2"])
+        for r in dedup.deletion_neighborhood_pairs(
+            wf, min_freq=1, min_len=3, max_len=20
+        ).collect()
+    }
+    # "cats"/"cut" is distance 2 (not a pair); "act"/"cat" distance 2
+    # (transposition) — both excluded by the exact verify.
+    assert set(got) == {("cat", "cut"), ("cat", "cats"), ("dog", "dug")}
+    assert got[("cat", "cut")] == (10, 5)
+    assert got[("cat", "cats")] == (10, 3)
+    assert got[("dog", "dug")] == (7, 1)

@@ -564,6 +564,72 @@ def simhash_near_pairs(
     )
 
 
+def deletion_neighborhood_pairs(
+    word_freq: DataFrame,
+    min_freq: int = 2,
+    min_len: int = 3,
+    max_len: int = 20,
+) -> DataFrame:
+    """Edit-distance-1 word pairs via the SymSpell deletion-neighborhood
+    index — the EDIT-DISTANCE member of the near-dup family (typo/variant
+    detection for vocabulary normalization, OCR cleanup, and tokenizer
+    hygiene), found WITHOUT an all-pairs comparison.
+
+    Index: each word emits its identity key plus every single-character
+    deletion. Any pair at Levenshtein distance 1 must share a key —
+    a substitution pair shares the deletion at the differing position;
+    an insert/delete pair's shorter word IS a deletion of the longer —
+    so an equi-join on the key yields a complete candidate set, and the
+    exact native ``levenshtein`` verifies it (keys also admit some
+    distance-2 pairs, e.g. transpositions — the verify drops them).
+    Output: (w1, w2, f1, f2) with w1 < w2, each pair exactly once.
+
+    Scale: the frequency floor and length band keep the index
+    vocabulary-sized (|vocab| × (avg_len + 1) keys); the join is an
+    inverted-index equi-join whose per-key fan-out is the number of
+    words sharing a deletion — bounded by alphabet size × positions,
+    never corpus-sized. The same shape extends to distance 2 by
+    emitting 2-deletions (SymSpell's trade: index size for candidate
+    precision).
+
+    Cross-engine exactness: candidate generation is pure substring
+    arithmetic and both engines' ``levenshtein`` is the standard
+    unit-cost edit distance, so the whole operator value-hashes.
+    """
+    wf = word_freq.filter(
+        (F.col("f") >= min_freq)
+        & (F.length("word") >= min_len)
+        & (F.length("word") <= max_len)
+    )
+    keys = wf.select(
+        "word",
+        "f",
+        F.explode(
+            F.expr(
+                "array_append(transform(sequence(1, length(word)), "
+                "i -> concat(substring(word, 1, i - 1), "
+                "substring(word, i + 1, length(word)))), word)"
+            )
+        ).alias("dkey"),
+    )
+    a, b = keys.alias("a"), keys.alias("b")
+    cand = (
+        a.join(b, F.col("a.dkey") == F.col("b.dkey"))
+        .filter(F.col("a.word") < F.col("b.word"))
+        .select(
+            F.col("a.word").alias("w1"),
+            F.col("b.word").alias("w2"),
+            F.col("a.f").alias("f1"),
+            F.col("b.f").alias("f2"),
+        )
+        # A pair can share several keys (e.g. "aaa"/"aa" shares "aa"
+        # twice); emit it once. The candidate set is vocabulary-sized,
+        # so this dedup shuffles derived words, never the corpus.
+        .dropDuplicates(["w1", "w2"])
+    )
+    return cand.filter(F.levenshtein("w1", "w2") == 1)
+
+
 def _bloom_bit(digest: Column, seed: int, m_bits: int) -> Column:
     """One Bloom bit position: a 52-bit md5 fold of (digest | seed),
     mod ``m_bits`` — the same engine-reproducible md5→integer parse the

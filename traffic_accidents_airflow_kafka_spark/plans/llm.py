@@ -325,6 +325,105 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "typo_edit_pairs",
+    tier=1,  # near-dup banded/inverted-index family co-judged by
+    # ngram_jaccard_pairs (tier 0); full local oracle
+    oracle=f"""
+    WITH words AS (
+      SELECT unnest(regexp_extract_all(text, '{text_ops.BPE_ISH_PATTERN}', 0)) AS word
+      FROM documents
+    ),
+    wf AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS f FROM words
+      GROUP BY word
+      HAVING COUNT(*) >= 2 AND length(word) BETWEEN 3 AND 20
+    ),
+    typos AS (
+      SELECT substr(word, 1, (f % length(word))) ||
+             substr(word, (f % length(word)) + 2, length(word)) AS word,
+             CAST(1 AS BIGINT) AS f
+      FROM wf WHERE f % 7 = 3
+    ),
+    vocab AS (
+      SELECT word, MAX(f) AS f FROM (
+        SELECT * FROM wf UNION ALL SELECT * FROM typos
+      ) GROUP BY word
+    ),
+    keys AS (
+      SELECT word, f,
+             unnest(list_append(list_transform(
+               generate_series(1, length(word)),
+               i -> substr(word, 1, i - 1)
+                    || substr(word, i + 1, length(word))), word)) AS dkey
+      FROM vocab
+    ),
+    cand AS (
+      SELECT DISTINCT a.word AS w1, b.word AS w2, a.f AS f1, b.f AS f2
+      FROM keys a JOIN keys b ON a.dkey = b.dkey AND a.word < b.word
+    )
+    SELECT w1, w2, f1, f2
+    FROM cand WHERE levenshtein(w1, w2) = 1
+    ORDER BY f1 + f2 DESC, w1, w2 LIMIT 200
+    """,
+    doc="Edit-distance near-dup (r9, completing the dedup family's "
+    "distance metrics: set-overlap Jaccard, bitwise Hamming, float "
+    "cosine — and now string EDIT distance): word pairs at Levenshtein "
+    "distance exactly 1, found via the SymSpell deletion-neighborhood "
+    "index (operators/dedup.py:deletion_neighborhood_pairs) — each "
+    "word emits its identity key plus every 1-deletion; any distance-1 "
+    "pair must share a key (substitutions share the differing-position "
+    "deletion; an insert/delete pair's shorter word IS a deletion of "
+    "the longer), so candidates come from an inverted-index equi-join, "
+    "never all-pairs, and native levenshtein verifies exactly — the "
+    "typo/variant-mining pass vocabulary normalization and OCR cleanup "
+    "run at corpus scale. The synthetic corpus vocabulary is "
+    "well-separated (zero organic distance-1 pairs — measured), so the "
+    "entry PLANTS recall targets the way the ANN audits plant queries: "
+    "every frequent word with f % 7 = 3 contributes one deterministic "
+    "single-deletion typo (position f % len — pure integer arithmetic, "
+    "identical in SQL), and the index must recover every planted pair. "
+    "Fully oracle-checked: planting, key generation, and standard "
+    "unit-cost Levenshtein are engine-identical. Scale: index is "
+    "vocabulary-sized (|vocab| x (len+1) keys after the frequency/"
+    "length band); per-key fan-out is bounded by alphabet x positions; "
+    "distance-2 extends the same shape with 2-deletions.",
+)
+def typo_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    wf = bpe.word_freq(docs).filter(
+        (F.col("f") >= 2)
+        & (F.length("word") >= 3)
+        & (F.length("word") <= 20)
+    )
+    # Planted recall targets (see doc): one deterministic 1-deletion
+    # typo per f%7==3 word, at position f % len (1-based char dropped
+    # is at (f % len) + 1) — the same integer arithmetic the oracle
+    # replays. MAX(f) dedupes a planted typo that collides with a real
+    # vocabulary word.
+    typos = wf.filter(F.col("f") % 7 == 3).select(
+        F.concat(
+            F.expr("substring(word, 1, f % length(word))"),
+            F.expr("substring(word, (f % length(word)) + 2, length(word))"),
+        ).alias("word"),
+        F.lit(1).cast("long").alias("f"),
+    )
+    vocab = (
+        wf.select("word", "f")
+        .unionByName(typos)
+        .groupBy("word")
+        .agg(F.max("f").alias("f"))
+    )
+    pairs = dedup.deletion_neighborhood_pairs(
+        vocab, min_freq=1, min_len=1, max_len=20
+    )
+    return pairs.orderBy(
+        F.desc(F.col("f1") + F.col("f2")), "w1", "w2"
+    ).limit(200)
+
+
 def _topk_oracle() -> str:
     return """
     WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 10),
