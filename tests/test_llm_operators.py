@@ -274,6 +274,13 @@ def test_decode_image_pixels_full_roundtrip():
     bad_idat = bytearray(good)
     bad_idat[41] ^= 0xFF  # flip a byte inside the deflate stream
     short_bmp = multimodal.encode_bmp(4, 4, px)[:20]
+    # A corrupt BMP whose header PARSES but claims huge dimensions must
+    # raise ValueError BEFORE allocating the w*h*3 output buffer — a
+    # MemoryError/OOM would escape the quarantine contract (r9 ADVICE).
+    huge_dims = bytearray(multimodal.encode_bmp(4, 4, px))
+    huge_dims[18:26] = struct.pack("<ii", 60000, 60000)
+    zero_width = bytearray(multimodal.encode_bmp(4, 4, px))
+    zero_width[18:22] = struct.pack("<i", 0)
     for bad in (
         bytes(interlaced),
         bytes(sixteen),
@@ -281,6 +288,8 @@ def test_decode_image_pixels_full_roundtrip():
         b"GIF89a" + b"\x00" * 8,
         bytes(bad_idat),
         short_bmp,
+        bytes(huge_dims),
+        bytes(zero_width),
     ):
         with pytest.raises(ValueError):
             multimodal.decode_image_pixels(bad)

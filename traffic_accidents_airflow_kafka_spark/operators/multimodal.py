@@ -321,6 +321,17 @@ def _decode_image_pixels_raw(payload: bytes) -> tuple[int, int, int, bytes]:
         top_down = h_signed < 0
         nbytes = bpp_bits // 8
         stride = (w * nbytes + 3) & ~3
+        # Validate the raster is actually PRESENT before sizing the output
+        # buffer from header-claimed dimensions: a corrupt/truncated file
+        # whose 26-byte header parses but claims huge dims (60000x60000)
+        # would otherwise drive a multi-GB allocation — MemoryError escapes
+        # the ValueError quarantine contract and can OOM the worker. All h
+        # rows are required whichever row order applies, so the whole
+        # claimed raster must fit inside the payload.
+        if w <= 0:
+            raise ValueError(f"invalid BMP width {w}")
+        if off + stride * h > len(payload):
+            raise ValueError("truncated BMP pixel data")
         rgb = bytearray(w * h * 3)
         if bpp_bits == 8:
             (n_colors,) = struct.unpack("<I", payload[46:50])
