@@ -38,7 +38,7 @@ def test_query_matches_oracle(spark, sf_dir, duck, name):
 def test_rows_only_query_runs(spark, sf_dir, name):
     if name is None:
         pytest.skip(
-            "catalog has ZERO rows-only entries (205/205 oracled since "
+            "catalog has ZERO rows-only entries (fully oracled since "
             "r9) — this smoke gate re-arms if one is ever registered"
         )
     # The driver's smoke gate requires rows > 0; deeper semantics for each
@@ -72,10 +72,13 @@ def test_judged_window_holds_every_tier0_query():
         assert spec.oracle is not None or spec.min_rows > 0
     # Round-5 rotation (VERDICT r4 #4): the round-4 work must be inside
     # the driver-judged window this round.
+    # (incremental_repeated_spans left this list in the r10 rotation —
+    # the gram-index machinery stays judged via repeated_span_report,
+    # tier 0 with an identical span contract, plus the full-rescan
+    # equivalence test; its slot went to line_dedup_report.)
     judged = set(ordered[: registry.JUDGED_WINDOW])
     for name in (
         "repeated_span_report",
-        "incremental_repeated_spans",
         "ivf_nprobe_recall_curve",
         "pq_recall_audit",
         "source_quota_cap",
@@ -170,6 +173,17 @@ def test_judged_window_holds_every_tier0_query():
     assert "multimodal_pixel_decode" in judged, (
         "multimodal_pixel_decode rotated out of the judged window"
     )
+    # Round-10 rotation (VERDICT r9 #1/#2): the CCNet-style line-level
+    # dedup flagship and the r9 SymSpell entry are judged this round.
+    # The two demoted rows each keep a named tier-0 sibling (see their
+    # tier comments: decontamination_report via span_excision_audit +
+    # semantic_decontamination_lsh; incremental_repeated_spans via
+    # repeated_span_report) and both keep full local oracles.
+    for name in (
+        "line_dedup_report",
+        "typo_edit_pairs",
+    ):
+        assert name in judged, f"{name} rotated out of the judged window"
 
 
 def test_gate_rejects_int_vs_float_dtype():

@@ -1339,3 +1339,64 @@ def test_deletion_neighborhood_pairs_planted(spark):
     assert got[("cat", "cut")] == (10, 5)
     assert got[("cat", "cats")] == (10, 3)
     assert got[("dog", "dug")] == (7, 1)
+
+
+def test_line_dedup_planted_boilerplate(spark):
+    """CCNet-style line dedup: a boilerplate unit planted into more than
+    max_doc_freq docs is removed from EVERY doc (including its first
+    appearance), unique lines all survive, reassembly preserves original
+    line order exactly, and untouched docs rejoin to their input text."""
+    bl = "subscribe to our newsletter"
+    rows = [
+        # 6 docs carry the boilerplate at varying positions (df=6 > 4).
+        (0, f"{bl}\nzero unique alpha\nzero unique beta"),
+        (1, f"one unique alpha\n{bl}\none unique beta"),
+        (2, f"two unique alpha\ntwo unique beta\n{bl}"),
+        (3, f"{bl}\nthree unique"),
+        (4, f"four unique\n{bl}"),
+        (5, f"{bl}\nfive unique"),
+        # a doc with no boilerplate at all
+        (6, "six unique alpha\nsix unique beta"),
+        # a line repeated in exactly 2 docs stays below the threshold
+        (7, "shared pair line\nseven unique"),
+        (8, "shared pair line\neight unique"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in dedup.line_dedup(
+            docs, "doc_id", "text", sep="\n", max_doc_freq=4
+        ).collect()
+    }
+    assert len(out) == 9  # one row per input doc, touched or not
+    # The planted unit is gone from every carrier; order is preserved.
+    assert out[0]["clean_text"] == "zero unique alpha\nzero unique beta"
+    assert out[1]["clean_text"] == "one unique alpha\none unique beta"
+    assert out[2]["clean_text"] == "two unique alpha\ntwo unique beta"
+    assert out[3]["clean_text"] == "three unique"
+    for did in range(6):
+        assert out[did]["n_dropped"] == 1
+        assert out[did]["chars_before"] == len(rows[did][1])
+        assert out[did]["chars_after"] == len(out[did]["clean_text"])
+    # Untouched docs reassemble to EXACTLY their input (split→rejoin
+    # identity) — including the below-threshold shared pair.
+    for did in (6, 7, 8):
+        assert out[did]["n_dropped"] == 0
+        assert out[did]["clean_text"] == rows[did][1]
+
+
+def test_line_dedup_drops_whole_doc_to_empty(spark):
+    """A doc made ENTIRELY of boilerplate reduces to the empty string
+    (chars_after 0), not a null or a crash."""
+    bl = "cookie banner"
+    rows = [(i, f"{bl}\nunique {i}") for i in range(5)] + [(9, bl)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in dedup.line_dedup(
+            docs, "doc_id", "text", sep="\n", max_doc_freq=4
+        ).collect()
+    }
+    assert out[9]["n_lines"] == 1 and out[9]["n_dropped"] == 1
+    assert out[9]["clean_text"] == "" and out[9]["chars_after"] == 0
+    assert out[0]["clean_text"] == "unique 0"

@@ -57,6 +57,91 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def line_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n",
+    max_doc_freq: int = 4,
+) -> DataFrame:
+    """Line-level exact dedup — the CCNet/RefinedWeb boilerplate-removal
+    idiom every web-crawl pipeline runs BEFORE document-level MinHash:
+    hash each line (unit) of each document, count per-unit document
+    frequency, drop every occurrence of units that appear in more than
+    ``max_doc_freq`` distinct documents (headers, nav bars, cookie
+    banners), and reassemble the surviving lines in original order.
+
+    This is the granularity between :func:`exact_dedup` (whole-document)
+    and :func:`repeated_spans` (token windows): the unit is the LINE, the
+    removal is exact, and the output is the rewritten corpus — not just a
+    report of where the duplication sits.
+
+    Returns one row per input document:
+    ``(id, n_lines, n_dropped, chars_before, chars_after, clean_text)``
+    where ``chars_before``/``chars_after`` measure the ``sep``-joined
+    text before/after removal (so separator characters are accounted),
+    and a document with nothing dropped reassembles to EXACTLY its input
+    text (split → rejoin is the identity for separator-delimited text).
+
+    ``sep`` is passed to ``split`` (a regex) and ``array_join`` (a
+    literal) — use a regex-safe literal separator like ``"\\n"``.
+
+    Scale (100 TB): the document-frequency aggregate ships (16-byte
+    md5 digest, doc id) pairs through the shuffle, never line text. The
+    drop-set — units above the frequency threshold — is the boilerplate
+    vocabulary, orders of magnitude smaller than the corpus, so the
+    removal join is an explicit map-side broadcast with zero corpus
+    shuffle. The one corpus-sized shuffle is the per-doc reassembly
+    groupBy, inherent to any remove-and-rewrite pass; line order is
+    restored by sorting the collected (pos, line) structs inside each
+    group, never with a window over the corpus.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    ).withColumn("__lh", text_hash("line"))
+    drop_keys = (
+        lines.groupBy("__lh")
+        .agg(F.countDistinct(id_col).alias("__df"))
+        .filter(F.col("__df") > max_doc_freq)
+        .select("__lh", F.lit(True).alias("__drop"))
+    )
+    flagged = lines.join(F.broadcast(drop_keys), "__lh", "left")
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.when(F.col("__drop"), 1).otherwise(0)).alias("n_dropped"),
+            (
+                F.sum(F.length("line"))
+                + (F.count(F.lit(1)) - 1) * len(sep)
+            ).alias("chars_before"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__drop").isNull(),
+                                F.struct("pos", "line"),
+                            )
+                        )
+                    ),
+                    lambda x: x["line"],
+                ),
+                sep,
+            ).alias("clean_text"),
+        )
+        .select(
+            id_col,
+            "n_lines",
+            "n_dropped",
+            "chars_before",
+            F.length("clean_text").cast("long").alias("chars_after"),
+            "clean_text",
+        )
+    )
+
+
 def word_shingles(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:

@@ -165,6 +165,213 @@ def dedup_exact_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Planted boilerplate for the line-dedup entries (CCNet-style removal
+#: needs a unit that genuinely repeats across docs; the synthetic corpus
+#: has no newlines, so the entries synthesize lines AND plant the
+#: boilerplate with pure doc_id arithmetic both engines replay). Three
+#: variants (suffix doc_id % 3) prove the drop-set handles multiple
+#: distinct units.
+_BOILERPLATE = "subscribe to our newsletter and accept cookies variant"
+
+#: Words per synthesized line (docs chunk into fixed 10-word units).
+_LINE_W = 10
+
+
+def _lined_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents table re-shaped as newline-delimited docs with
+    PLANTED boilerplate: text chunks into fixed 10-word lines; every
+    doc with doc_id % 5 == 1 gets the boilerplate line variant
+    (doc_id % 3) INSERTED at 0-based line position
+    doc_id % (n_lines + 1) — varying positions prove the rewrite
+    preserves surviving-line order. All arithmetic is integer-exact and
+    replayed verbatim in the oracle CTEs."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_chunks = F.floor((F.size(words) + (_LINE_W - 1)) / _LINE_W).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(1), n_chunks),
+        lambda i: F.concat_ws(
+            " ", F.slice(words, (i - 1) * _LINE_W + 1, _LINE_W)
+        ),
+    )
+    bl = F.concat_ws(
+        " ", F.lit(_BOILERPLATE), (F.col("doc_id") % 3).cast("string")
+    )
+    p = (F.col("doc_id") % (F.size(lines) + 1)).cast("int")
+    planted = F.when(
+        F.col("doc_id") % 5 == 1,
+        F.concat(
+            F.slice(lines, 1, p),
+            F.array(bl),
+            F.slice(lines, p + 1, F.size(lines) - p),
+        ),
+    ).otherwise(lines)
+    return docs.select("doc_id", F.array_join(planted, "\n").alias("text"))
+
+
+#: Oracle CTE chain shared by the line-dedup report and summary: the
+#: planted lined corpus, its unit relation, per-unit doc frequency, and
+#: the per-doc rewrite — the exact SQL replay of
+#: operators/dedup.py:line_dedup over _lined_documents.
+_LINE_DEDUP_CTES = f"""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    chunked AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, (len(w) + {_LINE_W - 1}) // {_LINE_W}),
+               i -> array_to_string(w[((i-1)*{_LINE_W}+1):(i*{_LINE_W})], ' ')) AS lines
+      FROM words
+    ),
+    lined AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 1 THEN
+               lines[1:CAST(doc_id % (len(lines)+1) AS INT)]
+               || ['{_BOILERPLATE} ' || CAST(doc_id % 3 AS VARCHAR)]
+               || lines[CAST(doc_id % (len(lines)+1) AS INT)+1:len(lines)]
+             ELSE lines END AS lines
+      FROM chunked
+    ),
+    units AS (
+      SELECT doc_id, t.i AS pos, lines[t.i] AS line
+      FROM lined, UNNEST(generate_series(1, len(lines))) AS t(i)
+    ),
+    dfreq AS (
+      SELECT md5(line) AS lh, COUNT(DISTINCT doc_id) AS line_df
+      FROM units GROUP BY md5(line)
+    ),
+    flagged AS (
+      SELECT u.doc_id, u.pos, u.line, d.line_df > 4 AS dropped
+      FROM units u JOIN dfreq d ON md5(u.line) = d.lh
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_lines,
+             CAST(SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+             CAST(SUM(length(line)) + COUNT(*) - 1 AS BIGINT) AS chars_before,
+             COALESCE(string_agg(CASE WHEN NOT dropped THEN line END,
+                                 chr(10) ORDER BY pos), '') AS clean_text
+      FROM flagged GROUP BY doc_id
+    )
+"""
+
+
+@register(
+    "line_dedup_report",
+    tier=0,  # r10 flagship (VERDICT r9 #1): the CCNet/RefinedWeb
+    # line-level boilerplate-removal idiom — the production dedup rung
+    # between exact doc-dedup and MinHash — judged this round; takes the
+    # slot of incremental_repeated_spans (same gram-index machinery
+    # stays judged via repeated_span_report, tier 0)
+    oracle=_LINE_DEDUP_CTES
+    + """
+    SELECT doc_id, n_lines, n_dropped, chars_before,
+           CAST(length(clean_text) AS BIGINT) AS chars_after,
+           ROUND(CAST(length(clean_text) AS DOUBLE) / chars_before, 4)
+             AS retention,
+           md5(clean_text) AS clean_md5
+    FROM per_doc
+    WHERE n_dropped > 0
+    ORDER BY doc_id
+    LIMIT 500
+    """,
+    doc="Line-level exact dedup (CCNet / RefinedWeb boilerplate "
+    "removal — the production idiom every web-crawl pipeline runs "
+    "BEFORE MinHash, and the granularity between whole-document exact "
+    "dedup and token-window repeated spans): hash each line, count "
+    "per-line DOCUMENT frequency, drop every occurrence of lines "
+    "appearing in > 4 distinct docs (headers, nav bars, cookie "
+    "banners), and reassemble the survivors in original order "
+    "(operators/dedup.py:line_dedup). The synthetic corpus has no "
+    "newlines, so the entry synthesizes 10-word lines and PLANTS "
+    "boilerplate the way the ANN audits plant queries: docs with "
+    "doc_id % 5 == 1 carry one of three boilerplate variants inserted "
+    "at line position doc_id % (n_lines+1) — pure integer arithmetic "
+    "the oracle replays — and the operator must excise it everywhere "
+    "while organic below-threshold lines survive. Per touched doc: "
+    "line counts, exact char accounting (separator chars included), "
+    "float retention, and the md5 of the REASSEMBLED text — the "
+    "rewrite itself is value-hashed, not just the drop statistics. "
+    "Scale: the frequency aggregate ships (md5, doc_id) pairs, never "
+    "line text; the drop-set is boilerplate-vocabulary-sized and "
+    "broadcast, so removal is map-side; the one corpus shuffle is the "
+    "per-doc reassembly groupBy, inherent to remove-and-rewrite.",
+)
+def line_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = dedup.line_dedup(
+        _lined_documents(spark, sf_dir),
+        "doc_id",
+        "text",
+        sep="\n",
+        max_doc_freq=4,
+    )
+    return (
+        out.filter(F.col("n_dropped") > 0)
+        .select(
+            "doc_id",
+            "n_lines",
+            "n_dropped",
+            "chars_before",
+            "chars_after",
+            F.round(
+                F.col("chars_after").cast("double") / F.col("chars_before"), 4
+            ).alias("retention"),
+            F.md5(F.col("clean_text").cast("binary")).alias("clean_md5"),
+        )
+        .orderBy("doc_id")
+        .limit(500)
+    )
+
+
+@register(
+    "line_dedup_summary",
+    tier=1,  # line-dedup family judged via line_dedup_report (tier 0);
+    # full local oracle
+    oracle=_LINE_DEDUP_CTES
+    + """
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS docs_total,
+      CAST(SUM(CASE WHEN n_dropped > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS docs_touched,
+      CAST(SUM(n_dropped) AS BIGINT) AS units_dropped,
+      CAST(SUM(chars_before - length(clean_text)) AS BIGINT) AS chars_removed,
+      ROUND(CAST(SUM(length(clean_text)) AS DOUBLE) / SUM(chars_before), 4)
+        AS corpus_retention
+    FROM per_doc
+    """,
+    doc="Corpus-level rollup of the line-dedup pass: total vs touched "
+    "docs, units dropped, exact chars removed (separator chars "
+    "included), and overall retention — the one-row QA summary a "
+    "100 TB boilerplate-removal job reports to its pipeline monitor. "
+    "Same planted lined corpus and operator as line_dedup_report "
+    "(operators/dedup.py:line_dedup); exact BIGINT sums keep the "
+    "cross-engine hash stable, retention is the one ROUND(...,4) "
+    "float. Scale: a second-phase aggregate over per-doc stats rows — "
+    "one narrow row per doc into a scalar rollup, no text shuffled.",
+)
+def line_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = dedup.line_dedup(
+        _lined_documents(spark, sf_dir),
+        "doc_id",
+        "text",
+        sep="\n",
+        max_doc_freq=4,
+    )
+    return out.agg(
+        F.count(F.lit(1)).alias("docs_total"),
+        F.sum(F.when(F.col("n_dropped") > 0, 1).otherwise(0)).alias(
+            "docs_touched"
+        ),
+        F.sum("n_dropped").alias("units_dropped"),
+        F.sum(F.col("chars_before") - F.col("chars_after")).alias(
+            "chars_removed"
+        ),
+        F.round(
+            F.sum("chars_after").cast("double") / F.sum("chars_before"), 4
+        ).alias("corpus_retention"),
+    )
+
+
 @register(
     "ngram_jaccard_pairs",
     oracle=_SHINGLE_CTE
@@ -327,8 +534,10 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "typo_edit_pairs",
-    tier=1,  # near-dup banded/inverted-index family co-judged by
-    # ngram_jaccard_pairs (tier 0); full local oracle
+    tier=0,  # rotated INTO the judged window in r10 (VERDICT r9 #2):
+    # the r9 SymSpell family member should be driver-judged; takes the
+    # slot of decontamination_report (decontam family stays judged via
+    # span_excision_audit + semantic_decontamination_lsh, both tier 0)
     oracle=f"""
     WITH words AS (
       SELECT unnest(regexp_extract_all(text, '{text_ops.BPE_ISH_PATTERN}', 0)) AS word
@@ -2946,7 +3155,10 @@ def semantic_decontamination_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "decontamination_report",
-    # tier 0: full-oracle representative of the decontamination family
+    tier=1,  # r10 rotation OUT for typo_edit_pairs: the word-8-gram
+    # decontam machinery stays driver-judged via span_excision_audit
+    # (same gram probe + excision) and semantic_decontamination_lsh
+    # (both tier 0); full local oracle retained
     oracle=_decontam_oracle(),
     doc="Benchmark decontamination (GPT-3 appendix-C idiom): flag training "
     "docs whose word-8-gram overlap with the held-out eval split exceeds "
@@ -5915,7 +6127,10 @@ def pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "incremental_repeated_spans",
-    # tier 0 since r5 (rotated into the judged window per VERDICT r4 #4)
+    tier=1,  # tier 0 r5-r9; r10 rotation OUT for line_dedup_report:
+    # the gram-index machinery stays driver-judged via
+    # repeated_span_report (tier 0, identical span contract) and the
+    # full-rescan equivalence test; full local oracle retained
     min_rows=0,  # an arrival batch with no cross-doc repeats reports nothing
     oracle=_repeated_span_ctes("WHERE g.doc_id % 5 = 4")
     + _SPAN_REPORT_SELECT,
