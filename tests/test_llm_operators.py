@@ -238,6 +238,10 @@ def test_decode_image_pixels_full_roundtrip():
         dw, dh, c, rgb = multimodal.decode_image_pixels(bmp)
         assert (dw, dh, c) == (w, h, 3)
         assert rgb[0::3] == tiled and rgb[1::3] == tiled  # palette is (i,i,i)
+        gif = multimodal.encode_gif(w, h, px)
+        dw, dh, c, rgb = multimodal.decode_image_pixels(gif)
+        assert (dw, dh, c) == (w, h, 3)
+        assert rgb[0::3] == tiled and rgb[2::3] == tiled  # LZW + GCT resolve
 
     # Top-down DIB (negative height, rows stored first-row-first) decodes
     # to the SAME canonical raster as its bottom-up twin.
@@ -1400,3 +1404,56 @@ def test_line_dedup_drops_whole_doc_to_empty(spark):
     assert out[9]["n_lines"] == 1 and out[9]["n_dropped"] == 1
     assert out[9]["clean_text"] == "" and out[9]["chars_after"] == 0
     assert out[0]["clean_text"] == "unique 0"
+
+
+def test_gif_decode_third_party_bytes():
+    """The GIF decoder reads bytes it did NOT encode: the two
+    ubiquitous externally-produced 1x1 tracking pixels (black/
+    transparent palette and white). These carry a graphic-control
+    extension (skipped), a 2-color global table, a 2-bit LZW minimum
+    code size, and a data block that ends WITHOUT an explicit EOI once
+    the raster is complete — all real-world shapes our own encoder
+    never emits."""
+    import base64
+
+    black = base64.b64decode(
+        "R0lGODlhAQABAIAAAAAAAP///yH5BAEAAAAALAAAAAABAAEAAAIBRAA7"
+    )
+    white = base64.b64decode(
+        "R0lGODlhAQABAIAAAP///wAAACH5BAEAAAAALAAAAAABAAEAAAICRAEAOw=="
+    )
+    assert multimodal.decode_image_pixels(black) == (1, 1, 3, b"\x00\x00\x00")
+    assert multimodal.decode_image_pixels(white) == (1, 1, 3, b"\xff\xff\xff")
+    assert multimodal.decode_image_meta(black) == (1, 1)
+
+
+def test_gif_lzw_table_reset_roundtrip():
+    """A large incompressible raster drives the LZW dictionary past
+    4096 entries, forcing the encoder's CLEAR-and-reset path and the
+    decoder's matching rebuild — round-trip must stay exact through
+    the reset boundary. Deterministic LCG pixels, no RNG state."""
+    n = 255 * 80
+    px = bytes(((1103515245 * k + 12345) >> 8) % 256 for k in range(n))
+    gif = multimodal.encode_gif(255, 80, px)
+    dw, dh, c, rgb = multimodal.decode_image_pixels(gif)
+    assert (dw, dh, c) == (255, 80, 3)
+    assert rgb[0::3] == px
+
+
+def test_gif_corrupt_and_unsupported_raise():
+    """GIF corrupt-byte contract: truncated data blocks, an LZW stream
+    cut before the raster completes, interlace, and sub-rectangle
+    frames all surface as ValueError — never fake pixels, never a
+    giant allocation from header-claimed dims."""
+    good = multimodal.encode_gif(10, 10, bytes(range(100)))
+    assert multimodal.decode_image_pixels(good)[0] == 10
+    truncated = good[:-8]  # cuts into the LZW data
+    interlaced = bytearray(good)
+    # image descriptor packed byte: 6 (sig) + 7 (LSD) + 768 (GCT)
+    # + 1 (0x2C) + 8 (left/top/w/h)
+    interlaced[6 + 7 + 768 + 9] |= 0x40
+    subrect = bytearray(good)
+    subrect[6 + 7 + 768 + 1 : 6 + 7 + 768 + 3] = (2).to_bytes(2, "little")
+    for bad in (truncated, bytes(interlaced), bytes(subrect)):
+        with pytest.raises(ValueError):
+            multimodal.decode_image_pixels(bad)

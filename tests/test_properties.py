@@ -493,13 +493,14 @@ def test_versioned_cdc_merge_matches_python_lww(spark, changes, rnd):
     pixels=st.binary(min_size=0, max_size=96),
 )
 def test_pixel_codec_roundtrip_property(w, h, pixels):
-    """r9 full pixel decode, property-tested without Spark: for ANY
+    """r9-r10 full pixel decode, property-tested without Spark: for ANY
     dimensions and ANY pixel source, encode (PNG filter-0, PNG with the
-    varied per-row filter rotation, bottom-up palettized BMP) → decode
-    reproduces exactly the tiled raster, replicated to canonical RGB —
-    the algebraic inverse relation the planted round-trip test checks at
-    fixed sizes. Exercises every PNG filter type (h >= 5 rotates through
-    all five), BMP 4-byte row padding (w % 4 != 0), and the empty pixel
+    varied per-row filter rotation, bottom-up palettized BMP, LZW GIF)
+    → decode reproduces exactly the tiled raster, replicated to
+    canonical RGB — the algebraic inverse relation the planted
+    round-trip test checks at fixed sizes. Exercises every PNG filter
+    type (h >= 5 rotates through all five), BMP 4-byte row padding
+    (w % 4 != 0), GIF variable-width code growth, and the empty pixel
     source (zero-fill)."""
     from traffic_accidents_airflow_kafka_spark.operators import multimodal
 
@@ -508,9 +509,25 @@ def test_pixel_codec_roundtrip_property(w, h, pixels):
         multimodal.encode_png(w, h, pixels),
         multimodal.encode_png(w, h, pixels, filters="varied"),
         multimodal.encode_bmp(w, h, pixels),
+        multimodal.encode_gif(w, h, pixels),
     ):
         dw, dh, c, rgb = multimodal.decode_image_pixels(payload)
         assert (dw, dh, c) == (w, h, 3)
         assert rgb[0::3] == tiled
         assert rgb[1::3] == tiled
         assert rgb[2::3] == tiled
+
+
+@settings(max_examples=20, deadline=None)
+@given(data=st.binary(min_size=0, max_size=6000))
+def test_gif_lzw_codec_roundtrip_property(data):
+    """The GIF LZW pair in isolation, on ARBITRARY byte streams (not
+    just rasters): encode → decode is the identity, including streams
+    long/noisy enough to drive variable-width code growth and — for
+    incompressible streams past ~3800 novel phrases — the 4096
+    table-reset path. The deterministic large-random-raster test in
+    test_llm_operators pins the reset path unconditionally."""
+    from traffic_accidents_airflow_kafka_spark.operators import multimodal
+
+    enc = multimodal._lzw_encode_gif(data, 8)
+    assert bytes(multimodal._lzw_decode_gif(enc, 8, len(data))) == data

@@ -15,17 +15,20 @@ The Spark-side contract for image/audio/video at 100 TB:
   executor memory, and repartition by a content-hash prefix for even
   batch sizes before the Python stage.
 
-Decode depth (r6 headers, r9 pixels): ``decode_image_meta`` is a REAL
-pure-Python header parser — it reads true (width, height) from genuine
-PNG / BMP / GIF / JPEG bytes — and ``decode_image_pixels`` is a REAL
-pure-stdlib FULL pixel decoder: PNG IDAT inflates via ``zlib`` with all
-five scanline filters reversed (None/Sub/Up/Average/Paeth), BMP 8-bit
-indices resolve through the file's own palette and bottom-up rows flip
-to canonical top-down RGB. ``encode_png`` / ``encode_bmp`` synthesize
-genuine, spec-valid files (correct CRC32s, zlib IDAT — optionally with
-varied per-row filters — padded bottom-up BMP rows) so the catalog runs
-real bytes through the real decoders end-to-end. Entropy-coded formats
-(JPEG/GIF pixels) stay behind an imaging library by constraint;
+Decode depth (r6 headers, r9-r10 pixels): ``decode_image_meta`` is a
+REAL pure-Python header parser — it reads true (width, height) from
+genuine PNG / BMP / GIF / JPEG bytes — and ``decode_image_pixels`` is a
+REAL pure-stdlib FULL pixel decoder: PNG IDAT inflates via ``zlib`` with
+all five scanline filters reversed (None/Sub/Up/Average/Paeth), BMP
+8-bit indices resolve through the file's own palette and bottom-up rows
+flip to canonical top-down RGB, and GIF image data decompresses through
+a real variable-width LZW decoder (CLEAR/EOI, table reset, the KwKwK
+case) before resolving through the color table. ``encode_png`` /
+``encode_bmp`` / ``encode_gif`` synthesize genuine, spec-valid files
+(correct CRC32s, zlib IDAT — optionally with varied per-row filters —
+padded bottom-up BMP rows, real LZW-compressed GIF sub-blocks) so the
+catalog runs real bytes through the real decoders end-to-end. JPEG
+pixels (Huffman + DCT) stay behind an imaging library by constraint;
 ``fake_decode_meta`` stays as the deterministic stand-in for plumbing
 tests that predate the real parser.
 """
@@ -250,10 +253,16 @@ def decode_image_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
       un-pad from 4-byte alignment and bottom-up rasters (positive
       height) flip to the canonical top-down order; a negative height
       (top-down DIB) reads straight through.
+    - **GIF**: 87a/89a, non-interlaced, single full-screen frame;
+      image data decompresses through a REAL variable-width LZW decoder
+      (:func:`_lzw_decode_gif` — CLEAR resets, EOI terminates, KwKwK,
+      deferred-clear full tables) and indices resolve through the local
+      or global color table. Extensions are skipped; interlaced or
+      sub-rectangle frames raise.
 
     Raises ``ValueError`` on anything else (interlaced/16-bit/paletted
-    PNG, RLE/16-bit BMP, GIF, JPEG — entropy-coded formats stay behind
-    an imaging library) AND on corrupt bytes inside a recognized format
+    PNG, RLE/16-bit BMP, JPEG — Huffman+DCT stays behind an imaging
+    library) AND on corrupt bytes inside a recognized format
     (truncated headers → ``struct.error``, damaged IDAT →
     ``zlib.error`` — both converted so the contract is a single
     exception type). Same corrupt-asset contract as
@@ -359,7 +368,219 @@ def _decode_image_pixels_raw(payload: bytes) -> tuple[int, int, int, bytes]:
                     rgb[o + 3 * x + 2] = row[3 * x]
         return int(w), int(h), 3, bytes(rgb)
 
-    raise ValueError("unrecognized image payload (pixel decode: PNG/BMP)")
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h, packed, _bg, _aspect = struct.unpack("<HHBBB", payload[6:13])
+        if w == 0 or h == 0:
+            raise ValueError("invalid GIF dimensions")
+        i = 13
+        gct = None
+        if packed & 0x80:
+            n = 2 ** ((packed & 0x07) + 1)
+            gct = payload[13 : 13 + 3 * n]
+            if len(gct) < 3 * n:
+                raise ValueError("truncated GIF color table")
+            i = 13 + 3 * n
+        while i < len(payload):
+            b0 = payload[i]
+            if b0 == 0x21:  # extension block: label + sub-blocks, skip
+                i += 2
+                while True:
+                    if i >= len(payload):
+                        raise ValueError("truncated GIF extension")
+                    sz = payload[i]
+                    i += 1
+                    if sz == 0:
+                        break
+                    i += sz
+            elif b0 == 0x2C:  # image descriptor
+                left, top, iw, ih, ipacked = struct.unpack(
+                    "<HHHHB", payload[i + 1 : i + 10]
+                )
+                i += 10
+                if ipacked & 0x40:
+                    raise ValueError("unsupported interlaced GIF")
+                pal = gct
+                if ipacked & 0x80:  # local color table wins
+                    n = 2 ** ((ipacked & 0x07) + 1)
+                    pal = payload[i : i + 3 * n]
+                    if len(pal) < 3 * n:
+                        raise ValueError("truncated GIF local color table")
+                    i += 3 * n
+                if pal is None:
+                    raise ValueError("GIF image without a color table")
+                if (left, top, iw, ih) != (0, 0, w, h):
+                    raise ValueError(
+                        "unsupported GIF (sub-rectangle frame)"
+                    )
+                mcs = payload[i]
+                i += 1
+                if not 2 <= mcs <= 8:
+                    raise ValueError(f"corrupt GIF LZW code size {mcs}")
+                data = bytearray()
+                while True:
+                    if i >= len(payload):
+                        raise ValueError("truncated GIF image data")
+                    sz = payload[i]
+                    i += 1
+                    if sz == 0:
+                        break
+                    chunk = payload[i : i + sz]
+                    if len(chunk) < sz:
+                        raise ValueError("truncated GIF sub-block")
+                    data += chunk
+                    i += sz
+                idx = _lzw_decode_gif(bytes(data), mcs, w * h)
+                if len(idx) != w * h:
+                    raise ValueError("GIF raster truncated")
+                pal_arr = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3)
+                idx_arr = np.frombuffer(bytes(idx), dtype=np.uint8)
+                if int(idx_arr.max(initial=0)) >= pal_arr.shape[0]:
+                    raise ValueError("GIF index outside the color table")
+                return int(w), int(h), 3, pal_arr[idx_arr].tobytes()
+            elif b0 == 0x3B:  # trailer
+                break
+            else:
+                raise ValueError(f"corrupt GIF block 0x{b0:02x}")
+        raise ValueError("GIF without an image descriptor")
+
+    raise ValueError("unrecognized image payload (pixel decode: PNG/BMP/GIF)")
+
+
+def _lzw_encode_gif(data: bytes, min_code_size: int = 8) -> bytes:
+    """REAL GIF-flavor LZW compression (variable-width codes, LSB-first
+    bit packing, CLEAR/EOI codes, table reset at 4096) — the encoder
+    half backing :func:`encode_gif`. Pure stdlib.
+
+    Code-width discipline mirrors the decoder exactly: the encoder runs
+    one table entry AHEAD of the decoder (it adds on emit; the decoder
+    adds one code-read later), so it widens when ``next_code`` reaches
+    ``(1 << code_size) + 1`` where the decoder widens at
+    ``1 << code_size`` — the classic off-by-one both sides of the GIF
+    ecosystem implement."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    code_size = min_code_size + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear, code_size)
+    w = b""
+    for b in data:
+        wk = w + bytes([b])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], code_size)
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+            if next_code == (1 << code_size) + 1 and code_size < 12:
+                code_size += 1
+        else:
+            # Table full: reset so both sides rebuild from scratch.
+            emit(clear, code_size)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            code_size = min_code_size + 1
+        w = bytes([b])
+    if w:
+        emit(table[w], code_size)
+    emit(eoi, code_size)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode_gif(
+    data: bytes, min_code_size: int, max_pixels: int
+) -> bytearray:
+    """GIF LZW decompression — variable-width codes read LSB-first,
+    CLEAR resets the table, EOI terminates, and the deferred-clear case
+    (a full table with no CLEAR) keeps decoding with the 4096-entry
+    table, as real-world encoders require. Output is capped at
+    ``max_pixels``: a corrupt stream claiming more pixels than the
+    image descriptor raises ``ValueError`` instead of growing an
+    unbounded buffer (the same no-giant-allocation discipline as the
+    BMP raster bounds check)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    code_size = min_code_size + 1
+    out = bytearray()
+    acc = nbits = pos = 0
+    prev: bytes | None = None
+    while True:
+        while nbits < code_size:
+            if pos >= len(data):
+                if len(out) == max_pixels:
+                    # Real-world encoders (e.g. the ubiquitous 1x1
+                    # tracking pixels) end the data block without an
+                    # explicit EOI once the raster is complete —
+                    # tolerate that; an INCOMPLETE raster still raises.
+                    return out
+                raise ValueError("truncated GIF LZW stream (no EOI)")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table = list(base)
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError(f"corrupt GIF LZW stream (code {code})")
+        out += entry
+        if len(out) > max_pixels:
+            raise ValueError("GIF LZW output exceeds the declared raster")
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+
+
+def encode_gif(width: int, height: int, pixels: bytes = b"") -> bytes:
+    """A genuine, spec-valid GIF89a: logical screen descriptor, 256-entry
+    grayscale global color table, one full-screen image descriptor, and
+    REAL LZW-compressed image data (variable-width codes, sub-block
+    framing) — stdlib only. ``pixels`` tiles across the raster as
+    8-bit palette indices, exactly like :func:`encode_bmp`."""
+    import struct
+
+    px = _tile(pixels, width * height)
+    # 0xF7: global color table present, 8 bits/channel, 2^(7+1) entries.
+    lsd = struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
+    gct = b"".join(bytes((i, i, i)) for i in range(256))
+    img_desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    lzw = _lzw_encode_gif(px, 8)
+    blocks = bytearray([8])  # LZW minimum code size
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)  # block terminator
+    return b"GIF89a" + lsd + gct + img_desc + bytes(blocks) + b"\x3b"
 
 
 def _tile(pixels: bytes, need: int) -> bytes:
@@ -631,14 +852,17 @@ PIXEL_STATS_SCHEMA = StructType(
 
 
 def synth_image_assets_arith(documents: DataFrame) -> DataFrame:
-    """Image assets for the PIXEL-decode proof: same dimension/format
+    """Image assets for the PIXEL-decode proof: same dimension
     arithmetic as :func:`synth_image_assets` (width = 16 + doc_id % 48,
-    height = 16 + (doc_id*7) % 32, even → PNG, odd → BMP) but the pixel
-    source is :func:`_arith_pixels` — pure doc_id arithmetic — and the
-    PNGs are encoded with VARIED per-row filters, so reading the raster
-    back requires the full None/Sub/Up/Average/Paeth unfilter suite.
-    The decoded pixel at raster position j is then
-    ``(doc_id*31 + (j % 97)*7) % 251`` on both engines."""
+    height = 16 + (doc_id*7) % 32) but THREE formats (doc_id % 3:
+    0 → PNG, 1 → BMP, 2 → GIF) and the pixel source is
+    :func:`_arith_pixels` — pure doc_id arithmetic. The PNGs are
+    encoded with VARIED per-row filters, so reading the raster back
+    requires the full None/Sub/Up/Average/Paeth unfilter suite; the
+    GIFs carry real LZW-compressed image data, so reading them back
+    requires the full variable-width table decoder. The decoded pixel
+    at raster position j is ``(doc_id*31 + (j % 97)*7) % 251`` on both
+    engines regardless of format."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -648,12 +872,15 @@ def synth_image_assets_arith(documents: DataFrame) -> DataFrame:
                 w = 16 + did % 48
                 h = 16 + (did * 7) % 32
                 px = _arith_pixels(did)
-                if did % 2 == 0:
+                if did % 3 == 0:
                     mimes.append("image/png")
                     payloads.append(encode_png(w, h, px, filters="varied"))
-                else:
+                elif did % 3 == 1:
                     mimes.append("image/bmp")
                     payloads.append(encode_bmp(w, h, px))
+                else:
+                    mimes.append("image/gif")
+                    payloads.append(encode_gif(w, h, px))
                 ids.append(did)
             yield pd.DataFrame(
                 {

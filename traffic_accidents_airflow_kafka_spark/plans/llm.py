@@ -2029,7 +2029,8 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_pixel_decode",
     tier=0,  # r9 flagship: FULL pixel decode, pure stdlib — closes the
     # repo's last NotImplementedError (the r8 VERDICT's #2 task) under
-    # the driver gate
+    # the driver gate; r10 widens it to THREE formats (GIF LZW decode,
+    # VERDICT r9 #3)
     oracle=f"""
     WITH d AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 100),
     dims AS (
@@ -2045,8 +2046,9 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM dims, UNNEST(generate_series(0, width * height - 1)) AS t(j)
     )
     SELECT doc_id AS asset_id,
-           CASE WHEN doc_id % 2 = 0 THEN 'image/png'
-                ELSE 'image/bmp' END AS mime,
+           CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                WHEN doc_id % 3 = 1 THEN 'image/bmp'
+                ELSE 'image/gif' END AS mime,
            CAST(MAX(width) AS INT) AS width,
            CAST(MAX(height) AS INT) AS height,
            CAST(COUNT(*) AS INT) AS n_px,
@@ -2062,13 +2064,18 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY asset_id
     """,
     doc="FULL pixel decode through real file bytes, pure stdlib — the "
-    "r9 entry that closes the repo's last NotImplementedError: genuine "
-    "PNG files (encoded with VARIED per-row scanline filters, so the "
-    "decoder must reverse the whole None/Sub/Up/Average/Paeth suite "
-    "over the zlib-inflated IDAT) and genuine bottom-up palettized BMPs "
-    "(indices resolve through the file's own BGRX palette, rows un-pad "
-    "and flip to canonical top-down RGB) are synthesized with a pixel "
-    "pattern that is pure doc_id arithmetic — raster position j carries "
+    "r9 entry that closes the repo's last NotImplementedError, widened "
+    "to THREE formats in r10: genuine PNG files (encoded with VARIED "
+    "per-row scanline filters, so the decoder must reverse the whole "
+    "None/Sub/Up/Average/Paeth suite over the zlib-inflated IDAT), "
+    "genuine bottom-up palettized BMPs (indices resolve through the "
+    "file's own BGRX palette, rows un-pad and flip to canonical "
+    "top-down RGB), and genuine GIF89a files whose image data is REAL "
+    "LZW (variable-width codes, CLEAR/EOI, table reset — decoded by "
+    "operators/multimodal.py:_lzw_decode_gif, which also reads "
+    "third-party bytes like the ubiquitous 1x1 tracking pixels) are "
+    "synthesized with a pixel pattern that is pure doc_id arithmetic — "
+    "raster position j carries "
     f"(doc_id*31 + (j % {multimodal.PX_SRC_LEN})*7) % {multimodal.PX_MOD} "
     "(operators/multimodal.py:synth_image_assets_arith / "
     "decode_image_pixels / extract_pixel_stats). The decoded raster is "
