@@ -1457,3 +1457,61 @@ def test_gif_corrupt_and_unsupported_raise():
     for bad in (truncated, bytes(interlaced), bytes(subrect)):
         with pytest.raises(ValueError):
             multimodal.decode_image_pixels(bad)
+
+
+def test_deletion_neighborhood_pairs_distance2(spark):
+    """SymSpell depth 2: a substitution+insertion compound (distance 2)
+    is recovered via shared 2-deletion keys; a distance-3 pair that DOES
+    share a 2-deletion key ('xyabcd'/'abcdq' both reach 'abcd') is a
+    candidate the exact verify must drop; and the d1 pairs keep their
+    dist=1 labels."""
+    wf = spark.createDataFrame(
+        [
+            ("winter", 10),
+            ("wintry", 4),    # delete e, substitute r->y: distance 2 from winter
+            ("winters", 3),   # insertion (distance 1)
+            ("xyabcd", 2),    # shares 2-del key 'abcd' with abcdq...
+            ("abcdq", 2),     # ...but levenshtein = 3: candidate, dropped
+            ("zebra", 5),     # unrelated
+        ],
+        "word string, f long",
+    )
+    out = {
+        (r["w1"], r["w2"]): r["dist"]
+        for r in dedup.deletion_neighborhood_pairs(
+            wf, min_freq=1, min_len=3, max_len=20, max_distance=2
+        ).collect()
+    }
+    assert out[("winter", "wintry")] == 2
+    assert out[("winter", "winters")] == 1
+    assert out[("winters", "wintry")] == 2  # delete e, substitute s->y
+    assert ("abcdq", "xyabcd") not in out  # distance 3, verify drops it
+    assert not any("zebra" in p for p in out)
+
+
+def test_deletion_neighborhood_d2_superset_of_d1(spark):
+    """Depth 2 returns every depth-1 pair with identical (f1, f2) and
+    dist=1 — widening the index never loses the narrower tier."""
+    wf = spark.createDataFrame(
+        [("cat", 10), ("cut", 5), ("cats", 3), ("act", 2), ("dog", 7), ("dug", 1)],
+        "word string, f long",
+    )
+    d1 = {
+        (r["w1"], r["w2"]): (r["f1"], r["f2"], r["dist"])
+        for r in dedup.deletion_neighborhood_pairs(
+            wf, min_freq=1, min_len=3, max_len=20, max_distance=1
+        ).collect()
+    }
+    d2 = {
+        (r["w1"], r["w2"]): (r["f1"], r["f2"], r["dist"])
+        for r in dedup.deletion_neighborhood_pairs(
+            wf, min_freq=1, min_len=3, max_len=20, max_distance=2
+        ).collect()
+    }
+    assert set(d1) <= set(d2)
+    for k, v in d1.items():
+        assert d2[k] == v
+    # the transposition 'act'/'cat' is distance 2 — found at depth 2,
+    # excluded at depth 1
+    assert ("act", "cat") in d2 and ("act", "cat") not in d1
+    assert d2[("act", "cat")][2] == 2

@@ -649,54 +649,83 @@ def simhash_near_pairs(
     )
 
 
+#: 1-deletion neighborhood + identity, as a SQL array expression over
+#: ``word`` (shared by both distance tiers below).
+_DEL1_KEYS = (
+    "array_append(transform(sequence(1, length(word)), "
+    "i -> concat(substring(word, 1, i - 1), "
+    "substring(word, i + 1, length(word)))), word)"
+)
+
+#: 2-deletion neighborhood (every i < j position pair removed). Guarded
+#: by the caller for length >= 2: Spark's ``sequence(1, 0)`` DESCENDS
+#: ([1, 0]) instead of returning empty, unlike SQL generate_series.
+_DEL2_KEYS = (
+    "flatten(transform(sequence(1, length(word) - 1), "
+    "i -> transform(sequence(i + 1, length(word)), "
+    "j -> concat(substring(word, 1, i - 1), "
+    "substring(word, i + 1, j - i - 1), "
+    "substring(word, j + 1, length(word))))))"
+)
+
+
 def deletion_neighborhood_pairs(
     word_freq: DataFrame,
     min_freq: int = 2,
     min_len: int = 3,
     max_len: int = 20,
+    max_distance: int = 1,
 ) -> DataFrame:
-    """Edit-distance-1 word pairs via the SymSpell deletion-neighborhood
+    """Edit-distance word pairs via the SymSpell deletion-neighborhood
     index — the EDIT-DISTANCE member of the near-dup family (typo/variant
     detection for vocabulary normalization, OCR cleanup, and tokenizer
     hygiene), found WITHOUT an all-pairs comparison.
 
     Index: each word emits its identity key plus every single-character
-    deletion. Any pair at Levenshtein distance 1 must share a key —
-    a substitution pair shares the deletion at the differing position;
-    an insert/delete pair's shorter word IS a deletion of the longer —
-    so an equi-join on the key yields a complete candidate set, and the
-    exact native ``levenshtein`` verifies it (keys also admit some
-    distance-2 pairs, e.g. transpositions — the verify drops them).
-    Output: (w1, w2, f1, f2) with w1 < w2, each pair exactly once.
+    deletion (``max_distance=1``), plus every two-character deletion
+    (``max_distance=2``). Any pair at Levenshtein distance d <= the
+    indexed depth must share a key — a substitution pair shares the
+    deletion at the differing position; an insert/delete pair's shorter
+    word IS a deletion of the longer; inductively, each unit edit either
+    consumes one deletion on each side (substitution) or one deletion on
+    the longer side (indel), so d edits are covered by d-deletion
+    neighborhoods — and the exact native ``levenshtein`` verifies the
+    candidates (keys also admit pairs up to distance 2*max_distance,
+    e.g. transpositions under d=1 — the verify drops them).
+    Output: (w1, w2, f1, f2, dist) with w1 < w2, each pair exactly once,
+    ``dist`` the exact Levenshtein distance in [1, max_distance].
 
     Scale: the frequency floor and length band keep the index
-    vocabulary-sized (|vocab| × (avg_len + 1) keys); the join is an
-    inverted-index equi-join whose per-key fan-out is the number of
-    words sharing a deletion — bounded by alphabet size × positions,
-    never corpus-sized. The same shape extends to distance 2 by
-    emitting 2-deletions (SymSpell's trade: index size for candidate
-    precision).
+    vocabulary-sized — |vocab| × (len + 1) keys at d=1, plus
+    |vocab| × len·(len-1)/2 at d=2 (SymSpell's trade: index size for
+    candidate precision); the join is an inverted-index equi-join whose
+    per-key fan-out is the number of words sharing a deletion — bounded
+    by alphabet size × positions, never corpus-sized.
 
     Cross-engine exactness: candidate generation is pure substring
     arithmetic and both engines' ``levenshtein`` is the standard
     unit-cost edit distance, so the whole operator value-hashes.
     """
+    if max_distance not in (1, 2):
+        raise ValueError(f"max_distance must be 1 or 2, got {max_distance}")
     wf = word_freq.filter(
         (F.col("f") >= min_freq)
         & (F.length("word") >= min_len)
         & (F.length("word") <= max_len)
     )
-    keys = wf.select(
-        "word",
-        "f",
-        F.explode(
-            F.expr(
-                "array_append(transform(sequence(1, length(word)), "
-                "i -> concat(substring(word, 1, i - 1), "
-                "substring(word, i + 1, length(word)))), word)"
-            )
-        ).alias("dkey"),
-    )
+    if max_distance == 1:
+        key_expr = _DEL1_KEYS
+    else:
+        # array_distinct: repeated-letter words generate the same
+        # deletion through several position pairs ("aaaa" → "aa" six
+        # ways); duplicate keys per word only inflate the candidate
+        # join, never change the pair set.
+        key_expr = (
+            f"array_distinct(CASE WHEN length(word) >= 2 "
+            f"THEN concat({_DEL1_KEYS}, {_DEL2_KEYS}) "
+            f"ELSE {_DEL1_KEYS} END)"
+        )
+    keys = wf.select("word", "f", F.explode(F.expr(key_expr)).alias("dkey"))
     a, b = keys.alias("a"), keys.alias("b")
     cand = (
         a.join(b, F.col("a.dkey") == F.col("b.dkey"))
@@ -712,7 +741,9 @@ def deletion_neighborhood_pairs(
         # so this dedup shuffles derived words, never the corpus.
         .dropDuplicates(["w1", "w2"])
     )
-    return cand.filter(F.levenshtein("w1", "w2") == 1)
+    return cand.withColumn("dist", F.levenshtein("w1", "w2")).filter(
+        F.col("dist") <= max_distance
+    )
 
 
 def _bloom_bit(digest: Column, seed: int, m_bits: int) -> Column:

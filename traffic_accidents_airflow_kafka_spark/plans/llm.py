@@ -628,8 +628,121 @@ def typo_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.deletion_neighborhood_pairs(
         vocab, min_freq=1, min_len=1, max_len=20
     )
+    # dist is constant 1 at max_distance=1 — keep the judged schema to
+    # the informative four columns (oracle unchanged).
+    return (
+        pairs.select("w1", "w2", "f1", "f2")
+        .orderBy(F.desc(F.col("f1") + F.col("f2")), "w1", "w2")
+        .limit(200)
+    )
+
+
+@register(
+    "typo_edit_pairs_d2",
+    tier=1,  # SymSpell family judged via typo_edit_pairs (tier 0, the
+    # same deletion-index machinery at depth 1); full local oracle
+    oracle=f"""
+    WITH words AS (
+      SELECT unnest(regexp_extract_all(text, '{text_ops.BPE_ISH_PATTERN}', 0)) AS word
+      FROM documents
+    ),
+    wf AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS f FROM words
+      GROUP BY word
+      HAVING COUNT(*) >= 2 AND length(word) BETWEEN 3 AND 20
+    ),
+    subbed AS (
+      SELECT substr(word, 1, f % length(word))
+             || chr(97 + (ascii(substr(word, (f % length(word)) + 1, 1)) - 97 + 1) % 26)
+             || substr(word, (f % length(word)) + 2, length(word)) AS ws,
+             f
+      FROM wf WHERE f % 7 = 5
+    ),
+    typos AS (
+      SELECT substr(ws, 1, (f * 3) % (length(ws) + 1))
+             || chr(CAST(97 + f % 26 AS INT))
+             || substr(ws, ((f * 3) % (length(ws) + 1)) + 1, length(ws)) AS word,
+             CAST(1 AS BIGINT) AS f
+      FROM subbed
+    ),
+    vocab AS (
+      SELECT word, MAX(f) AS f FROM (
+        SELECT * FROM wf UNION ALL SELECT * FROM typos
+      ) GROUP BY word
+    ),
+    keys AS (
+      SELECT word, f, unnest(list_distinct(
+        list_append(list_transform(generate_series(1, length(word)),
+          i -> substr(word, 1, i - 1) || substr(word, i + 1, length(word))), word)
+        || flatten(list_transform(generate_series(1, length(word) - 1),
+             i -> list_transform(generate_series(i + 1, length(word)),
+               j -> substr(word, 1, i - 1) || substr(word, i + 1, j - i - 1)
+                    || substr(word, j + 1, length(word)))))
+      )) AS dkey
+      FROM vocab
+    ),
+    cand AS (
+      SELECT DISTINCT a.word AS w1, b.word AS w2, a.f AS f1, b.f AS f2
+      FROM keys a JOIN keys b ON a.dkey = b.dkey AND a.word < b.word
+    )
+    SELECT w1, w2, f1, f2, CAST(levenshtein(w1, w2) AS INT) AS dist
+    FROM cand WHERE levenshtein(w1, w2) <= 2
+    ORDER BY dist, f1 + f2 DESC, w1, w2 LIMIT 200
+    """,
+    doc="SymSpell at distance 2 (r10, proving the index-size-for-"
+    "precision trade the r9 docstring asserted): word pairs at "
+    "Levenshtein distance <= 2 via the 0/1/2-deletion neighborhood "
+    "index (operators/dedup.py:deletion_neighborhood_pairs, "
+    "max_distance=2) — each unit edit consumes at most one deletion "
+    "per side, so any distance-2 pair shares a key in the union of "
+    "2-deletion neighborhoods, and exact native levenshtein drops the "
+    "up-to-distance-4 admits the keys allow. Planted recall in the "
+    "typo_edit_pairs style: every frequent word with f % 7 = 5 "
+    "contributes one COMPOUND typo — substitute position f % len with "
+    "the next alphabet letter, then insert chr(97 + f % 26) at "
+    "position (f*3) % (len+1) — pure chr/ascii/modulo arithmetic, "
+    "verified bit-identical across engines, that the depth-2 index "
+    "must recover. Scale: the d2 index is |vocab| x len^2/2 keys — "
+    "quadratic in WORD LENGTH, not vocabulary — and the candidate "
+    "join stays an inverted-index equi-join with bounded per-key "
+    "fan-out; the exact-verify filter keeps the output pair-exact.",
+)
+def typo_edit_pairs_d2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    wf = bpe.word_freq(docs).filter(
+        (F.col("f") >= 2)
+        & (F.length("word") >= 3)
+        & (F.length("word") <= 20)
+    )
+    subbed = wf.filter(F.col("f") % 7 == 5).select(
+        F.expr(
+            "concat(substring(word, 1, f % length(word)), "
+            "chr(97 + (ascii(substring(word, (f % length(word)) + 1, 1)) - 97 + 1) % 26), "
+            "substring(word, (f % length(word)) + 2, length(word)))"
+        ).alias("ws"),
+        "f",
+    )
+    typos = subbed.select(
+        F.expr(
+            "concat(substring(ws, 1, (f * 3) % (length(ws) + 1)), "
+            "chr(97 + f % 26), "
+            "substring(ws, ((f * 3) % (length(ws) + 1)) + 1, length(ws)))"
+        ).alias("word"),
+        F.lit(1).cast("long").alias("f"),
+    )
+    vocab = (
+        wf.select("word", "f")
+        .unionByName(typos)
+        .groupBy("word")
+        .agg(F.max("f").alias("f"))
+    )
+    pairs = dedup.deletion_neighborhood_pairs(
+        vocab, min_freq=1, min_len=1, max_len=22, max_distance=2
+    )
     return pairs.orderBy(
-        F.desc(F.col("f1") + F.col("f2")), "w1", "w2"
+        "dist", F.desc(F.col("f1") + F.col("f2")), "w1", "w2"
     ).limit(200)
 
 
