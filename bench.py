@@ -36,6 +36,9 @@ import time
 from traffic_accidents_airflow_kafka_spark.plans import QUERY_REGISTRY
 from traffic_accidents_airflow_kafka_spark.plans.llm import artifact_build_times
 from traffic_accidents_airflow_kafka_spark.session import get_spark
+from traffic_accidents_airflow_kafka_spark.streaming.fanout import (
+    last_run_metadata as fanout_metadata,
+)
 
 
 def main() -> None:
@@ -139,6 +142,14 @@ def main() -> None:
         # artifact, so cross-round catalog totals are self-describing
         # (total engine work = value + sum(artifact_build_sec)).
         "artifact_build_sec": artifact_build_times(),
+        # stream_topics_fanout breakdown (r9 VERDICT #5): per-topic
+        # sink-job wall seconds from the LAST timed run plus which
+        # topic-3 join path was active ("bucketed" is the default;
+        # "broadcast" means the build fell back — a plan change the r9
+        # round almost missed), so the catalog's heaviest entry is
+        # adjudicable per topic instead of one opaque number. The seven
+        # jobs run concurrently: compare a topic to itself across runs.
+        "fanout": fanout_metadata(),
         # Per-query raw samples (r7 VERDICT #7): every timed run,
         # including the conditional third taken when the first two
         # disagree by >2x — spikes become visible data, not

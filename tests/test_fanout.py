@@ -45,6 +45,15 @@ def test_fanout_converges_under_redelivery(spark, sf_dir, monkeypatch):
         want = sorted(tuple(r) for r in batch_df.collect())
         assert got == want, f"{topic} diverged under redelivery"
 
+    # Run metadata records WHICH topic-3 join path was active (the r9
+    # silent-fallback lesson: a failed bucketed build must be visible
+    # to gates, not just a stderr line) and carries a per-topic timing
+    # breakdown for every sink.
+    meta = fanout.last_run_metadata()
+    assert meta["orders_join_path"] == "bucketed", meta
+    assert set(meta["topic_sec"]) == set(fanout.streaming.TOPICS)
+    assert all(v > 0 for v in meta["topic_sec"].values()), meta
+
 
 def test_parity_collect_refuses_high_cardinality(spark, monkeypatch):
     """The parity baselines are driver-side row multisets, legal ONLY

@@ -791,9 +791,28 @@ def stream_jdbc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Fixed materialization path for the streaming-decode entry (static
-#: oracle SQL must agree on provenance a priori; overwritten per run).
-STREAM_ASSET_PATH = "/tmp/spark_graft_stream_assets"
+def _stream_asset_base(spark: SparkSession) -> str:
+    """Materialization base for the streaming-decode entry's landed drop
+    directory — scoped per USER (a fixed world-shared /tmp name is
+    squattable on a multi-user host) and per SESSION via the Spark
+    applicationId (the landing is memoized per session, so two
+    concurrent sessions on the same sf_dir — pytest during a bench run —
+    must not race overwrite-vs-stream on a shared path; r9 ADVICE). The
+    sf_dir hash appended by the caller keeps cross-scale isolation
+    within a session."""
+    import getpass
+    import re as _re
+    import tempfile
+
+    try:
+        user = getpass.getuser()
+    except OSError:  # no passwd entry (containers)
+        user = f"uid{os.getuid()}"
+    user = _re.sub(r"[^0-9A-Za-z_.-]", "_", user)
+    app = spark.sparkContext.applicationId
+    return os.path.join(
+        tempfile.gettempdir(), f"spark_graft_stream_assets_{user}_{app}"
+    )
 
 
 @register(
@@ -846,13 +865,19 @@ def stream_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     digest = hashlib.sha256(
         os.path.normpath(os.path.abspath(sf_dir)).encode()
     ).hexdigest()[:8]
-    asset_path = f"{STREAM_ASSET_PATH}_{digest}"
+    asset_path = f"{_stream_asset_base(spark)}_{digest}"
 
     def _land() -> str:
+        import atexit
+        import shutil
+
         docs = load_table(spark, sf_dir, "documents")
         multimodal.synth_image_assets(docs).write.mode("overwrite").parquet(
             asset_path
         )
+        # Session-scoped paths are never reused by a later process —
+        # reclaim them at interpreter exit instead of littering /tmp.
+        atexit.register(shutil.rmtree, asset_path, ignore_errors=True)
         return asset_path
 
     _artifact(spark, sf_dir, "stream-image-assets", _land)

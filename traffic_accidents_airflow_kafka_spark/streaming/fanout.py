@@ -49,6 +49,7 @@ import os
 import re
 import shutil
 import tempfile
+import time
 import uuid
 
 import pyspark.sql.functions as F
@@ -60,6 +61,29 @@ from . import core as streaming
 
 #: The streamed fact sources and their envelope tags.
 FANOUT_SOURCES = ("orders", "lineitem", "events")
+
+#: Metadata of the LAST run_topics_fanout call in this process:
+#: ``orders_join_path`` ("bucketed" | "broadcast" — so gates and the
+#: bench JSON can ASSERT which topic-3 plan actually ran instead of
+#: inferring it from a stderr line, the r9 silent-fallback lesson) and
+#: ``topic_sec`` (per-topic sink-job wall seconds, summed across the
+#: drain's micro-batches; the seven jobs run CONCURRENTLY, so these
+#: overlap and do not sum to the drain wall time — they adjudicate
+#: per-topic movers, not the total).
+_LAST_RUN_META: dict = {}
+
+
+def last_run_metadata() -> dict:
+    """Copy of the last fan-out run's metadata (empty if none ran).
+    bench.py serializes this next to artifact_build_sec so the
+    catalog's heaviest entry is a 7-key breakdown in the run JSON, not
+    one opaque number."""
+    out = dict(_LAST_RUN_META)
+    if "topic_sec" in out:
+        out["topic_sec"] = {
+            k: round(v, 4) for k, v in out["topic_sec"].items()
+        }
+    return out
 
 
 def envelope_stream(
@@ -140,14 +164,28 @@ def prepare_bucketed_orders(
     the table — ``saveAsTable`` then refuses with
     LOCATION_ALREADY_EXISTS even in overwrite mode (found in round 9:
     the bench session silently fell back to the broadcast path after a
-    pytest session had left the directory behind). Drop any stale
-    catalog entry AND remove the orphaned location before writing."""
+    pytest session had left the directory behind). When the catalog
+    DOES know the table, ask IT for the location (robust to warehouse
+    layout changes across Spark versions) before dropping; the
+    hardcoded ``<warehouse>/<table>`` / ``<db>.db/<table>`` layout
+    guess remains only for the orphaned-directory case, where there is
+    no catalog entry to ask."""
     from urllib.parse import urlparse
 
     from ..sources.sinks import save_bucketed
 
     table = bucketed_orders_table(sf_dir)
+    known_loc = None
+    if spark.catalog.tableExists(table):
+        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect():
+            if r["col_name"] == "Location":
+                p = urlparse(r["data_type"])
+                if p.scheme in ("file", ""):
+                    known_loc = p.path
+                break
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+    if known_loc and os.path.exists(known_loc):
+        shutil.rmtree(known_loc, ignore_errors=True)
     warehouse = spark.conf.get(
         "spark.sql.warehouse.dir", "spark-warehouse"
     )
@@ -232,9 +270,18 @@ def run_topics_fanout(
     region = load_table(spark, sf_dir, "region")
     supplier = load_table(spark, sf_dir, "supplier")
     part = load_table(spark, sf_dir, "part")
-    try:
-        from ..plans.llm import _artifact
+    # Import OUTSIDE the fallback guard: an ImportError here is a repo
+    # regression that must fail loudly, never silently change the
+    # measured topic-3 plan (r9 ADVICE — the except below is also
+    # narrowed to the two failure classes an unwritable warehouse
+    # actually produces, so anything unexpected propagates).
+    from pyspark.errors import AnalysisException
 
+    from ..plans.llm import _artifact
+
+    _LAST_RUN_META.clear()
+    _LAST_RUN_META["topic_sec"] = {t: 0.0 for t in streaming.TOPICS}
+    try:
         _artifact(
             spark,
             sf_dir,
@@ -247,10 +294,13 @@ def run_topics_fanout(
         if not spark.catalog.tableExists(bucketed_orders_table(sf_dir)):
             prepare_bucketed_orders(spark, sf_dir)
         orders_static = None  # bucketed path active
-    except Exception as exc:  # pragma: no cover — warehouse-unwritable
-        # LOUD fallback (r9: a silent one masked an orphaned-location
-        # build failure through an entire bench run): correctness is
-        # unaffected, but the scale posture changed — say so.
+        _LAST_RUN_META["orders_join_path"] = "bucketed"
+    except (AnalysisException, OSError) as exc:  # pragma: no cover —
+        # warehouse-unwritable. LOUD fallback (r9: a silent one masked
+        # an orphaned-location build failure through an entire bench
+        # run): correctness is unaffected, but the scale posture
+        # changed — say so on stderr AND in the run metadata the bench
+        # JSON serializes, so gates can assert the bucketed path ran.
         import sys
 
         print(
@@ -261,6 +311,7 @@ def run_topics_fanout(
         orders_static = load_table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_orderpriority"
         )
+        _LAST_RUN_META["orders_join_path"] = "broadcast"
 
     base = tempfile.mkdtemp(prefix=f"fanout_{uuid.uuid4().hex[:8]}_")
     sinks = {t: os.path.join(base, t) for t in streaming.TOPICS}
@@ -388,10 +439,31 @@ def run_topics_fanout(
                 F.sum(_dec("value")).alias("sum_value"),
             ).transform(lambda d: publish(d, "crossings_vs_lesions"))
 
+        jobs = (
+            ("transit_signals_by_state", t1),
+            ("lesions_by_county", t5),
+            ("signals_vs_lesions", t2),
+            ("hospitals_schools_vs_lesions", t6),
+            ("weather_light_surface", t3),
+            ("accidents_by_time", t4),
+            ("crossings_vs_lesions", t7),
+        )
+
+        def timed(topic: str, fn) -> None:
+            # Per-topic sink-job wall seconds, accumulated across the
+            # drain's micro-batches into the run metadata (VERDICT r9
+            # #5: the catalog's heaviest entry should be adjudicable
+            # per topic, not one opaque number). The seven jobs run
+            # concurrently, so these overlap — compare a topic against
+            # ITSELF across runs, don't sum them.
+            t0 = time.perf_counter()
+            fn()
+            _LAST_RUN_META["topic_sec"][topic] += time.perf_counter() - t0
+
         try:
             with ThreadPoolExecutor(max_workers=7) as pool:
                 futures = [
-                    pool.submit(fn) for fn in (t1, t5, t2, t6, t3, t4, t7)
+                    pool.submit(timed, topic, fn) for topic, fn in jobs
                 ]
                 for fut in futures:
                     fut.result()
