@@ -891,6 +891,19 @@ def repeated_spans(
     boilerplate/quotation/mirror spans themselves, the unit a span-level
     excision pass removes.
 
+    Approximation bound vs the suffix-array ExactSubstr (pinned by a
+    property test against a sorted-suffix-block reference,
+    tests/test_properties.py:test_repeated_spans_match_suffix_array_reference):
+    the reported coverage EQUALS the union of token positions lying
+    inside a cross-doc repeated token-substring of length >= k — span
+    boundaries, token counts, and max doc support all agree exactly.
+    The under-report class is exactly repeats SHORTER than k tokens
+    (no complete k-window repeats, so they are invisible — lower k to
+    see them); additionally, repeats that touch or overlap in token
+    space fuse into one reported span (the union is exact; per-repeat
+    attribution is not), and granularity is whole tokens, not
+    characters.
+
     Pipeline (all relational, no UDFs): positional k-grams → per-gram
     distinct-doc support (groupBy on the 8-byte gram hash) → semi-join
     back the duplicated occurrences (one row per occurrence, no blowup)
