@@ -94,6 +94,12 @@ DECADE_QUERIES = [
     "unigram_viterbi_segment",
     "unigram_hard_em",
     "dedup_clusters",
+    # r10 additions: the line-dedup rewrite's reassembly shuffle and the
+    # SymSpell d2 index (vocabulary-sized, so its decade step measures
+    # the salted-vocabulary growth, not the corpus) — both new this
+    # round, both in the decade table from day one.
+    "line_dedup_report",
+    "typo_edit_pairs_d2",
 ]
 
 #: Streaming entries of the decade (r7 VERDICT #4): exactly the queries
