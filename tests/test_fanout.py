@@ -142,3 +142,41 @@ def test_bucketed_enrichment_no_exchange_on_orders_side(spark, sf_dir, tmp_path)
     got = sorted(tuple(r) for r in merged.select(*batch_df.columns).collect())
     want = sorted(tuple(r) for r in batch_df.collect())
     assert got == want, "bucketed enrichment diverged from the batch plan"
+
+
+def test_fanout_broadcast_fallback_is_loud_and_correct(spark, sf_dir, monkeypatch, capfd):
+    """When the bucketed build fails with one of the guarded classes,
+    the drain must (a) still produce exactly the batch answers through
+    the broadcast join, (b) say so on stderr, and (c) record
+    orders_join_path='broadcast' in the run metadata — the r9
+    silent-fallback bug, now pinned from the failure side."""
+    from pyspark.errors import AnalysisException
+
+    from traffic_accidents_airflow_kafka_spark.plans.registry import (
+        QUERY_REGISTRY,
+    )
+    from traffic_accidents_airflow_kafka_spark.streaming import fanout
+
+    def refuse(spark_, sf_dir_, num_buckets=8):
+        raise AnalysisException("LOCATION_ALREADY_EXISTS (synthetic)")
+
+    monkeypatch.setattr(fanout, "prepare_bucketed_orders", refuse)
+    # Self-contained regardless of test order: clear the session memo
+    # and the table so run_topics_fanout must actually call the
+    # (refusing) build instead of reusing an earlier test's artifact.
+    from traffic_accidents_airflow_kafka_spark.plans.llm import evict_artifacts
+
+    evict_artifacts(sf_dir)
+    spark.sql(
+        f"DROP TABLE IF EXISTS {fanout.bucketed_orders_table(sf_dir)}"
+    )
+    merged = fanout.run_topics_fanout(spark, sf_dir)
+    assert fanout.last_run_metadata()["orders_join_path"] == "broadcast"
+    assert "falling back to the broadcast join" in capfd.readouterr().err
+    topic = "weather_light_surface"  # the topic the join path feeds
+    batch_df = QUERY_REGISTRY[topic].fn(spark, sf_dir)
+    got = sorted(
+        tuple(r) for r in merged[topic].select(*batch_df.columns).collect()
+    )
+    want = sorted(tuple(r) for r in batch_df.collect())
+    assert got == want

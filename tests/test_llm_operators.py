@@ -1515,3 +1515,38 @@ def test_deletion_neighborhood_d2_superset_of_d1(spark):
     # excluded at depth 1
     assert ("act", "cat") in d2 and ("act", "cat") not in d1
     assert d2[("act", "cat")][2] == 2
+
+
+def test_decoder_corrupt_bytes_never_escape_valueerror():
+    """r10 review regressions: every corrupt-byte shape that previously
+    leaked IndexError (escaping the extract_pixel_stats ValueError
+    quarantine) must surface as ValueError — a GIF cut right after the
+    image descriptor, and a BMP whose pixel indices run past the
+    declared color count."""
+    import struct
+
+    px = bytes(range(64))
+    # GIF truncated immediately after the 10-byte image descriptor
+    # (before the LZW minimum-code-size byte): 6 sig + 7 LSD + 768 GCT
+    # + 10 descriptor.
+    gif_cut = multimodal.encode_gif(4, 4, px)[: 6 + 7 + 768 + 10]
+    with pytest.raises(ValueError):
+        multimodal.decode_image_pixels(gif_cut)
+    # BMP declaring a 16-color palette while carrying index 250.
+    bmp = bytearray(multimodal.encode_bmp(4, 4, bytes([250]) * 16))
+    bmp[46:50] = struct.pack("<I", 16)  # biClrUsed = 16
+    with pytest.raises(ValueError):
+        multimodal.decode_image_pixels(bytes(bmp))
+
+
+def test_bmp_final_row_padding_optional():
+    """Real-world writers may omit the LAST row's 4-byte alignment
+    padding; such files decoded fine before the r10 bounds check and
+    must keep decoding (the check requires only the final row's pixel
+    bytes, not its padding)."""
+    px = bytes(range(32))
+    full = multimodal.encode_bmp(5, 4, px)
+    stripped = full[:-3]  # drop the final row's 3 pad bytes (stride 8, w 5)
+    assert multimodal.decode_image_pixels(stripped) == (
+        multimodal.decode_image_pixels(full)
+    )

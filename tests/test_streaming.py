@@ -378,3 +378,22 @@ def test_stream_table_source_handles_both_layouts(spark, sf_dir, tmp_path):
             lambda batch, _id: rows.extend(batch.collect()),
         )
         assert sorted(tuple(r) for r in rows) == want, layout_sf
+
+
+def test_stream_asset_base_survives_missing_passwd_entry(spark, monkeypatch):
+    """Minimal-container shape: getpass.getuser() raises KeyError on
+    Python <= 3.12 when the uid has no passwd entry — the asset base
+    must fall back to uid{N}, not crash (r10 review)."""
+    import getpass
+
+    from traffic_accidents_airflow_kafka_spark.plans import streaming_plans
+
+    def boom():
+        raise KeyError("getpwuid(): uid not found")
+
+    monkeypatch.setattr(getpass, "getuser", boom)
+    base = streaming_plans._stream_asset_base(spark)
+    import os
+
+    assert f"uid{os.getuid()}" in base
+    assert spark.sparkContext.applicationId in base

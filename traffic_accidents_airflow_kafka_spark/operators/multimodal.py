@@ -339,7 +339,10 @@ def _decode_image_pixels_raw(payload: bytes) -> tuple[int, int, int, bytes]:
         # claimed raster must fit inside the payload.
         if w <= 0:
             raise ValueError(f"invalid BMP width {w}")
-        if off + stride * h > len(payload):
+        # The FINAL row only needs its w*nbytes pixel bytes — real-world
+        # writers may omit the last row's alignment padding, and those
+        # files decoded fine before this check existed.
+        if off + stride * (h - 1) + w * nbytes > len(payload):
             raise ValueError("truncated BMP pixel data")
         rgb = bytearray(w * h * 3)
         if bpp_bits == 8:
@@ -356,6 +359,11 @@ def _decode_image_pixels_raw(payload: bytes) -> tuple[int, int, int, bytes]:
                 raise ValueError("truncated BMP pixel data")
             o = r * w * 3
             if bpp_bits == 8:
+                # Same quarantine-contract discipline as the GIF color
+                # table: an index past the declared color count must be
+                # ValueError, not IndexError escaping the decoder.
+                if max(row) * 4 + 4 > len(palette):
+                    raise ValueError("BMP index outside the palette")
                 for x in range(w):
                     p = row[x] * 4  # palette entries are B,G,R,X
                     rgb[o + 3 * x] = palette[p + 2]
@@ -412,6 +420,8 @@ def _decode_image_pixels_raw(payload: bytes) -> tuple[int, int, int, bytes]:
                     raise ValueError(
                         "unsupported GIF (sub-rectangle frame)"
                     )
+                if i >= len(payload):
+                    raise ValueError("truncated GIF (no LZW code size)")
                 mcs = payload[i]
                 i += 1
                 if not 2 <= mcs <= 8:

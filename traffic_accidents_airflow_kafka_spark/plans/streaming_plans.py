@@ -806,7 +806,10 @@ def _stream_asset_base(spark: SparkSession) -> str:
 
     try:
         user = getpass.getuser()
-    except OSError:  # no passwd entry (containers)
+    except (OSError, KeyError):
+        # No passwd entry for the uid (minimal containers): Python
+        # <= 3.12 surfaces this as KeyError from pwd.getpwuid, 3.13+
+        # as OSError.
         user = f"uid{os.getuid()}"
     user = _re.sub(r"[^0-9A-Za-z_.-]", "_", user)
     app = spark.sparkContext.applicationId

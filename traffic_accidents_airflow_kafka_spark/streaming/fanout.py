@@ -275,6 +275,7 @@ def run_topics_fanout(
     # measured topic-3 plan (r9 ADVICE — the except below is also
     # narrowed to the two failure classes an unwritable warehouse
     # actually produces, so anything unexpected propagates).
+    from py4j.protocol import Py4JJavaError
     from pyspark.errors import AnalysisException
 
     from ..plans.llm import _artifact
@@ -295,8 +296,13 @@ def run_topics_fanout(
             prepare_bucketed_orders(spark, sf_dir)
         orders_static = None  # bucketed path active
         _LAST_RUN_META["orders_join_path"] = "bucketed"
-    except (AnalysisException, OSError) as exc:  # pragma: no cover —
-        # warehouse-unwritable. LOUD fallback (r9: a silent one masked
+    except (AnalysisException, OSError, Py4JJavaError) as exc:  # pragma: no cover —
+        # warehouse-unwritable: LOCATION_ALREADY_EXISTS-class catalog
+        # errors surface as AnalysisException, local file ops as
+        # OSError, and a FAILED WRITE JOB (disk full, permissions on an
+        # executor) as Py4JJavaError wrapping java.io.IOException — the
+        # failure class the fallback was built for (r10 review).
+        # LOUD fallback (r9: a silent one masked
         # an orphaned-location build failure through an entire bench
         # run): correctness is unaffected, but the scale posture
         # changed — say so on stderr AND in the run metadata the bench
