@@ -1550,3 +1550,72 @@ def test_bmp_final_row_padding_optional():
     assert multimodal.decode_image_pixels(stripped) == (
         multimodal.decode_image_pixels(full)
     )
+
+
+def test_incremental_line_dedup_equals_full_rewrite(spark):
+    """The daily-ingest form == line_dedup over the full corpus
+    restricted to arrival docs — for BOTH input forms (history docs
+    indexed inline, and the persisted line_support_index), including a
+    line whose frequency crosses the threshold only when history and
+    batch counts ADD."""
+    bl = "accept all cookies"
+    rows = (
+        # history: 3 docs carry the boilerplate (df below threshold alone)
+        [(i, f"{bl}\nhist unique {i}") for i in range(3)]
+        + [(3, "hist only line")]
+        # arrivals: 2 more carriers -> combined df 5 > 4; plus clean docs
+        + [(10, f"arr unique a\n{bl}"), (11, f"{bl}\narr unique b"),
+           (12, "arr clean\nsolo line")]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    history = docs.filter("doc_id < 10")
+    arrivals = docs.filter("doc_id >= 10")
+    full = {
+        r["doc_id"]: r
+        for r in dedup.line_dedup(
+            docs, "doc_id", "text", sep="\n", max_doc_freq=4
+        ).collect()
+        if r["doc_id"] >= 10
+    }
+    for kwargs in (
+        {"history": history},
+        {
+            "history": None,
+            "history_index": dedup.line_support_index(
+                history, "doc_id", "text", sep="\n"
+            ),
+        },
+    ):
+        inc = {
+            r["doc_id"]: r
+            for r in dedup.incremental_line_dedup(
+                arrivals=arrivals,
+                id_col="doc_id",
+                text_col="text",
+                sep="\n",
+                max_doc_freq=4,
+                **kwargs,
+            ).collect()
+        }
+        assert set(inc) == set(full)
+        for did in full:
+            assert tuple(inc[did]) == tuple(full[did]), (kwargs.keys(), did)
+    # the threshold genuinely needed both sides' counts
+    assert full[10]["n_dropped"] == 1 and full[11]["n_dropped"] == 1
+    assert full[12]["n_dropped"] == 0
+
+
+def test_incremental_line_dedup_input_contract(spark):
+    """Exactly one of history/history_index; disjoint doc ids."""
+    docs = spark.createDataFrame(
+        [(1, "a\nb"), (2, "c\nd")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="exactly one"):
+        dedup.incremental_line_dedup(None, docs, "doc_id", "text")
+    with pytest.raises(ValueError, match="exactly one"):
+        dedup.incremental_line_dedup(
+            docs, docs, "doc_id", "text",
+            history_index=dedup.line_support_index(docs, "doc_id", "text"),
+        )
+    with pytest.raises(ValueError, match="share doc ids"):
+        dedup.incremental_line_dedup(docs, docs, "doc_id", "text")

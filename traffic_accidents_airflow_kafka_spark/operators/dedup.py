@@ -96,16 +96,35 @@ def line_dedup(
     restored by sorting the collected (pos, line) structs inside each
     group, never with a window over the corpus.
     """
-    lines = df.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
-    ).withColumn("__lh", text_hash("line"))
+    lines = _line_units(df, id_col, text_col, sep)
     drop_keys = (
         lines.groupBy("__lh")
         .agg(F.countDistinct(id_col).alias("__df"))
         .filter(F.col("__df") > max_doc_freq)
         .select("__lh", F.lit(True).alias("__drop"))
     )
+    return _line_rewrite(lines, drop_keys, id_col, sep)
+
+
+def _line_units(
+    df: DataFrame, id_col: str, text_col: str, sep: str
+) -> DataFrame:
+    """(id, pos, line, __lh) unit relation shared by the batch and
+    incremental line-dedup forms: split on ``sep``, position-exploded,
+    md5-hashed (so frequency aggregates ship digests, never text)."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    ).withColumn("__lh", text_hash("line"))
+
+
+def _line_rewrite(
+    lines: DataFrame, drop_keys: DataFrame, id_col: str, sep: str
+) -> DataFrame:
+    """Shared remove-and-rewrite tail: broadcast the (``__lh``,
+    ``__drop``) drop-set into the unit relation, then reassemble the
+    survivors per doc in original order. One corpus-sized shuffle (the
+    per-doc groupBy), drop-set join map-side."""
     flagged = lines.join(F.broadcast(drop_keys), "__lh", "left")
     return (
         flagged.groupBy(id_col)
@@ -140,6 +159,83 @@ def line_dedup(
             "clean_text",
         )
     )
+
+
+def line_support_index(
+    df: DataFrame, id_col: str, text_col: str, sep: str = "\n"
+) -> DataFrame:
+    """The persistable half of incremental line dedup: per-line
+    distinct-doc counts over a corpus — (``__lh``, ``line_df``). Built
+    once over history, written to parquet, and MERGED with each arrival
+    batch's own counts (distinct-doc counts over disjoint doc sets
+    add), so daily boilerplate removal never rescans history — the
+    line-granular twin of :func:`gram_support_index`."""
+    return (
+        _line_units(df, id_col, text_col, sep)
+        .groupBy("__lh")
+        .agg(F.countDistinct(id_col).alias("line_df"))
+    )
+
+
+def incremental_line_dedup(
+    history: DataFrame | None,
+    arrivals: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n",
+    max_doc_freq: int = 4,
+    history_index: DataFrame | None = None,
+) -> DataFrame:
+    """Line-level dedup for the daily-ingest shape (the incremental
+    twin of :func:`line_dedup`, same output contract, arrival docs
+    only): a line is dropped from an ARRIVAL document when its document
+    frequency across history + the arrival batch exceeds
+    ``max_doc_freq`` — boilerplate already indexed from history AND
+    same-batch template storms both trigger removal, and the result
+    equals :func:`line_dedup` over the full corpus restricted to
+    arrival rows (pinned by the equivalence test and, at sf0.01, by the
+    catalog oracle, whose SQL counts support over the whole corpus).
+
+    Scale (the point of the incremental form): the historical side
+    reduces to :func:`line_support_index` — a (hash, count) relation
+    that is precomputable, persistable, and mergeable. Per batch, the
+    index is semi-joined down to lines the batch actually contains
+    before the merge, so the per-day cost is linear in the arrival
+    batch, never in corpus history. Pass the PERSISTED index as
+    ``history_index``; passing ``history`` docs instead rebuilds the
+    index inline. Doc ids must be disjoint between history and
+    arrivals (enforced when history docs are given)."""
+    if (history is None) == (history_index is None):
+        raise ValueError(
+            "incremental_line_dedup: pass exactly one of history "
+            "(docs to index inline) or history_index (the persisted index)"
+        )
+    if history is not None and not (
+        history.select(id_col).join(arrivals.select(id_col), id_col).isEmpty()
+    ):
+        raise ValueError(
+            "incremental_line_dedup: history and arrivals share doc ids; "
+            "support counts over disjoint doc sets are what make the index mergeable"
+        )
+    batch_lines = _line_units(arrivals, id_col, text_col, sep)
+    batch_keys = batch_lines.select("__lh").distinct()
+    index = (
+        history_index
+        if history_index is not None
+        else line_support_index(history, id_col, text_col, sep)
+    )
+    hist_support = index.join(batch_keys, "__lh", "left_semi")
+    batch_support = batch_lines.groupBy("__lh").agg(
+        F.countDistinct(id_col).alias("line_df")
+    )
+    drop_keys = (
+        hist_support.unionByName(batch_support)
+        .groupBy("__lh")
+        .agg(F.sum("line_df").alias("line_df"))
+        .filter(F.col("line_df") > max_doc_freq)
+        .select("__lh", F.lit(True).alias("__drop"))
+    )
+    return _line_rewrite(batch_lines, drop_keys, id_col, sep)
 
 
 def word_shingles(

@@ -308,6 +308,66 @@ def line_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "incremental_line_dedup",
+    tier=1,  # line-dedup family judged via line_dedup_report (tier 0);
+    # full local oracle
+    min_rows=0,  # an arrival batch with no over-threshold lines rewrites nothing
+    oracle=_LINE_DEDUP_CTES
+    + """
+    SELECT doc_id, n_lines, n_dropped, chars_before,
+           CAST(length(clean_text) AS BIGINT) AS chars_after,
+           ROUND(CAST(length(clean_text) AS DOUBLE) / chars_before, 4)
+             AS retention,
+           md5(clean_text) AS clean_md5
+    FROM per_doc
+    WHERE doc_id % 3 = 2 AND n_dropped > 0
+    ORDER BY doc_id
+    LIMIT 500
+    """,
+    doc="Line-level dedup for the daily-ingest shape "
+    "(operators/dedup.py:incremental_line_dedup — the line-granular "
+    "twin of incremental_repeated_spans): the third of docs with "
+    "doc_id % 3 == 2 play today's arrival batch; their lines are "
+    "rewritten against a historical line-support INDEX "
+    "(line_support_index — a persistable (md5, distinct-doc-count) "
+    "relation) merged with the batch's own counts, sound because "
+    "distinct-doc counts over disjoint doc sets ADD. The split "
+    "cross-cuts the % 5 == 1 boilerplate planting, so BOTH removal "
+    "mechanisms are exercised: boilerplate already indexed from "
+    "history and same-batch template accumulation. Output contract "
+    "and oracle semantics are EXACTLY line_dedup_report restricted to "
+    "arrival docs with support counted over the full corpus — the "
+    "oracle's whole-corpus frequency CTE IS the equivalence check. "
+    "Scale: per-day cost is linear in the batch — the index is "
+    "semi-joined down to the batch's line set before the merge, and "
+    "history text is never rescanned once the index is persisted.",
+)
+def incremental_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lined = _lined_documents(spark, sf_dir)
+    history = lined.filter(F.col("doc_id") % 3 != 2)
+    arrivals = lined.filter(F.col("doc_id") % 3 == 2)
+    out = dedup.incremental_line_dedup(
+        history, arrivals, "doc_id", "text", sep="\n", max_doc_freq=4
+    )
+    return (
+        out.filter(F.col("n_dropped") > 0)
+        .select(
+            "doc_id",
+            "n_lines",
+            "n_dropped",
+            "chars_before",
+            "chars_after",
+            F.round(
+                F.col("chars_after").cast("double") / F.col("chars_before"), 4
+            ).alias("retention"),
+            F.md5(F.col("clean_text").cast("binary")).alias("clean_md5"),
+        )
+        .orderBy("doc_id")
+        .limit(500)
+    )
+
+
+@register(
     "ngram_jaccard_pairs",
     oracle=_SHINGLE_CTE
     + """,
