@@ -1442,21 +1442,36 @@ def test_gif_lzw_table_reset_roundtrip():
 
 def test_gif_corrupt_and_unsupported_raise():
     """GIF corrupt-byte contract: truncated data blocks, an LZW stream
-    cut before the raster completes, interlace, and sub-rectangle
-    frames all surface as ValueError — never fake pixels, never a
-    giant allocation from header-claimed dims."""
+    cut before the raster completes, and sub-rectangle frames all
+    surface as ValueError — never fake pixels, never a giant
+    allocation from header-claimed dims."""
     good = multimodal.encode_gif(10, 10, bytes(range(100)))
     assert multimodal.decode_image_pixels(good)[0] == 10
     truncated = good[:-8]  # cuts into the LZW data
-    interlaced = bytearray(good)
-    # image descriptor packed byte: 6 (sig) + 7 (LSD) + 768 (GCT)
-    # + 1 (0x2C) + 8 (left/top/w/h)
-    interlaced[6 + 7 + 768 + 9] |= 0x40
     subrect = bytearray(good)
     subrect[6 + 7 + 768 + 1 : 6 + 7 + 768 + 3] = (2).to_bytes(2, "little")
-    for bad in (truncated, bytes(interlaced), bytes(subrect)):
+    for bad in (truncated, bytes(subrect)):
         with pytest.raises(ValueError):
             multimodal.decode_image_pixels(bad)
+
+
+def test_gif_interlaced_roundtrip():
+    """Interlaced GIFs (the common real-world variant) store rows in
+    the four-pass order; the decoder must re-order them — an
+    interlaced file decodes to EXACTLY the same canonical raster as
+    its progressive twin, across heights that exercise all four passes,
+    heights shorter than one pass cycle, and h=1."""
+    px = bytes((k * 11 + 5) % 251 for k in range(97))
+    for w, h in [(13, 17), (8, 8), (5, 3), (7, 1), (4, 2)]:
+        flat = multimodal.decode_image_pixels(multimodal.encode_gif(w, h, px))
+        inter = multimodal.decode_image_pixels(
+            multimodal.encode_gif(w, h, px, interlace=True)
+        )
+        assert inter == flat, (w, h)
+    # the interlaced bytes are genuinely different on disk (h > 1)
+    assert multimodal.encode_gif(5, 3, px) != multimodal.encode_gif(
+        5, 3, px, interlace=True
+    )
 
 
 def test_deletion_neighborhood_pairs_distance2(spark):

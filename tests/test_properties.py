@@ -510,6 +510,7 @@ def test_pixel_codec_roundtrip_property(w, h, pixels):
         multimodal.encode_png(w, h, pixels, filters="varied"),
         multimodal.encode_bmp(w, h, pixels),
         multimodal.encode_gif(w, h, pixels),
+        multimodal.encode_gif(w, h, pixels, interlace=True),
     ):
         dw, dh, c, rgb = multimodal.decode_image_pixels(payload)
         assert (dw, dh, c) == (w, h, 3)

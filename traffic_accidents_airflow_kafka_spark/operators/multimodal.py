@@ -253,12 +253,13 @@ def decode_image_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
       un-pad from 4-byte alignment and bottom-up rasters (positive
       height) flip to the canonical top-down order; a negative height
       (top-down DIB) reads straight through.
-    - **GIF**: 87a/89a, non-interlaced, single full-screen frame;
-      image data decompresses through a REAL variable-width LZW decoder
+    - **GIF**: 87a/89a, single full-screen frame; image data
+      decompresses through a REAL variable-width LZW decoder
       (:func:`_lzw_decode_gif` — CLEAR resets, EOI terminates, KwKwK,
-      deferred-clear full tables) and indices resolve through the local
-      or global color table. Extensions are skipped; interlaced or
-      sub-rectangle frames raise.
+      deferred-clear full tables), four-pass INTERLACED rasters
+      re-order to natural rows, and indices resolve through the local
+      or global color table. Extensions are skipped; sub-rectangle
+      frames raise.
 
     Raises ``ValueError`` on anything else (interlaced/16-bit/paletted
     PNG, RLE/16-bit BMP, JPEG — Huffman+DCT stays behind an imaging
@@ -405,8 +406,7 @@ def _decode_image_pixels_raw(payload: bytes) -> tuple[int, int, int, bytes]:
                     "<HHHHB", payload[i + 1 : i + 10]
                 )
                 i += 10
-                if ipacked & 0x40:
-                    raise ValueError("unsupported interlaced GIF")
+                interlaced = bool(ipacked & 0x40)
                 pal = gct
                 if ipacked & 0x80:  # local color table wins
                     n = 2 ** ((ipacked & 0x07) + 1)
@@ -442,6 +442,13 @@ def _decode_image_pixels_raw(payload: bytes) -> tuple[int, int, int, bytes]:
                 idx = _lzw_decode_gif(bytes(data), mcs, w * h)
                 if len(idx) != w * h:
                     raise ValueError("GIF raster truncated")
+                if interlaced:
+                    # Stored rows are in four-pass order; re-place each
+                    # at its natural position.
+                    nat = bytearray(w * h)
+                    for k, r in enumerate(_gif_interlace_order(h)):
+                        nat[r * w : (r + 1) * w] = idx[k * w : (k + 1) * w]
+                    idx = nat
                 pal_arr = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3)
                 idx_arr = np.frombuffer(bytes(idx), dtype=np.uint8)
                 if int(idx_arr.max(initial=0)) >= pal_arr.shape[0]:
@@ -570,19 +577,42 @@ def _lzw_decode_gif(
         prev = entry
 
 
-def encode_gif(width: int, height: int, pixels: bytes = b"") -> bytes:
+def _gif_interlace_order(height: int) -> list[int]:
+    """The GIF89a four-pass interlace row order (spec appendix E):
+    rows 0,8,16,… then 4,12,… then 2,6,10,… then 1,3,5,…"""
+    return (
+        list(range(0, height, 8))
+        + list(range(4, height, 8))
+        + list(range(2, height, 4))
+        + list(range(1, height, 2))
+    )
+
+
+def encode_gif(
+    width: int, height: int, pixels: bytes = b"", interlace: bool = False
+) -> bytes:
     """A genuine, spec-valid GIF89a: logical screen descriptor, 256-entry
     grayscale global color table, one full-screen image descriptor, and
     REAL LZW-compressed image data (variable-width codes, sub-block
     framing) — stdlib only. ``pixels`` tiles across the raster as
-    8-bit palette indices, exactly like :func:`encode_bmp`."""
+    8-bit palette indices, exactly like :func:`encode_bmp`.
+    ``interlace=True`` stores rows in the four-pass interlace order
+    with the descriptor flag set — the common real-world variant a
+    decoder must re-order on read."""
     import struct
 
     px = _tile(pixels, width * height)
+    if interlace:
+        px = b"".join(
+            px[r * width : (r + 1) * width]
+            for r in _gif_interlace_order(height)
+        )
     # 0xF7: global color table present, 8 bits/channel, 2^(7+1) entries.
     lsd = struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
     gct = b"".join(bytes((i, i, i)) for i in range(256))
-    img_desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    img_desc = b"\x2c" + struct.pack(
+        "<HHHHB", 0, 0, width, height, 0x40 if interlace else 0
+    )
     lzw = _lzw_encode_gif(px, 8)
     blocks = bytearray([8])  # LZW minimum code size
     for i in range(0, len(lzw), 255):
@@ -889,8 +919,15 @@ def synth_image_assets_arith(documents: DataFrame) -> DataFrame:
                     mimes.append("image/bmp")
                     payloads.append(encode_bmp(w, h, px))
                 else:
+                    # Every other GIF is INTERLACED (doc_id % 6 == 5):
+                    # the canonical raster — and so the oracle — is
+                    # unchanged, but the decoder must run the four-pass
+                    # re-order to produce it, so the driver-judged
+                    # value hash covers both storage orders for free.
                     mimes.append("image/gif")
-                    payloads.append(encode_gif(w, h, px))
+                    payloads.append(
+                        encode_gif(w, h, px, interlace=(did % 6 == 5))
+                    )
                 ids.append(did)
             yield pd.DataFrame(
                 {
