@@ -1634,3 +1634,34 @@ def test_incremental_line_dedup_input_contract(spark):
         )
     with pytest.raises(ValueError, match="share doc ids"):
         dedup.incremental_line_dedup(docs, docs, "doc_id", "text")
+
+
+def test_line_dedup_normalized_pools_trivial_variants(spark):
+    """normalize=True (the CCNet form): case/punctuation variants of a
+    boilerplate line pool their document frequencies — 'Subscribe
+    NOW!!' and 'subscribe now' are one unit, removed everywhere once
+    the pooled count crosses the threshold — while byte-exact hashing
+    (the default) keeps them apart and below it. Removal always
+    excises the ORIGINAL text, not the canonical form."""
+    variants = [
+        "Subscribe NOW!!", "subscribe now", "SUBSCRIBE  now",
+        "subscribe now.", "Subscribe now", "subscribe NOW",
+    ]
+    rows = [(i, f"{v}\nunique {i}") for i, v in enumerate(variants)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    plain = {
+        r["doc_id"]: r["n_dropped"]
+        for r in dedup.line_dedup(
+            docs, "doc_id", "text", sep="\n", max_doc_freq=4
+        ).collect()
+    }
+    assert all(v == 0 for v in plain.values())  # 6 distinct byte forms
+    norm = {
+        r["doc_id"]: r
+        for r in dedup.line_dedup(
+            docs, "doc_id", "text", sep="\n", max_doc_freq=4, normalize=True
+        ).collect()
+    }
+    for i in range(6):
+        assert norm[i]["n_dropped"] == 1
+        assert norm[i]["clean_text"] == f"unique {i}"  # original text gone

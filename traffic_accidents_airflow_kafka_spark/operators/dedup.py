@@ -63,6 +63,7 @@ def line_dedup(
     text_col: str,
     sep: str = "\n",
     max_doc_freq: int = 4,
+    normalize: bool = False,
 ) -> DataFrame:
     """Line-level exact dedup — the CCNet/RefinedWeb boilerplate-removal
     idiom every web-crawl pipeline runs BEFORE document-level MinHash:
@@ -85,6 +86,11 @@ def line_dedup(
 
     ``sep`` is passed to ``split`` (a regex) and ``array_join`` (a
     literal) — use a regex-safe literal separator like ``"\\n"``.
+    ``normalize=True`` counts frequencies over the NORMALIZED line
+    (text.normalize_text: lowercase, punctuation strip, whitespace
+    collapse — CCNet hashes normalized lines so `Subscribe NOW!` and
+    `subscribe now` pool their counts) while removal and reassembly
+    keep the ORIGINAL line text.
 
     Scale (100 TB): the document-frequency aggregate ships (16-byte
     md5 digest, doc id) pairs through the shuffle, never line text. The
@@ -96,7 +102,7 @@ def line_dedup(
     restored by sorting the collected (pos, line) structs inside each
     group, never with a window over the corpus.
     """
-    lines = _line_units(df, id_col, text_col, sep)
+    lines = _line_units(df, id_col, text_col, sep, normalize)
     drop_keys = (
         lines.groupBy("__lh")
         .agg(F.countDistinct(id_col).alias("__df"))
@@ -107,15 +113,22 @@ def line_dedup(
 
 
 def _line_units(
-    df: DataFrame, id_col: str, text_col: str, sep: str
+    df: DataFrame, id_col: str, text_col: str, sep: str,
+    normalize: bool = False,
 ) -> DataFrame:
     """(id, pos, line, __lh) unit relation shared by the batch and
     incremental line-dedup forms: split on ``sep``, position-exploded,
-    md5-hashed (so frequency aggregates ship digests, never text)."""
-    return df.select(
+    md5-hashed (so frequency aggregates ship digests, never text).
+    With ``normalize`` the hash is taken over the canonical form while
+    ``line`` keeps the original text for reassembly."""
+    from . import text as _text
+
+    units = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
-    ).withColumn("__lh", text_hash("line"))
+    )
+    key = _text.normalize_text("line") if normalize else F.col("line")
+    return units.withColumn("__lh", text_hash(key))
 
 
 def _line_rewrite(
@@ -162,7 +175,8 @@ def _line_rewrite(
 
 
 def line_support_index(
-    df: DataFrame, id_col: str, text_col: str, sep: str = "\n"
+    df: DataFrame, id_col: str, text_col: str, sep: str = "\n",
+    normalize: bool = False,
 ) -> DataFrame:
     """The persistable half of incremental line dedup: per-line
     distinct-doc counts over a corpus — (``__lh``, ``line_df``). Built
@@ -171,7 +185,7 @@ def line_support_index(
     add), so daily boilerplate removal never rescans history — the
     line-granular twin of :func:`gram_support_index`."""
     return (
-        _line_units(df, id_col, text_col, sep)
+        _line_units(df, id_col, text_col, sep, normalize)
         .groupBy("__lh")
         .agg(F.countDistinct(id_col).alias("line_df"))
     )
@@ -185,6 +199,7 @@ def incremental_line_dedup(
     sep: str = "\n",
     max_doc_freq: int = 4,
     history_index: DataFrame | None = None,
+    normalize: bool = False,
 ) -> DataFrame:
     """Line-level dedup for the daily-ingest shape (the incremental
     twin of :func:`line_dedup`, same output contract, arrival docs
@@ -217,12 +232,12 @@ def incremental_line_dedup(
             "incremental_line_dedup: history and arrivals share doc ids; "
             "support counts over disjoint doc sets are what make the index mergeable"
         )
-    batch_lines = _line_units(arrivals, id_col, text_col, sep)
+    batch_lines = _line_units(arrivals, id_col, text_col, sep, normalize)
     batch_keys = batch_lines.select("__lh").distinct()
     index = (
         history_index
         if history_index is not None
-        else line_support_index(history, id_col, text_col, sep)
+        else line_support_index(history, id_col, text_col, sep, normalize)
     )
     hist_support = index.join(batch_keys, "__lh", "left_semi")
     batch_support = batch_lines.groupBy("__lh").agg(
