@@ -644,3 +644,52 @@ def test_repeated_spans_miss_class_is_exactly_sub_k(spark):
     # doc 0: tokens are u0(1) x1 x2 x3(4) u1(5) y1(6)..y4(9) u2(10)
     # doc 1: v0 v1(2) x1(3) x2 x3(5) v2(6) y1(7)..y4(10)
     assert spans == {(0, 6, 9), (1, 7, 10)}, spans
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    data=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd ee", "Xx!"]),
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    max_df=st.sampled_from([1, 2, 3]),
+)
+def test_line_dedup_matches_python_reference(spark, data, max_df):
+    """line_dedup vs a straight-line Python reference on arbitrary
+    small corpora: identical drop decisions (per-line document
+    frequency > threshold), identical order-preserving reassembly, and
+    identical char accounting — including docs reduced to the empty
+    string and corpora where every line survives."""
+    from collections import Counter
+
+    from traffic_accidents_airflow_kafka_spark.operators import dedup
+
+    docs = {i: lines for i, lines in enumerate(data)}
+    df = spark.createDataFrame(
+        [(d, "\n".join(ls)) for d, ls in docs.items()],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in dedup.line_dedup(
+            df, "doc_id", "text", sep="\n", max_doc_freq=max_df
+        ).collect()
+    }
+    support = Counter()
+    for ls in docs.values():
+        for line in set(ls):
+            support[line] += 1
+    for d, ls in docs.items():
+        kept = [x for x in ls if support[x] <= max_df]
+        clean = "\n".join(kept)
+        r = got[d]
+        assert r["n_lines"] == len(ls)
+        assert r["n_dropped"] == len(ls) - len(kept)
+        assert r["clean_text"] == clean
+        assert r["chars_before"] == len("\n".join(ls))
+        assert r["chars_after"] == len(clean)
