@@ -366,10 +366,12 @@ def test_synth_audio_assets_roundtrip(docs):
         rate = multimodal.WAV_RATES[did % 4]
         frames = 100 + (did * 37) % 4000
         chans = 1 + did % 2
+        aiff = did % 3 == 2
         assert (r["sample_rate"], r["n_channels"], r["bits"], r["n_frames"]) == (
             rate, chans, 16, frames,
         )
-        assert r["n_bytes"] == 44 + frames * chans * 2
+        assert r["mime"] == ("audio/aiff" if aiff else "audio/wav")
+        assert r["n_bytes"] == (54 if aiff else 44) + frames * chans * 2
         assert r["duration_ms"] == frames * 1000 // rate
 
 
@@ -1665,3 +1667,34 @@ def test_line_dedup_normalized_pools_trivial_variants(spark):
     for i in range(6):
         assert norm[i]["n_dropped"] == 1
         assert norm[i]["clean_text"] == f"unique {i}"  # original text gone
+
+
+def test_decode_audio_meta_parses_real_aiff():
+    """AIFF encode→parse round-trip on genuine big-endian FORM bytes,
+    including the 80-bit extended-float sample rate: every common rate
+    plus awkward integers must survive _f80_encode→_f80_decode exactly,
+    and the chunk walker must skip unknown odd-sized chunks with even
+    padding."""
+    import struct
+
+    aiff = multimodal.encode_aiff(44100, 321, b"pcm", n_channels=2)
+    assert multimodal.decode_audio_meta(aiff) == (44100, 2, 16, 321)
+    assert len(aiff) == 54 + 321 * 4
+    (form_size,) = struct.unpack(">I", aiff[4:8])
+    assert form_size == len(aiff) - 8
+    for rate in (1, 8000, 11025, 22050, 44100, 48000, 96000, 192000, 12345):
+        assert multimodal._f80_decode(multimodal._f80_encode(rate)) == rate
+        a = multimodal.encode_aiff(rate, 10)
+        assert multimodal.decode_audio_meta(a)[0] == rate
+    # unknown odd-length chunk before COMM, padded to even
+    chunks = aiff[12:]
+    odd = b"ANNO" + struct.pack(">I", 3) + b"abc" + b"\x00"
+    padded = (
+        b"FORM"
+        + struct.pack(">I", 4 + len(odd) + len(chunks))
+        + b"AIFF" + odd + chunks
+    )
+    assert multimodal.decode_audio_meta(padded) == (44100, 2, 16, 321)
+    # truncated: FORM/AIFF but no COMM
+    with pytest.raises(ValueError):
+        multimodal.decode_audio_meta(b"FORM\x00\x00\x00\x04AIFF")

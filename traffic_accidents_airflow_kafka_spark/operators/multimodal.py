@@ -128,19 +128,68 @@ def decode_image_meta(payload: bytes) -> tuple[int, int]:
     raise ValueError("unrecognized image payload (not PNG/BMP/GIF/JPEG)")
 
 
+def _f80_encode(x: int) -> bytes:
+    """Encode a positive integer as the 80-bit extended float AIFF's
+    COMM chunk stores sample rates in (sign+15-bit biased exponent,
+    64-bit mantissa with an EXPLICIT integer bit) — exact for every
+    integer below 2^63."""
+    import struct
+
+    if x <= 0:
+        raise ValueError(f"AIFF sample rate must be positive, got {x}")
+    e = x.bit_length() - 1
+    return struct.pack(">HQ", 16383 + e, x << (63 - e))
+
+
+def _f80_decode(b: bytes) -> int:
+    """Decode AIFF's 80-bit extended float to the nearest integer
+    sample rate (real-world rates are integers; the explicit integer
+    bit makes the integer range exact)."""
+    import struct
+
+    se, mant = struct.unpack(">HQ", b)
+    if mant == 0:
+        return 0
+    exp = (se & 0x7FFF) - 16383 - 63
+    if exp >= 0:
+        return mant << exp
+    # round-half-up on the truncated bits
+    return (mant + (1 << (-exp - 1))) >> -exp
+
+
 def decode_audio_meta(payload: bytes) -> tuple[int, int, int, int]:
     """Parse (sample_rate_hz, n_channels, bits_per_sample, n_frames)
-    from genuine WAV/RIFF bytes — pure Python, no audio dependency.
+    from genuine WAV/RIFF or AIFF bytes — pure Python, no audio
+    dependency.
 
-    Walks RIFF chunks to ``fmt `` (PCM header) and ``data`` (payload
-    size → frame count = data_bytes / block_align). Raises ``ValueError``
-    on non-RIFF or truncated payloads, mirroring
-    :func:`decode_image_meta`'s corrupt-asset contract.
+    WAV: walks RIFF chunks to ``fmt `` (PCM header) and ``data``
+    (payload size → frame count = data_bytes / block_align). AIFF:
+    walks big-endian FORM chunks to ``COMM`` — channels, frame count,
+    sample size, and the 80-bit extended-float sample rate
+    (:func:`_f80_decode`). Raises ``ValueError`` on unrecognized or
+    truncated payloads, mirroring :func:`decode_image_meta`'s
+    corrupt-asset contract.
     """
     import struct
 
+    if payload[:4] == b"FORM" and payload[8:12] == b"AIFF":
+        rate = channels = bits = frames = None
+        i = 12
+        while i + 8 <= len(payload):
+            cid = payload[i : i + 4]
+            (size,) = struct.unpack(">I", payload[i + 4 : i + 8])
+            if cid == b"COMM" and i + 26 <= len(payload):
+                channels, frames, bits = struct.unpack(
+                    ">HIH", payload[i + 8 : i + 16]
+                )
+                rate = _f80_decode(payload[i + 16 : i + 26])
+            i += 8 + size + (size & 1)  # chunks pad to even offsets
+        if rate is None or frames is None:
+            raise ValueError("truncated AIFF: missing COMM chunk")
+        return int(rate), int(channels), int(bits), int(frames)
+
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
-        raise ValueError("unrecognized audio payload (not RIFF/WAVE)")
+        raise ValueError("unrecognized audio payload (not RIFF/WAVE or AIFF)")
     rate = channels = bits = block_align = None
     n_data = None
     i = 12
@@ -184,6 +233,30 @@ def encode_wav(
         + b"data" + struct.pack("<I", len(data)) + data
     )
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def encode_aiff(
+    sample_rate: int, n_frames: int, pcm: bytes = b"", n_channels: int = 1
+) -> bytes:
+    """A genuine, spec-valid 16-bit PCM AIFF: big-endian FORM container,
+    COMM chunk (channels, frame count, sample size, 80-bit extended-
+    float sample rate — :func:`_f80_encode`), SSND chunk with the PCM
+    payload (``pcm`` bytes tile across it). Stdlib ``struct`` only —
+    the big-endian, extended-float sibling of :func:`encode_wav`."""
+    import struct
+
+    block_align = n_channels * 2  # 16-bit samples
+    data = _tile(pcm, n_frames * block_align)
+    comm = struct.pack(">HIH", n_channels, n_frames, 16) + _f80_encode(
+        sample_rate
+    )
+    ssnd = struct.pack(">II", 0, 0) + data
+    body = (
+        b"AIFF"
+        + b"COMM" + struct.pack(">I", len(comm)) + comm
+        + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd
+    )
+    return b"FORM" + struct.pack(">I", len(body)) + body
 
 
 def _paeth(a: int, b: int, c: int) -> int:
@@ -1038,13 +1111,15 @@ AUDIO_META_SCHEMA = StructType(
 
 
 def synth_audio_assets(documents: DataFrame) -> DataFrame:
-    """Genuine WAV files synthesized deterministically from the documents
-    table: doc_id fixes sample rate (``WAV_RATES[doc_id % 4]``), frame
-    count (100 + (doc_id * 37) % 4000) and channel count (1 + doc_id %
-    2); the text supplies the PCM bytes. Same contract as
+    """Genuine audio files synthesized deterministically from the
+    documents table: doc_id fixes sample rate (``WAV_RATES[doc_id %
+    4]``), frame count (100 + (doc_id * 37) % 4000), channel count
+    (1 + doc_id % 2), and the CONTAINER — doc_id % 3 == 2 emits AIFF
+    (big-endian chunks, 80-bit extended-float rate), the rest RIFF/WAV;
+    the text supplies the PCM bytes. Same contract as
     :func:`synth_image_assets` — real spec-valid files whose parseable
     properties are pure doc_id arithmetic, so the encode→parse
-    round-trip value-hashes against SQL."""
+    round-trip value-hashes against SQL across both containers."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -1054,10 +1129,16 @@ def synth_audio_assets(documents: DataFrame) -> DataFrame:
                 rate = WAV_RATES[did % 4]
                 frames = 100 + (did * 37) % 4000
                 chans = 1 + did % 2
-                payloads.append(
-                    encode_wav(rate, frames, (text or "").encode(), chans)
-                )
-                mimes.append("audio/wav")
+                if did % 3 == 2:
+                    payloads.append(
+                        encode_aiff(rate, frames, (text or "").encode(), chans)
+                    )
+                    mimes.append("audio/aiff")
+                else:
+                    payloads.append(
+                        encode_wav(rate, frames, (text or "").encode(), chans)
+                    )
+                    mimes.append("audio/wav")
                 ids.append(did)
             yield pd.DataFrame(
                 {

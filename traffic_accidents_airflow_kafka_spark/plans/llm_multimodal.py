@@ -179,8 +179,10 @@ def multimodal_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stream_multimodal_decode (both tier 0); local oracle retained
     oracle="""
     SELECT doc_id AS asset_id,
-           'audio/wav' AS mime,
-           CAST(44 + (100 + (doc_id * 37) % 4000)
+           CASE WHEN doc_id % 3 = 2 THEN 'audio/aiff'
+                ELSE 'audio/wav' END AS mime,
+           CAST(CASE WHEN doc_id % 3 = 2 THEN 54 ELSE 44 END
+                + (100 + (doc_id * 37) % 4000)
                      * (1 + doc_id % 2) * 2 AS INT) AS n_bytes,
            CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
                                 WHEN 2 THEN 22050 ELSE 44100 END AS INT)
@@ -197,17 +199,20 @@ def multimodal_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 100
     """,
     doc="Audio twin of multimodal_real_decode: genuine spec-valid 16-bit "
-    "PCM WAV files synthesized from the documents table (operators/"
-    "multimodal.py:encode_wav — RIFF + fmt + data chunks; sample rate, "
-    "frame count, and channels are pure doc_id arithmetic, PCM bytes "
-    "come from the text), then decode_audio_meta — a pure-Python RIFF "
-    "chunk walker — reads rate/channels/bits/frames back out of the "
-    "bytes, plus exact integer duration (frames * 1000 // rate) and "
-    "total file size (44-byte header + frames * block_align, so the "
-    "data-chunk size math is under value-hash too). Scale: two Arrow "
-    "mapInPandas stages over pruned columns, one Python worker per "
-    "partition, no shuffle — the ingestion shape for audio corpora "
-    "(decode → resample → feature-extract slots into the same stage).",
+    "PCM files synthesized from the documents table — RIFF/WAV "
+    "(operators/multimodal.py:encode_wav) and, for doc_id % 3 == 2, "
+    "big-endian AIFF whose COMM chunk stores the sample rate as an "
+    "80-bit extended float (encode_aiff/_f80_encode, r10); sample "
+    "rate, frame count, channels, and container are pure doc_id "
+    "arithmetic, PCM bytes come from the text. decode_audio_meta — a "
+    "pure-Python chunk walker for BOTH containers — reads rate/"
+    "channels/bits/frames back out of the bytes, plus exact integer "
+    "duration (frames * 1000 // rate) and total file size (44-byte WAV "
+    "header vs 54-byte AIFF framing + frames * block_align, so the "
+    "chunk size math of both containers is under value-hash). Scale: "
+    "two Arrow mapInPandas stages over pruned columns, one Python "
+    "worker per partition, no shuffle — the ingestion shape for audio "
+    "corpora (decode → resample → feature-extract slots in here).",
 )
 def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
