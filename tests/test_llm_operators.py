@@ -267,7 +267,9 @@ def test_decode_image_pixels_full_roundtrip():
     # Unsupported variants raise, never fake pixels.
     good = multimodal.encode_png(4, 4, px)
     interlaced = bytearray(good)
-    interlaced[28] = 1  # IHDR interlace flag
+    # Flipping the IHDR flag on a PROGRESSIVE stream makes it corrupt
+    # Adam7 (pass lengths can't match) — must still be ValueError.
+    interlaced[28] = 1
     sixteen = bytearray(good)
     sixteen[24] = 16  # IHDR bit depth
     rle_bmp = bytearray(multimodal.encode_bmp(4, 4, px))
@@ -1698,3 +1700,30 @@ def test_decode_audio_meta_parses_real_aiff():
     # truncated: FORM/AIFF but no COMM
     with pytest.raises(ValueError):
         multimodal.decode_audio_meta(b"FORM\x00\x00\x00\x04AIFF")
+
+
+def test_png_adam7_interlaced_roundtrip():
+    """Adam7-interlaced PNGs (the progressive-rendering real-world
+    variant) store seven independently-filtered sub-images; the decoder
+    must unfilter each pass and scatter it back — an interlaced file
+    decodes to EXACTLY the same canonical raster as its progressive
+    twin, for both filter modes, across dims that exercise empty
+    passes (w or h < 8), single pixels, and single rows/columns."""
+    px = bytes((k * 13 + 1) % 251 for k in range(97))
+    for w, h in [(17, 23), (8, 8), (1, 1), (5, 1), (1, 7), (3, 2), (9, 5)]:
+        for filters in ("none", "varied"):
+            flat = multimodal.decode_image_pixels(
+                multimodal.encode_png(w, h, px, filters=filters)
+            )
+            inter = multimodal.decode_image_pixels(
+                multimodal.encode_png(
+                    w, h, px, filters=filters, interlace=True
+                )
+            )
+            assert inter == flat, (w, h, filters)
+    # genuinely different bytes on disk, and the IHDR flag is set
+    prog = multimodal.encode_png(9, 5, px)
+    adam = multimodal.encode_png(9, 5, px, interlace=True)
+    assert prog != adam and adam[28] == 1 and prog[28] == 0
+    # meta parser reads dims regardless of interlace
+    assert multimodal.decode_image_meta(adam) == (9, 5)

@@ -509,6 +509,7 @@ def test_pixel_codec_roundtrip_property(w, h, pixels):
         multimodal.encode_png(w, h, pixels),
         multimodal.encode_png(w, h, pixels, filters="varied"),
         multimodal.encode_bmp(w, h, pixels),
+        multimodal.encode_png(w, h, pixels, filters="varied", interlace=True),
         multimodal.encode_gif(w, h, pixels),
         multimodal.encode_gif(w, h, pixels, interlace=True),
     ):

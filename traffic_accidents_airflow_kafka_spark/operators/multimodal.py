@@ -316,11 +316,13 @@ def decode_image_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
 
     Formats:
 
-    - **PNG**: non-interlaced, bit depth 8, color types 0 (grayscale →
-      replicated to RGB) and 2 (truecolor RGB). The IDAT stream inflates
-      via stdlib ``zlib`` and ALL FIVE scanline filters (None/Sub/Up/
-      Average/Paeth) are reversed — exercised for real because
-      :func:`encode_png` can emit varied per-row filters.
+    - **PNG**: bit depth 8, color types 0 (grayscale → replicated to
+      RGB) and 2 (truecolor RGB), progressive AND Adam7-interlaced
+      (seven independently-filtered sub-images scattered back to the
+      natural grid). The IDAT stream inflates via stdlib ``zlib`` and
+      ALL FIVE scanline filters (None/Sub/Up/Average/Paeth) are
+      reversed — exercised for real because :func:`encode_png` can
+      emit varied per-row filters, per interlace pass.
     - **BMP**: BITMAPINFOHEADER, uncompressed, 8-bit palettized (indices
       resolve through the file's own BGRX palette) and 24-bit BGR; rows
       un-pad from 4-byte alignment and bottom-up rasters (positive
@@ -374,13 +376,34 @@ def _decode_image_pixels_raw(payload: bytes) -> tuple[int, int, int, bytes]:
             i += 12 + clen  # len + type + data + crc
         if w is None or not idat:
             raise ValueError("truncated PNG: missing IHDR/IDAT")
-        if depth != 8 or interlace != 0 or ctype not in (0, 2):
+        if depth != 8 or interlace not in (0, 1) or ctype not in (0, 2):
             raise ValueError(
                 f"unsupported PNG (depth={depth} color={ctype} "
-                f"interlace={interlace}); only 8-bit gray/RGB progressive"
+                f"interlace={interlace}); only 8-bit gray/RGB"
             )
         bpp = 1 if ctype == 0 else 3
-        px = _png_unfilter(zlib.decompress(bytes(idat)), w, h, bpp)
+        raw = zlib.decompress(bytes(idat))
+        if interlace == 0:
+            px = _png_unfilter(raw, w, h, bpp)
+        else:
+            # Adam7: seven independently-filtered sub-images; unfilter
+            # each pass and scatter its pixels to their natural grid
+            # positions.
+            px = bytearray(w * h * bpp)
+            off = 0
+            for x0, y0, dx, dy, wp, hp in _adam7_passes(w, h):
+                n = (wp * bpp + 1) * hp
+                sub = _png_unfilter(raw[off : off + n], wp, hp, bpp)
+                off += n
+                for r in range(hp):
+                    y = y0 + r * dy
+                    for c in range(wp):
+                        x = x0 + c * dx
+                        px[(y * w + x) * bpp : (y * w + x) * bpp + bpp] = (
+                            sub[(r * wp + c) * bpp : (r * wp + c) * bpp + bpp]
+                        )
+            if off != len(raw):
+                raise ValueError("PNG IDAT length mismatch after inflate")
         if bpp == 1:  # canonicalize grayscale to RGB
             rgb = bytearray(w * h * 3)
             rgb[0::3] = px
@@ -707,8 +730,87 @@ def _tile(pixels: bytes, need: int) -> bytes:
     return (pixels * reps)[:need]
 
 
+#: The Adam7 interlace grid (PNG spec §8.2): per pass, the (x_start,
+#: y_start, x_step, y_step) of the pixels that pass carries.
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _filter_scanlines(
+    px: bytes, width: int, height: int, filters: str
+) -> bytes:
+    """Forward-filter a grayscale raster into PNG scanlines:
+    ``filters="none"`` emits filter-0 rows, ``"varied"`` rotates row r
+    through type r % 5 (None/Sub/Up/Average/Paeth). Shared by the
+    progressive and Adam7 encoders (each interlace pass filters its
+    sub-image independently, previous-row state starting at zero)."""
+    if filters == "none":
+        return b"".join(
+            b"\x00" + px[r * width : (r + 1) * width] for r in range(height)
+        )
+    rows = []
+    for r in range(height):
+        f = r % 5
+        line = px[r * width : (r + 1) * width]
+        prev = px[(r - 1) * width : r * width] if r else b"\x00" * width
+        if f == 0:
+            filt = line
+        elif f == 1:  # Sub
+            filt = bytes(
+                (line[i] - (line[i - 1] if i else 0)) & 0xFF
+                for i in range(width)
+            )
+        elif f == 2:  # Up
+            filt = bytes(
+                (line[i] - prev[i]) & 0xFF for i in range(width)
+            )
+        elif f == 3:  # Average
+            filt = bytes(
+                (line[i] - (((line[i - 1] if i else 0) + prev[i]) >> 1))
+                & 0xFF
+                for i in range(width)
+            )
+        else:  # Paeth
+            filt = bytes(
+                (
+                    line[i]
+                    - _paeth(
+                        line[i - 1] if i else 0,
+                        prev[i],
+                        prev[i - 1] if i else 0,
+                    )
+                )
+                & 0xFF
+                for i in range(width)
+            )
+        rows.append(bytes([f]) + filt)
+    return b"".join(rows)
+
+
+def _adam7_passes(width: int, height: int):
+    """Non-empty Adam7 passes for a raster: (x0, y0, dx, dy, wp, hp)."""
+    out = []
+    for x0, y0, dx, dy in _ADAM7:
+        wp = (width - x0 + dx - 1) // dx
+        hp = (height - y0 + dy - 1) // dy
+        if wp > 0 and hp > 0:
+            out.append((x0, y0, dx, dy, wp, hp))
+    return out
+
+
 def encode_png(
-    width: int, height: int, pixels: bytes = b"", filters: str = "none"
+    width: int,
+    height: int,
+    pixels: bytes = b"",
+    filters: str = "none",
+    interlace: bool = False,
 ) -> bytes:
     """A genuine, spec-valid 8-bit grayscale PNG: signature, IHDR, one
     zlib-compressed IDAT, IEND — correct chunk CRC32s throughout (stdlib
@@ -718,7 +820,11 @@ def encode_png(
     forward-filters row ``r`` with type ``r % 5`` (None/Sub/Up/Average/
     Paeth in rotation) — a decoder must implement the FULL filter suite
     to read it back, which is exactly what the pixel-decode catalog
-    entry uses to prove :func:`decode_image_pixels` against SQL."""
+    entry uses to prove :func:`decode_image_pixels` against SQL.
+    ``interlace=True`` stores the raster as the seven Adam7 passes
+    (each pass an independently-filtered sub-image, spec §8.2) with
+    the IHDR interlace flag set — the progressive-rendering variant
+    real-world encoders emit."""
     import struct
     import zlib
 
@@ -734,49 +840,21 @@ def encode_png(
         )
 
     px = _tile(pixels, width * height)
-    if filters == "none":
-        raw = b"".join(
-            b"\x00" + px[r * width : (r + 1) * width] for r in range(height)
-        )
+    if not interlace:
+        raw = _filter_scanlines(px, width, height, filters)
     else:
-        rows = []
-        for r in range(height):
-            f = r % 5
-            line = px[r * width : (r + 1) * width]
-            prev = px[(r - 1) * width : r * width] if r else b"\x00" * width
-            if f == 0:
-                filt = line
-            elif f == 1:  # Sub
-                filt = bytes(
-                    (line[i] - (line[i - 1] if i else 0)) & 0xFF
-                    for i in range(width)
-                )
-            elif f == 2:  # Up
-                filt = bytes(
-                    (line[i] - prev[i]) & 0xFF for i in range(width)
-                )
-            elif f == 3:  # Average
-                filt = bytes(
-                    (line[i] - (((line[i - 1] if i else 0) + prev[i]) >> 1))
-                    & 0xFF
-                    for i in range(width)
-                )
-            else:  # Paeth
-                filt = bytes(
-                    (
-                        line[i]
-                        - _paeth(
-                            line[i - 1] if i else 0,
-                            prev[i],
-                            prev[i - 1] if i else 0,
-                        )
-                    )
-                    & 0xFF
-                    for i in range(width)
-                )
-            rows.append(bytes([f]) + filt)
-        raw = b"".join(rows)
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+        parts = []
+        for x0, y0, dx, dy, wp, hp in _adam7_passes(width, height):
+            sub = bytes(
+                px[(y0 + r * dy) * width + (x0 + c * dx)]
+                for r in range(hp)
+                for c in range(wp)
+            )
+            parts.append(_filter_scanlines(sub, wp, hp, filters))
+        raw = b"".join(parts)
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, 0, 0, 0, 1 if interlace else 0
+    )
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
@@ -986,8 +1064,18 @@ def synth_image_assets_arith(documents: DataFrame) -> DataFrame:
                 h = 16 + (did * 7) % 32
                 px = _arith_pixels(did)
                 if did % 3 == 0:
+                    # Every other PNG is Adam7-INTERLACED (doc_id % 6
+                    # == 3): same canonical raster, same oracle — the
+                    # decoder must unfilter seven passes and scatter
+                    # them back, so the judged hash covers both PNG
+                    # storage orders (mirroring the GIF interlace split).
                     mimes.append("image/png")
-                    payloads.append(encode_png(w, h, px, filters="varied"))
+                    payloads.append(
+                        encode_png(
+                            w, h, px, filters="varied",
+                            interlace=(did % 6 == 3),
+                        )
+                    )
                 elif did % 3 == 1:
                     mimes.append("image/bmp")
                     payloads.append(encode_bmp(w, h, px))
