@@ -1727,3 +1727,51 @@ def test_png_adam7_interlaced_roundtrip():
     assert prog != adam and adam[28] == 1 and prog[28] == 0
     # meta parser reads dims regardless of interlace
     assert multimodal.decode_image_meta(adam) == (9, 5)
+
+
+def test_audio_zero_rate_raises_valueerror():
+    """A structurally-valid COMM/fmt chunk with a ZERO sample rate must
+    be ValueError (the corrupt-asset contract), not a downstream
+    ZeroDivisionError from the duration math (r10 review)."""
+    import struct
+
+    aiff = bytearray(multimodal.encode_aiff(44100, 10))
+    # COMM rate field: 12 (FORM hdr) + 8 (chunk hdr) + 8 (ch/frames/bits)
+    aiff[12 + 8 + 8 : 12 + 8 + 18] = b"\x00" * 10
+    wav = bytearray(multimodal.encode_wav(16000, 10))
+    wav[24:28] = struct.pack("<I", 0)  # fmt sample rate
+    for bad in (bytes(aiff), bytes(wav)):
+        with pytest.raises(ValueError):
+            multimodal.decode_audio_meta(bad)
+
+
+def test_incremental_line_dedup_rejects_normalize_mismatch(spark, tmp_path):
+    """A persisted index built under one normalize setting must be
+    REFUSED by a call using the other — the hash spaces never meet, so
+    a silent mismatch would drop all history support (r10 review). The
+    marker survives a parquet round-trip."""
+    docs = spark.createDataFrame(
+        [(1, "Aa!\nbb"), (2, "aa\ncc")], "doc_id long, text string"
+    )
+    arrivals = spark.createDataFrame(
+        [(10, "aa\ndd")], "doc_id long, text string"
+    )
+    path = str(tmp_path / "line_index")
+    dedup.line_support_index(
+        docs, "doc_id", "text", normalize=True
+    ).write.parquet(path)
+    idx = spark.read.parquet(path)
+    with pytest.raises(ValueError, match="normalize"):
+        dedup.incremental_line_dedup(
+            None, arrivals, "doc_id", "text",
+            history_index=idx, normalize=False,
+        )
+    # Matching setting works and pools the normalized variants:
+    # 'Aa!' (history, canonicalizes to 'aa') + 'aa' (history) + 'aa'
+    # (arrival) -> df 3 > 2, so the arrival's 'aa' is excised.
+    out = dedup.incremental_line_dedup(
+        None, arrivals, "doc_id", "text",
+        history_index=idx, max_doc_freq=2, normalize=True,
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["n_dropped"] == 1 and out[0]["clean_text"] == "dd"

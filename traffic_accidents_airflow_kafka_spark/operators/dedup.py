@@ -174,20 +174,51 @@ def _line_rewrite(
     )
 
 
+def _check_incremental_inputs(
+    op: str,
+    history: DataFrame | None,
+    arrivals: DataFrame,
+    id_col: str,
+    history_index: DataFrame | None,
+) -> None:
+    """Shared input contract of the daily-ingest operators: exactly one
+    of (history docs, persisted index), and — when history docs are
+    given — disjoint doc ids, because support counts over disjoint doc
+    sets are what make the indexes mergeable."""
+    if (history is None) == (history_index is None):
+        raise ValueError(
+            f"{op}: pass exactly one of history "
+            "(docs to index inline) or history_index (the persisted index)"
+        )
+    if history is not None and not (
+        history.select(id_col).join(arrivals.select(id_col), id_col).isEmpty()
+    ):
+        raise ValueError(
+            f"{op}: history and arrivals share doc ids; "
+            "support counts over disjoint doc sets are what make the index mergeable"
+        )
+
+
 def line_support_index(
     df: DataFrame, id_col: str, text_col: str, sep: str = "\n",
     normalize: bool = False,
 ) -> DataFrame:
     """The persistable half of incremental line dedup: per-line
-    distinct-doc counts over a corpus — (``__lh``, ``line_df``). Built
-    once over history, written to parquet, and MERGED with each arrival
-    batch's own counts (distinct-doc counts over disjoint doc sets
-    add), so daily boilerplate removal never rescans history — the
-    line-granular twin of :func:`gram_support_index`."""
+    distinct-doc counts over a corpus — (``__lh``, ``line_df``,
+    ``normalized``). Built once over history, written to parquet, and
+    MERGED with each arrival batch's own counts (distinct-doc counts
+    over disjoint doc sets add), so daily boilerplate removal never
+    rescans history — the line-granular twin of
+    :func:`gram_support_index`. The constant ``normalized`` column
+    records WHICH hash space the index holds (raw vs canonical lines) —
+    it round-trips through parquet, and :func:`incremental_line_dedup`
+    refuses an index whose setting disagrees with the call's, because a
+    raw-hash probe against a normalized index silently never matches."""
     return (
         _line_units(df, id_col, text_col, sep, normalize)
         .groupBy("__lh")
         .agg(F.countDistinct(id_col).alias("line_df"))
+        .withColumn("normalized", F.lit(bool(normalize)))
     )
 
 
@@ -219,29 +250,40 @@ def incremental_line_dedup(
     batch, never in corpus history. Pass the PERSISTED index as
     ``history_index``; passing ``history`` docs instead rebuilds the
     index inline. Doc ids must be disjoint between history and
-    arrivals (enforced when history docs are given)."""
-    if (history is None) == (history_index is None):
-        raise ValueError(
-            "incremental_line_dedup: pass exactly one of history "
-            "(docs to index inline) or history_index (the persisted index)"
-        )
-    if history is not None and not (
-        history.select(id_col).join(arrivals.select(id_col), id_col).isEmpty()
-    ):
-        raise ValueError(
-            "incremental_line_dedup: history and arrivals share doc ids; "
-            "support counts over disjoint doc sets are what make the index mergeable"
-        )
-    batch_lines = _line_units(arrivals, id_col, text_col, sep, normalize)
-    batch_keys = batch_lines.select("__lh").distinct()
+    arrivals (enforced when history docs are given), and a persisted
+    index must have been built with the SAME ``normalize`` setting
+    (enforced via the index's ``normalized`` marker column — the two
+    hash spaces never meet, so a mismatch would silently drop all
+    history support instead of erroring)."""
+    _check_incremental_inputs(
+        "incremental_line_dedup", history, arrivals, id_col, history_index
+    )
     index = (
         history_index
         if history_index is not None
         else line_support_index(history, id_col, text_col, sep, normalize)
     )
-    hist_support = index.join(batch_keys, "__lh", "left_semi")
+    if "normalized" in index.columns:
+        marker = [r[0] for r in index.select("normalized").limit(1).collect()]
+        if marker and bool(marker[0]) != bool(normalize):
+            raise ValueError(
+                "incremental_line_dedup: history_index was built with "
+                f"normalize={bool(marker[0])} but the call passes "
+                f"normalize={bool(normalize)} — the hash spaces never "
+                "match; rebuild the index or align the setting"
+            )
+        index = index.drop("normalized")
+    batch_lines = _line_units(arrivals, id_col, text_col, sep, normalize)
     batch_support = batch_lines.groupBy("__lh").agg(
         F.countDistinct(id_col).alias("line_df")
+    )
+    # The semi-join key set IS the support aggregate's key column —
+    # deriving it there (instead of a separate distinct over the
+    # exploded lines) lets the physical plan reuse the aggregate's
+    # exchange, so the arrival batch is split/exploded twice (support +
+    # rewrite), not three times.
+    hist_support = index.join(
+        batch_support.select("__lh"), "__lh", "left_semi"
     )
     drop_keys = (
         hist_support.unionByName(batch_support)
@@ -1089,20 +1131,10 @@ def incremental_repeated_spans(
     docs are given; the caller guarantees it for a prebuilt index, whose
     rows carry no ids to check).
     """
-    if (history is None) == (history_index is None):
-        raise ValueError(
-            "incremental_repeated_spans: pass exactly one of history "
-            "(docs to index inline) or history_index (the persisted index)"
-        )
-    if history is not None and not (
-        history.select(id_col).join(arrivals.select(id_col), id_col).isEmpty()
-    ):
-        raise ValueError(
-            "incremental_repeated_spans: history and arrivals share doc ids; "
-            "support counts over disjoint doc sets are what make the index mergeable"
-        )
+    _check_incremental_inputs(
+        "incremental_repeated_spans", history, arrivals, id_col, history_index
+    )
     batch_grams = positional_ngrams(arrivals, id_col, text_col, k)
-    batch_gram_keys = batch_grams.select("__gh").distinct()
     # History index pruned to the batch's grams BEFORE the merge: the
     # persisted index is corpus-vocabulary-sized; the batch only ever
     # touches its own gram set.
@@ -1111,9 +1143,14 @@ def incremental_repeated_spans(
         if history_index is not None
         else gram_support_index(history, id_col, text_col, k)
     )
-    hist_support = index.join(batch_gram_keys, "__gh", "left_semi")
     batch_support = (
         batch_grams.groupBy("__gh").agg(F.countDistinct(id_col).alias("n_docs"))
+    )
+    # Key set derived from the support aggregate (not a separate
+    # distinct over the exploded grams) so the physical plan reuses the
+    # aggregate's exchange — one fewer explode pass over the batch.
+    hist_support = index.join(
+        batch_support.select("__gh"), "__gh", "left_semi"
     )
     support = (
         hist_support.unionByName(batch_support)

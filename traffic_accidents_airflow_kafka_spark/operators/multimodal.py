@@ -184,8 +184,12 @@ def decode_audio_meta(payload: bytes) -> tuple[int, int, int, int]:
                 )
                 rate = _f80_decode(payload[i + 16 : i + 26])
             i += 8 + size + (size & 1)  # chunks pad to even offsets
-        if rate is None or frames is None:
-            raise ValueError("truncated AIFF: missing COMM chunk")
+        # `not rate` also rejects rate == 0 (a structurally-valid COMM
+        # with zeroed extended-float bytes): downstream duration math
+        # divides by the rate, and the corrupt-asset contract is
+        # ValueError, not ZeroDivisionError.
+        if not rate or frames is None:
+            raise ValueError("truncated or corrupt AIFF: missing COMM/zero rate")
         return int(rate), int(channels), int(bits), int(frames)
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -203,8 +207,8 @@ def decode_audio_meta(payload: bytes) -> tuple[int, int, int, int]:
         elif cid == b"data":
             n_data = size
         i += 8 + size + (size & 1)  # chunks pad to even offsets
-    if rate is None or n_data is None or not block_align:
-        raise ValueError("truncated WAV: missing fmt/data chunk")
+    if not rate or n_data is None or not block_align:
+        raise ValueError("truncated or corrupt WAV: missing fmt/data or zero rate")
     return int(rate), int(channels), int(bits), int(n_data // block_align)
 
 
@@ -336,9 +340,10 @@ def decode_image_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
       or global color table. Extensions are skipped; sub-rectangle
       frames raise.
 
-    Raises ``ValueError`` on anything else (interlaced/16-bit/paletted
-    PNG, RLE/16-bit BMP, JPEG — Huffman+DCT stays behind an imaging
-    library) AND on corrupt bytes inside a recognized format
+    Raises ``ValueError`` on anything else (16-bit/paletted PNG,
+    RLE/16-bit BMP, GIF sub-rectangle frames, JPEG — Huffman+DCT stays
+    behind an imaging library) AND on corrupt bytes inside a
+    recognized format
     (truncated headers → ``struct.error``, damaged IDAT →
     ``zlib.error`` — both converted so the contract is a single
     exception type). Same corrupt-asset contract as
