@@ -1775,3 +1775,26 @@ def test_incremental_line_dedup_rejects_normalize_mismatch(spark, tmp_path):
     ).collect()
     assert len(out) == 1
     assert out[0]["n_dropped"] == 1 and out[0]["clean_text"] == "dd"
+
+
+def test_png_truecolor_roundtrip():
+    """Color-type-2 (truecolor RGB) PNGs: the decoder's 3-byte-per-
+    pixel filter arithmetic — left neighbor bpp bytes back in Sub/
+    Average/Paeth — is only exercised through this path, across both
+    filter modes and both storage orders (progressive and Adam7)."""
+    px = bytes((k * 7 + 3) % 251 for k in range(101))
+    for w, h in [(17, 23), (1, 1), (5, 1), (3, 2), (9, 5)]:
+        tiled = multimodal._tile(px, w * h * 3)
+        for filters in ("none", "varied"):
+            for inter in (False, True):
+                f = multimodal.encode_png(
+                    w, h, px, filters=filters, interlace=inter, color="rgb"
+                )
+                assert multimodal.decode_image_pixels(f) == (w, h, 3, tiled), (
+                    w, h, filters, inter,
+                )
+    # IHDR says color type 2 and meta parses dims
+    f = multimodal.encode_png(9, 5, px, color="rgb")
+    assert f[25] == 2 and multimodal.decode_image_meta(f) == (9, 5)
+    with pytest.raises(ValueError):
+        multimodal.encode_png(4, 4, px, color="cmyk")

@@ -749,51 +749,54 @@ _ADAM7 = (
 
 
 def _filter_scanlines(
-    px: bytes, width: int, height: int, filters: str
+    px: bytes, width: int, height: int, filters: str, bpp: int = 1
 ) -> bytes:
-    """Forward-filter a grayscale raster into PNG scanlines:
-    ``filters="none"`` emits filter-0 rows, ``"varied"`` rotates row r
-    through type r % 5 (None/Sub/Up/Average/Paeth). Shared by the
+    """Forward-filter a raster (``bpp`` bytes per pixel) into PNG
+    scanlines: ``filters="none"`` emits filter-0 rows, ``"varied"``
+    rotates row r through type r % 5 (None/Sub/Up/Average/Paeth — the
+    left neighbor is ``bpp`` bytes back, per spec). Shared by the
     progressive and Adam7 encoders (each interlace pass filters its
     sub-image independently, previous-row state starting at zero)."""
+    stride = width * bpp
     if filters == "none":
         return b"".join(
-            b"\x00" + px[r * width : (r + 1) * width] for r in range(height)
+            b"\x00" + px[r * stride : (r + 1) * stride]
+            for r in range(height)
         )
     rows = []
     for r in range(height):
         f = r % 5
-        line = px[r * width : (r + 1) * width]
-        prev = px[(r - 1) * width : r * width] if r else b"\x00" * width
+        line = px[r * stride : (r + 1) * stride]
+        prev = px[(r - 1) * stride : r * stride] if r else b"\x00" * stride
         if f == 0:
             filt = line
         elif f == 1:  # Sub
             filt = bytes(
-                (line[i] - (line[i - 1] if i else 0)) & 0xFF
-                for i in range(width)
+                (line[i] - (line[i - bpp] if i >= bpp else 0)) & 0xFF
+                for i in range(stride)
             )
         elif f == 2:  # Up
             filt = bytes(
-                (line[i] - prev[i]) & 0xFF for i in range(width)
+                (line[i] - prev[i]) & 0xFF for i in range(stride)
             )
         elif f == 3:  # Average
             filt = bytes(
-                (line[i] - (((line[i - 1] if i else 0) + prev[i]) >> 1))
+                (line[i] - (((line[i - bpp] if i >= bpp else 0) + prev[i]) >> 1))
                 & 0xFF
-                for i in range(width)
+                for i in range(stride)
             )
         else:  # Paeth
             filt = bytes(
                 (
                     line[i]
                     - _paeth(
-                        line[i - 1] if i else 0,
+                        line[i - bpp] if i >= bpp else 0,
                         prev[i],
-                        prev[i - 1] if i else 0,
+                        prev[i - bpp] if i >= bpp else 0,
                     )
                 )
                 & 0xFF
-                for i in range(width)
+                for i in range(stride)
             )
         rows.append(bytes([f]) + filt)
     return b"".join(rows)
@@ -816,10 +819,16 @@ def encode_png(
     pixels: bytes = b"",
     filters: str = "none",
     interlace: bool = False,
+    color: str = "gray",
 ) -> bytes:
-    """A genuine, spec-valid 8-bit grayscale PNG: signature, IHDR, one
+    """A genuine, spec-valid 8-bit PNG: signature, IHDR, one
     zlib-compressed IDAT, IEND — correct chunk CRC32s throughout (stdlib
-    ``zlib`` only). ``pixels`` tiles across the ``width*height`` raster.
+    ``zlib`` only). ``color="gray"`` (default) emits color type 0 and
+    ``pixels`` tiles across the ``width*height`` raster;
+    ``color="rgb"`` emits TRUECOLOR (color type 2) and ``pixels`` tiles
+    across the ``width*height*3`` interleaved raster — the decoder's
+    3-byte-per-pixel filter arithmetic (left neighbor is bpp bytes
+    back) is only exercised through this path.
 
     ``filters="none"`` emits filter-0 scanlines; ``filters="varied"``
     forward-filters row ``r`` with type ``r % 5`` (None/Sub/Up/Average/
@@ -844,21 +853,28 @@ def encode_png(
             + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
         )
 
-    px = _tile(pixels, width * height)
+    if color not in ("gray", "rgb"):
+        raise ValueError(f"color must be 'gray' or 'rgb', got {color!r}")
+    bpp = 1 if color == "gray" else 3
+    px = _tile(pixels, width * height * bpp)
     if not interlace:
-        raw = _filter_scanlines(px, width, height, filters)
+        raw = _filter_scanlines(px, width, height, filters, bpp)
     else:
         parts = []
         for x0, y0, dx, dy, wp, hp in _adam7_passes(width, height):
-            sub = bytes(
-                px[(y0 + r * dy) * width + (x0 + c * dx)]
+            sub = b"".join(
+                px[
+                    ((y0 + r * dy) * width + (x0 + c * dx)) * bpp :
+                    ((y0 + r * dy) * width + (x0 + c * dx)) * bpp + bpp
+                ]
                 for r in range(hp)
                 for c in range(wp)
             )
-            parts.append(_filter_scanlines(sub, wp, hp, filters))
+            parts.append(_filter_scanlines(sub, wp, hp, filters, bpp))
         raw = b"".join(parts)
     ihdr = struct.pack(
-        ">IIBBBBB", width, height, 8, 0, 0, 0, 1 if interlace else 0
+        ">IIBBBBB", width, height, 8,
+        0 if color == "gray" else 2, 0, 0, 1 if interlace else 0,
     )
     return (
         b"\x89PNG\r\n\x1a\n"
