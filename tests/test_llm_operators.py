@@ -1798,3 +1798,74 @@ def test_png_truecolor_roundtrip():
     assert f[25] == 2 and multimodal.decode_image_meta(f) == (9, 5)
     with pytest.raises(ValueError):
         multimodal.encode_png(4, 4, px, color="cmyk")
+
+
+def test_encode_jpeg_flat_scan_decodes_back():
+    """The flat-JPEG encoder's entropy scan, verified by an independent
+    test-only Huffman reader built from the file's OWN DHT segments:
+    the first block carries exactly the quantized DC (round((level-128)
+    / 2)), every later block a zero diff + EOB, stuffed 0xFF bytes
+    unwind, and the tail pads with 1s — plus the header walk reads true
+    dims and extensions of the corrupt-asset contract hold."""
+    import struct
+
+    def verify_scan(j, w, h, lv):
+        i = 2
+        huff = {}
+        data = None
+        while i < len(j):
+            marker, ln = struct.unpack(">HH", j[i : i + 4])
+            body = j[i + 4 : i + 2 + ln]
+            if marker == 0xFFC4:
+                tc_th = body[0]
+                counts, syms = body[1:17], body[17:]
+                code, k, table = 0, 0, {}
+                for bit_len in range(1, 17):
+                    for _ in range(counts[bit_len - 1]):
+                        table[(bit_len, code)] = syms[k]
+                        k += 1
+                        code += 1
+                    code <<= 1
+                huff[tc_th >> 4] = table
+            if marker == 0xFFDA:
+                data = j[i + 2 + ln : -2]
+                break
+            i += 2 + ln
+        bits = "".join(f"{b:08b}" for b in data.replace(b"\xff\x00", b"\xff"))
+        pos = 0
+
+        def read_code(table):
+            nonlocal pos
+            bit_len = code = 0
+            while True:
+                code = (code << 1) | int(bits[pos])
+                pos += 1
+                bit_len += 1
+                if (bit_len, code) in table:
+                    return table[(bit_len, code)]
+
+        for i_mcu in range(((w + 7) // 8) * ((h + 7) // 8)):
+            s = read_code(huff[0])
+            if s:
+                mag = int(bits[pos : pos + s], 2)
+                pos += s
+                diff = mag if mag >= 1 << (s - 1) else mag - (1 << s) + 1
+            else:
+                diff = 0
+            if i_mcu == 0:
+                assert diff == round((lv - 128) / 2), (diff, lv)
+            else:
+                assert diff == 0
+            assert read_code(huff[1]) == 0x00  # EOB
+        assert all(c == "1" for c in bits[pos:]), "tail must pad with 1s"
+
+    for w, h, lv in [(16, 16, 128), (17, 23, 0), (63, 47, 255), (1, 1, 77), (24, 9, 37)]:
+        j = multimodal.encode_jpeg_flat(w, h, lv)
+        assert j[:2] == b"\xff\xd8" and j[-2:] == b"\xff\xd9"
+        assert multimodal.decode_image_meta(j) == (w, h)
+        verify_scan(j, w, h, lv)
+    with pytest.raises(ValueError):
+        multimodal.encode_jpeg_flat(4, 4, 300)
+    # pixel decode still refuses JPEG (header-only by constraint)
+    with pytest.raises(ValueError):
+        multimodal.decode_image_pixels(multimodal.encode_jpeg_flat(8, 8))

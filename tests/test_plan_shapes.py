@@ -110,6 +110,9 @@ ARROW_OK = {
     # passes by design (imperative byte surgery).
     "multimodal_real_decode",
     "multimodal_audio_meta",
+    # Flat-JPEG encode + SOF-marker walk (r10): Arrow map passes by
+    # design, same imperative byte surgery as the other decode twins.
+    "multimodal_jpeg_meta",
     # FULL pixel decode (r9): encode + inflate/unfilter/palette-resolve
     # are Arrow map passes by design — imperative byte surgery over the
     # payload column, reduced to per-asset integer stats in the worker.

@@ -905,6 +905,121 @@ def encode_bmp(width: int, height: int, pixels: bytes = b"") -> bytes:
     return file_header + dib + palette + img
 
 
+def encode_jpeg_flat(width: int, height: int, level: int = 128) -> bytes:
+    """A genuine, spec-valid baseline JPEG (SOI, DQT, SOF0, two DHTs,
+    SOS, entropy-coded scan, EOI) of a FLAT grayscale image — stdlib
+    only. Flat color makes real entropy coding tractable without an
+    imaging library: every 8x8 block's DCT is a lone DC coefficient
+    ((level-128)*8, all ACs zero), so the scan is one DC-category code
+    + magnitude bits for the first block and a zero-diff DC code + EOB
+    per block after — emitted through real canonical Huffman tables
+    declared in the file's own DHT segments, with 0xFF byte stuffing.
+    Full pixel decode (arbitrary-content Huffman+DCT) stays behind an
+    imaging library; this covers the container/marker layer with real
+    bytes a standard decoder can open.
+
+    Tables (canonical, declared in-file): DC = twelve length-4 codes
+    for categories 0-11; AC = one length-2 code for EOB. Quant table:
+    all 16s, so the quantized DC is round((level-128)/2)."""
+    import struct
+
+    if not (0 <= level <= 255):
+        raise ValueError(f"level must be 0..255, got {level}")
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    qt = bytes([0]) + bytes([16] * 64)  # Pq=0/Tq=0, uniform luma table
+    sof = struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0])
+    # Canonical DC table: counts[4]=12, symbols 0..11 → codes 0000..1011.
+    dc_counts = [0] * 16
+    dc_counts[3] = 12
+    dht_dc = bytes([0x00]) + bytes(dc_counts) + bytes(range(12))
+    # Canonical AC table: one length-2 code (00) for EOB (symbol 0x00).
+    ac_counts = [0] * 16
+    ac_counts[1] = 1
+    dht_ac = bytes([0x10]) + bytes(ac_counts) + bytes([0x00])
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+
+    # --- entropy-coded scan ---
+    dc_codes = {s: (s, 4) for s in range(12)}  # value, bit length
+    eob = (0b00, 2)
+    acc = nbits = 0
+    out = bytearray()
+
+    def emit(val: int, width_: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width_) | (val & ((1 << width_) - 1))
+        nbits += width_
+        while nbits >= 8:
+            byte = (acc >> (nbits - 8)) & 0xFF
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)  # byte stuffing
+            nbits -= 8
+        acc &= (1 << nbits) - 1
+
+    qdc = round((level - 128) / 2)
+    n_mcu = ((width + 7) // 8) * ((height + 7) // 8)
+    for i in range(n_mcu):
+        diff = qdc if i == 0 else 0
+        s = abs(diff).bit_length()
+        emit(*dc_codes[s])
+        if s:
+            bits = diff if diff > 0 else diff + (1 << s) - 1
+            emit(bits, s)
+        emit(*eob)
+    if nbits:  # pad the final byte with 1s, per spec
+        pad = 8 - nbits
+        emit((1 << pad) - 1, pad)
+
+    return (
+        b"\xff\xd8"
+        + seg(0xFFDB, qt)
+        + seg(0xFFC0, sof)
+        + seg(0xFFC4, dht_dc)
+        + seg(0xFFC4, dht_ac)
+        + seg(0xFFDA, sos)
+        + bytes(out)
+        + b"\xff\xd9"
+    )
+
+
+def synth_jpeg_assets(documents: DataFrame) -> DataFrame:
+    """Genuine baseline JPEGs synthesized deterministically from the
+    documents table: doc_id fixes the dimensions (the same width =
+    16 + doc_id % 48, height = 16 + (doc_id*7) % 32 arithmetic as the
+    image twins) and the flat gray level ((doc_id * 13) % 256). Real
+    marker segments, real in-file Huffman tables, real entropy-coded
+    scan (:func:`encode_jpeg_flat`) — so a downstream
+    :func:`decode_image_meta` reads true dimensions from true JPEG
+    bytes and the whole encode→parse round-trip value-hashes."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, mimes, payloads = [], [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                payloads.append(
+                    encode_jpeg_flat(
+                        16 + did % 48,
+                        16 + (did * 7) % 32,
+                        (did * 13) % 256,
+                    )
+                )
+                mimes.append("image/jpeg")
+                ids.append(did)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(ids, dtype="int64"),
+                    "mime": mimes,
+                    "payload": payloads,
+                }
+            )
+
+    return documents.select("doc_id").mapInPandas(batches, ASSET_SCHEMA)
+
+
 def fake_decode_meta(payload: bytes) -> tuple[int, int]:
     """Deterministic stand-in for a decoder: derives a fake (width, height)
     from the payload bytes so tests assert real values end-to-end."""

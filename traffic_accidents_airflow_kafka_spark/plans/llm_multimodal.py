@@ -224,6 +224,50 @@ def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_jpeg_meta",
+    tier=1,  # header-decode family judged via multimodal_pixel_decode +
+    # stream_multimodal_decode (both tier 0); full local oracle
+    oracle="""
+    SELECT doc_id AS asset_id,
+           'image/jpeg' AS mime,
+           CAST(16 + doc_id % 48 AS INT) AS width,
+           CAST(16 + (doc_id * 7) % 32 AS INT) AS height
+    FROM documents
+    ORDER BY asset_id
+    LIMIT 100
+    """,
+    doc="JPEG under the oracle on GENUINE bytes (r10): flat-gray "
+    "baseline JPEGs are synthesized with REAL marker segments, real "
+    "in-file canonical Huffman tables, and a real entropy-coded scan "
+    "(operators/multimodal.py:encode_jpeg_flat — flat color makes the "
+    "coding tractable without an imaging library: one DC category + "
+    "magnitude per file, a zero-diff DC code + EOB per block after, "
+    "0xFF byte stuffing, 1-padded tail), then decode_image_meta's "
+    "SOF-marker walk reads true dimensions back out. The scan itself "
+    "is verified by a test-only Huffman decoder "
+    "(tests/test_llm_operators.py). Full arbitrary-content pixel "
+    "decode (Huffman+DCT) stays behind an imaging library — this "
+    "covers the container/marker layer, completing the four-format "
+    "header family under value-hash. Scale: same two-stage Arrow "
+    "mapInPandas shape as the other asset entries; payload bytes "
+    "never shuffle.",
+)
+def multimodal_jpeg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .orderBy("doc_id")
+        .limit(100)
+    )
+    assets = multimodal.synth_jpeg_assets(docs)
+    return (
+        multimodal.extract_asset_meta(assets, decode=multimodal.decode_image_meta)
+        .select("asset_id", "mime", "width", "height")
+        .orderBy("asset_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dedup clustering + dataset splitting/sampling (training-data curation).
 # ---------------------------------------------------------------------------
