@@ -1866,6 +1866,88 @@ def test_encode_jpeg_flat_scan_decodes_back():
         verify_scan(j, w, h, lv)
     with pytest.raises(ValueError):
         multimodal.encode_jpeg_flat(4, 4, 300)
-    # pixel decode still refuses JPEG (header-only by constraint)
+
+
+def test_jpeg_dc_only_pixel_decode_roundtrip():
+    """decode_image_pixels reads flat JPEGs back through the DC-only
+    decoder: dims exact, every pixel the lossy-reconstructed level
+    (2*round_half_even((lv-128)/2) + 128, clamped at 255), RGB
+    replicated — including the banker's-rounding odd-delta cases
+    (127 and 129 both reconstruct to 128) and the level-255 clamp."""
+    import numpy as np
+
+    for w, h, lv in [
+        (16, 16, 128), (17, 23, 0), (63, 47, 255), (1, 1, 77),
+        (24, 9, 37), (8, 8, 129), (8, 8, 127), (9, 25, 255),
+    ]:
+        W, H, c, rgb = multimodal.decode_image_pixels(
+            multimodal.encode_jpeg_flat(w, h, lv)
+        )
+        assert (W, H, c) == (w, h, 3)
+        exp = min(255, max(0, 2 * round((lv - 128) / 2) + 128))
+        arr = np.frombuffer(rgb, dtype=np.uint8)
+        assert len(arr) == w * h * 3
+        assert arr.min() == arr.max() == exp, (lv, exp)
+
+
+def test_jpeg_decoder_rejects_whats_not_dc_only(spark):
+    """The DC-only decoder's honesty boundary: an AC coefficient, a
+    progressive SOF, or a truncated scan each raise ValueError (never
+    IndexError — the quarantine contract), verified on hand-built
+    spec-valid byte streams."""
+    import struct
+
+    def seg(marker, body):
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    # --- a file whose first block carries a real AC coefficient ---
+    qt = bytes([0]) + bytes([16] * 64)
+    sof = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    dc_counts = [0] * 16
+    dc_counts[3] = 12
+    dht_dc = bytes([0x00]) + bytes(dc_counts) + bytes(range(12))
+    # AC table with TWO symbols: len-1 code 0 → EOB, len-2 code 10 →
+    # run 0 / size 1 (a genuine AC coefficient).
+    ac_counts = [0] * 16
+    ac_counts[0] = 1
+    ac_counts[1] = 1
+    dht_ac = bytes([0x10]) + bytes(ac_counts) + bytes([0x00, 0x01])
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    # scan bits: DC cat 0 ('0000') + AC code '10' + size-1 bit '1',
+    # then pad with 1s → 0b00001011 + 0b1...
+    scan = bytes([0b00001011])
+    j = (
+        b"\xff\xd8" + seg(0xFFDB, qt) + seg(0xFFC0, sof)
+        + seg(0xFFC4, dht_dc) + seg(0xFFC4, dht_ac)
+        + seg(0xFFDA, sos) + scan + b"\xff\xd9"
+    )
+    with pytest.raises(ValueError, match="AC coefficients"):
+        multimodal.decode_image_pixels(j)
+
+    # --- progressive SOF2 ---
+    b = bytearray(multimodal.encode_jpeg_flat(8, 8, 100))
+    b[b.index(b"\xff\xc0") + 1] = 0xC2
+    with pytest.raises(ValueError, match="baseline"):
+        multimodal.decode_image_pixels(bytes(b))
+
+    # --- scan truncated mid-block (headers intact) ---
+    full = multimodal.encode_jpeg_flat(64, 64, 200)
+    sos_at = full.index(b"\xff\xda")
+    cut = full[: sos_at + 10]  # SOS segment survives, scan bits do not
     with pytest.raises(ValueError):
-        multimodal.decode_image_pixels(multimodal.encode_jpeg_flat(8, 8))
+        multimodal.decode_image_pixels(cut)
+
+    # --- quarantine path: corrupt JPEG quarantines instead of failing
+    # the job, alongside decodable PNG/JPEG neighbors ---
+    ok_png = multimodal.encode_png(4, 4, bytes(range(16)))
+    ok_jpg = multimodal.encode_jpeg_flat(8, 8, 37)
+    rows = [(1, "image/png", ok_png), (2, "image/jpeg", ok_jpg),
+            (3, "image/jpeg", bytes(b))]
+    df = spark.createDataFrame(rows, "asset_id long, mime string, payload binary")
+    out = {
+        r["asset_id"]: r
+        for r in multimodal.extract_pixel_stats(df, on_error="null").collect()
+    }
+    assert out[1]["decode_error"] is None and out[1]["n_px"] == 16
+    assert out[2]["decode_error"] is None and out[2]["px_min"] == 36
+    assert out[3]["n_px"] is None and "baseline" in out[3]["decode_error"]

@@ -520,6 +520,28 @@ def test_pixel_codec_roundtrip_property(w, h, pixels):
         assert rgb[2::3] == tiled
 
 
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=80),
+    h=st.integers(min_value=1, max_value=40),
+    level=st.integers(min_value=0, max_value=255),
+)
+def test_jpeg_flat_codec_roundtrip_property(w, h, level):
+    """The flat-JPEG pair (r10): for ANY dims and gray level, encode →
+    DC-only decode yields exactly the lossily-reconstructed constant
+    raster 2*round_half_even((level-128)/2) + 128 clamped to 8 bits —
+    pinning the quantizer round-trip (quant 16 ⇒ halves at odd deltas,
+    resolved banker's on both sides), multi-block DC-diff chains, the
+    255→256 clamp, 0xFF byte-stuffing, and non-multiple-of-8 crops."""
+    from traffic_accidents_airflow_kafka_spark.operators import multimodal
+
+    payload = multimodal.encode_jpeg_flat(w, h, level)
+    dw, dh, c, rgb = multimodal.decode_image_pixels(payload)
+    assert (dw, dh, c) == (w, h, 3)
+    exp = min(255, max(0, 2 * round((level - 128) / 2) + 128))
+    assert set(rgb) == {exp}
+
+
 @settings(max_examples=20, deadline=None)
 @given(data=st.binary(min_size=0, max_size=6000))
 def test_gif_lzw_codec_roundtrip_property(data):

@@ -340,10 +340,16 @@ def decode_image_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
       or global color table. Extensions are skipped; sub-rectangle
       frames raise.
 
+    - **JPEG**: the DC-ONLY subset of single-component baseline files
+      (every block one DC coefficient + EOB — what
+      :func:`encode_jpeg_flat` emits, read generally via the file's own
+      DHT/DQT tables by :func:`_decode_jpeg_dc_only`); any AC
+      coefficient raises.
+
     Raises ``ValueError`` on anything else (16-bit/paletted PNG,
-    RLE/16-bit BMP, GIF sub-rectangle frames, JPEG — Huffman+DCT stays
-    behind an imaging library) AND on corrupt bytes inside a
-    recognized format
+    RLE/16-bit BMP, GIF sub-rectangle frames, JPEG with AC content —
+    arbitrary Huffman+DCT stays behind an imaging library) AND on
+    corrupt bytes inside a recognized format
     (truncated headers → ``struct.error``, damaged IDAT →
     ``zlib.error`` — both converted so the contract is a single
     exception type). Same corrupt-asset contract as
@@ -561,7 +567,12 @@ def _decode_image_pixels_raw(payload: bytes) -> tuple[int, int, int, bytes]:
                 raise ValueError(f"corrupt GIF block 0x{b0:02x}")
         raise ValueError("GIF without an image descriptor")
 
-    raise ValueError("unrecognized image payload (pixel decode: PNG/BMP/GIF)")
+    if payload[:2] == b"\xff\xd8":
+        return _decode_jpeg_dc_only(payload)
+
+    raise ValueError(
+        "unrecognized image payload (pixel decode: PNG/BMP/GIF/JPEG)"
+    )
 
 
 def _lzw_encode_gif(data: bytes, min_code_size: int = 8) -> bytes:
@@ -914,9 +925,10 @@ def encode_jpeg_flat(width: int, height: int, level: int = 128) -> bytes:
     + magnitude bits for the first block and a zero-diff DC code + EOB
     per block after — emitted through real canonical Huffman tables
     declared in the file's own DHT segments, with 0xFF byte stuffing.
-    Full pixel decode (arbitrary-content Huffman+DCT) stays behind an
-    imaging library; this covers the container/marker layer with real
-    bytes a standard decoder can open.
+    The DC-only subset decodes back through
+    :func:`_decode_jpeg_dc_only` (reached via
+    :func:`decode_image_pixels`); ARBITRARY-content pixel decode
+    (AC coefficients + full IDCT) stays behind an imaging library.
 
     Tables (canonical, declared in-file): DC = twelve length-4 codes
     for categories 0-11; AC = one length-2 code for EOB. Quant table:
@@ -983,6 +995,170 @@ def encode_jpeg_flat(width: int, height: int, level: int = 128) -> bytes:
         + bytes(out)
         + b"\xff\xd9"
     )
+
+
+def _decode_jpeg_dc_only(payload: bytes) -> tuple[int, int, int, bytes]:
+    """FULL pixel decode for the DC-ONLY subset of baseline JPEG:
+    single-component (grayscale) SOF0 scans where every block is one DC
+    coefficient followed immediately by EOB — exactly the files
+    :func:`encode_jpeg_flat` emits, but read the general way (any
+    encoder's DC-only grayscale baseline file decodes here). The
+    Huffman tables come from the file's OWN DHT segments (canonical
+    reconstruction), the quantizer from its own DQT, stuffed ``FF 00``
+    bytes unwind, and each block reconstructs through the exact DC-only
+    inverse DCT (every pixel = DC·q00/8 + 128, clamped to 8 bits —
+    binary-exact halves, so Python's round-half-even IS IEEE nearest).
+    A file carrying any AC coefficient, restart interval, progressive
+    SOF, subsampling, or >1 component raises ``ValueError`` — that
+    decode genuinely belongs to an imaging library.
+    """
+    import struct
+
+    qt: dict[int, bytes] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    w = h = None
+    comp_tq = 0
+    td = ta = 0
+    scan = None
+    i = 2
+    while i + 4 <= len(payload):
+        if payload[i] != 0xFF:
+            raise ValueError(f"corrupt JPEG: expected marker at byte {i}")
+        marker = payload[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2  # parameterless markers
+            continue
+        (ln,) = struct.unpack(">H", payload[i + 2 : i + 4])
+        body = payload[i + 4 : i + 2 + ln]
+        if ln < 2 or len(body) != ln - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:  # DQT — one or more tables back-to-back
+            j = 0
+            while j < len(body):
+                pq, tq = body[j] >> 4, body[j] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit JPEG quant tables unsupported")
+                table_bytes = body[j + 1 : j + 65]
+                if len(table_bytes) != 64:
+                    raise ValueError("truncated JPEG quant table")
+                qt[tq] = table_bytes
+                j += 65
+        elif marker == 0xC0:  # SOF0 — baseline
+            prec, h, w, nf = struct.unpack(">BHHB", body[:6])
+            if prec != 8 or nf != 1:
+                raise ValueError(
+                    "only 8-bit single-component (grayscale) baseline JPEG"
+                )
+            if len(body) < 9:
+                raise ValueError("truncated JPEG SOF0 component spec")
+            if body[7] != 0x11:
+                raise ValueError("subsampled JPEG unsupported")
+            comp_tq = body[8]
+        elif marker in (
+            0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,
+        ):
+            raise ValueError("only baseline SOF0 JPEG decodes here")
+        elif marker == 0xC4:  # DHT — one or more tables back-to-back
+            j = 0
+            while j < len(body):
+                tc, th = body[j] >> 4, body[j] & 0x0F
+                counts = body[j + 1 : j + 17]
+                n = sum(counts)
+                syms = body[j + 17 : j + 17 + n]
+                if len(counts) != 16 or len(syms) != n:
+                    raise ValueError("truncated JPEG Huffman table")
+                code = k = 0
+                table: dict[tuple[int, int], int] = {}
+                for bit_len in range(1, 17):
+                    for _ in range(counts[bit_len - 1]):
+                        table[(bit_len, code)] = syms[k]
+                        k += 1
+                        code += 1
+                    code <<= 1
+                huff[(tc, th)] = table
+                j += 17 + n
+        elif marker == 0xDD:  # DRI
+            if len(body) >= 2 and struct.unpack(">H", body[:2])[0]:
+                raise ValueError("JPEG restart intervals unsupported")
+        elif marker == 0xDA:  # SOS — entropy-coded data follows
+            if len(body) < 6 or body[0] != 1:
+                raise ValueError("multi-component JPEG scan unsupported")
+            td, ta = body[2] >> 4, body[2] & 0x0F
+            if body[3] != 0:  # Ss != 0 ⇒ a progressive AC scan
+                raise ValueError("non-baseline JPEG spectral selection")
+            scan = payload[i + 2 + ln :]
+            break
+        i += 2 + ln
+    if scan is None or w is None:
+        raise ValueError("truncated JPEG: missing SOF0/SOS")
+    if (0, td) not in huff or (1, ta) not in huff:
+        raise ValueError("JPEG scan references an undeclared Huffman table")
+    if comp_tq not in qt:
+        raise ValueError("JPEG component references an undeclared quant table")
+    q00 = qt[comp_tq][0]
+
+    # Unstuff the entropy-coded bytes: FF 00 → FF; FF D9 ends the scan;
+    # any other FF-marker (restarts included) is unsupported here.
+    data = bytearray()
+    j = 0
+    while j < len(scan):
+        b = scan[j]
+        if b == 0xFF:
+            nxt = scan[j + 1] if j + 1 < len(scan) else None
+            if nxt == 0x00:
+                data.append(0xFF)
+                j += 2
+                continue
+            if nxt == 0xD9:
+                break
+            raise ValueError(f"unexpected marker in JPEG scan: 0xff{nxt!r}")
+        data.append(b)
+        j += 1
+
+    pos = 0
+    nbits_total = len(data) * 8
+
+    def read_bit() -> int:
+        nonlocal pos
+        if pos >= nbits_total:
+            raise ValueError("truncated JPEG scan")
+        bit = (data[pos >> 3] >> (7 - (pos & 7))) & 1
+        pos += 1
+        return bit
+
+    def read_code(table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for bit_len in range(1, 17):
+            code = (code << 1) | read_bit()
+            if (bit_len, code) in table:
+                return table[(bit_len, code)]
+        raise ValueError("invalid JPEG Huffman code")
+
+    dc_table, ac_table = huff[(0, td)], huff[(1, ta)]
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    vals = np.empty(bw * bh, dtype=np.uint8)
+    dc = 0
+    for blk in range(bw * bh):
+        s = read_code(dc_table)
+        if s > 11:
+            raise ValueError(f"invalid JPEG DC category {s}")
+        if s:
+            mag = 0
+            for _ in range(s):
+                mag = (mag << 1) | read_bit()
+            dc += mag if mag >= 1 << (s - 1) else mag - (1 << s) + 1
+        if read_code(ac_table) != 0x00:
+            raise ValueError(
+                "AC coefficients present — only the DC-only subset of "
+                "baseline JPEG decodes here"
+            )
+        vals[blk] = min(255, max(0, round(dc * q00 / 8) + 128))
+    gray = np.repeat(
+        np.repeat(vals.reshape(bh, bw), 8, axis=0), 8, axis=1
+    )[:h, :w]
+    rgb = np.repeat(gray.reshape(-1, 1), 3, axis=1)
+    return int(w), int(h), 3, rgb.tobytes()
 
 
 def synth_jpeg_assets(documents: DataFrame) -> DataFrame:
