@@ -1890,40 +1890,89 @@ def test_jpeg_dc_only_pixel_decode_roundtrip():
         assert arr.min() == arr.max() == exp, (lv, exp)
 
 
-def test_jpeg_decoder_rejects_whats_not_dc_only(spark):
-    """The DC-only decoder's honesty boundary: an AC coefficient, a
-    progressive SOF, or a truncated scan each raise ValueError (never
-    IndexError — the quarantine contract), verified on hand-built
-    spec-valid byte streams."""
+def _jpeg_handbuilt(scan_bytes, ac_counts, ac_syms, w=8, h=8, quant=16):
+    """A hand-assembled single-block-capable grayscale baseline JPEG
+    with a caller-chosen AC Huffman table and raw scan bytes — the
+    planted-bitstream rig for verifying the decoder against closed-form
+    expectations computed independently of the product's DCT matrix."""
     import struct
 
     def seg(marker, body):
         return struct.pack(">HH", marker, len(body) + 2) + body
 
-    # --- a file whose first block carries a real AC coefficient ---
-    qt = bytes([0]) + bytes([16] * 64)
-    sof = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    qt = bytes([0]) + bytes([quant] * 64)
+    sof = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
     dc_counts = [0] * 16
     dc_counts[3] = 12
     dht_dc = bytes([0x00]) + bytes(dc_counts) + bytes(range(12))
-    # AC table with TWO symbols: len-1 code 0 → EOB, len-2 code 10 →
-    # run 0 / size 1 (a genuine AC coefficient).
-    ac_counts = [0] * 16
-    ac_counts[0] = 1
-    ac_counts[1] = 1
-    dht_ac = bytes([0x10]) + bytes(ac_counts) + bytes([0x00, 0x01])
+    dht_ac = bytes([0x10]) + bytes(ac_counts) + bytes(ac_syms)
     sos = bytes([1, 1, 0x00, 0, 63, 0])
-    # scan bits: DC cat 0 ('0000') + AC code '10' + size-1 bit '1',
-    # then pad with 1s → 0b00001011 + 0b1...
-    scan = bytes([0b00001011])
-    j = (
+    return (
         b"\xff\xd8" + seg(0xFFDB, qt) + seg(0xFFC0, sof)
         + seg(0xFFC4, dht_dc) + seg(0xFFC4, dht_ac)
-        + seg(0xFFDA, sos) + scan + b"\xff\xd9"
+        + seg(0xFFDA, sos) + scan_bytes + b"\xff\xd9"
     )
-    with pytest.raises(ValueError, match="AC coefficients"):
-        multimodal.decode_image_pixels(j)
 
+
+def test_jpeg_planted_basis_blocks_decode_to_closed_form():
+    """Planted DCT-basis bitstreams: hand-built scans place ONE known
+    AC coefficient, and the decoded raster must equal the closed-form
+    inverse DCT computed here with math.cos and the spec's hardcoded
+    zigzag table — independent of the product's matrix, so agreement
+    verifies the transform, the zigzag, ZRL run-length decode, and
+    dequantization all at once."""
+    import math
+
+    import numpy as np
+
+    def expected(u, v, val):  # closed-form f = D.T F D + 128, rounded
+        def d(k, n):
+            s = math.sqrt(0.125) if k == 0 else 0.5
+            return s * math.cos((2 * n + 1) * k * math.pi / 16)
+
+        px = np.empty((8, 8), dtype=np.uint8)
+        for x in range(8):
+            for y in range(8):
+                f = val * d(u, x) * d(v, y) + 128
+                # determinism guard: the planted values must sit well
+                # clear of the .5 rounding boundary
+                assert abs((f % 1) - 0.5) > 0.01, f"pattern near .5: {f}"
+                px[x, y] = min(255, max(0, round(f)))
+        return px
+
+    def decoded(j):
+        w, h, _, rgb = multimodal.decode_image_pixels(j)
+        return np.frombuffer(rgb, dtype=np.uint8)[0::3].reshape(h, w)
+
+    # --- AC at zigzag position 1 (natural (0,1)): table len-1 EOB,
+    # len-2 code 10 → symbol 0x01. Scan: DC cat0 '0000', AC '10',
+    # mag '1' (+1), EOB '0' → exactly one byte 0b00001010.
+    j = _jpeg_handbuilt(
+        bytes([0b00001010]),
+        ac_counts=[1, 1] + [0] * 14,
+        ac_syms=bytes([0x00, 0x01]),
+    )
+    # +1 quantized by 16 at natural (u=0, v=1)
+    assert (decoded(j) == expected(0, 1, 16)).all()
+
+    # --- ZRL path: AC at zigzag 21 → natural index 48 = (u=6, v=0)
+    # (spec's table, hardcoded here on purpose). Table: len-1 '0' →
+    # EOB, len-2 '10' → ZRL(0xF0), len-3 '110' → (run=4,size=2)=0x42.
+    # Scan bits: DC cat0 '0000' · ZRL '10' (16 zeros) · 0x42 '110'
+    # (4 more zeros, size 2) · mag '11' (+3) · EOB '0' = 12 bits,
+    # 1-padded → bytes 0b00001011 0b01101111.
+    j = _jpeg_handbuilt(
+        bytes([0b00001011, 0b01101111]),
+        ac_counts=[1, 1, 1] + [0] * 13,
+        ac_syms=bytes([0x00, 0xF0, 0x42]),
+    )
+    assert (decoded(j) == expected(6, 0, 3 * 16)).all()
+
+
+def test_jpeg_decoder_boundary_rejections(spark):
+    """What stays behind an imaging library raises ValueError (never
+    IndexError — the quarantine contract): progressive SOF2, a
+    truncated scan, and the quarantine path itself."""
     # --- progressive SOF2 ---
     b = bytearray(multimodal.encode_jpeg_flat(8, 8, 100))
     b[b.index(b"\xff\xc0") + 1] = 0xC2
@@ -1951,3 +2000,62 @@ def test_jpeg_decoder_rejects_whats_not_dc_only(spark):
     assert out[1]["decode_error"] is None and out[1]["n_px"] == 16
     assert out[2]["decode_error"] is None and out[2]["px_min"] == 36
     assert out[3]["n_px"] is None and "baseline" in out[3]["decode_error"]
+
+
+def test_jpeg_full_codec_roundtrip_bounds():
+    """The arbitrary-content codec end to end: at quant 1 the only
+    loss is coefficient rounding (max error ≤ 2 on this fixed pattern;
+    measured 1), at quant 16 the error grows but stays codec-plausible,
+    and a flat raster survives EXACTLY at any quant that divides its
+    DC cleanly. Also pins ZRL emission: the sparse high-frequency
+    pattern forces >16-zero runs through the encoder."""
+    import numpy as np
+
+    pattern = bytes((i * 37 + (i * i) % 251) % 256 for i in range(123))
+    for w, h in [(16, 16), (17, 23), (64, 48), (1, 1)]:
+        tiled = multimodal._tile(pattern, w * h)
+        dec_w, dec_h, _, rgb = multimodal.decode_image_pixels(
+            multimodal.encode_jpeg(w, h, tiled, quant=1)
+        )
+        assert (dec_w, dec_h) == (w, h)
+        err = np.abs(
+            np.frombuffer(rgb, dtype=np.uint8)[0::3].astype(int)
+            - np.frombuffer(tiled, dtype=np.uint8).astype(int)
+        )
+        assert err.max() <= 2, err.max()
+
+    # quant=16: lossy but bounded (uniform table, worst coefficient
+    # rounding error 8 per coeff → a loose ~32 gray-level ceiling)
+    tiled = multimodal._tile(pattern, 32 * 32)
+    _, _, _, rgb = multimodal.decode_image_pixels(
+        multimodal.encode_jpeg(32, 32, tiled, quant=16)
+    )
+    err = np.abs(
+        np.frombuffer(rgb, dtype=np.uint8)[0::3].astype(int)
+        - np.frombuffer(tiled, dtype=np.uint8).astype(int)
+    )
+    assert err.max() <= 32, err.max()
+
+    # flat rasters: exact at quant 1 (DC = 8*(lv-128) divides by 1)
+    for lv in (0, 77, 128, 255):
+        _, _, _, rgb = multimodal.decode_image_pixels(
+            multimodal.encode_jpeg(24, 16, bytes([lv]), quant=1)
+        )
+        assert set(rgb) == {lv}
+
+    # ZRL actually fires: a raster with one isolated bright pixel per
+    # block has energy in every frequency — encode must survive runs
+    # and size categories up to the spec ceiling
+    spike = bytearray(64)
+    spike[0] = 255
+    _, _, _, rgb = multimodal.decode_image_pixels(
+        multimodal.encode_jpeg(8, 8, bytes(spike), quant=1)
+    )
+    dec = np.frombuffer(rgb, dtype=np.uint8)[0::3]
+    assert abs(int(dec[0]) - 255) <= 2
+    assert np.abs(dec[1:].astype(int)).max() <= 2
+
+    with pytest.raises(ValueError):
+        multimodal.encode_jpeg(8, 8, b"", quant=0)
+    with pytest.raises(ValueError):
+        multimodal.encode_jpeg(0, 8, b"")

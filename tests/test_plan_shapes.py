@@ -113,8 +113,10 @@ ARROW_OK = {
     # Flat-JPEG encode + SOF-marker walk (r10): Arrow map passes by
     # design, same imperative byte surgery as the other decode twins.
     "multimodal_jpeg_meta",
-    # DC-only baseline JPEG full pixel decode (r10): same shape.
+    # Baseline JPEG full pixel decode + full-codec audit (r10): same
+    # imperative byte-surgery shape.
     "multimodal_jpeg_pixel_decode",
+    "multimodal_jpeg_codec_audit",
     # FULL pixel decode (r9): encode + inflate/unfilter/palette-resolve
     # are Arrow map passes by design — imperative byte surgery over the
     # payload column, reduced to per-asset integer stats in the worker.

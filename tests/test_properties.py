@@ -542,6 +542,34 @@ def test_jpeg_flat_codec_roundtrip_property(w, h, level):
     assert set(rgb) == {exp}
 
 
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=32),
+    h=st.integers(min_value=1, max_value=24),
+    pixels=st.binary(min_size=0, max_size=96),
+)
+def test_jpeg_full_codec_error_bound_property(w, h, pixels):
+    """The arbitrary-content JPEG codec (r10): for ANY dims and ANY
+    pixel source, encode at quant 1 → decode reconstructs every pixel
+    within 5 gray levels (the analytic ceiling: 64 coefficient
+    roundings of ≤ 0.5 weighted by the DCT basis column sums ≈ 3.5,
+    plus the final pixel rounding ≤ 0.5 — typically ≤ 2 in practice).
+    Exercises DC-diff chains across blocks, EOB/ZRL emission, size
+    categories, byte stuffing, and edge-replication padding for
+    non-multiple-of-8 dims."""
+    from traffic_accidents_airflow_kafka_spark.operators import multimodal
+
+    tiled = multimodal._tile(pixels, w * h)
+    dw, dh, c, rgb = multimodal.decode_image_pixels(
+        multimodal.encode_jpeg(w, h, pixels, quant=1)
+    )
+    assert (dw, dh, c) == (w, h, 3)
+    assert rgb[1::3] == rgb[0::3] and rgb[2::3] == rgb[0::3]
+    assert max(
+        abs(a - b) for a, b in zip(rgb[0::3], tiled)
+    ) <= 5 if tiled else True
+
+
 @settings(max_examples=20, deadline=None)
 @given(data=st.binary(min_size=0, max_size=6000))
 def test_gif_lzw_codec_roundtrip_property(data):
