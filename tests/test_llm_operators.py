@@ -2057,5 +2057,18 @@ def test_jpeg_full_codec_roundtrip_bounds():
 
     with pytest.raises(ValueError):
         multimodal.encode_jpeg(8, 8, b"", quant=0)
-    with pytest.raises(ValueError):
-        multimodal.encode_jpeg(0, 8, b"")
+    # both encoders share the uint16 dims contract — ValueError, never
+    # a struct.error leak
+    for bad_w, bad_h in [(0, 8), (8, 0), (70000, 8), (8, 70000)]:
+        with pytest.raises(ValueError):
+            multimodal.encode_jpeg(bad_w, bad_h, b"")
+        with pytest.raises(ValueError):
+            multimodal.encode_jpeg_flat(bad_w, bad_h, 100)
+
+    # a corrupt file claiming huge dims must quarantine as ValueError,
+    # not MemoryError (scan far too short for the claimed raster)
+    big = bytearray(multimodal.encode_jpeg_flat(8, 8, 100))
+    sof_at = big.index(b"\xff\xc0")
+    big[sof_at + 5 : sof_at + 9] = (60000).to_bytes(2, "big") * 2
+    with pytest.raises(ValueError, match="too short|ceiling"):
+        multimodal.decode_image_pixels(bytes(big))

@@ -565,9 +565,7 @@ def test_jpeg_full_codec_error_bound_property(w, h, pixels):
     )
     assert (dw, dh, c) == (w, h, 3)
     assert rgb[1::3] == rgb[0::3] and rgb[2::3] == rgb[0::3]
-    assert max(
-        abs(a - b) for a, b in zip(rgb[0::3], tiled)
-    ) <= 5 if tiled else True
+    assert max(abs(a - b) for a, b in zip(rgb[0::3], tiled)) <= 5
 
 
 @settings(max_examples=20, deadline=None)

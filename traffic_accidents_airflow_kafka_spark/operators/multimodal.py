@@ -918,6 +918,61 @@ def encode_bmp(width: int, height: int, pixels: bytes = b"") -> bytes:
     return file_header + dib + palette + img
 
 
+def _jpeg_seg(marker: int, body: bytes) -> bytes:
+    """One JPEG marker segment: marker + (length incl. itself) + body."""
+    import struct
+
+    return struct.pack(">HH", marker, len(body) + 2) + body
+
+
+def _jpeg_check_dims(width: int, height: int) -> None:
+    """Baseline JPEG carries dimensions as uint16 in SOF0 — enforce
+    1..65535 as ValueError so callers keep the module's
+    single-exception contract instead of leaking struct.error."""
+    if not (0 < width <= 65535 and 0 < height <= 65535):
+        raise ValueError(f"invalid JPEG dimensions {width}x{height}")
+
+
+#: Canonical DC Huffman table shared by both encoders: twelve length-4
+#: codes for categories 0-11 (the all-ones length-4 code stays unused,
+#: as the spec's padding rule requires).
+_JPEG_DHT_DC = (
+    bytes([0x00]) + bytes([0, 0, 0, 12] + [0] * 12) + bytes(range(12))
+)
+_JPEG_DC_CODES = {s: (s, 4) for s in range(12)}  # symbol → (code, bits)
+
+
+class _JpegBitWriter:
+    """MSB-first bit accumulator with JPEG 0xFF byte stuffing and the
+    spec's 1-padded tail flush — the one entropy emitter behind both
+    encoders."""
+
+    def __init__(self) -> None:
+        self._out = bytearray()
+        self._acc = 0
+        self._nbits = 0
+
+    def emit(self, val: int, width: int) -> None:
+        self._acc = (self._acc << width) | (val & ((1 << width) - 1))
+        self._nbits += width
+        while self._nbits >= 8:
+            byte = (self._acc >> (self._nbits - 8)) & 0xFF
+            self._out.append(byte)
+            if byte == 0xFF:
+                self._out.append(0x00)  # byte stuffing
+            self._nbits -= 8
+        self._acc &= (1 << self._nbits) - 1
+
+    def emit_magnitude(self, v: int, size: int) -> None:
+        self.emit(v if v > 0 else v + (1 << size) - 1, size)
+
+    def flush(self) -> bytes:
+        if self._nbits:
+            pad = 8 - self._nbits
+            self.emit((1 << pad) - 1, pad)
+        return bytes(self._out)
+
+
 def encode_jpeg_flat(width: int, height: int, level: int = 128) -> bytes:
     """A genuine, spec-valid baseline JPEG (SOI, DQT, SOF0, two DHTs,
     SOS, entropy-coded scan, EOI) of a FLAT grayscale image — stdlib
@@ -938,16 +993,10 @@ def encode_jpeg_flat(width: int, height: int, level: int = 128) -> bytes:
 
     if not (0 <= level <= 255):
         raise ValueError(f"level must be 0..255, got {level}")
-
-    def seg(marker: int, body: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(body) + 2) + body
+    _jpeg_check_dims(width, height)
 
     qt = bytes([0]) + bytes([16] * 64)  # Pq=0/Tq=0, uniform luma table
     sof = struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0])
-    # Canonical DC table: counts[4]=12, symbols 0..11 → codes 0000..1011.
-    dc_counts = [0] * 16
-    dc_counts[3] = 12
-    dht_dc = bytes([0x00]) + bytes(dc_counts) + bytes(range(12))
     # Canonical AC table: one length-2 code (00) for EOB (symbol 0x00).
     ac_counts = [0] * 16
     ac_counts[1] = 1
@@ -955,45 +1004,26 @@ def encode_jpeg_flat(width: int, height: int, level: int = 128) -> bytes:
     sos = bytes([1, 1, 0x00, 0, 63, 0])
 
     # --- entropy-coded scan ---
-    dc_codes = {s: (s, 4) for s in range(12)}  # value, bit length
     eob = (0b00, 2)
-    acc = nbits = 0
-    out = bytearray()
-
-    def emit(val: int, width_: int) -> None:
-        nonlocal acc, nbits
-        acc = (acc << width_) | (val & ((1 << width_) - 1))
-        nbits += width_
-        while nbits >= 8:
-            byte = (acc >> (nbits - 8)) & 0xFF
-            out.append(byte)
-            if byte == 0xFF:
-                out.append(0x00)  # byte stuffing
-            nbits -= 8
-        acc &= (1 << nbits) - 1
-
+    bits = _JpegBitWriter()
     qdc = round((level - 128) / 2)
     n_mcu = ((width + 7) // 8) * ((height + 7) // 8)
     for i in range(n_mcu):
         diff = qdc if i == 0 else 0
         s = abs(diff).bit_length()
-        emit(*dc_codes[s])
+        bits.emit(*_JPEG_DC_CODES[s])
         if s:
-            bits = diff if diff > 0 else diff + (1 << s) - 1
-            emit(bits, s)
-        emit(*eob)
-    if nbits:  # pad the final byte with 1s, per spec
-        pad = 8 - nbits
-        emit((1 << pad) - 1, pad)
+            bits.emit_magnitude(diff, s)
+        bits.emit(*eob)
 
     return (
         b"\xff\xd8"
-        + seg(0xFFDB, qt)
-        + seg(0xFFC0, sof)
-        + seg(0xFFC4, dht_dc)
-        + seg(0xFFC4, dht_ac)
-        + seg(0xFFDA, sos)
-        + bytes(out)
+        + _jpeg_seg(0xFFDB, qt)
+        + _jpeg_seg(0xFFC0, sof)
+        + _jpeg_seg(0xFFC4, _JPEG_DHT_DC)
+        + _jpeg_seg(0xFFC4, dht_ac)
+        + _jpeg_seg(0xFFDA, sos)
+        + bits.flush()
         + b"\xff\xd9"
     )
 
@@ -1022,8 +1052,7 @@ def encode_jpeg(
 
     if not 1 <= quant <= 255:
         raise ValueError(f"quant must be 1..255, got {quant}")
-    if width <= 0 or height <= 0:
-        raise ValueError(f"invalid dimensions {width}x{height}")
+    _jpeg_check_dims(width, height)
 
     gray = (
         np.frombuffer(_tile(pixels, width * height), dtype=np.uint8)
@@ -1042,14 +1071,8 @@ def encode_jpeg(
     # Zigzag: transmission position i carries natural index _ZIGZAG[i].
     zz = z[:, _ZIGZAG]
 
-    def seg(marker: int, body: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(body) + 2) + body
-
     qt = bytes([0]) + bytes([quant] * 64)
     sof = struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0])
-    dc_counts = [0] * 16
-    dc_counts[3] = 12  # twelve length-4 codes, categories 0-11
-    dht_dc = bytes([0x00]) + bytes(dc_counts) + bytes(range(12))
     # All 162 baseline AC symbols as length-8 canonical codes: EOB, ZRL,
     # and (run 0-15, size 1-10). 162 < 255 so the all-ones codeword
     # stays unused, per the spec's padding rule.
@@ -1061,26 +1084,8 @@ def encode_jpeg(
     dht_ac = bytes([0x10]) + bytes(ac_counts) + bytes(ac_syms)
     sos = bytes([1, 1, 0x00, 0, 63, 0])
 
-    dc_codes = {s: (s, 4) for s in range(12)}
     ac_codes = {sym: (i, 8) for i, sym in enumerate(ac_syms)}
-    acc = nbits = 0
-    out = bytearray()
-
-    def emit(val: int, width_: int) -> None:
-        nonlocal acc, nbits
-        acc = (acc << width_) | (val & ((1 << width_) - 1))
-        nbits += width_
-        while nbits >= 8:
-            byte = (acc >> (nbits - 8)) & 0xFF
-            out.append(byte)
-            if byte == 0xFF:
-                out.append(0x00)  # byte stuffing
-            nbits -= 8
-        acc &= (1 << nbits) - 1
-
-    def emit_magnitude(v: int, size: int) -> None:
-        emit(v if v > 0 else v + (1 << size) - 1, size)
-
+    bits = _JpegBitWriter()
     prev_dc = 0
     for blk in zz:
         diff = int(blk[0]) - prev_dc
@@ -1088,37 +1093,34 @@ def encode_jpeg(
         s = abs(diff).bit_length()
         if s > 11:
             raise ValueError(f"JPEG DC category {s} out of range")
-        emit(*dc_codes[s])
+        bits.emit(*_JPEG_DC_CODES[s])
         if s:
-            emit_magnitude(diff, s)
+            bits.emit_magnitude(diff, s)
         (nz,) = np.nonzero(blk[1:])
         k = 0  # last emitted zigzag position (0 = DC)
         for pos in nz + 1:
             run = int(pos) - k - 1
             while run >= 16:
-                emit(*ac_codes[0xF0])  # ZRL
+                bits.emit(*ac_codes[0xF0])  # ZRL
                 run -= 16
             v = int(blk[pos])
             size = abs(v).bit_length()
             if size > 10:
                 raise ValueError(f"JPEG AC size {size} out of range")
-            emit(*ac_codes[(run << 4) | size])
-            emit_magnitude(v, size)
+            bits.emit(*ac_codes[(run << 4) | size])
+            bits.emit_magnitude(v, size)
             k = int(pos)
         if k < 63:
-            emit(*ac_codes[0x00])  # EOB
-    if nbits:
-        pad = 8 - nbits
-        emit((1 << pad) - 1, pad)
+            bits.emit(*ac_codes[0x00])  # EOB
 
     return (
         b"\xff\xd8"
-        + seg(0xFFDB, qt)
-        + seg(0xFFC0, sof)
-        + seg(0xFFC4, dht_dc)
-        + seg(0xFFC4, dht_ac)
-        + seg(0xFFDA, sos)
-        + bytes(out)
+        + _jpeg_seg(0xFFDB, qt)
+        + _jpeg_seg(0xFFC0, sof)
+        + _jpeg_seg(0xFFC4, _JPEG_DHT_DC)
+        + _jpeg_seg(0xFFC4, dht_ac)
+        + _jpeg_seg(0xFFDA, sos)
+        + bits.flush()
         + b"\xff\xd9"
     )
 
@@ -1180,7 +1182,10 @@ def _decode_jpeg_baseline(payload: bytes) -> tuple[int, int, int, bytes]:
     with the +128 level shift, round-half-even, and 8-bit clamp.
     Color (multi-component), progressive scans, subsampling, restart
     intervals, and 12-bit precision raise ``ValueError`` — those
-    genuinely belong to an imaging library.
+    genuinely belong to an imaging library. Corrupt files whose headers
+    claim more raster than the scan can carry (or > 64 MP outright)
+    also raise ``ValueError`` BEFORE any buffer is sized from the
+    claimed dimensions, keeping the quarantine contract MemoryError-free.
     """
     import struct
 
@@ -1281,7 +1286,10 @@ def _decode_jpeg_baseline(payload: bytes) -> tuple[int, int, int, bytes]:
                 continue
             if nxt == 0xD9:
                 break
-            raise ValueError(f"unexpected marker in JPEG scan: 0xff{nxt!r}")
+            raise ValueError(
+                "unexpected marker in JPEG scan: 0xff"
+                + ("??" if nxt is None else f"{nxt:02x}")
+            )
         data.append(b)
         j += 1
 
@@ -1307,6 +1315,20 @@ def _decode_jpeg_baseline(payload: bytes) -> tuple[int, int, int, bytes]:
     dc_table, ac_table = huff[(0, td)], huff[(1, ta)]
     bw, bh = (w + 7) // 8, (h + 7) // 8
     nblk = bw * bh
+    # Validate the scan can actually carry the header-claimed raster
+    # BEFORE sizing buffers from it: every block costs >= 2 bits (one
+    # DC code + one AC code, both >= 1 bit), so a corrupt/truncated
+    # file claiming huge dims raises ValueError here instead of a
+    # MemoryError escaping the quarantine contract — the same
+    # discipline as the BMP raster-presence check. A documented 64 MP
+    # ceiling bounds the coefficient buffer (~512 MB) even for files
+    # that ship a big-enough scan on purpose.
+    if nblk * 2 > nbits_total:
+        raise ValueError("JPEG scan too short for the claimed dimensions")
+    if w * h > 1 << 26:
+        raise ValueError(
+            f"JPEG raster {w}x{h} exceeds the 64 MP decode ceiling"
+        )
     q_z = np.frombuffer(qt[comp_tq], dtype=np.uint8).astype(np.float64)
     coeffs = np.zeros((nblk, 64))  # dequantized, zigzag order
     dc = 0
