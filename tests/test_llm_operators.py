@@ -2055,8 +2055,32 @@ def test_jpeg_full_codec_roundtrip_bounds():
     assert abs(int(dec[0]) - 255) <= 2
     assert np.abs(dec[1:].astype(int)).max() <= 2
 
+    # color (4:4:4 YCbCr) round-trip: the BT.601 transform amplifies
+    # coefficient rounding ~2x; a flat color block survives exactly
+    import numpy as np  # noqa: F811 — local alias for clarity
+
+    for w, h in [(16, 16), (17, 23), (1, 1)]:
+        tiled = multimodal._tile(pattern, w * h * 3)
+        dec_w, dec_h, _, rgb = multimodal.decode_image_pixels(
+            multimodal.encode_jpeg(w, h, tiled, quant=1, color="rgb")
+        )
+        assert (dec_w, dec_h) == (w, h)
+        err = np.abs(
+            np.frombuffer(rgb, dtype=np.uint8).astype(int)
+            - np.frombuffer(tiled, dtype=np.uint8).astype(int)
+        )
+        assert err.max() <= 4, err.max()
+    _, _, _, rgb = multimodal.decode_image_pixels(
+        multimodal.encode_jpeg(16, 16, bytes([200, 30, 60]), quant=1,
+                               color="rgb")
+    )
+    flat = np.frombuffer(rgb, dtype=np.uint8).reshape(-1, 3)
+    assert (flat == (200, 30, 60)).all()
+
     with pytest.raises(ValueError):
         multimodal.encode_jpeg(8, 8, b"", quant=0)
+    with pytest.raises(ValueError):
+        multimodal.encode_jpeg(8, 8, b"", color="cmyk")
     # both encoders share the uint16 dims contract — ValueError, never
     # a struct.error leak
     for bad_w, bad_h in [(0, 8), (8, 0), (70000, 8), (8, 70000)]:

@@ -567,6 +567,15 @@ def test_jpeg_full_codec_error_bound_property(w, h, pixels):
     assert rgb[1::3] == rgb[0::3] and rgb[2::3] == rgb[0::3]
     assert max(abs(a - b) for a, b in zip(rgb[0::3], tiled)) <= 5
 
+    # the 4:4:4 color path on the same source bytes: BT.601 both ways
+    # roughly doubles the coefficient-rounding ceiling
+    ctiled = multimodal._tile(pixels, w * h * 3)
+    dw, dh, c, crgb = multimodal.decode_image_pixels(
+        multimodal.encode_jpeg(w, h, pixels, quant=1, color="rgb")
+    )
+    assert (dw, dh, c) == (w, h, 3)
+    assert max(abs(a - b) for a, b in zip(crgb, ctiled)) <= 10
+
 
 @settings(max_examples=20, deadline=None)
 @given(data=st.binary(min_size=0, max_size=6000))

@@ -340,13 +340,15 @@ def decode_image_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
       or global color table. Extensions are skipped; sub-rectangle
       frames raise.
 
-    - **JPEG**: single-component (grayscale) BASELINE files with
-      arbitrary content — real Huffman decode through the file's own
-      DHT/DQT tables, EOB/ZRL run-length AC decode, zigzag, dequantize,
-      and the real 2-D inverse DCT (:func:`_decode_jpeg_baseline`);
-      what :func:`encode_jpeg` emits and what any other encoder's
-      grayscale baseline file contains. Color (multi-component),
-      progressive, subsampled, and restart-interval files raise.
+    - **JPEG**: BASELINE files with arbitrary content — grayscale
+      (single-component) AND full-resolution color (3-component 4:4:4
+      YCbCr, interleaved scan, per-component DC predictors, BT.601
+      inverse transform): real Huffman decode through the file's own
+      DHT/DQT tables, EOB/ZRL run-length AC decode, zigzag,
+      dequantize, and the real 2-D inverse DCT
+      (:func:`_decode_jpeg_baseline`); what :func:`encode_jpeg` emits
+      in both its ``color`` modes. Subsampled (4:2:0/4:2:2),
+      progressive, and restart-interval files raise.
 
     Raises ``ValueError`` on anything else (16-bit/paletted PNG,
     RLE/16-bit BMP, GIF sub-rectangle frames, color/progressive JPEG —
@@ -1029,50 +1031,85 @@ def encode_jpeg_flat(width: int, height: int, level: int = 128) -> bytes:
 
 
 def encode_jpeg(
-    width: int, height: int, pixels: bytes = b"", quant: int = 1
+    width: int,
+    height: int,
+    pixels: bytes = b"",
+    quant: int = 1,
+    color: str = "gray",
 ) -> bytes:
-    """A genuine, spec-valid baseline JPEG of ARBITRARY grayscale
-    content — the full-codec sibling of :func:`encode_jpeg_flat`,
-    stdlib + numpy only. Per 8x8 block (edges replicate-padded): level
-    shift, the real forward DCT (orthonormal matrix form — exactly
-    JPEG's scaling), uniform quantization by ``quant`` with
-    round-half-even, zigzag scan, then standard entropy coding: DC
-    diffs by category, AC coefficients as (run, size) symbols with EOB
-    and ZRL, through canonical Huffman tables declared in the file's
-    own DHT segments (DC: twelve length-4 codes; AC: all 162 baseline
-    symbols as length-8 codes — a valid canonical code with the
-    all-ones codeword unused, as the spec requires), with 0xFF byte
-    stuffing and a 1-padded tail.
+    """A genuine, spec-valid baseline JPEG of ARBITRARY content — the
+    full-codec sibling of :func:`encode_jpeg_flat`, stdlib + numpy
+    only. Per 8x8 block (edges replicate-padded): level shift, the
+    real forward DCT (orthonormal matrix form — exactly JPEG's
+    scaling), uniform quantization by ``quant`` with round-half-even,
+    zigzag scan, then standard entropy coding: DC diffs by category,
+    AC coefficients as (run, size) symbols with EOB and ZRL, through
+    canonical Huffman tables declared in the file's own DHT segments
+    (DC: twelve length-4 codes; AC: all 162 baseline symbols as
+    length-8 codes — a valid canonical code with the all-ones codeword
+    unused, as the spec requires), with 0xFF byte stuffing and a
+    1-padded tail.
+
+    ``color="gray"`` tiles ``pixels`` as one luma plane;
+    ``color="rgb"`` tiles RGB triples, converts through the JFIF
+    BT.601 RGB→YCbCr transform, and writes a 3-component 4:4:4
+    interleaved scan (one block per component per MCU, per-component
+    DC predictors, shared tables — all legal baseline).
 
     ``quant=1`` keeps coefficient rounding the only loss (round-trip
-    error provably ≤ ~4 gray levels per pixel; typically ≤ 2); larger
-    values quantize like a real encoder. Decodes back through
+    error provably ≤ ~4 levels per channel before the color
+    transform's ~2× amplification; typically ≤ 2 gray / ≤ 5 RGB);
+    larger values quantize like a real encoder. Decodes back through
     :func:`_decode_jpeg_baseline`."""
     import struct
 
     if not 1 <= quant <= 255:
         raise ValueError(f"quant must be 1..255, got {quant}")
+    if color not in ("gray", "rgb"):
+        raise ValueError(f"color must be 'gray' or 'rgb', got {color!r}")
     _jpeg_check_dims(width, height)
 
-    gray = (
-        np.frombuffer(_tile(pixels, width * height), dtype=np.uint8)
-        .reshape(height, width)
-        .astype(np.float64)
-    )
+    if color == "gray":
+        planes = [
+            np.frombuffer(_tile(pixels, width * height), dtype=np.uint8)
+            .reshape(height, width)
+            .astype(np.float64)
+        ]
+    else:
+        rgb = (
+            np.frombuffer(_tile(pixels, width * height * 3), dtype=np.uint8)
+            .reshape(height, width, 3)
+            .astype(np.float64)
+        )
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,  # Y
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,  # Cb
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,  # Cr
+        ]
+    nf = len(planes)
     bw, bh = (width + 7) // 8, (height + 7) // 8
-    padded = np.pad(
-        gray, ((0, bh * 8 - height), (0, bw * 8 - width)), mode="edge"
-    )
-    blocks = (
-        padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
-    )
-    fdct = _DCT_M @ (blocks - 128.0) @ _DCT_M.T
-    z = np.round(fdct / quant).astype(np.int64).reshape(-1, 64)
-    # Zigzag: transmission position i carries natural index _ZIGZAG[i].
-    zz = z[:, _ZIGZAG]
+
+    def plane_zz(plane: np.ndarray) -> np.ndarray:
+        padded = np.pad(
+            plane, ((0, bh * 8 - height), (0, bw * 8 - width)), mode="edge"
+        )
+        blocks = (
+            padded.reshape(bh, 8, bw, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(-1, 8, 8)
+        )
+        fdct = _DCT_M @ (blocks - 128.0) @ _DCT_M.T
+        z = np.round(fdct / quant).astype(np.int64).reshape(-1, 64)
+        # Zigzag: transmission position i carries natural _ZIGZAG[i].
+        return z[:, _ZIGZAG]
+
+    comp_zz = [plane_zz(p) for p in planes]
 
     qt = bytes([0]) + bytes([quant] * 64)
-    sof = struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0])
+    sof = struct.pack(">BHHB", 8, height, width, nf) + b"".join(
+        bytes([cid, 0x11, 0]) for cid in range(1, nf + 1)
+    )
     # All 162 baseline AC symbols as length-8 canonical codes: EOB, ZRL,
     # and (run 0-15, size 1-10). 162 < 255 so the all-ones codeword
     # stays unused, per the spec's padding rule.
@@ -1082,14 +1119,17 @@ def encode_jpeg(
     ac_counts = [0] * 16
     ac_counts[7] = len(ac_syms)
     dht_ac = bytes([0x10]) + bytes(ac_counts) + bytes(ac_syms)
-    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    sos = (
+        bytes([nf])
+        + b"".join(bytes([cid, 0x00]) for cid in range(1, nf + 1))
+        + bytes([0, 63, 0])
+    )
 
     ac_codes = {sym: (i, 8) for i, sym in enumerate(ac_syms)}
     bits = _JpegBitWriter()
-    prev_dc = 0
-    for blk in zz:
+
+    def emit_block(blk: np.ndarray, prev_dc: int) -> int:
         diff = int(blk[0]) - prev_dc
-        prev_dc = int(blk[0])
         s = abs(diff).bit_length()
         if s > 11:
             raise ValueError(f"JPEG DC category {s} out of range")
@@ -1112,6 +1152,14 @@ def encode_jpeg(
             k = int(pos)
         if k < 63:
             bits.emit(*ac_codes[0x00])  # EOB
+        return int(blk[0])
+
+    # Interleaved 4:4:4 scan: per MCU one block per component, each
+    # component carrying its own DC predictor.
+    dc_pred = [0] * nf
+    for blk_i in range(bw * bh):
+        for ci in range(nf):
+            dc_pred[ci] = emit_block(comp_zz[ci][blk_i], dc_pred[ci])
 
     return (
         b"\xff\xd8"
@@ -1171,17 +1219,19 @@ _DCT_M = np.array(
 
 
 def _decode_jpeg_baseline(payload: bytes) -> tuple[int, int, int, bytes]:
-    """FULL pixel decode for single-component (grayscale) BASELINE
-    JPEG — any encoder's SOF0 grayscale file, arbitrary content. The
-    Huffman tables come from the file's OWN DHT segments (canonical
-    reconstruction), the quantizer from its own DQT (zigzag order),
-    stuffed ``FF 00`` bytes unwind, DC diffs accumulate across blocks,
-    AC coefficients run-length-decode through EOB/ZRL into zigzag
-    positions, and every block reconstructs through the real 2-D
-    inverse DCT (orthonormal matrix form, vectorized over all blocks)
-    with the +128 level shift, round-half-even, and 8-bit clamp.
-    Color (multi-component), progressive scans, subsampling, restart
-    intervals, and 12-bit precision raise ``ValueError`` — those
+    """FULL pixel decode for BASELINE JPEG, grayscale AND 4:4:4
+    color — any encoder's SOF0 file with H=V=1 components, arbitrary
+    content. The Huffman tables come from the file's OWN DHT segments
+    (canonical reconstruction, per-component table selection), the
+    quantizers from its own DQT (zigzag order), stuffed ``FF 00``
+    bytes unwind, per-component DC diffs accumulate across the
+    interleaved MCUs, AC coefficients run-length-decode through
+    EOB/ZRL into zigzag positions, and every block reconstructs
+    through the real 2-D inverse DCT (orthonormal matrix form,
+    vectorized over all blocks); 3-component files then pass through
+    the JFIF BT.601 YCbCr→RGB inverse with one final round+clamp.
+    Subsampling (any H/V ≠ 1), progressive scans, restart intervals,
+    and 12-bit precision raise ``ValueError`` — those
     genuinely belong to an imaging library. Corrupt files whose headers
     claim more raster than the scan can carry (or > 64 MP outright)
     also raise ``ValueError`` BEFORE any buffer is sized from the
@@ -1192,8 +1242,8 @@ def _decode_jpeg_baseline(payload: bytes) -> tuple[int, int, int, bytes]:
     qt: dict[int, bytes] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     w = h = None
-    comp_tq = 0
-    td = ta = 0
+    sof_comps: dict[int, int] = {}  # component id → quant table id
+    scan_comps: list[tuple[int, int, int]] = []  # (tq, td, ta) in scan order
     scan = None
     i = 2
     while i + 4 <= len(payload):
@@ -1220,15 +1270,19 @@ def _decode_jpeg_baseline(payload: bytes) -> tuple[int, int, int, bytes]:
                 j += 65
         elif marker == 0xC0:  # SOF0 — baseline
             prec, h, w, nf = struct.unpack(">BHHB", body[:6])
-            if prec != 8 or nf != 1:
+            if prec != 8 or nf not in (1, 3):
                 raise ValueError(
-                    "only 8-bit single-component (grayscale) baseline JPEG"
+                    "only 8-bit grayscale or 3-component baseline JPEG"
                 )
-            if len(body) < 9:
+            if len(body) < 6 + 3 * nf:
                 raise ValueError("truncated JPEG SOF0 component spec")
-            if body[7] != 0x11:
-                raise ValueError("subsampled JPEG unsupported")
-            comp_tq = body[8]
+            for ci in range(nf):
+                cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                if hv != 0x11:
+                    raise ValueError(
+                        "subsampled JPEG unsupported (4:4:4 only)"
+                    )
+                sof_comps[cid] = tq
         elif marker in (
             0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,
@@ -1257,20 +1311,38 @@ def _decode_jpeg_baseline(payload: bytes) -> tuple[int, int, int, bytes]:
             if len(body) >= 2 and struct.unpack(">H", body[:2])[0]:
                 raise ValueError("JPEG restart intervals unsupported")
         elif marker == 0xDA:  # SOS — entropy-coded data follows
-            if len(body) < 6 or body[0] != 1:
-                raise ValueError("multi-component JPEG scan unsupported")
-            td, ta = body[2] >> 4, body[2] & 0x0F
-            if body[3] != 0:  # Ss != 0 ⇒ a progressive AC scan
+            if len(body) < 1:
+                raise ValueError("truncated JPEG SOS")
+            ns = body[0]
+            if ns != len(sof_comps) or not sof_comps:
+                raise ValueError(
+                    "JPEG scan components disagree with SOF0 (interleaved "
+                    "baseline expected)"
+                )
+            if len(body) < 1 + 2 * ns + 3:
+                raise ValueError("truncated JPEG SOS")
+            for ci in range(ns):
+                cs = body[1 + 2 * ci]
+                tdta = body[2 + 2 * ci]
+                if cs not in sof_comps:
+                    raise ValueError("JPEG scan names an undeclared component")
+                scan_comps.append((sof_comps[cs], tdta >> 4, tdta & 0x0F))
+            if body[1 + 2 * ns] != 0:  # Ss != 0 ⇒ a progressive AC scan
                 raise ValueError("non-baseline JPEG spectral selection")
             scan = payload[i + 2 + ln :]
             break
         i += 2 + ln
     if scan is None or w is None:
         raise ValueError("truncated JPEG: missing SOF0/SOS")
-    if (0, td) not in huff or (1, ta) not in huff:
-        raise ValueError("JPEG scan references an undeclared Huffman table")
-    if comp_tq not in qt:
-        raise ValueError("JPEG component references an undeclared quant table")
+    for tq, td, ta in scan_comps:
+        if (0, td) not in huff or (1, ta) not in huff:
+            raise ValueError(
+                "JPEG scan references an undeclared Huffman table"
+            )
+        if tq not in qt:
+            raise ValueError(
+                "JPEG component references an undeclared quant table"
+            )
 
     # Unstuff the entropy-coded bytes: FF 00 → FF; FF D9 ends the scan;
     # any other FF-marker (restarts included) is unsupported here.
@@ -1312,7 +1384,7 @@ def _decode_jpeg_baseline(payload: bytes) -> tuple[int, int, int, bytes]:
                 return table[(bit_len, code)]
         raise ValueError("invalid JPEG Huffman code")
 
-    dc_table, ac_table = huff[(0, td)], huff[(1, ta)]
+    nf = len(scan_comps)
     bw, bh = (w + 7) // 8, (h + 7) // 8
     nblk = bw * bh
     # Validate the scan can actually carry the header-claimed raster
@@ -1321,62 +1393,101 @@ def _decode_jpeg_baseline(payload: bytes) -> tuple[int, int, int, bytes]:
     # file claiming huge dims raises ValueError here instead of a
     # MemoryError escaping the quarantine contract — the same
     # discipline as the BMP raster-presence check. A documented 64 MP
-    # ceiling bounds the coefficient buffer (~512 MB) even for files
-    # that ship a big-enough scan on purpose.
-    if nblk * 2 > nbits_total:
+    # ceiling bounds the coefficient buffers (~512 MB per component)
+    # even for files that ship a big-enough scan on purpose.
+    if nblk * 2 * nf > nbits_total:
         raise ValueError("JPEG scan too short for the claimed dimensions")
     if w * h > 1 << 26:
         raise ValueError(
             f"JPEG raster {w}x{h} exceeds the 64 MP decode ceiling"
         )
-    q_z = np.frombuffer(qt[comp_tq], dtype=np.uint8).astype(np.float64)
-    coeffs = np.zeros((nblk, 64))  # dequantized, zigzag order
-    dc = 0
+    tables = [
+        (
+            huff[(0, td)],
+            huff[(1, ta)],
+            np.frombuffer(qt[tq], dtype=np.uint8).astype(np.float64),
+        )
+        for tq, td, ta in scan_comps
+    ]
+    coeffs = [np.zeros((nblk, 64)) for _ in range(nf)]  # zigzag order
+    dc_pred = [0] * nf
+    # Interleaved 4:4:4 MCU = one block per component, in scan order.
     for blk in range(nblk):
-        s = read_code(dc_table)
-        if s > 11:
-            raise ValueError(f"invalid JPEG DC category {s}")
-        if s:
-            mag = 0
-            for _ in range(s):
-                mag = (mag << 1) | read_bit()
-            dc += mag if mag >= 1 << (s - 1) else mag - (1 << s) + 1
-        coeffs[blk, 0] = dc * q_z[0]
-        k = 1
-        while k < 64:
-            sym = read_code(ac_table)
-            if sym == 0x00:  # EOB — rest of the block is zero
-                break
-            run, size = sym >> 4, sym & 0x0F
-            if size == 0:
-                if run != 15:
-                    raise ValueError(f"invalid JPEG AC symbol 0x{sym:02x}")
-                k += 16  # ZRL: sixteen zero coefficients
-                continue
-            k += run
-            if k >= 64:
+        for ci in range(nf):
+            dc_table, ac_table, q_z = tables[ci]
+            s = read_code(dc_table)
+            if s > 11:
+                raise ValueError(f"invalid JPEG DC category {s}")
+            if s:
+                mag = 0
+                for _ in range(s):
+                    mag = (mag << 1) | read_bit()
+                dc_pred[ci] += (
+                    mag if mag >= 1 << (s - 1) else mag - (1 << s) + 1
+                )
+            c = coeffs[ci]
+            c[blk, 0] = dc_pred[ci] * q_z[0]
+            k = 1
+            while k < 64:
+                sym = read_code(ac_table)
+                if sym == 0x00:  # EOB — rest of the block is zero
+                    break
+                run, size = sym >> 4, sym & 0x0F
+                if size == 0:
+                    if run != 15:
+                        raise ValueError(
+                            f"invalid JPEG AC symbol 0x{sym:02x}"
+                        )
+                    k += 16  # ZRL: sixteen zero coefficients
+                    continue
+                k += run
+                if k >= 64:
+                    raise ValueError("JPEG AC run past block end")
+                mag = 0
+                for _ in range(size):
+                    mag = (mag << 1) | read_bit()
+                val = (
+                    mag if mag >= 1 << (size - 1) else mag - (1 << size) + 1
+                )
+                c[blk, k] = val * q_z[k]
+                k += 1
+            if k > 64:
                 raise ValueError("JPEG AC run past block end")
-            mag = 0
-            for _ in range(size):
-                mag = (mag << 1) | read_bit()
-            val = mag if mag >= 1 << (size - 1) else mag - (1 << size) + 1
-            coeffs[blk, k] = val * q_z[k]
-            k += 1
-        if k > 64:
-            raise ValueError("JPEG AC run past block end")
-    # De-zigzag into natural 8x8 order, then the real 2-D inverse DCT
-    # over all blocks at once: f = D.T @ F @ D + 128.
-    nat = np.zeros((nblk, 64))
-    nat[:, _ZIGZAG] = coeffs
-    px = _DCT_M.T @ nat.reshape(nblk, 8, 8) @ _DCT_M
-    px = np.clip(np.round(px + 128), 0, 255).astype(np.uint8)
-    gray = (
-        px.reshape(bh, bw, 8, 8)
-        .transpose(0, 2, 1, 3)
-        .reshape(bh * 8, bw * 8)[:h, :w]
+
+    def idct_plane(z: np.ndarray) -> np.ndarray:
+        # De-zigzag into natural 8x8 order, then the real 2-D inverse
+        # DCT over all blocks at once: f = D.T @ F @ D (+128 later).
+        nat = np.zeros((nblk, 64))
+        nat[:, _ZIGZAG] = z
+        px = _DCT_M.T @ nat.reshape(nblk, 8, 8) @ _DCT_M
+        return (
+            px.reshape(bh, bw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw * 8)[:h, :w]
+        )
+
+    if nf == 1:
+        gray = np.clip(np.round(idct_plane(coeffs[0]) + 128), 0, 255).astype(
+            np.uint8
+        )
+        rgb = np.repeat(gray.reshape(-1, 1), 3, axis=1)
+        return int(w), int(h), 3, rgb.tobytes()
+    # 3 components = YCbCr (JFIF): level-shift Y, center the chroma,
+    # apply the BT.601 inverse transform, then one final round+clamp —
+    # rounding once at the end, exactly like the grayscale path.
+    y = idct_plane(coeffs[0]) + 128.0
+    cb = idct_plane(coeffs[1])  # already centered: stored value - 128
+    cr = idct_plane(coeffs[2])
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=-1,
     )
-    rgb = np.repeat(gray.reshape(-1, 1), 3, axis=1)
-    return int(w), int(h), 3, rgb.tobytes()
+    rgb = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return int(w), int(h), 3, rgb.reshape(-1, 3).tobytes()
 
 
 def synth_jpeg_assets(documents: DataFrame) -> DataFrame:
@@ -1423,6 +1534,7 @@ JPEG_AUDIT_SCHEMA = StructType(
         StructField("height", IntegerType(), True),
         StructField("n_px", IntegerType(), True),
         StructField("err_le_2", BooleanType(), True),
+        StructField("color_err_le_4", BooleanType(), True),
         StructField("rgb_equal", BooleanType(), True),
     ]
 )
@@ -1439,9 +1551,14 @@ def jpeg_codec_roundtrip_audit(documents: DataFrame) -> DataFrame:
     dimensions and pixel count AS DECODED from the file (pinning the
     header+scan round-trip), whether every pixel reconstructs within 2
     gray levels (``err_le_2`` — at quant 1 the only loss is
-    coefficient rounding; measured max over this corpus is 1), and the
-    R=G=B canonicalization flag. Both booleans are COMPUTED, not
-    assumed — the same discipline as the pixel entry's rgb_equal.
+    coefficient rounding; measured max over this corpus is 1), whether
+    the same raster tiled as RGB triples survives the COLOR path —
+    4:4:4 YCbCr interleaved encode, 3-component decode, BT.601 both
+    ways — within 4 levels per channel (``color_err_le_4``; the color
+    transform amplifies coefficient rounding ~2×, measured max 3), and
+    the grayscale R=G=B canonicalization flag. All three booleans are
+    COMPUTED, not assumed — the same discipline as the pixel entry's
+    rgb_equal.
 
     Scale: one Arrow mapInPandas stage over the pruned doc_id column;
     encode, decode, and compare all happen inside the worker, a few
@@ -1466,7 +1583,20 @@ def jpeg_codec_roundtrip_audit(documents: DataFrame) -> DataFrame:
                 rows["width"].append(dw)
                 rows["height"].append(dh)
                 rows["n_px"].append(dw * dh)
+                color_tiled = _tile(_arith_pixels(did), w * h * 3)
+                cw, ch, _, crgb = decode_image_pixels(
+                    encode_jpeg(w, h, color_tiled, quant=1, color="rgb")
+                )
+                color_err = np.abs(
+                    np.frombuffer(crgb, dtype=np.uint8).astype(np.int16)
+                    - np.frombuffer(color_tiled, dtype=np.uint8).astype(
+                        np.int16
+                    )
+                ).max()
                 rows["err_le_2"].append(bool(err <= 2))
+                rows["color_err_le_4"].append(
+                    bool((cw, ch) == (w, h) and color_err <= 4)
+                )
                 rows["rgb_equal"].append(
                     bool(
                         (arr[:, 0] == arr[:, 1]).all()
