@@ -1979,6 +1979,13 @@ def test_jpeg_decoder_boundary_rejections(spark):
     with pytest.raises(ValueError, match="baseline"):
         multimodal.decode_image_pixels(bytes(b))
 
+    # --- sampling factors beyond 2 (e.g. 4:1:1's H=4) ---
+    b41 = bytearray(multimodal.encode_jpeg_flat(8, 8, 100))
+    sof_at = b41.index(b"\xff\xc0")
+    b41[sof_at + 11] = 0x41  # component 1 H=4, V=1
+    with pytest.raises(ValueError, match="sampling factors"):
+        multimodal.decode_image_pixels(bytes(b41))
+
     # --- scan truncated mid-block (headers intact) ---
     full = multimodal.encode_jpeg_flat(64, 64, 200)
     sos_at = full.index(b"\xff\xda")
@@ -2076,6 +2083,29 @@ def test_jpeg_full_codec_roundtrip_bounds():
     )
     flat = np.frombuffer(rgb, dtype=np.uint8).reshape(-1, 3)
     assert (flat == (200, 30, 60)).all()
+
+    # 4:2:0 — the real-world subsampled layout. Flat color survives
+    # exactly; gray-valued RGB (constant chroma) round-trips within 2,
+    # isolating the 4-luma-blocks-per-MCU geometry incl. partial MCUs
+    # at odd dims; saturated-chroma detail is lossy BY DESIGN.
+    _, _, _, rgb = multimodal.decode_image_pixels(
+        multimodal.encode_jpeg(24, 24, bytes([200, 30, 60]), quant=1,
+                               color="rgb420")
+    )
+    flat = np.frombuffer(rgb, dtype=np.uint8).reshape(-1, 3)
+    assert (flat == (200, 30, 60)).all()
+    for w, h in [(16, 16), (17, 23), (31, 31), (1, 1)]:
+        g = multimodal._tile(pattern, w * h)
+        src = bytes(b for px in g for b in (px, px, px))
+        dec_w, dec_h, _, rgb = multimodal.decode_image_pixels(
+            multimodal.encode_jpeg(w, h, src, quant=1, color="rgb420")
+        )
+        assert (dec_w, dec_h) == (w, h)
+        err = np.abs(
+            np.frombuffer(rgb, dtype=np.uint8).astype(int)
+            - np.frombuffer(src, dtype=np.uint8).astype(int)
+        )
+        assert err.max() <= 2, (w, h, err.max())
 
     with pytest.raises(ValueError):
         multimodal.encode_jpeg(8, 8, b"", quant=0)

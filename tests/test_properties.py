@@ -576,6 +576,16 @@ def test_jpeg_full_codec_error_bound_property(w, h, pixels):
     assert (dw, dh, c) == (w, h, 3)
     assert max(abs(a - b) for a, b in zip(crgb, ctiled)) <= 10
 
+    # the 4:2:0 subsampled path on gray-valued RGB: constant chroma
+    # makes the 2x2 decimation lossless, so ANY pixel source must
+    # survive the 4-luma-blocks-per-MCU geometry within the gray bound
+    gsrc = bytes(b for px in tiled for b in (px, px, px))
+    dw, dh, c, srgb = multimodal.decode_image_pixels(
+        multimodal.encode_jpeg(w, h, gsrc, quant=1, color="rgb420")
+    )
+    assert (dw, dh, c) == (w, h, 3)
+    assert max(abs(a - b) for a, b in zip(srgb, gsrc)) <= 6
+
 
 @settings(max_examples=20, deadline=None)
 @given(data=st.binary(min_size=0, max_size=6000))

@@ -340,15 +340,17 @@ def decode_image_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
       or global color table. Extensions are skipped; sub-rectangle
       frames raise.
 
-    - **JPEG**: BASELINE files with arbitrary content — grayscale
-      (single-component) AND full-resolution color (3-component 4:4:4
-      YCbCr, interleaved scan, per-component DC predictors, BT.601
-      inverse transform): real Huffman decode through the file's own
-      DHT/DQT tables, EOB/ZRL run-length AC decode, zigzag,
-      dequantize, and the real 2-D inverse DCT
-      (:func:`_decode_jpeg_baseline`); what :func:`encode_jpeg` emits
-      in both its ``color`` modes. Subsampled (4:2:0/4:2:2),
-      progressive, and restart-interval files raise.
+    - **JPEG**: sequential BASELINE files with arbitrary content —
+      grayscale (single-component) AND color (3-component YCbCr,
+      interleaved MCUs with per-component DC predictors and sampling
+      factors 1-2 each: 4:4:4, 4:2:0, 4:2:2, 4:4:0; subsampled chroma
+      upsamples by sample replication, then the BT.601 inverse): real
+      Huffman decode through the file's own DHT/DQT tables, EOB/ZRL
+      run-length AC decode, zigzag, dequantize, and the real 2-D
+      inverse DCT (:func:`_decode_jpeg_baseline`); what
+      :func:`encode_jpeg` emits in all its ``color`` modes, and what
+      real-world sequential baseline files contain. Progressive,
+      restart-interval, and sampling-factor >2 files raise.
 
     Raises ``ValueError`` on anything else (16-bit/paletted PNG,
     RLE/16-bit BMP, GIF sub-rectangle frames, color/progressive JPEG —
@@ -1054,7 +1056,13 @@ def encode_jpeg(
     ``color="rgb"`` tiles RGB triples, converts through the JFIF
     BT.601 RGB→YCbCr transform, and writes a 3-component 4:4:4
     interleaved scan (one block per component per MCU, per-component
-    DC predictors, shared tables — all legal baseline).
+    DC predictors, shared tables — all legal baseline);
+    ``color="rgb420"`` additionally decimates the chroma planes by
+    2x2 mean and writes the real-world 4:2:0 layout (Y at 2x2
+    sampling, four luma data units per MCU). 4:2:0 is chroma-lossy by
+    design: gray and low-chroma content round-trips within a few
+    levels, saturated chroma detail does not (the same trade every
+    camera JPEG makes).
 
     ``quant=1`` keeps coefficient rounding the only loss (round-trip
     error provably ≤ ~4 levels per channel before the color
@@ -1065,15 +1073,21 @@ def encode_jpeg(
 
     if not 1 <= quant <= 255:
         raise ValueError(f"quant must be 1..255, got {quant}")
-    if color not in ("gray", "rgb"):
-        raise ValueError(f"color must be 'gray' or 'rgb', got {color!r}")
+    if color not in ("gray", "rgb", "rgb420"):
+        raise ValueError(
+            f"color must be 'gray', 'rgb', or 'rgb420', got {color!r}"
+        )
     _jpeg_check_dims(width, height)
 
     if color == "gray":
-        planes = [
-            np.frombuffer(_tile(pixels, width * height), dtype=np.uint8)
-            .reshape(height, width)
-            .astype(np.float64)
+        comps = [
+            (
+                np.frombuffer(_tile(pixels, width * height), dtype=np.uint8)
+                .reshape(height, width)
+                .astype(np.float64),
+                1,
+                1,
+            )
         ]
     else:
         rgb = (
@@ -1082,20 +1096,41 @@ def encode_jpeg(
             .astype(np.float64)
         )
         r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
-        planes = [
-            0.299 * r + 0.587 * g + 0.114 * b,  # Y
-            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,  # Cb
-            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,  # Cr
-        ]
-    nf = len(planes)
-    bw, bh = (width + 7) // 8, (height + 7) // 8
+        yy = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if color == "rgb":
+            comps = [(yy, 1, 1), (cb, 1, 1), (cr, 1, 1)]
+        else:  # rgb420 — chroma decimated by 2x2 mean
+            def down2(p: np.ndarray) -> np.ndarray:
+                ph = np.pad(
+                    p,
+                    ((0, height % 2), (0, width % 2)),
+                    mode="edge",
+                )
+                return (
+                    ph.reshape(ph.shape[0] // 2, 2, ph.shape[1] // 2, 2)
+                    .mean(axis=(1, 3))
+                )
 
-    def plane_zz(plane: np.ndarray) -> np.ndarray:
+            comps = [(yy, 2, 2), (down2(cb), 1, 1), (down2(cr), 1, 1)]
+    nf = len(comps)
+    hmax = max(ch for _p, ch, _cv in comps)
+    vmax = max(cv for _p, _ch, cv in comps)
+    mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+
+    def plane_zz(plane: np.ndarray, bhc: int, bwc: int) -> np.ndarray:
         padded = np.pad(
-            plane, ((0, bh * 8 - height), (0, bw * 8 - width)), mode="edge"
+            plane,
+            (
+                (0, bhc * 8 - plane.shape[0]),
+                (0, bwc * 8 - plane.shape[1]),
+            ),
+            mode="edge",
         )
         blocks = (
-            padded.reshape(bh, 8, bw, 8)
+            padded.reshape(bhc, 8, bwc, 8)
             .transpose(0, 2, 1, 3)
             .reshape(-1, 8, 8)
         )
@@ -1104,11 +1139,16 @@ def encode_jpeg(
         # Zigzag: transmission position i carries natural _ZIGZAG[i].
         return z[:, _ZIGZAG]
 
-    comp_zz = [plane_zz(p) for p in planes]
+    geo = [(mcus_y * cv, mcus_x * ch) for _p, ch, cv in comps]
+    comp_zz = [
+        plane_zz(p, bhc, bwc)
+        for (p, _ch, _cv), (bhc, bwc) in zip(comps, geo)
+    ]
 
     qt = bytes([0]) + bytes([quant] * 64)
     sof = struct.pack(">BHHB", 8, height, width, nf) + b"".join(
-        bytes([cid, 0x11, 0]) for cid in range(1, nf + 1)
+        bytes([cid, (ch << 4) | cv, 0])
+        for cid, (_p, ch, cv) in enumerate(comps, start=1)
     )
     # All 162 baseline AC symbols as length-8 canonical codes: EOB, ZRL,
     # and (run 0-15, size 1-10). 162 < 255 so the all-ones codeword
@@ -1154,12 +1194,20 @@ def encode_jpeg(
             bits.emit(*ac_codes[0x00])  # EOB
         return int(blk[0])
 
-    # Interleaved 4:4:4 scan: per MCU one block per component, each
-    # component carrying its own DC predictor.
+    # Interleaved scan: per MCU, each component contributes its H x V
+    # data units in row-major order, each component carrying its own
+    # DC predictor (reduces to one block per component at 4:4:4).
     dc_pred = [0] * nf
-    for blk_i in range(bw * bh):
-        for ci in range(nf):
-            dc_pred[ci] = emit_block(comp_zz[ci][blk_i], dc_pred[ci])
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (_p, ch, cv) in enumerate(comps):
+                bwc = geo[ci][1]
+                for dv in range(cv):
+                    for du in range(ch):
+                        dc_pred[ci] = emit_block(
+                            comp_zz[ci][(my * cv + dv) * bwc + (mx * ch + du)],
+                            dc_pred[ci],
+                        )
 
     return (
         b"\xff\xd8"
@@ -1219,18 +1267,22 @@ _DCT_M = np.array(
 
 
 def _decode_jpeg_baseline(payload: bytes) -> tuple[int, int, int, bytes]:
-    """FULL pixel decode for BASELINE JPEG, grayscale AND 4:4:4
-    color — any encoder's SOF0 file with H=V=1 components, arbitrary
-    content. The Huffman tables come from the file's OWN DHT segments
-    (canonical reconstruction, per-component table selection), the
-    quantizers from its own DQT (zigzag order), stuffed ``FF 00``
-    bytes unwind, per-component DC diffs accumulate across the
-    interleaved MCUs, AC coefficients run-length-decode through
-    EOB/ZRL into zigzag positions, and every block reconstructs
-    through the real 2-D inverse DCT (orthonormal matrix form,
-    vectorized over all blocks); 3-component files then pass through
-    the JFIF BT.601 YCbCr→RGB inverse with one final round+clamp.
-    Subsampling (any H/V ≠ 1), progressive scans, restart intervals,
+    """FULL pixel decode for sequential BASELINE JPEG, grayscale AND
+    color at sampling factors 1-2 per axis (4:4:4, 4:2:0, 4:2:2,
+    4:4:0) — any encoder's SOF0 file, arbitrary content. The Huffman
+    tables come from the file's OWN DHT segments (canonical
+    reconstruction, per-component table selection), the quantizers
+    from its own DQT (zigzag order), stuffed ``FF 00`` bytes unwind,
+    interleaved MCUs decode each component's H×V data units in
+    row-major order with per-component DC predictors (a
+    single-component scan covers its own ceil grid, ISO 10918-1 A.2),
+    AC coefficients run-length-decode through EOB/ZRL into zigzag
+    positions, and every block reconstructs through the real 2-D
+    inverse DCT (orthonormal matrix form, vectorized over all blocks);
+    3-component files upsample subsampled chroma by sample replication
+    (a legal JFIF upsampler) and pass through the BT.601 YCbCr→RGB
+    inverse with one final round+clamp.
+    Progressive scans, restart intervals, sampling factors >2,
     and 12-bit precision raise ``ValueError`` — those
     genuinely belong to an imaging library. Corrupt files whose headers
     claim more raster than the scan can carry (or > 64 MP outright)
@@ -1242,8 +1294,9 @@ def _decode_jpeg_baseline(payload: bytes) -> tuple[int, int, int, bytes]:
     qt: dict[int, bytes] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     w = h = None
-    sof_comps: dict[int, int] = {}  # component id → quant table id
-    scan_comps: list[tuple[int, int, int]] = []  # (tq, td, ta) in scan order
+    sof_comps: dict[int, tuple[int, int, int]] = {}  # cid → (H, V, tq)
+    # (H, V, tq, td, ta) per component, in scan order:
+    scan_comps: list[tuple[int, int, int, int, int]] = []
     scan = None
     i = 2
     while i + 4 <= len(payload):
@@ -1278,11 +1331,13 @@ def _decode_jpeg_baseline(payload: bytes) -> tuple[int, int, int, bytes]:
                 raise ValueError("truncated JPEG SOF0 component spec")
             for ci in range(nf):
                 cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
-                if hv != 0x11:
+                ch, cv = hv >> 4, hv & 0x0F
+                if ch not in (1, 2) or cv not in (1, 2):
                     raise ValueError(
-                        "subsampled JPEG unsupported (4:4:4 only)"
+                        f"unsupported JPEG sampling factors {ch}x{cv} "
+                        "(1 and 2 only)"
                     )
-                sof_comps[cid] = tq
+                sof_comps[cid] = (ch, cv, tq)
         elif marker in (
             0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,
@@ -1326,7 +1381,8 @@ def _decode_jpeg_baseline(payload: bytes) -> tuple[int, int, int, bytes]:
                 tdta = body[2 + 2 * ci]
                 if cs not in sof_comps:
                     raise ValueError("JPEG scan names an undeclared component")
-                scan_comps.append((sof_comps[cs], tdta >> 4, tdta & 0x0F))
+                ch, cv, tq = sof_comps[cs]
+                scan_comps.append((ch, cv, tq, tdta >> 4, tdta & 0x0F))
             if body[1 + 2 * ns] != 0:  # Ss != 0 ⇒ a progressive AC scan
                 raise ValueError("non-baseline JPEG spectral selection")
             scan = payload[i + 2 + ln :]
@@ -1334,7 +1390,7 @@ def _decode_jpeg_baseline(payload: bytes) -> tuple[int, int, int, bytes]:
         i += 2 + ln
     if scan is None or w is None:
         raise ValueError("truncated JPEG: missing SOF0/SOS")
-    for tq, td, ta in scan_comps:
+    for _ch, _cv, tq, td, ta in scan_comps:
         if (0, td) not in huff or (1, ta) not in huff:
             raise ValueError(
                 "JPEG scan references an undeclared Huffman table"
@@ -1385,8 +1441,26 @@ def _decode_jpeg_baseline(payload: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("invalid JPEG Huffman code")
 
     nf = len(scan_comps)
-    bw, bh = (w + 7) // 8, (h + 7) // 8
-    nblk = bw * bh
+    hmax = max(c[0] for c in scan_comps)
+    vmax = max(c[1] for c in scan_comps)
+    # Per-component block grids. Interleaved scans (Ns > 1) cover the
+    # MCU-padded grid (mcus_x * H, mcus_y * V data units); a
+    # non-interleaved single-component scan covers exactly the
+    # component's own ceil grid (ISO 10918-1 A.2) — for Nf = 1 the two
+    # coincide because H = Hmax, V = Vmax.
+    if nf == 1:
+        geo = [((h + 7) // 8, (w + 7) // 8)]
+        blocks_per_mcu = [1]
+        nmcu = geo[0][0] * geo[0][1]
+    else:
+        mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+        mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+        nmcu = mcus_x * mcus_y
+        geo = [
+            (mcus_y * cv, mcus_x * ch) for ch, cv, _tq, _td, _ta in scan_comps
+        ]
+        blocks_per_mcu = [ch * cv for ch, cv, _tq, _td, _ta in scan_comps]
+    total_blocks_per_mcu = sum(blocks_per_mcu)
     # Validate the scan can actually carry the header-claimed raster
     # BEFORE sizing buffers from it: every block costs >= 2 bits (one
     # DC code + one AC code, both >= 1 bit), so a corrupt/truncated
@@ -1395,7 +1469,7 @@ def _decode_jpeg_baseline(payload: bytes) -> tuple[int, int, int, bytes]:
     # discipline as the BMP raster-presence check. A documented 64 MP
     # ceiling bounds the coefficient buffers (~512 MB per component)
     # even for files that ship a big-enough scan on purpose.
-    if nblk * 2 * nf > nbits_total:
+    if nmcu * 2 * total_blocks_per_mcu > nbits_total:
         raise ValueError("JPEG scan too short for the claimed dimensions")
     if w * h > 1 << 26:
         raise ValueError(
@@ -1407,77 +1481,101 @@ def _decode_jpeg_baseline(payload: bytes) -> tuple[int, int, int, bytes]:
             huff[(1, ta)],
             np.frombuffer(qt[tq], dtype=np.uint8).astype(np.float64),
         )
-        for tq, td, ta in scan_comps
+        for _ch, _cv, tq, td, ta in scan_comps
     ]
-    coeffs = [np.zeros((nblk, 64)) for _ in range(nf)]  # zigzag order
+    coeffs = [np.zeros((bhc * bwc, 64)) for bhc, bwc in geo]  # zigzag
     dc_pred = [0] * nf
-    # Interleaved 4:4:4 MCU = one block per component, in scan order.
-    for blk in range(nblk):
-        for ci in range(nf):
-            dc_table, ac_table, q_z = tables[ci]
-            s = read_code(dc_table)
-            if s > 11:
-                raise ValueError(f"invalid JPEG DC category {s}")
-            if s:
-                mag = 0
-                for _ in range(s):
-                    mag = (mag << 1) | read_bit()
-                dc_pred[ci] += (
-                    mag if mag >= 1 << (s - 1) else mag - (1 << s) + 1
-                )
-            c = coeffs[ci]
-            c[blk, 0] = dc_pred[ci] * q_z[0]
-            k = 1
-            while k < 64:
-                sym = read_code(ac_table)
-                if sym == 0x00:  # EOB — rest of the block is zero
-                    break
-                run, size = sym >> 4, sym & 0x0F
-                if size == 0:
-                    if run != 15:
-                        raise ValueError(
-                            f"invalid JPEG AC symbol 0x{sym:02x}"
-                        )
-                    k += 16  # ZRL: sixteen zero coefficients
-                    continue
-                k += run
-                if k >= 64:
-                    raise ValueError("JPEG AC run past block end")
-                mag = 0
-                for _ in range(size):
-                    mag = (mag << 1) | read_bit()
-                val = (
-                    mag if mag >= 1 << (size - 1) else mag - (1 << size) + 1
-                )
-                c[blk, k] = val * q_z[k]
-                k += 1
-            if k > 64:
-                raise ValueError("JPEG AC run past block end")
 
-    def idct_plane(z: np.ndarray) -> np.ndarray:
+    def read_block(ci: int, blk: int) -> None:
+        dc_table, ac_table, q_z = tables[ci]
+        s = read_code(dc_table)
+        if s > 11:
+            raise ValueError(f"invalid JPEG DC category {s}")
+        if s:
+            mag = 0
+            for _ in range(s):
+                mag = (mag << 1) | read_bit()
+            dc_pred[ci] += (
+                mag if mag >= 1 << (s - 1) else mag - (1 << s) + 1
+            )
+        c = coeffs[ci]
+        c[blk, 0] = dc_pred[ci] * q_z[0]
+        k = 1
+        while k < 64:
+            sym = read_code(ac_table)
+            if sym == 0x00:  # EOB — rest of the block is zero
+                break
+            run, size = sym >> 4, sym & 0x0F
+            if size == 0:
+                if run != 15:
+                    raise ValueError(f"invalid JPEG AC symbol 0x{sym:02x}")
+                k += 16  # ZRL: sixteen zero coefficients
+                continue
+            k += run
+            if k >= 64:
+                raise ValueError("JPEG AC run past block end")
+            mag = 0
+            for _ in range(size):
+                mag = (mag << 1) | read_bit()
+            val = mag if mag >= 1 << (size - 1) else mag - (1 << size) + 1
+            c[blk, k] = val * q_z[k]
+            k += 1
+        if k > 64:
+            raise ValueError("JPEG AC run past block end")
+
+    if nf == 1:
+        for blk in range(nmcu):
+            read_block(0, blk)
+    else:
+        # Interleaved MCUs: per MCU, each component contributes its
+        # H x V data units in row-major order (ISO 10918-1 A.2.3).
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci, (ch, cv, _tq, _td, _ta) in enumerate(scan_comps):
+                    bwc = geo[ci][1]
+                    for dv in range(cv):
+                        for du in range(ch):
+                            read_block(
+                                ci,
+                                (my * cv + dv) * bwc + (mx * ch + du),
+                            )
+
+    def idct_plane(ci: int) -> np.ndarray:
         # De-zigzag into natural 8x8 order, then the real 2-D inverse
         # DCT over all blocks at once: f = D.T @ F @ D (+128 later).
-        nat = np.zeros((nblk, 64))
-        nat[:, _ZIGZAG] = z
-        px = _DCT_M.T @ nat.reshape(nblk, 8, 8) @ _DCT_M
+        bhc, bwc = geo[ci]
+        nat = np.zeros((bhc * bwc, 64))
+        nat[:, _ZIGZAG] = coeffs[ci]
+        px = _DCT_M.T @ nat.reshape(-1, 8, 8) @ _DCT_M
         return (
-            px.reshape(bh, bw, 8, 8)
+            px.reshape(bhc, bwc, 8, 8)
             .transpose(0, 2, 1, 3)
-            .reshape(bh * 8, bw * 8)[:h, :w]
+            .reshape(bhc * 8, bwc * 8)
         )
 
     if nf == 1:
-        gray = np.clip(np.round(idct_plane(coeffs[0]) + 128), 0, 255).astype(
-            np.uint8
-        )
+        gray = np.clip(
+            np.round(idct_plane(0)[:h, :w] + 128), 0, 255
+        ).astype(np.uint8)
         rgb = np.repeat(gray.reshape(-1, 1), 3, axis=1)
         return int(w), int(h), 3, rgb.tobytes()
     # 3 components = YCbCr (JFIF): level-shift Y, center the chroma,
-    # apply the BT.601 inverse transform, then one final round+clamp —
-    # rounding once at the end, exactly like the grayscale path.
-    y = idct_plane(coeffs[0]) + 128.0
-    cb = idct_plane(coeffs[1])  # already centered: stored value - 128
-    cr = idct_plane(coeffs[2])
+    # replicate each subsampled chroma plane back to full resolution
+    # (sample replication — a legal JFIF upsampler), apply the BT.601
+    # inverse transform, then one final round+clamp — rounding once at
+    # the end, exactly like the grayscale path.
+    def full_res(ci: int) -> np.ndarray:
+        ch, cv = scan_comps[ci][0], scan_comps[ci][1]
+        plane = idct_plane(ci)
+        if ch != hmax:
+            plane = np.repeat(plane, hmax // ch, axis=1)
+        if cv != vmax:
+            plane = np.repeat(plane, vmax // cv, axis=0)
+        return plane[:h, :w]
+
+    y = full_res(0) + 128.0
+    cb = full_res(1)  # already centered: stored value - 128
+    cr = full_res(2)
     rgb = np.stack(
         [
             y + 1.402 * cr,
@@ -1535,6 +1633,7 @@ JPEG_AUDIT_SCHEMA = StructType(
         StructField("n_px", IntegerType(), True),
         StructField("err_le_2", BooleanType(), True),
         StructField("color_err_le_4", BooleanType(), True),
+        StructField("gray420_err_le_2", BooleanType(), True),
         StructField("rgb_equal", BooleanType(), True),
     ]
 )
@@ -1555,8 +1654,13 @@ def jpeg_codec_roundtrip_audit(documents: DataFrame) -> DataFrame:
     the same raster tiled as RGB triples survives the COLOR path —
     4:4:4 YCbCr interleaved encode, 3-component decode, BT.601 both
     ways — within 4 levels per channel (``color_err_le_4``; the color
-    transform amplifies coefficient rounding ~2×, measured max 3), and
-    the grayscale R=G=B canonicalization flag. All three booleans are
+    transform amplifies coefficient rounding ~2×, measured max 3),
+    whether the raster as gray-valued RGB survives the real-world
+    4:2:0 SUBSAMPLED path — chroma decimated 2x2, four luma data
+    units per MCU, replication upsample on decode — within 2 levels
+    (``gray420_err_le_2``; constant chroma makes subsampling lossless
+    there, so the flag isolates the MCU geometry; measured max 1), and
+    the grayscale R=G=B canonicalization flag. All four booleans are
     COMPUTED, not assumed — the same discipline as the pixel entry's
     rgb_equal.
 
@@ -1593,9 +1697,24 @@ def jpeg_codec_roundtrip_audit(documents: DataFrame) -> DataFrame:
                         np.int16
                     )
                 ).max()
+                gray_rgb = np.repeat(
+                    np.frombuffer(tiled, dtype=np.uint8), 3
+                ).tobytes()
+                sw, sh, _, srgb = decode_image_pixels(
+                    encode_jpeg(w, h, gray_rgb, quant=1, color="rgb420")
+                )
+                sub_err = np.abs(
+                    np.frombuffer(srgb, dtype=np.uint8).astype(np.int16)
+                    - np.frombuffer(gray_rgb, dtype=np.uint8).astype(
+                        np.int16
+                    )
+                ).max()
                 rows["err_le_2"].append(bool(err <= 2))
                 rows["color_err_le_4"].append(
                     bool((cw, ch) == (w, h) and color_err <= 4)
+                )
+                rows["gray420_err_le_2"].append(
+                    bool((sw, sh) == (w, h) and sub_err <= 2)
                 )
                 rows["rgb_equal"].append(
                     bool(

@@ -348,6 +348,7 @@ def multimodal_jpeg_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS n_px,
            TRUE AS err_le_2,
            TRUE AS color_err_le_4,
+           TRUE AS gray420_err_le_2,
            TRUE AS rgb_equal
     FROM documents
     ORDER BY asset_id
@@ -359,23 +360,28 @@ def multimodal_jpeg_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "uniform quant 1, standard DC-category + (run,size) AC Huffman "
     "coding with EOB/ZRL through self-declared canonical tables) and "
     "back through _decode_jpeg_baseline (AC run-length decode, "
-    "zigzag, dequantize, real 2-D inverse DCT), TWICE per asset — "
-    "grayscale, and as RGB triples through the 3-component 4:4:4 "
-    "YCbCr interleaved path with the BT.601 transform both ways — "
-    "inside one Arrow worker pass "
+    "zigzag, dequantize, real 2-D inverse DCT), THREE times per "
+    "asset — grayscale; as RGB triples through the 3-component 4:4:4 "
+    "YCbCr interleaved path with the BT.601 transform both ways; and "
+    "as gray-valued RGB through the real-world 4:2:0 SUBSAMPLED "
+    "layout (chroma decimated 2x2, four luma data units per MCU, "
+    "replication upsample on decode) — inside one Arrow worker pass "
     "(operators/multimodal.py:jpeg_codec_roundtrip_audit). "
     "A lossy codec can't bit-hash its raster, so the audit hashes what "
     "IS exact: dimensions and pixel count as decoded from the file, "
-    "plus three COMPUTED flags — gray within 2 levels (quant-1 "
-    "coefficient rounding is the only loss; measured max 1), color "
-    "within 4 levels per channel (the color transform amplifies "
-    "rounding ~2x; measured max 3), and R=G=B canonicalization. The "
-    "codec's bit-exact subset sits under multimodal_jpeg_pixel_decode; "
-    "planted DCT-basis bitstreams and Hypothesis error-bound "
-    "properties pin the transform itself (tests/test_llm_operators.py, "
-    "tests/test_properties.py). Subsampled/progressive JPEG stays "
-    "behind an imaging library. Scale: one mapInPandas stage over the "
-    "pruned doc_id column; a few booleans per asset cross the wire.",
+    "plus four COMPUTED flags — gray within 2 levels (quant-1 "
+    "coefficient rounding is the only loss; measured max 1), 4:4:4 "
+    "color within 4 levels per channel (the color transform amplifies "
+    "rounding ~2x; measured max 3), gray-content 4:2:0 within 2 "
+    "levels (constant chroma makes subsampling lossless, isolating "
+    "the MCU geometry; measured max 1), and R=G=B canonicalization. "
+    "The codec's bit-exact subset sits under "
+    "multimodal_jpeg_pixel_decode; planted DCT-basis bitstreams and "
+    "Hypothesis error-bound properties pin the transform itself "
+    "(tests/test_llm_operators.py, tests/test_properties.py). "
+    "Progressive JPEG stays behind an imaging library. Scale: one "
+    "mapInPandas stage over the pruned doc_id column; a few booleans "
+    "per asset cross the wire.",
 )
 def multimodal_jpeg_codec_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
