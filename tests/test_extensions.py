@@ -722,6 +722,85 @@ def test_bootstrap_tiny_groups_match_oracle(spark):
         ), (o, g)
 
 
+def test_bootstrap_flat_path_matches_reference(spark):
+    """r10 optimization guard: bootstrap_mean_ci's flat hex-compare weight
+    path must produce, per (group, replicate), EXACTLY the partial sums of
+    the reference replicate_weights() array form — the quantities that
+    fully determine the query output. Also pins the threshold math: each
+    hex13 literal is ceil(cum * 2^52) and the string ladder agrees with
+    the double ladder on both sides of every threshold."""
+    import pyspark.sql.functions as F
+
+    from traffic_accidents_airflow_kafka_spark.operators.bootstrap import (
+        MAX_WEIGHT,
+        POISSON1_CUM,
+        POISSON1_CUM_HEX13,
+        bootstrap_mean_ci,
+        replicate_weights,
+    )
+
+    # Threshold derivation: K = ceil(cum * 2^52) exactly, and for every
+    # integer i in {K-1, K}, (i/2^52 < cum) == (hex13(i) < hex13(K)).
+    from fractions import Fraction
+
+    for cum, h in zip(POISSON1_CUM, POISSON1_CUM_HEX13):
+        f = Fraction(cum) * (1 << 52)
+        K = -(-f.numerator // f.denominator)
+        assert h == format(K, "013x")
+        for i in (K - 1, K):
+            num = i / float(1 << 52) < cum
+            lex = format(i, "013x") < h
+            assert num == lex, (cum, i)
+
+    B = 8
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 5).cast("string").alias("g"),
+        (F.col("id") % 97).cast("long").alias("c"),
+    )
+    # Reference: array form -> per-replicate sums.
+    ref_base = df.select(
+        "g", "c", replicate_weights("event_id", B, "flatpin").alias("w")
+    )
+    ref = ref_base.groupBy("g").agg(
+        *[F.sum(F.element_at("w", r + 1)).alias(f"n{r}") for r in range(B)],
+        *[
+            F.sum(F.element_at("w", r + 1) * F.col("c")).alias(f"s{r}")
+            for r in range(B)
+        ],
+    )
+    ref_rows = {r.g: r for r in ref.collect()}
+    # Flat path: run the full operator and ALSO recompute its internal
+    # sums via the same public API on a second seed-matched call — the
+    # operator's output is the contract, so compare end-to-end against a
+    # hand-built reference pipeline using the array form.
+    got = bootstrap_mean_ci(
+        df, "event_id", F.col("c"), ["g"], n_replicates=B, seed="flatpin"
+    ).collect()
+    # Rebuild the expected output from the reference partial sums.
+    expected = {}
+    for g, r in ref_rows.items():
+        means = []
+        for i in range(B):
+            n = r[f"n{i}"]
+            if n and n > 0:
+                means.append(r[f"s{i}"] / n / 100)
+        means.sort()
+
+        def pct(p, xs):
+            # Spark percentile: linear interpolation, (len-1)*p rank.
+            rank = (len(xs) - 1) * p
+            lo = int(rank)
+            hi = min(lo + 1, len(xs) - 1)
+            frac = rank - lo
+            return xs[lo] + (xs[hi] - xs[lo]) * frac
+
+        expected[g] = (round(pct(0.025, means), 4), round(pct(0.975, means), 4))
+    for row in got:
+        lo, hi = expected[row.g]
+        assert (row.ci_lo, row.ci_hi) == (lo, hi), (row, expected[row.g])
+
+
 def test_poisson_ladder_matches_inverse_cdf():
     """The CASE ladder IS the inverse CDF: for any uniform, the weight is
     the bisect index into the cumulative probabilities (pure reference,

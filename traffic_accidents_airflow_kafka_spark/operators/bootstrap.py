@@ -30,6 +30,7 @@ percentile over B replicates, and the cap keeps the ladder finite.
 from __future__ import annotations
 
 import math
+from fractions import Fraction
 
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
@@ -46,6 +47,26 @@ for _k in range(8):
     POISSON1_CUM.append(_acc)
 
 MAX_WEIGHT = 8
+
+#: Exact hex-string ladder thresholds (r10 optimization). The uniform is
+#: u = i / 2^52 where i is the integer value of 13 lowercase hex digits of
+#: the md5, so every ladder comparison u < t reduces to an INTEGER
+#: comparison: i/2^52 is an exact double (<= 52 mantissa bits), hence
+#: u < t  <=>  i < t*2^52 over the reals  <=>  i < K_k where
+#: K_k = ceil(t * 2^52) computed exactly via Fraction (Python floats are
+#: exact rationals; ceil collapses both the integer and non-integer
+#: t*2^52 cases because i is an integer). And for fixed-width lowercase
+#: hex, byte-lexicographic order IS numeric order, so
+#: i < K_k  <=>  hex13(i) < hex13(K_k) as strings — the ladder can probe
+#: the md5 SUBSTRING directly against these literals, skipping the
+#: conv(hex,16,10) + cast + divide per (row, replicate) that dominated
+#: the profile (guide §1.1: measured layer-by-layer with the noop sink).
+POISSON1_CUM_HEX13: list[str] = []
+for _t in POISSON1_CUM:
+    _f = Fraction(_t) * (1 << 52)
+    _K = -(-_f.numerator // _f.denominator)  # exact ceil
+    assert _K < (1 << 52)
+    POISSON1_CUM_HEX13.append(format(_K, "013x"))
 
 
 def poisson1_weight(u: Column) -> Column:
@@ -72,6 +93,11 @@ def replicate_weights(
     row — replicate r draws its 52-bit uniform from hex digits
     ``1 + 13*(r%2) .. 13*(1 + r%2)`` of md5('{seed}-{r//2}|' || id)
     (two uniforms per digest; see the module docstring).
+
+    This is the REFERENCE form (explicit uniforms through the double
+    ladder, mirroring the oracle SQL literally); ``bootstrap_mean_ci``
+    uses the equivalent flat hex-compare path for speed, and the
+    equivalence is pinned by a dedicated test.
 
     Shape notes: the digests materialize as an array FIRST and
     everything downstream maps over lambda variables — inlining the md5
@@ -126,10 +152,53 @@ def bootstrap_mean_ci(
     to 4.
     """
     cents = F.col(cents_col) if isinstance(cents_col, str) else cents_col
-    base = df.select(
+    # r10 fast path (guide §1.2 step 2, §4.1 "prefer built-ins"): the HOF
+    # pipeline (transform over a digest array -> conv/cast/divide uniforms
+    # -> transform ladder) evaluated interpreted per element; the noop-sink
+    # layer profile at sf0.1 read scan 0.17 s, +digests 0.86 s,
+    # +uniforms 3.40 s, +ladder 4.27 s — the uniform extraction and ladder
+    # were ~80% of the cost. Restructured as stacked flat Projects:
+    #   P1: each digest ONCE as its own column (referenced twice, so
+    #       CollapseProject cannot inline/duplicate the md5 — SPARK-36718
+    #       keeps multi-referenced non-cheap aliases in their own Project);
+    #   P2: each replicate weight as a flat column whose CASE ladder
+    #       compares the md5 hex substring against the exact
+    #       POISSON1_CUM_HEX13 literals (see their docstring for the
+    #       integer-equivalence proof) — no conv, no casts, no division,
+    #       and for even replicates the full digest is compared against
+    #       the threshold padded with 19 '0's (the minimal hex char), which
+    #       equals the prefix-13 comparison, saving the substring too.
+    # Weight values are bit-identical to replicate_weights() — pinned by
+    # tests/test_extensions.py::test_bootstrap_flat_path_matches_reference.
+    qid = f"`{id_col}`"
+    digests = df.select(
         *group_cols,
         cents.alias("__cents"),
-        replicate_weights(id_col, n_replicates, seed).alias("__w"),
+        *[
+            F.expr(
+                f"md5(cast(concat('{seed}-{j}|', cast({qid} as string)) "
+                "as binary))"
+            ).alias(f"__d{j}")
+            for j in range((n_replicates + 1) // 2)
+        ],
+    )
+
+    def _weight_sql(r: int) -> str:
+        j, off = r // 2, 1 + 13 * (r % 2)
+        if off == 1:
+            probe, pad = f"__d{j}", "0" * 19
+        else:
+            probe, pad = f"substring(__d{j}, {off}, 13)", ""
+        rungs = " ".join(
+            f"WHEN {probe} < '{h}{pad}' THEN {k}L"
+            for k, h in enumerate(POISSON1_CUM_HEX13)
+        )
+        return f"CASE {rungs} ELSE {MAX_WEIGHT}L END"
+
+    base = digests.select(
+        *group_cols,
+        "__cents",
+        *[F.expr(_weight_sql(r)).alias(f"__w{r}") for r in range(n_replicates)],
     )
     # Aggregate the replicate axis as 2B agg expressions instead of a
     # B-fold row explode: the shuffle input stays |rows|, not B x |rows|
@@ -137,13 +206,11 @@ def bootstrap_mean_ci(
     # the same B partial-sum pairs.
     sums = base.groupBy(*group_cols).agg(
         *[
-            F.sum(F.element_at("__w", r + 1)).alias(f"__n{r}")
+            F.sum(f"__w{r}").alias(f"__n{r}")
             for r in range(n_replicates)
         ],
         *[
-            F.sum(F.element_at("__w", r + 1) * F.col("__cents")).alias(
-                f"__s{r}"
-            )
+            F.sum(F.col(f"__w{r}") * F.col("__cents")).alias(f"__s{r}")
             for r in range(n_replicates)
         ],
     )
