@@ -94,6 +94,7 @@ def global_cumsum(
     value_col: str,
     out_col: str = "cum_before",
     num_partitions: int | None = None,
+    materialize: bool = False,
 ) -> DataFrame:
     """EXCLUSIVE prefix sum over a total order — without the single-task
     global sort a ``Window.orderBy`` with no partition key degenerates to.
@@ -125,6 +126,21 @@ def global_cumsum(
 
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     dt = df.schema[order_col].dataType
+    # r10 optimization (guide §5 caching / §1.2 step 1): the input plan
+    # is consumed THREE times — the eager min/max scalar below, the
+    # per-bucket window, and the bucket-totals aggregate — so an
+    # expensive upstream (e.g. curriculum_phases' bigram-LM scoring)
+    # re-executed once per consumer; the phase profile read ~2.6 s of
+    # the entry's time as exactly these replays. ``materialize=True``
+    # checkpoints the input ONCE so every consumer scans the
+    # materialized relation instead (paired A/B: curriculum_phases
+    # 6.9 -> 3.5 s isolated). Opt-in, not default: for callers whose
+    # input is a cheap scan (the token-count manifests of the packing/
+    # sharding family) the eager checkpoint job COSTS more than the
+    # replays it saves — epoch_shuffle_shards measured 1.47 -> 1.91 s
+    # with it forced on, which is why the default stays off.
+    if materialize:
+        df = df.localCheckpoint()
     # float/double keys take the range-partition path: a NaN order key
     # sorts LAST in Spark's ordering but the arithmetic bucket formula
     # would clamp it to bucket 0 (NaN comparisons are false, so
