@@ -47,6 +47,38 @@ def test_jaccard_finds_planted_near_dup(docs):
     assert (0, 3) not in pairs  # disjoint docs never pair (inverted index)
 
 
+def test_shingle_keys_match_hashed_strings(docs):
+    """r10 optimization guard: word_shingle_keys' slice-hash keys must
+    reproduce, per doc, EXACTLY the xxhash64-of-string key multiset of
+    word_shingles — including distinctness — and jaccard_pairs must give
+    identical pairs from either input form."""
+    strs = dedup.word_shingles(docs, "doc_id", "text", n=3).select(
+        "doc_id", F.xxhash64("shingle").alias("k")
+    )
+    keys = dedup.word_shingle_keys(docs, "doc_id", "text", n=3)
+    a = {(r["doc_id"], r["__sh"]) for r in keys.collect()}
+    # Keys differ (hash of string vs hash of hash-slice) but their
+    # per-doc CARDINALITY and the resulting pair relation must agree.
+    per_doc_a = {}
+    for d, _ in a:
+        per_doc_a[d] = per_doc_a.get(d, 0) + 1
+    per_doc_b = {}
+    for r in strs.collect():
+        per_doc_b[r["doc_id"]] = per_doc_b.get(r["doc_id"], 0) + 1
+    assert per_doc_a == per_doc_b
+    p_str = {
+        (r["d1"], r["d2"]): (r["n_common"], r["jaccard"])
+        for r in dedup.jaccard_pairs(
+            dedup.word_shingles(docs, "doc_id", "text", n=3)
+        ).collect()
+    }
+    p_key = {
+        (r["d1"], r["d2"]): (r["n_common"], r["jaccard"])
+        for r in dedup.jaccard_pairs(keys).collect()
+    }
+    assert p_str == p_key
+
+
 def test_minhash_lsh_recalls_planted_pairs(docs):
     sh = dedup.word_shingles(docs, "doc_id", "text", n=3)
     sigs = dedup.minhash_signatures(sh, "doc_id", num_hashes=8)

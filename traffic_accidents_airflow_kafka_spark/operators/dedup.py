@@ -314,6 +314,40 @@ def word_shingles(
     )
 
 
+def word_shingle_keys(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per document as 8-byte KEYS —
+    (id, __sh) rows, the join-only twin of :func:`word_shingles` for
+    consumers that never read the shingle text (Jaccard co-occurrence
+    counting). Each word is hashed once into a per-row long array (its
+    own Project, so the optimizer cannot inline the array build into
+    the per-gram lambda) and each shingle key is the xxhash64 of the
+    n-long slice — n longs hashed per gram instead of a concat-string
+    build + hash (the r10 positional_ngrams optimization applied to
+    the distinct-shingle relation).
+
+    Equivalence to hashing word_shingles' strings: concat_ws(' ') over
+    split(' ') words is injective (words cannot contain the separator),
+    so string equality IS word-tuple equality, and the slice key
+    collides across distinct tuples only via xxhash64 collisions —
+    birthday-bounded at ~2^32 distinct shingles, far beyond a per-corpus
+    shingle vocabulary; the DuckDB oracles group by the literal shingle
+    string, so parity doubles as the collision check."""
+    words = F.split(F.col(text_col), " ")
+    base = df.filter(F.size(words) >= n).select(
+        F.col(id_col),
+        F.transform(words, lambda w: F.xxhash64(w)).alias("__wh"),
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("__wh") - (n - 1)),
+        lambda i: F.xxhash64(F.slice("__wh", i, n)),
+    )
+    return base.select(
+        F.col(id_col), F.explode(F.array_distinct(grams)).alias("__sh")
+    )
+
+
 def jaccard_pairs(
     shingles: DataFrame, id_col: str = "doc_id", max_shingle_freq: int | None = None
 ) -> DataFrame:
@@ -325,19 +359,27 @@ def jaccard_pairs(
     (stop-shingles) — the skew guard that keeps the per-bucket pair blowup
     bounded at corpus scale.
     """
-    sh = shingles
-    if max_shingle_freq is not None:
-        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__f"))
-        sh = sh.join(freq.filter(F.col("__f") <= max_shingle_freq), "shingle").drop("__f")
-
     # Join on the 64-bit hash of the shingle, not the string: the self-join
     # shuffle carries 8-byte longs instead of n-gram text. A cross-shingle
     # hash collision would need ~2^32 distinct shingles to become likely
     # (birthday bound) — far beyond any per-corpus shingle vocabulary.
+    # Input may be pre-keyed (word_shingle_keys' __sh column — the r10
+    # fast path that never builds the gram string at all); the
+    # frequency cap then groups by the key, identical to grouping by
+    # the string under the same injectivity argument.
+    sh = shingles
+    if "__sh" not in sh.columns:
+        sh = sh.select(id_col, F.xxhash64("shingle").alias("__sh"))
+    else:
+        sh = sh.select(id_col, "__sh")
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("__sh").agg(F.count(F.lit(1)).alias("__f"))
+        sh = sh.join(freq.filter(F.col("__f") <= max_shingle_freq), "__sh").drop("__f")
+
     # Repartition by the join key once and self-join two aliases of the
     # SAME relation: the shingle pipeline (split/explode/distinct) runs
     # once, not once per side (measured ~2x on the bench corpus).
-    sh = sh.select(id_col, F.xxhash64("shingle").alias("__sh")).repartition("__sh")
+    sh = sh.repartition("__sh")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -728,16 +770,16 @@ def simhash64(
     # Bit i of the signature is bit (31-i) of ``hi`` for i<32, bit (63-i)
     # of ``lo`` otherwise — identical mapping to hex digit i//4, bit
     # (3 - i%4), so signatures are unchanged.
+    # Built as SQL expr strings, not stacked Column calls: the 64 vote
+    # aggregates cost ~400 py4j roundtrips as Column objects — plan
+    # BUILD time measured 0.96 s vs 0.27 s for the identical expressions
+    # parsed from strings (r10; same optimization class as guide §1.2
+    # step 2 — the driver's per-query constant factor). Semantics are
+    # unchanged: shiftrightunsigned & 1, cast int, *2-1, sum.
     vote_aggs = [
-        F.sum(
-            F.shiftrightunsigned(
-                F.col("hi") if i < 32 else F.col("lo"),
-                (31 - i) if i < 32 else (63 - i),
-            )
-            .bitwiseAND(F.lit(1))
-            .cast("int")
-            * 2
-            - 1
+        F.expr(
+            f"sum(CAST(shiftrightunsigned({'hi' if i < 32 else 'lo'}, "
+            f"{(31 - i) if i < 32 else (63 - i)}) & 1 AS INT) * 2 - 1)"
         ).alias(f"w{i}")
         for i in range(64)
     ]

@@ -94,7 +94,7 @@ def run_corpus_pipeline(
 
     # Stage 3: near-dup clusters — keep each cluster's canonical
     # (minimum id); docs in no cluster are their own canonical.
-    sh = dedup.word_shingles(exact, "doc_id", "text", n=3)
+    sh = dedup.word_shingle_keys(exact, "doc_id", "text", n=3)
     pairs = dedup.jaccard_pairs(sh, "doc_id").filter(
         F.col("jaccard") >= NEARDUP_JACCARD
     )

@@ -393,7 +393,7 @@ def incremental_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sh = dedup.word_shingles(docs, "doc_id", "text", n=3)
+    sh = dedup.word_shingle_keys(docs, "doc_id", "text", n=3)
     pairs = dedup.jaccard_pairs(sh, "doc_id")
     return (
         pairs.select("d1", "d2", "n_common", F.round("jaccard", 4).alias("jaccard"))

@@ -183,7 +183,7 @@ def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build() -> DataFrame:
         docs = load_table(spark, sf_dir, "documents")
-        sh = dedup.word_shingles(docs, "doc_id", "text", n=3)
+        sh = dedup.word_shingle_keys(docs, "doc_id", "text", n=3)
         return (
             dedup.jaccard_pairs(sh, "doc_id")
             .filter(F.col("jaccard") >= 0.5)
