@@ -358,7 +358,31 @@ def run_topics_fanout(
         # micro-batch size. A real Kafka source arrives many-partition
         # and needs no respreading.)
         env = batch
+        # r10: respread a NARROW micro-batch before caching it. The
+        # file-twin source arrives one-partition-per-file (the stream
+        # source never splits files), so the cached envelope held 3
+        # partitions and the three JSON parse jobs ran ~3 tasks each on
+        # a 32-core host — parse wall 4.8 s; repartitioned to ~cores/3
+        # it reads 0.9 s and the whole drain 11.0 -> 8.3 s (the r9
+        # session's 32-way attempt regressed the topic jobs, which is
+        # why the target stays well below the core count — 7 concurrent
+        # jobs x partitions tasks each). Guarded: a production source
+        # (Kafka) already arrives many-partition and skips the shuffle.
+        # SPARK_GRAFT_FANOUT_ENV_PARTS overrides for knob sweeps.
+        _cores = spark.sparkContext.defaultParallelism
+        _target = int(
+            os.environ.get(
+                "SPARK_GRAFT_FANOUT_ENV_PARTS",
+                str(min(16, max(4, _cores // 3))),
+            )
+        )
+        if env.rdd.getNumPartitions() < _target:
+            env = env.repartition(_target)
+        t_env0 = time.perf_counter()
         env.persist().count()
+        _LAST_RUN_META["env_sec"] = _LAST_RUN_META.get("env_sec", 0.0) + (
+            time.perf_counter() - t_env0
+        )
         ob = (
             _parse(env, "orders", orders_schema)
             .select("o_custkey", "o_totalprice")
@@ -385,8 +409,12 @@ def run_topics_fanout(
             )
             .persist()
         )
+        t_parse0 = time.perf_counter()
         with ThreadPoolExecutor(max_workers=3) as pool:
             list(pool.map(lambda d: d.count(), (ob, lb, eb)))
+        _LAST_RUN_META["parse_sec"] = _LAST_RUN_META.get("parse_sec", 0.0) + (
+            time.perf_counter() - t_parse0
+        )
 
         def publish(df: DataFrame, topic: str) -> DataFrame:
             # Idempotent under foreachBatch's at-least-once contract:
@@ -527,9 +555,12 @@ def run_topics_fanout(
                 df.unpersist()
 
     try:
+        t_drain0 = time.perf_counter()
         streaming.run_foreach_batch(
             envelope_stream(spark, sf_dir, schemas), spark, drain
         )
+        _LAST_RUN_META["drain_wall_sec"] = time.perf_counter() - t_drain0
+        t_merge0 = time.perf_counter()
         dbl = lambda c: F.sum(c).cast("double")  # noqa: E731
         merged = {
             "transit_signals_by_state": spark.read.parquet(
@@ -586,6 +617,8 @@ def run_topics_fanout(
                 name: pool.submit(lambda d=df: d.localCheckpoint(eager=True))
                 for name, df in merged.items()
             }
-            return {name: fut.result() for name, fut in futs.items()}
+            out = {name: fut.result() for name, fut in futs.items()}
+        _LAST_RUN_META["merge_sec"] = time.perf_counter() - t_merge0
+        return out
     finally:
         shutil.rmtree(base, ignore_errors=True)
