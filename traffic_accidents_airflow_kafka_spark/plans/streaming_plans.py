@@ -647,6 +647,12 @@ def stream_pyds_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.format("eventreplay")
         .option("path", os.path.join(sf_dir, "events.parquet"))
         .load()
+        # ts travels as int64 micros through the Python source (see
+        # sources/pyds.py:EVENTS_REPLAY_SCHEMA) — re-typed here with the
+        # exact expression the batch file-twin uses, so the windowed
+        # plan below is unchanged.
+        .withColumn("ts", F.timestamp_micros("ts_us"))
+        .drop("ts_us")
     )
     windowed = streaming.windowed_event_counts(raw, "1 hour", "2 hours")
     result = streaming.run_available_now(windowed, spark, state_partitions=8)

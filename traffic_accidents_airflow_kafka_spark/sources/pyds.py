@@ -179,8 +179,17 @@ class OverpassDataSource(DataSource):
 # Streaming Python DataSource: deterministic event replay with offsets.
 # ---------------------------------------------------------------------------
 
+#: ``ts_us`` travels as int64 epoch-micros, not TIMESTAMP (r10): the
+#: simple-reader path materializes every row as Python objects on the
+#: driver and pickles them out — datetime objects fetch 3.7x slower from
+#: DuckDB and pickle ~3x slower than int64 (0.56 vs 0.15 s fetch,
+#: 0.20 vs 0.07 s pickle for the 100k-row sf0.1 replay), and the
+#: per-row TimestampType conversion repeats the cost JVM-side. The
+#: consumer re-types with timestamp_micros(ts_us) — the same expression
+#: the batch file-twin applies to nanos `div 1000`, so the downstream
+#: plan and results are unchanged.
 EVENTS_REPLAY_SCHEMA = (
-    "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, "
+    "event_id LONG, ts_us LONG, user_id LONG, event_type STRING, "
     "value DOUBLE, props STRING"
 )
 
@@ -214,12 +223,17 @@ class EventReplayStreamReader(SimpleDataSourceStreamReader):
             # `ts div 1000` floor; the total (ts, event_id) order makes
             # every offset range replay-identical. Path goes through a
             # bind parameter — quotes in paths must not become SQL.
+            # epoch_us over the SAME cast keeps the truncation identical
+            # while shipping int64 instead of datetime (see
+            # EVENTS_REPLAY_SCHEMA).
             self._rows = duckdb.execute(
                 """
-                SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
-                       event_type, value, props
+                SELECT event_id,
+                       CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT)
+                         AS ts_us,
+                       user_id, event_type, value, props
                 FROM read_parquet(?)
-                ORDER BY ts, event_id
+                ORDER BY CAST(ts AS TIMESTAMP), event_id
                 """,
                 [self.path],
             ).fetchall()
