@@ -153,31 +153,23 @@ def ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     "searches; assembly is three scalar counts.",
 )
 def pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from concurrent.futures import ThreadPoolExecutor
+
     emb = load_table(spark, sf_dir, "embeddings")
     qids = emb.select("vec_id").filter(F.col("vec_id") < 20)
     # Ground truth shared with ivf_nprobe_recall_curve (same 20 queries,
     # same corpus, same k): one build-once artifact, many audits.
     exact_pairs = _exact_top3_q20(spark, sf_dir)
-    total = exact_pairs.count()
 
-    def recall(df) -> float:
-        hits = df.select("qid", "nid").join(
-            exact_pairs, ["qid", "nid"], "left_semi"
-        ).count()
-        return hits / total if total else 1.0
+    def hits(df) -> int:
+        return (
+            df.select("qid", "nid")
+            .join(exact_pairs, ["qid", "nid"], "left_semi")
+            .count()
+        )
 
-    # One ADC pass at k=50 over the SHARED lattice-PQ index artifact:
-    # the rank<=3 prefix is exactly the k=3 search answer (identical
-    # ranking, longer cut), and the full 50 rows are the re-rank
-    # shortlist — the shared-candidate idiom the nprobe curve uses,
-    # applied across audit variants.
-    shortlist = similarity.pq_ann_topk_exact(
-        emb, qids, m=32, n_codes=64, k=50,
-        recon=_lattice_pq_recon(spark, sf_dir),
-    ).localCheckpoint(eager=True)
-    r_pq = recall(shortlist.filter(F.col("rank") <= 3))
-    # The float residual IVF-PQ index is likewise build-once: training
-    # + the corpus-scale encode pass run one time per (session, sf_dir);
+    # The float residual IVF-PQ index is build-once: training + the
+    # corpus-scale encode pass run one time per (session, sf_dir);
     # repeat executions only pay the per-cell ADC search.
     ivfpq_index = _artifact(
         spark,
@@ -191,12 +183,37 @@ def pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )(similarity.ivf_pq_build_index(emb, "vec_id", "embedding")),
     )
-    r_ivfpq = recall(
-        similarity.ivf_pq_ann_topk(emb, qids, k=3, index=ivfpq_index)
-    )
-    r_rerank = recall(
-        similarity.pq_rerank_topk(emb, qids, k=3, shortlist=shortlist)
-    )
+    # One ADC pass at k=50 over the SHARED lattice-PQ index artifact:
+    # the rank<=3 prefix is exactly the k=3 search answer (identical
+    # ranking, longer cut), and the full 50 rows are the re-rank
+    # shortlist — the shared-candidate idiom the nprobe curve uses,
+    # applied across audit variants. r10: the audit's five driver-side
+    # jobs (ground-truth count, shortlist checkpoint, three recall
+    # counts) ran SEQUENTIALLY; they are independent given the
+    # checkpointed shortlist, so the counts now overlap in a small
+    # thread pool (guide §2.6 — back-fill the tail of one job with the
+    # next) — exact counts, order-free, results unchanged.
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        f_total = pool.submit(exact_pairs.count)
+        f_ivfpq = pool.submit(
+            lambda: hits(
+                similarity.ivf_pq_ann_topk(emb, qids, k=3, index=ivfpq_index)
+            )
+        )
+        shortlist = similarity.pq_ann_topk_exact(
+            emb, qids, m=32, n_codes=64, k=50,
+            recon=_lattice_pq_recon(spark, sf_dir),
+        ).localCheckpoint(eager=True)
+        f_pq = pool.submit(lambda: hits(shortlist.filter(F.col("rank") <= 3)))
+        f_rerank = pool.submit(
+            lambda: hits(
+                similarity.pq_rerank_topk(emb, qids, k=3, shortlist=shortlist)
+            )
+        )
+        total = f_total.result()
+        r_pq = f_pq.result() / total if total else 1.0
+        r_ivfpq = f_ivfpq.result() / total if total else 1.0
+        r_rerank = f_rerank.result() / total if total else 1.0
     rows = [
         ("pq_adc", r_pq >= 0.5, r_rerank >= r_pq),
         ("ivf_pq", r_ivfpq >= 0.15, r_rerank >= r_pq),
