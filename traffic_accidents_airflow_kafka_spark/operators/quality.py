@@ -78,10 +78,29 @@ def _per_doc_gram_profile(
 ) -> DataFrame:
     """Per-doc n-gram profile: ``{prefix}_total`` (instances),
     ``{prefix}_distinct``, ``{prefix}_top`` (count of the modal gram).
-    Docs shorter than ``n`` words drop out (rejoined by the caller)."""
+    Docs shorter than ``n`` words drop out (rejoined by the caller).
+
+    Gram keying (r10, the positional_ngrams optimization applied here):
+    the gram is ONLY a grouping key — the profile never reads its text —
+    so each word is hashed once into a per-row long array (own Project:
+    the multiple references below keep CollapseProject from inlining it
+    per gram) and the key is the xxhash64 of the n-long slice; the
+    explode/shuffle then carries 8-byte longs instead of built n-word
+    concat strings. Counts are identical up to xxhash64 collisions
+    (birthday-bounded ~2^32 distinct grams; the DuckDB oracles group by
+    the literal gram text, so parity doubles as the collision check)."""
+    words = F.split(F.col(text_col), " ")
+    base = df.select(
+        F.col(id_col),
+        F.transform(words, lambda w: F.xxhash64(w)).alias("__wh"),
+    ).filter(F.size("__wh") >= n)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("__wh") - (n - 1)),
+        lambda i: F.xxhash64(F.slice("__wh", i, n)),
+    )
     return (
-        df.select(F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("gram"))
-        .groupBy(id_col, "gram")
+        base.select(F.col(id_col), F.explode(grams).alias("__gh"))
+        .groupBy(id_col, "__gh")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .groupBy(id_col)
         .agg(

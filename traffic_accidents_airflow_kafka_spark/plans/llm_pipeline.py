@@ -740,13 +740,30 @@ def _span_worklist(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # r10: the span digest is ONLY a join/distinct key (the output is
+    # source pairs + counts), so key on the xxhash64 of the 7-long
+    # word-hash slice instead of building the 7-word span string and
+    # md5-ing it — the positional_ngrams keying; the oracle's literal
+    # md5(span) grouping doubles as the collision check.
     spans = (
-        docs.filter(F.size(F.split("text", " ")) >= 7)
+        docs.select(
+            "source",
+            F.transform(F.split("text", " "), lambda w: F.xxhash64(w)).alias(
+                "__wh"
+            ),
+        )
+        .filter(F.size("__wh") >= 7)
         .select(
             "source",
-            F.explode(F.array_distinct(decontam.word_ngrams("text", 7))).alias("span"),
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("__wh") - 6),
+                        lambda i: F.xxhash64(F.slice("__wh", i, 7)),
+                    )
+                )
+            ).alias("h"),
         )
-        .select("source", F.md5("span").alias("h"))
         .distinct()
     )
     a = spans.select(F.col("source").alias("src1"), "h")
