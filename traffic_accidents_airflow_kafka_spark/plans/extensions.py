@@ -1365,17 +1365,23 @@ def mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM filled GROUP BY user_id ORDER BY user_id
     """,
     doc="Time-grid gap-fill + LOCF (the hypertable "
-    "time_bucket_gapfill/locf idiom): per-user hourly rollup, a dense "
-    "hour grid from each user's own [min, max] span (sequence + "
-    "explode), left-join observed hours onto the grid, forward-fill "
-    "the holes with last-observation-carried-forward "
-    "(last(ignorenulls) over rows-unbounded-preceding). The per-user "
-    "rollup over the filled series proves the carry values, not just "
-    "the hole counts. Scale: grid size is entities x granularity — "
-    "independent of event volume; the rollup, grid join, and fill "
-    "window all shuffle on user_id (one partitioning reused), and the "
-    "hourly pre-aggregate means the window never sees raw events. "
-    "Decimal hour sums keep the filled totals bit-identical.",
+    "time_bucket_gapfill/locf idiom), computed in RUN-LENGTH form "
+    "(r10): the dense-grid + fill-window plan (grid from each user's "
+    "[min, max] span, left-join observed hours, "
+    "last(ignorenulls) over rows-unbounded-preceding — the oracle "
+    "still replays exactly that) materializes entities x granularity "
+    "rows just to re-aggregate them, so the Spark side instead "
+    "computes the identical totals arithmetically: each observed "
+    "hour's value carries until the NEXT observation (lead over the "
+    "hourly rollup), so locf_total = sum(hour_sum x carried_hours) "
+    "with the last observation carrying exactly its own hour, and "
+    "n_hours/n_filled come from the [min, max] span. Decimal x "
+    "integer products keep the totals bit-identical to summing the "
+    "filled series row by row. Scale: the grid explode, the grid "
+    "join, and the grid-sized fill window are GONE — the lead window "
+    "and final rollup both shuffle the hourly pre-aggregate on "
+    "user_id, which is also why this is the form that survives sparse "
+    "entities whose spans dwarf their observations.",
 )
 def time_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -1384,31 +1390,44 @@ def time_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = events.groupBy(
         "user_id", F.date_trunc("hour", "ts").alias("h")
     ).agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("hour_sum"))
-    bounds = hourly.groupBy("user_id").agg(
-        F.min("h").alias("h0"), F.max("h").alias("h1")
-    )
-    grid = bounds.select(
-        "user_id",
-        F.explode(
-            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
-        ).alias("h"),
-    )
-    joined = grid.join(hourly, ["user_id", "h"], "left")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("h")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    filled = joined.withColumn(
-        "locf", F.last("hour_sum", ignorenulls=True).over(w)
+    w = Window.partitionBy("user_id").orderBy("h")
+    # Hours each observation carries under LOCF: up to (exclusive) the
+    # next observed hour; the max observed hour carries itself only
+    # (the grid ends at max(h)). Exact integer hour arithmetic — the
+    # grid is hour-aligned by construction (date_trunc).
+    runs = hourly.withColumn(
+        "__carried",
+        F.coalesce(
+            (
+                F.unix_timestamp(F.lead("h").over(w))
+                - F.unix_timestamp(F.col("h"))
+            )
+            / 3600,
+            F.lit(1),
+        ).cast("long"),
     )
     return (
-        filled.groupBy("user_id")
+        runs.groupBy("user_id")
         .agg(
-            F.count(F.lit(1)).alias("n_hours"),
-            F.count("hour_sum").alias("n_observed"),
-            (F.count(F.lit(1)) - F.count("hour_sum")).alias("n_filled"),
-            F.sum("locf").cast("double").alias("locf_total"),
+            (
+                (
+                    F.unix_timestamp(F.max("h")) - F.unix_timestamp(F.min("h"))
+                ) / 3600
+                + 1
+            )
+            .cast("long")
+            .alias("n_hours"),
+            F.count(F.lit(1)).alias("n_observed"),
+            F.sum(F.col("hour_sum") * F.col("__carried"))
+            .cast("double")
+            .alias("locf_total"),
+        )
+        .select(
+            "user_id",
+            "n_hours",
+            "n_observed",
+            (F.col("n_hours") - F.col("n_observed")).alias("n_filled"),
+            "locf_total",
         )
         .orderBy("user_id")
     )
