@@ -122,23 +122,42 @@ def rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    return events.agg(
+    # r10: mixing two DISTINCT aggregates with the sketch/percentile
+    # aggregates in ONE agg makes Catalyst rewrite the whole thing
+    # through an Expand (one replica of every input row per distinct
+    # group), so the HLL/percentile buffers chewed 3x the rows —
+    # measured 2.48 s for the combined agg vs 0.43 + 0.25 s for its
+    # halves with the noop sink. Compute the distinct-free aggregates
+    # and the two exact distincts as separate 1-row aggregates and
+    # cross-join them (a broadcast of one row); collect()-verified
+    # identical output, 2.48 -> 0.49 s.
+    nd = events.agg(
         F.count(F.lit(1)).alias("n_rows"),
+        F.approx_count_distinct("user_id").alias("__au"),
+        F.approx_count_distinct("event_id").alias("__ae"),
+        F.percentile_approx("value", 0.5, 10_000).alias("__pm"),
+        F.expr("percentile(value, 0.49)").alias("__p49"),
+        F.expr("percentile(value, 0.51)").alias("__p51"),
+    )
+    dd = events.agg(
         F.countDistinct("user_id").alias("exact_users"),
         F.countDistinct("event_id").alias("exact_events"),
+    )
+    return nd.crossJoin(dd).select(
+        "n_rows",
+        "exact_users",
+        "exact_events",
         (
-            F.abs(F.approx_count_distinct("user_id") - F.countDistinct("user_id"))
-            <= 0.10 * F.countDistinct("user_id")
+            F.abs(F.col("__au") - F.col("exact_users"))
+            <= 0.10 * F.col("exact_users")
         ).alias("users_within_10pct"),
         (
-            F.abs(F.approx_count_distinct("event_id") - F.countDistinct("event_id"))
-            <= 0.10 * F.countDistinct("event_id")
+            F.abs(F.col("__ae") - F.col("exact_events"))
+            <= 0.10 * F.col("exact_events")
         ).alias("events_within_10pct"),
-        F.percentile_approx("value", 0.5, 10_000)
-        .between(
-            F.expr("percentile(value, 0.49)"), F.expr("percentile(value, 0.51)")
-        )
-        .alias("median_in_p49_p51"),
+        F.col("__pm").between(F.col("__p49"), F.col("__p51")).alias(
+            "median_in_p49_p51"
+        ),
     )
 
 
