@@ -1029,6 +1029,35 @@ def test_pagerank_star_center_dominates_and_mass_conserves(spark):
     assert max(leaves) - min(leaves) < 1e-12
 
 
+def test_pagerank_prepared_graph_matches_solo_paths(spark):
+    """The r10 shared-graph path (prepare_pair_graph + prepared=) must be
+    bit-identical to each variant building its own relations: exact
+    equality for the fixed-point ranks (pure int64 arithmetic), and the
+    float ranks equal too on this tiny graph (same expressions, same
+    relations, single partition)."""
+    from traffic_accidents_airflow_kafka_spark.operators.graph import (
+        pagerank,
+        pagerank_fixedpoint,
+        prepare_pair_graph,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 5), (5, 6)], "d1 long, d2 long"
+    )
+    g = prepare_pair_graph(pairs)
+    fx_solo = {r["id"]: r["rank_u"] for r in pagerank_fixedpoint(pairs).collect()}
+    fx_prep = {
+        r["id"]: r["rank_u"]
+        for r in pagerank_fixedpoint(pairs, prepared=g).collect()
+    }
+    assert fx_solo == fx_prep
+    fl_solo = {r["id"]: r["rank"] for r in pagerank(pairs).collect()}
+    fl_prep = {r["id"]: r["rank"] for r in pagerank(pairs, prepared=g).collect()}
+    assert set(fl_solo) == set(fl_prep)
+    for k in fl_solo:
+        assert abs(fl_solo[k] - fl_prep[k]) < 1e-12
+
+
 def test_pagerank_directed_dangling_mass_redistributes(spark):
     """Directed chain 1->2->3: node 3 dangles; ranks still sum to 1 and
     order follows the flow (3 >= 2 >= 1)."""

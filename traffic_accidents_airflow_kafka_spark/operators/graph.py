@@ -37,6 +37,43 @@ def _edge_relation(
     return edges.filter(F.col("e_src") != F.col("e_dst")).distinct().localCheckpoint()
 
 
+class PairGraph:
+    """Loop-invariant graph relations shared by both PageRank variants
+    (r10, guide §5 caching-vs-recompute): the audit that runs the float
+    AND fixed-point iterations over the SAME pair relation previously
+    built the symmetrized edge relation, the node set, the out-degrees
+    and their counts twice — four materializations and three count jobs
+    of pure duplication. ``prepare_pair_graph`` builds them once; each
+    variant's solo path is unchanged (it prepares its own). Only valid
+    for ``symmetrize=True`` pair graphs (both catalog variants), where
+    the node set is exactly the source side and no dangling nodes exist
+    by construction."""
+
+    __slots__ = ("edges_deg", "nodes", "n_nodes", "n_edges")
+
+    def __init__(self, edges_deg: DataFrame, nodes: DataFrame, n_nodes: int, n_edges: int):
+        self.edges_deg = edges_deg
+        self.nodes = nodes
+        self.n_nodes = n_nodes
+        self.n_edges = n_edges
+
+
+def prepare_pair_graph(
+    pairs: DataFrame, src: str = "d1", dst: str = "d2"
+) -> PairGraph:
+    """Materialize (edges+degrees, nodes, counts) for a SYMMETRIZED pair
+    graph once — see :class:`PairGraph`. The relations are byte-identical
+    to what each PageRank variant builds internally (same expressions,
+    same checkpoint points), so passing the result via ``prepared=``
+    cannot change any rank."""
+    edges = _edge_relation(pairs, src, dst, symmetrize=True)
+    nodes = edges.select(F.col("e_src").alias("id")).distinct().localCheckpoint()
+    n_nodes = nodes.count()
+    out_deg = edges.groupBy("e_src").agg(F.count(F.lit(1)).alias("__deg"))
+    edges_deg = edges.join(out_deg, "e_src").localCheckpoint()
+    return PairGraph(edges_deg, nodes, n_nodes, edges_deg.count())
+
+
 def _loop_partitions(spark: SparkSession, n_edges: int) -> tuple[str, int]:
     """(previous setting, loop-sized shuffle-partition count): candidate-
     pair graphs are orders of magnitude smaller than the corpus that
@@ -81,6 +118,7 @@ def pagerank(
     iters: int = 10,
     symmetrize: bool = True,
     tol: float | None = 1e-9,
+    prepared: PairGraph | None = None,
 ) -> DataFrame:
     """Damped PageRank over a pair relation; at most ``iters`` rounds.
 
@@ -103,37 +141,48 @@ def pagerank(
     GRAPH (like the CC loop): candidate-pair graphs are orders of
     magnitude smaller than the corpus that produced them.
     """
-    edges = _edge_relation(pairs, src, dst, symmetrize)
-
-    nodes = (
-        edges.select(F.col("e_src").alias("id"))
-        .union(edges.select(F.col("e_dst").alias("id")))
-        .distinct()
-        .localCheckpoint()
-    )
     spark = pairs.sparkSession
-    n_nodes = nodes.count()
-    if n_nodes == 0:
-        return nodes.withColumn("rank", F.lit(0.0))
-
-    out_deg = edges.groupBy("e_src").agg(F.count(F.lit(1)).alias("__deg"))
-    # Edges carry their source's out-degree from the start: the per-round
-    # join then needs only the rank relation.
-    edges_deg = edges.join(out_deg, "e_src").localCheckpoint()
-    # Dangling node SET is loop-invariant — only its rank MASS changes.
-    # A symmetrized graph has no dangling nodes by CONSTRUCTION (every
-    # node appears as a source), so skip even building the relation —
-    # that's one checkpoint + one count job saved before the loop.
-    if symmetrize:
+    if prepared is not None:
+        if not symmetrize:
+            raise ValueError("prepared graphs are symmetrized by contract")
+        nodes, n_nodes = prepared.nodes, prepared.n_nodes
+        edges_deg, n_edges = prepared.edges_deg, prepared.n_edges
+        if n_nodes == 0:
+            return nodes.withColumn("rank", F.lit(0.0))
         dangling_nodes = None
         has_dangling = False
     else:
-        dangling_nodes = nodes.join(
-            out_deg.withColumnRenamed("e_src", "id"), "id", "left_anti"
-        ).localCheckpoint()
-        has_dangling = dangling_nodes.count() > 0
+        edges = _edge_relation(pairs, src, dst, symmetrize)
 
-    prev_parts, loop_parts = _loop_partitions(spark, edges_deg.count())
+        nodes = (
+            edges.select(F.col("e_src").alias("id"))
+            .union(edges.select(F.col("e_dst").alias("id")))
+            .distinct()
+            .localCheckpoint()
+        )
+        n_nodes = nodes.count()
+        if n_nodes == 0:
+            return nodes.withColumn("rank", F.lit(0.0))
+
+        out_deg = edges.groupBy("e_src").agg(F.count(F.lit(1)).alias("__deg"))
+        # Edges carry their source's out-degree from the start: the per-round
+        # join then needs only the rank relation.
+        edges_deg = edges.join(out_deg, "e_src").localCheckpoint()
+        # Dangling node SET is loop-invariant — only its rank MASS changes.
+        # A symmetrized graph has no dangling nodes by CONSTRUCTION (every
+        # node appears as a source), so skip even building the relation —
+        # that's one checkpoint + one count job saved before the loop.
+        if symmetrize:
+            dangling_nodes = None
+            has_dangling = False
+        else:
+            dangling_nodes = nodes.join(
+                out_deg.withColumnRenamed("e_src", "id"), "id", "left_anti"
+            ).localCheckpoint()
+            has_dangling = dangling_nodes.count() > 0
+        n_edges = edges_deg.count()
+
+    prev_parts, loop_parts = _loop_partitions(spark, n_edges)
     spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
     try:
         base = (1.0 - damping) / n_nodes
@@ -281,6 +330,7 @@ def pagerank_fixedpoint(
     scale: int = 10**12,
     damp_num: int = 85,
     damp_den: int = 100,
+    prepared: PairGraph | None = None,
 ) -> DataFrame:
     """Quantized (fixed-point) PageRank: the float power iteration of
     :func:`pagerank`, re-expressed in pure int64 arithmetic so every
@@ -308,21 +358,26 @@ def pagerank_fixedpoint(
     once with out-degrees, rounds shuffle (id, int64) pairs, lineage
     truncated every 3 rounds.
     """
-    edges = _edge_relation(pairs, src, dst, symmetrize=True)
-    nodes = (
-        edges.select(F.col("e_src").alias("id")).distinct().localCheckpoint()
-    )  # symmetrized: src set == node set
     spark = pairs.sparkSession
-    n_nodes = nodes.count()
+    if prepared is not None:
+        nodes, n_nodes = prepared.nodes, prepared.n_nodes
+        edges_deg, n_edges = prepared.edges_deg, prepared.n_edges
+    else:
+        edges = _edge_relation(pairs, src, dst, symmetrize=True)
+        nodes = (
+            edges.select(F.col("e_src").alias("id")).distinct().localCheckpoint()
+        )  # symmetrized: src set == node set
+        n_nodes = nodes.count()
+        out_deg = edges.groupBy("e_src").agg(F.count(F.lit(1)).alias("__deg"))
+        edges_deg = edges.join(out_deg, "e_src").localCheckpoint()
+        n_edges = edges_deg.count()
     if n_nodes == 0:
         return nodes.withColumn("rank_u", F.lit(0).cast("long"))
 
     init = scale // n_nodes
     base = ((damp_den - damp_num) * init) // damp_den
-    out_deg = edges.groupBy("e_src").agg(F.count(F.lit(1)).alias("__deg"))
-    edges_deg = edges.join(out_deg, "e_src").localCheckpoint()
 
-    prev_parts, loop_parts = _loop_partitions(spark, edges_deg.count())
+    prev_parts, loop_parts = _loop_partitions(spark, n_edges)
     spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
     try:
         ranks = nodes.select("id", F.lit(init).cast("long").alias("rank_u"))

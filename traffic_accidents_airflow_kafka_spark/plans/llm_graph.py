@@ -251,8 +251,15 @@ def dedup_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def pagerank_rank_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _neardup_pairs(spark, sf_dir)
-    fl = graph.pagerank(pairs, "d1", "d2", damping=0.85, iters=10).cache()
-    fx = graph.pagerank_fixedpoint(pairs, "d1", "d2", iters=10).cache()
+    # r10 (guide §5): both variants consume the IDENTICAL symmetrized
+    # edge relation, node set and out-degrees — prepare them once
+    # instead of materializing + counting them twice (the thread-overlap
+    # alternative was rejected in-round: both loops set/restore the
+    # session-global shuffle-partition conf). Ranks are unchanged by
+    # construction — prepare_pair_graph builds byte-identical relations.
+    g = graph.prepare_pair_graph(pairs, "d1", "d2")
+    fl = graph.pagerank(pairs, "d1", "d2", damping=0.85, iters=10, prepared=g).cache()
+    fx = graph.pagerank_fixedpoint(pairs, "d1", "d2", iters=10, prepared=g).cache()
     scale = float(10**12)
     stats = (
         fl.join(fx, "id", "full_outer")
