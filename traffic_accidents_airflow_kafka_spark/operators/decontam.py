@@ -66,6 +66,37 @@ def benchmark_ngram_digests(
     )
 
 
+def _word_ngram_key_rows(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id, __gh) rows — one per word-``n``-gram INSTANCE, keyed by the
+    xxhash64 of the n-long slice of per-word xxhash64s instead of the
+    md5 of the built gram string (the r10 hash-slice keying the
+    positional-ngram/shingle/Gopher families already use: the gram text
+    was only ever an equality key here, so the explode and the join
+    carry 8-byte longs and the n-word concat string is never built).
+    Each word is hashed once into a per-row long array in its OWN
+    Project, so the optimizer cannot inline the array build into the
+    per-gram lambda. Docs shorter than ``n`` words keep their one
+    NULL-key row (``explode_outer``), mirroring word_ngrams' empty
+    array. Equality of keys ⇔ equality of word tuples up to xxhash64
+    collisions (birthday-bounded at ~2^32 distinct grams); the DuckDB
+    oracles match md5 over the literal gram text, so green parity
+    doubles as the collision check."""
+    w = tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col), F.transform(w, lambda x: F.xxhash64(x)).alias("__wh")
+    )
+    grams = F.when(
+        F.size("__wh") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("__wh") - (n - 1)),
+            lambda i: F.xxhash64(F.slice(F.col("__wh"), i, n)),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return base.select(F.col(id_col), F.explode_outer(grams).alias("__gh"))
+
+
 def contamination(
     train: DataFrame,
     bench: DataFrame,
@@ -86,20 +117,24 @@ def contamination(
     only aggregation is the per-doc count, which combines partially
     before any exchange.
     """
+    # r10: both sides keyed on the gram's word-hash-slice xxhash64 (see
+    # _word_ngram_key_rows) — the gram text and its md5 were only ever
+    # the join equality key, and never building the 8-word concat string
+    # per instance cuts the dominant per-row cost
+    # (benchmark_ngram_digests keeps the md5 form for any caller that
+    # needs an engine-stable digest).
     digests = F.broadcast(
-        benchmark_ngram_digests(bench, text_col, n).withColumnRenamed(
-            "gram_h", "bench_h"
-        )
+        _word_ngram_key_rows(bench, id_col, text_col, n)
+        .select(F.col("__gh").alias("bench_h"))
+        .dropna()
+        .distinct()
     )
-    exploded = train.select(
-        F.col(id_col),
-        F.explode_outer(word_ngrams(text_col, n)).alias("gram"),
-    ).select(id_col, "gram", F.md5("gram").alias("gram_h"))
+    exploded = _word_ngram_key_rows(train, id_col, text_col, n)
     per_doc = (
-        exploded.join(digests, F.col("gram_h") == F.col("bench_h"), "left")
+        exploded.join(digests, F.col("__gh") == F.col("bench_h"), "left")
         .groupBy(id_col)
         .agg(
-            F.count("gram").alias("n_grams"),
+            F.count("__gh").alias("n_grams"),
             F.count("bench_h").alias("n_hit"),
         )
     )

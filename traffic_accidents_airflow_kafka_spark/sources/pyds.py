@@ -193,6 +193,43 @@ EVENTS_REPLAY_SCHEMA = (
     "value DOUBLE, props STRING"
 )
 
+#: field name -> SQL type, in canonical schema order (drives the
+#: ``columns`` projection below).
+_REPLAY_FIELDS = {
+    "event_id": "LONG",
+    "ts_us": "LONG",
+    "user_id": "LONG",
+    "event_type": "STRING",
+    "value": "DOUBLE",
+    "props": "STRING",
+}
+
+#: per-field DuckDB select expression (ts_us is derived; the rest pass
+#: through).
+_REPLAY_EXPRS = {
+    "ts_us": "CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ts_us",
+}
+
+
+def _replay_columns(options: dict) -> list[str]:
+    """Resolve the ``columns`` option (comma list) to canonical-order
+    field names; default = the full schema. The simple-reader path has
+    no engine-side column pruning — every field crosses driver-fetch,
+    pickle, AND the per-row Python→JVM conversion — so consumers that
+    aggregate a few fields (the windowed twin reads 3 of 6) opt out of
+    shipping the rest (guide §4: pass only the columns the function
+    needs). The (ts, event_id) ORDER BY is unaffected: DuckDB sorts on
+    source columns whether or not they are projected, so offset ranges
+    replay identically."""
+    raw = options.get("columns")
+    if not raw:
+        return list(_REPLAY_FIELDS)
+    want = {c.strip() for c in raw.split(",") if c.strip()}
+    unknown = want - set(_REPLAY_FIELDS)
+    if unknown:
+        raise ValueError(f"unknown replay columns: {sorted(unknown)}")
+    return [c for c in _REPLAY_FIELDS if c in want]
+
 
 class EventReplayStreamReader(SimpleDataSourceStreamReader):
     """Replays an events parquet file as a stream with REAL offset
@@ -213,6 +250,7 @@ class EventReplayStreamReader(SimpleDataSourceStreamReader):
     def __init__(self, options: dict):
         self.path = options["path"]
         self.cap = int(options.get("max_rows_per_read", "0"))
+        self.columns = _replay_columns(options)
         self._rows: list[tuple] | None = None
 
     def _table(self) -> list[tuple]:
@@ -221,17 +259,19 @@ class EventReplayStreamReader(SimpleDataSourceStreamReader):
 
             # ns → µs timestamp truncation matches the batch path's
             # `ts div 1000` floor; the total (ts, event_id) order makes
-            # every offset range replay-identical. Path goes through a
-            # bind parameter — quotes in paths must not become SQL.
-            # epoch_us over the SAME cast keeps the truncation identical
-            # while shipping int64 instead of datetime (see
-            # EVENTS_REPLAY_SCHEMA).
+            # every offset range replay-identical — the sort reads the
+            # SOURCE columns, so it holds under any projection. Path
+            # goes through a bind parameter — quotes in paths must not
+            # become SQL. epoch_us over the SAME cast keeps the
+            # truncation identical while shipping int64 instead of
+            # datetime (see EVENTS_REPLAY_SCHEMA); the ``columns``
+            # option prunes what crosses the driver (guide §4).
+            select = ", ".join(
+                _REPLAY_EXPRS.get(c, c) for c in self.columns
+            )
             self._rows = duckdb.execute(
-                """
-                SELECT event_id,
-                       CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT)
-                         AS ts_us,
-                       user_id, event_type, value, props
+                f"""
+                SELECT {select}
                 FROM read_parquet(?)
                 ORDER BY CAST(ts AS TIMESTAMP), event_id
                 """,
@@ -260,7 +300,8 @@ class EventReplayDataSource(DataSource):
         return "eventreplay"
 
     def schema(self) -> str:
-        return EVENTS_REPLAY_SCHEMA
+        cols = _replay_columns(self.options)
+        return ", ".join(f"{c} {_REPLAY_FIELDS[c]}" for c in cols)
 
     def simpleStreamReader(self, schema: StructType) -> EventReplayStreamReader:
         return EventReplayStreamReader(self.options)

@@ -96,6 +96,31 @@ def envelope_stream(
     ({source: StructType}) lets a caller that already read the parquet
     footers (run_topics_fanout does) skip the duplicate driver-side
     footer reads."""
+    # r10 (guide §2.5 input skew): the file-twin sources are single
+    # parquet files with ONE row group each, so the scan cannot split
+    # and the JSON encode — the envelope's dominant cost, measured at
+    # ~3.5 s of the drain's env phase — ran 3-wide on a 32-core host.
+    # Respread the RAW rows (same bytes the payload would carry) before
+    # to_json so the encode runs wide; the drain's own envelope respread
+    # then becomes a no-op (it is guarded on arrival partition count).
+    # Production multi-part sources arrive wide already — skip the
+    # shuffle there (directory layout ⇒ many part files).
+    _cores = spark.sparkContext.defaultParallelism
+    spread = int(
+        os.environ.get(
+            "SPARK_GRAFT_FANOUT_ENV_PARTS", str(min(16, max(4, _cores // 3)))
+        )
+    )
+
+    def _respread(raw: DataFrame, src: str) -> DataFrame:
+        if os.path.isdir(os.path.join(sf_dir, f"{src}.parquet")):
+            return raw  # directory of part files: already arrives wide
+        # Ceiling-divide so the three sources together arrive at >= the
+        # drain's respread target — otherwise the drain would shuffle
+        # the already-spread envelope a second time.
+        n = -(-spread // len(FANOUT_SOURCES))
+        return raw.repartition(max(2, n))
+
     parts = []
     for src in ("orders", "lineitem"):
         schema = (
@@ -103,14 +128,14 @@ def envelope_stream(
             if schemas and src in schemas
             else spark.read.parquet(os.path.join(sf_dir, f"{src}.parquet")).schema
         )
-        raw = streaming.stream_table_source(spark, sf_dir, src, schema)
+        raw = _respread(streaming.stream_table_source(spark, sf_dir, src, schema), src)
         parts.append(
             raw.select(
                 F.lit(src).alias("src"),
                 F.to_json(F.struct(*raw.columns)).alias("payload"),
             )
         )
-    ev = streaming.stream_events(spark, sf_dir).withColumn(
+    ev = _respread(streaming.stream_events(spark, sf_dir), "events").withColumn(
         "ts_us", F.unix_micros("ts")
     ).drop("ts")
     parts.append(
