@@ -192,30 +192,52 @@ def bigram_lm_scores(
     rounded to 4 places (float sums are engine-order-dependent past
     ~1e-13; rounding pins the cross-engine contract).
     """
+    # r11 (guide §2.3 shuffle keys instead of payloads — the r10
+    # hash-slice keying the shingle/Gopher/decontam families already
+    # use): the bigram string and its first word were only ever JOIN
+    # EQUALITY KEYS between the exploded stream and the two count
+    # relations, so each word is hashed once into a per-row long array
+    # (its own Project, so the optimizer cannot inline the array build
+    # into the per-gram lambda) and every downstream explode, shuffle,
+    # checkpoint, and join carries 8-byte longs — the two-word concat
+    # string is never built. Equality of keys ⇔ equality of word
+    # (pairs) up to xxhash64 collisions, birthday-bounded at ~2^32
+    # distinct grams; the DuckDB oracles group by the literal bigram
+    # text, so green parity doubles as the collision check. Counts are
+    # identical under no collisions, so logp / lm_score are
+    # bit-identical. Measured (fresh-session min-of-3, sf0.1):
+    # lm_quality_scores 2.0→1.3 s class; checkpoint bytes shrink from
+    # two strings to two longs per bigram.
     toks = tokens(F.col(text_col))
-    n = F.size(toks)
-    bigrams = F.transform(
-        F.slice(toks, 1, n - 1),
-        lambda w, i: F.concat_ws(" ", w, F.element_at(toks, i + F.lit(2))),
+    base = docs.select(
+        F.col(id_col),
+        F.transform(toks, lambda w: F.xxhash64(w)).alias("__wh"),
     )
-    pairs = docs.select(
-        F.col(id_col), F.explode(bigrams).alias("bg")
-    ).withColumn("w1", F.split(F.col("bg"), " ").getItem(0))
+    grams = F.transform(
+        F.slice("__wh", 1, F.size("__wh") - 1),
+        lambda w, i: F.struct(
+            F.xxhash64(F.slice("__wh", i + F.lit(1), 2)).alias("bgh"),
+            w.alias("w1h"),
+        ),
+    )
+    pairs = base.select(
+        F.col(id_col), F.explode(grams).alias("g")
+    ).select(id_col, "g.bgh", "g.w1h")
     # The bigram stream feeds BOTH the count model (c2) and the scoring
     # join — materialize it once instead of replaying the explode per
     # consumer (measured 3.0 s → 1.8 s at sf0.1). At cluster scale the
     # same reuse is a .persist(DISK_ONLY) on a stream that is ~tokens×2
-    # strings wide — still far cheaper than a second corpus scan+explode.
+    # longs wide — still far cheaper than a second corpus scan+explode.
     pairs = pairs.localCheckpoint()
 
-    c2 = pairs.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
-    unis = docs.select(F.explode(toks).alias("w1"))
-    c1 = unis.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    c2 = pairs.groupBy("bgh").agg(F.count(F.lit(1)).alias("c12"))
+    unis = base.select(F.explode("__wh").alias("w1h"))
+    c1 = unis.groupBy("w1h").agg(F.count(F.lit(1)).alias("c1"))
     vocab_size = c1.count()  # scalar: |vocabulary| — bounded driver traffic
 
     scored = (
-        pairs.join(c2, "bg")
-        .join(c1, "w1")
+        pairs.join(c2, "bgh")
+        .join(c1, "w1h")
         .withColumn(
             "logp",
             F.log((F.col("c12") + 1).cast("double") / (F.col("c1") + F.lit(vocab_size)).cast("double")),
