@@ -413,80 +413,122 @@ def hard_em_train(
     read; the last round now uses the cheaper non-path ``viterbi_
     combined``). Stats collect one scalar row per round.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     wf = word_freq.localCheckpoint(eager=True)
-    chars = (
-        substring_counts(wf, 1)
-        .select("piece")
-        .localCheckpoint(eager=True)
-    )
-    # The required-char count is a loop invariant (characters never drop
-    # out); surfaced in every stats row so consumers — the banded-oracle
-    # catalog entry bounds vocab_size with it — read it off the
-    # already-materialized char set instead of re-deriving it with
-    # another corpus pass.
-    n_chars = chars.count()
-    # Word conservation: every round segments the same word table, so
-    # corpus_words is a loop invariant too — one tiny aggregate on the
-    # checkpointed counts instead of a per-round corpus-side SUM.
-    corpus_words = int(
-        wf.agg(F.sum("f").alias("__w")).first()["__w"]
-    )
-    vocab = seed_vocab(wf, max_piece_len, vocab_size)
-    costs = with_costs(vocab).localCheckpoint(eager=True)
-    n_vocab = costs.count()
-    stats: list[dict] = []
-    for it in range(n_iters):
-        if it < n_iters - 1:
-            # (piece, cnt): best-path piece counts — the ONLY consumer
-            # of the path-carrying DP, materialized once at vocab size.
-            used = (
-                viterbi_segments(wf, costs, max_piece_len)
-                .select("f", F.explode("pieces").alias("piece"))
-                .groupBy("piece")
-                .agg(F.sum("f").alias("cnt"))
+    # r11 (guide §2.6 overlap independent jobs): the trainer is
+    # JOB-LATENCY-bound, not compute-bound — the phase profile reads
+    # ~14 eager materializations/collects of 0.1-0.5 s each with no
+    # duplicated subtree left (wf 0.22 / chars 0.20 / corpus_words 0.10
+    # / seed+costs 0.56 / per-round path DP 0.43-0.46, stats 0.13-0.16,
+    # refresh 0.38-0.46 s at sf0.1). The independent ones overlap on a
+    # small pool: the char floor and the word-conservation scalar run
+    # while the seed costs materialize (all three depend only on the
+    # checkpointed wf), and each non-final round's stats row (used x
+    # the round's OWN costs) collects while the NEXT round's refreshed
+    # costs checkpoint — independent by construction. This reorders job
+    # submission, never arithmetic: every count, cost, and tie-break is
+    # computed from the same relations as before.
+    pool = ThreadPoolExecutor(max_workers=2)
+    try:
+        # The required-char count is a loop invariant (characters never
+        # drop out); surfaced in every stats row so consumers — the
+        # banded-oracle catalog entry bounds vocab_size with it — read
+        # it off the already-materialized char set instead of
+        # re-deriving it with another corpus pass.
+        def _build_chars():
+            c = (
+                substring_counts(wf, 1)
+                .select("piece")
                 .localCheckpoint(eager=True)
             )
-            # ccost packs cost·PIECE_BASE + 1 per piece and words are
-            # <= MAX_WORD_LEN < PIECE_BASE pieces long, so the per-word
-            # floor(Σccost / PIECE_BASE) equals Σ piece costs exactly —
-            # the corpus objective re-aggregates from the piece counts.
-            row = used.join(
-                F.broadcast(costs.select("piece", "cost")), "piece"
-            ).agg(
-                F.sum(F.col("cnt") * F.col("cost")).alias("corpus_cost"),
-                F.sum("cnt").alias("corpus_pieces"),
-            ).first()
-        else:
-            # Final round reports stats only — the non-path DP carries
-            # (cost, n_pieces) integers instead of piece-string arrays.
-            row = viterbi_combined(wf, costs, max_piece_len).agg(
-                F.sum(F.col("f") * F.col("cost")).alias("corpus_cost"),
-                F.sum(F.col("f") * F.col("n_pieces")).alias(
-                    "corpus_pieces"
-                ),
-            ).first()
-        stats.append(
-            {
-                "iteration": it,
-                "vocab_size": int(n_vocab),
-                "corpus_cost_bits": int(row["corpus_cost"]),
-                "corpus_pieces": int(row["corpus_pieces"]),
-                "corpus_words": corpus_words,
-                "n_chars": int(n_chars),
-            }
+            return c, c.count()
+
+        f_chars = pool.submit(_build_chars)
+        # Word conservation: every round segments the same word table,
+        # so corpus_words is a loop invariant too — one tiny aggregate
+        # on the checkpointed counts instead of a per-round
+        # corpus-side SUM.
+        f_words = pool.submit(
+            lambda: int(wf.agg(F.sum("f").alias("__w")).first()["__w"])
         )
-        if it == n_iters - 1:
-            break
-        topk = top_k_pieces(used, vocab_size)
-        refreshed = (
-            topk.unionByName(
-                chars.join(used, "piece", "left").select(
-                    "piece", F.coalesce("cnt", F.lit(1)).alias("cnt")
-                )
-            )
-            .groupBy("piece")
-            .agg(F.max("cnt").alias("cnt"))
-        )
-        costs = with_costs(refreshed).localCheckpoint(eager=True)
+        vocab = seed_vocab(wf, max_piece_len, vocab_size)
+        costs = with_costs(vocab).localCheckpoint(eager=True)
         n_vocab = costs.count()
+        chars, n_chars = f_chars.result()
+        corpus_words = f_words.result()
+        stats: list[dict] = []
+        for it in range(n_iters):
+            new_costs = new_n_vocab = None
+            if it < n_iters - 1:
+                # (piece, cnt): best-path piece counts — the ONLY
+                # consumer of the path-carrying DP, materialized once
+                # at vocab size.
+                used = (
+                    viterbi_segments(wf, costs, max_piece_len)
+                    .select("f", F.explode("pieces").alias("piece"))
+                    .groupBy("piece")
+                    .agg(F.sum("f").alias("cnt"))
+                    .localCheckpoint(eager=True)
+                )
+                # ccost packs cost·PIECE_BASE + 1 per piece and words
+                # are <= MAX_WORD_LEN < PIECE_BASE pieces long, so the
+                # per-word floor(Σccost / PIECE_BASE) equals Σ piece
+                # costs exactly — the corpus objective re-aggregates
+                # from the piece counts. Collected on the pool while
+                # the refresh below materializes (it reads this
+                # round's costs; the refresh builds next round's).
+                f_row = pool.submit(
+                    lambda u=used, oc=costs: u.join(
+                        F.broadcast(oc.select("piece", "cost")), "piece"
+                    )
+                    .agg(
+                        F.sum(F.col("cnt") * F.col("cost")).alias(
+                            "corpus_cost"
+                        ),
+                        F.sum("cnt").alias("corpus_pieces"),
+                    )
+                    .first()
+                )
+                topk = top_k_pieces(used, vocab_size)
+                refreshed = (
+                    topk.unionByName(
+                        chars.join(used, "piece", "left").select(
+                            "piece",
+                            F.coalesce("cnt", F.lit(1)).alias("cnt"),
+                        )
+                    )
+                    .groupBy("piece")
+                    .agg(F.max("cnt").alias("cnt"))
+                )
+                new_costs = with_costs(refreshed).localCheckpoint(
+                    eager=True
+                )
+                new_n_vocab = new_costs.count()
+                row = f_row.result()
+            else:
+                # Final round reports stats only — the non-path DP
+                # carries (cost, n_pieces) integers instead of
+                # piece-string arrays.
+                row = viterbi_combined(wf, costs, max_piece_len).agg(
+                    F.sum(F.col("f") * F.col("cost")).alias("corpus_cost"),
+                    F.sum(F.col("f") * F.col("n_pieces")).alias(
+                        "corpus_pieces"
+                    ),
+                ).first()
+            stats.append(
+                {
+                    "iteration": it,
+                    "vocab_size": int(n_vocab),
+                    "corpus_cost_bits": int(row["corpus_cost"]),
+                    "corpus_pieces": int(row["corpus_pieces"]),
+                    "corpus_words": corpus_words,
+                    "n_chars": int(n_chars),
+                }
+            )
+            if it == n_iters - 1:
+                break
+            costs, n_vocab = new_costs, new_n_vocab
+    finally:
+        pool.shutdown(wait=True)
     return costs, stats
