@@ -631,6 +631,38 @@ def test_contamination_flags_planted_overlap(spark):
     assert rows[3]["contaminated"] is False
 
 
+def test_contamination_accepts_unkeyed_benchmark(spark):
+    """ADVICE r10 medium: the bench side only contributes gram keys, so
+    an eval relation WITHOUT the training id column (eval suites are
+    often keyed differently or unkeyed) must work — and must produce the
+    same report as a keyed one with the same text."""
+    from traffic_accidents_airflow_kafka_spark.operators import decontam
+
+    span = "one two three four five six seven eight"
+    train = spark.createDataFrame(
+        [(1, span), (2, "clean words only nothing shared here at all ok")],
+        "doc_id long, text string",
+    )
+    keyed = spark.createDataFrame(
+        [(100, "prefix " + span)], "doc_id long, text string"
+    )
+    unkeyed = keyed.select("text")  # no doc_id at all
+    expect = sorted(
+        tuple(r)
+        for r in decontam.contamination(
+            train, keyed, "doc_id", "text", n=8
+        ).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in decontam.contamination(
+            train, unkeyed, "doc_id", "text", n=8
+        ).collect()
+    )
+    assert got == expect
+    assert any(r[4] for r in got)  # the planted span is still flagged
+
+
 def test_repetition_stats_flags_planted_repeats(spark):
     from traffic_accidents_airflow_kafka_spark.operators import quality
 

@@ -193,3 +193,42 @@ def test_replay_stream_resumes_from_checkpoint(registered, sf_dir, tmp_path):
     # and NO event delivered twice (exactly-once bookkeeping).
     assert len(ids2) > len(ids1)
     assert len(ids2) == len(set(ids2))
+
+
+def test_replay_columns_projection_and_errors(sf_dir):
+    """ADVICE r10 low: the pruned-schema path of the replay source —
+    canonical reordering, value/offset identity vs the unpruned source,
+    and the unknown-column error — had no coverage."""
+    import pytest
+
+    from traffic_accidents_airflow_kafka_spark.sources.pyds import (
+        EventReplayStreamReader,
+        _replay_columns,
+    )
+
+    # canonical reordering: a caller passing "value,ts_us" gets the
+    # schema-order projection, not the requested order
+    assert _replay_columns({"columns": "value,ts_us"}) == ["ts_us", "value"]
+    with pytest.raises(ValueError, match="unknown replay columns"):
+        _replay_columns({"columns": "ts_us,nope"})
+
+    path = f"{sf_dir}/events.parquet"
+    full = EventReplayStreamReader({"path": path})
+    pruned = EventReplayStreamReader(
+        {"path": path, "columns": "ts_us,event_type,value"}
+    )
+    rows_f, nxt_f = full.read({"row": 0})
+    rows_p, nxt_p = pruned.read({"row": 0})
+    rows_f, rows_p = list(rows_f), list(rows_p)
+    # offsets advance identically (the (ts, event_id) order is computed
+    # on SOURCE columns, so pruning cannot change the replay ranges)
+    assert nxt_f == nxt_p and len(rows_f) == len(rows_p)
+    # row-for-row: the pruned tuple is the (ts_us, event_type, value)
+    # slice of the full canonical-order tuple (fields 1, 3, 4)
+    assert all(
+        (f[1], f[3], f[4]) == tuple(p) for f, p in zip(rows_f, rows_p)
+    )
+    # replay-between on the pruned reader returns the identical slice
+    mid = len(rows_p) // 2 or 1
+    again = list(pruned.readBetweenOffsets({"row": 0}, {"row": mid}))
+    assert again == rows_p[:mid]

@@ -82,7 +82,17 @@ def _word_ngram_key_rows(
     array. Equality of keys ⇔ equality of word tuples up to xxhash64
     collisions (birthday-bounded at ~2^32 distinct grams); the DuckDB
     oracles match md5 over the literal gram text, so green parity
-    doubles as the collision check."""
+    doubles as the collision check — at the benchmark scales actually
+    run. SCALE BOUND (ADVICE r10): at the advertised 100 TB corpus
+    (~10^13 distinct 8-grams) expected spurious cross-side hits under a
+    single 64-bit key reach order-1 per ~10^6-row eval set — enough to
+    perturb n_hit by a few counts but ~never to flip a contaminated
+    flag (a flip needs overlap to cross flag_threshold, i.e. ~n_grams/5
+    collisions INTO one document). Deployments needing a collision-free
+    audit at that scale should key on a 128-bit pair (xxhash64 with two
+    seeds on both sides) — a two-line widening of this helper that
+    doubles key bytes through the explode; the 64-bit default is the
+    measured-right tradeoff for the shipped pipeline."""
     w = tokens(F.col(text_col))
     base = df.select(
         F.col(id_col), F.transform(w, lambda x: F.xxhash64(x)).alias("__wh")
@@ -123,8 +133,19 @@ def contamination(
     # per instance cuts the dominant per-row cost
     # (benchmark_ngram_digests keeps the md5 form for any caller that
     # needs an engine-stable digest).
+    # r11 (ADVICE r10 medium): the bench side only contributes its gram
+    # KEYS, so it must not be required to carry the TRAIN corpus's id
+    # column — eval suites are often keyed differently or unkeyed. A
+    # constant stands in as the id (pruned away by the select below),
+    # restoring the pre-r10 contract that only text_col is read from
+    # ``bench``.
     digests = F.broadcast(
-        _word_ngram_key_rows(bench, id_col, text_col, n)
+        _word_ngram_key_rows(
+            bench.select(F.lit(0).alias("__bench_id"), F.col(text_col)),
+            "__bench_id",
+            text_col,
+            n,
+        )
         .select(F.col("__gh").alias("bench_h"))
         .dropna()
         .distinct()

@@ -62,10 +62,14 @@ def prepare_pair_graph(
     pairs: DataFrame, src: str = "d1", dst: str = "d2"
 ) -> PairGraph:
     """Materialize (edges+degrees, nodes, counts) for a SYMMETRIZED pair
-    graph once — see :class:`PairGraph`. The relations are byte-identical
-    to what each PageRank variant builds internally (same expressions,
-    same checkpoint points), so passing the result via ``prepared=``
-    cannot change any rank."""
+    graph once — see :class:`PairGraph`. For ``pagerank_fixedpoint`` the
+    prepared relations yield EXACT-identical ranks (int64 sums are
+    order-independent). For the float ``pagerank`` the node set is the
+    same (src-only distinct equals union(src,dst) distinct under
+    symmetrization) but the physical plan/partitioning differs from the
+    solo path's union-distinct, so float ranks agree up to double-
+    summation order (~1e-15 relative), not byte-for-byte — the audit's
+    parity test pins them at 1e-12 (ADVICE r10)."""
     edges = _edge_relation(pairs, src, dst, symmetrize=True)
     nodes = edges.select(F.col("e_src").alias("id")).distinct().localCheckpoint()
     n_nodes = nodes.count()
