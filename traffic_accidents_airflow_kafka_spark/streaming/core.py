@@ -48,6 +48,16 @@ TOPICS = (
     "crossings_vs_lesions",
 )
 
+#: (normalized events path) -> sniffed ``ts`` type. The footer sniff is
+#: a driver-side read costing 0.14-0.26 s, and ~12 streaming entries pay
+#: it on EVERY plan build; a parquet file's physical ``ts`` type cannot
+#: change for a given path within a session, so the resolved type — pure
+#: metadata, never data or results — memoizes per path (r11, guide §7.3
+#: driver-side planning cost; the artifact-memo pattern's metadata-only
+#: sibling).
+_EVENTS_TS_TYPE: dict = {}
+
+
 def _events_stream_schema(spark: SparkSession, sf_dir: str) -> StructType:
     """Streaming-read schema for events.parquet, derived from the file.
 
@@ -56,10 +66,15 @@ def _events_stream_schema(spark: SparkSession, sf_dir: str) -> StructType:
     under ``nanosAsLong``; TIMESTAMP(MICROS) → native timestamp_ntz).
     Hard-coding either silently corrupts the other by 1000× — so sniff the
     batch reader's resolved schema (footer-only, no data scan) and declare
-    the same ``ts`` type for the stream.
+    the same ``ts`` type for the stream; the sniffed type memoizes per
+    normalized path (see ``_EVENTS_TS_TYPE``).
     """
     path = os.path.join(sf_dir, "events.parquet")
-    ts_type = spark.read.parquet(path).schema["ts"].dataType
+    key = os.path.normpath(os.path.abspath(path))
+    ts_type = _EVENTS_TS_TYPE.get(key)
+    if ts_type is None:
+        ts_type = spark.read.parquet(path).schema["ts"].dataType
+        _EVENTS_TS_TYPE[key] = ts_type
     fields = [
         StructField("event_id", LongType()),
         StructField("ts", ts_type),

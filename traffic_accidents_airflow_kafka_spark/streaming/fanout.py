@@ -72,6 +72,11 @@ FANOUT_SOURCES = ("orders", "lineitem", "events")
 #: per-topic movers, not the total).
 _LAST_RUN_META: dict = {}
 
+#: (normalized table path) -> resolved parquet schema — driver-side
+#: footer sniffs memoized per path (r11; metadata only, see
+#: run_topics_fanout).
+_SCHEMA_MEMO: dict = {}
+
 
 def last_run_metadata() -> dict:
     """Copy of the last fan-out run's metadata (empty if none ran).
@@ -289,8 +294,23 @@ def run_topics_fanout(
     EXACTLY the batch topic queries' schemas. Merged results are eagerly
     materialized (localCheckpoint) so the sink directories can be
     reclaimed before the caller consumes them."""
-    orders_schema = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).schema
-    li_schema = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).schema
+    # r11 (guide §7.3 driver-side planning cost): the two footer sniffs
+    # cost 0.14-0.26 s each and repeat on every run; a file's schema
+    # cannot change for a given path within a session, so the resolved
+    # StructType — metadata only — memoizes per normalized path (the
+    # streaming/core.py events-type memo, same pattern).
+    def _sniff(table: str):
+        key = os.path.normpath(
+            os.path.abspath(os.path.join(sf_dir, f"{table}.parquet"))
+        )
+        schema = _SCHEMA_MEMO.get(key)
+        if schema is None:
+            schema = spark.read.parquet(key).schema
+            _SCHEMA_MEMO[key] = schema
+        return schema
+
+    orders_schema = _sniff("orders")
+    li_schema = _sniff("lineitem")
     schemas = {"orders": orders_schema, "lineitem": li_schema}
     ev_schema = (
         "event_id long, user_id long, event_type string, value double, "
